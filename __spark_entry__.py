@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``bearly_spark`` package; this module is a
+thin adapter over ``bearly_spark.registry``.
 """
 
 from __future__ import annotations
@@ -15,24 +17,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the reference's flagship operator (columnwise int64 SUM,
+    bearly_ext.cc:26-90) over the lineitem fact table.
+    """
+    from bearly_spark.registry import QUERIES
+
+    return QUERIES["sum_lineitem_int64"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §2.3."""
+    from bearly_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twins for every SQL-expressible query.
+
+    Keys absent here (the LSH/minhash/simhash/ANN families and the
+    mapInPandas decode stub) are non-SQL-expressible by design — engine-
+    specific hash functions / seeded projections — and take the driver's
+    rows-only check; their semantics are pinned by planted-fixture tests
+    in tests/ instead.
     """
-    return {}
+    from bearly_spark.registry import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,85 @@
+"""Aggregation operators.
+
+``sum_int64`` is the reference's flagship operator (O2+O3+O4,
+``bearly_ext.cc:26-90``) with its exact semantics; the rest are the grouped
+aggregation surface the reference lacks (SURVEY §2.2), expressed as thin
+Catalyst-friendly wrappers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import LongType
+
+
+class NoSummableColumnsError(ValueError):
+    """Raised when the input has no int64 columns.
+
+    The reference emits a degenerate 0-column 1-row struct in this case
+    (``bearly_ext.cc:44-56`` with ``n_children == 0``). Spark cannot
+    represent a 0-column DataFrame, so — per SURVEY §2.1(5) — we pin the
+    behavior as an explicit error instead.
+    """
+
+
+def summable_columns(df: DataFrame) -> list[str]:
+    """Reference O2: type-gated projection — keep only int64 columns, in
+    input-schema order (``bearly_ext.cc:26-40``). int32/double/string are
+    dropped, never upcast."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, LongType)]
+
+
+def sum_int64(df: DataFrame) -> DataFrame:
+    """Columnwise SUM over all int64 columns → exactly one row (O3+O4).
+
+    Semantics pinned by the reference golden test
+    (``/root/reference/tests/test_bearly.py:23-39``) and SURVEY §2.1:
+
+    1. nulls count as 0 (``value_or(0)``, ``bearly_ext.cc:72``) — an
+       all-null column sums to 0, not NULL → ``coalesce(sum(c), 0)``;
+    2. empty input yields one row of zeros, never zero rows (accumulators
+       init to 0, ``bearly_ext.cc:35,83-88``) — Spark's global agg also
+       emits exactly one row;
+    3. only int64 columns participate (see :func:`summable_columns`);
+    4. output preserves input column order and names;
+    5. no int64 columns → :class:`NoSummableColumnsError` (see its doc);
+    6. int64 overflow wraps (non-ANSI mode), matching C++ ``int64_t``.
+
+    Execution: Tungsten partial+final HashAggregate — the distributed
+    generalization of the reference's chunk-at-a-time partial-sum loop
+    (``bearly_ext.cc:59-76``). No shuffle of row data: each partition
+    emits one partial row, the final agg merges ~num_partitions rows.
+    """
+    cols = summable_columns(df)
+    if not cols:
+        raise NoSummableColumnsError(
+            "input has no int64 columns; the reference would return a "
+            "0-column 1-row struct, which Spark cannot represent"
+        )
+    return df.agg(*[F.coalesce(F.sum(c), F.lit(0).cast("long")).alias(c) for c in cols])
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    mode: str = "groupby",
+) -> DataFrame:
+    """Grouped aggregation with optional grouping-set expansion.
+
+    ``mode``: ``groupby`` | ``rollup`` | ``cube``.  All three map to a
+    single shuffle on the grouping keys with map-side partial aggregation;
+    rollup/cube expand grouping sets before the shuffle (Catalyst `Expand`).
+    """
+    if mode == "groupby":
+        grouped = df.groupBy(*keys)
+    elif mode == "rollup":
+        grouped = df.rollup(*keys)
+    elif mode == "cube":
+        grouped = df.cube(*keys)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return grouped.agg(*aggs)

@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split / filter /
+transform / regexp) — no Python UDFs — so they run inside whole-stage
+codegen and scale linearly with input bytes. The same definitions are
+mirrored 1:1 in DuckDB SQL by the oracle strings in
+``bearly_spark.registry`` (shared constants below keep the two in sync).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny deterministic stopword lists used for language scoring. Shared with
+#: the DuckDB oracle SQL — do not edit one side without the other.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+#: Deterministic language priority for tie-breaks (first wins on equal
+#: scores). Mirrored in the oracle CASE chain.
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+#: "BPE-ish" word/number/punct tokenizer regex — shared with the oracle.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Punctuation class for quality scoring — shared with the oracle.
+PUNCT_CLASS = "[.,!?;:]"
+
+#: English stopword list used for the quality score — shared with oracle.
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (leading/trailing whitespace
+    would otherwise yield '' entries)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, single
+    punctuation — a cheap, deterministic proxy for BPE token budgets."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, F.lower(t))))
+
+
+def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
+    return stopword_hits(tokens, stopwords).cast("double") / F.greatest(
+        F.size(tokens), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(1, n_tokens/50) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
+
+    Length rewards substantive documents, punctuation penalizes symbol
+    spam, stopword ratio rewards natural-language-like token mix. All
+    arithmetic is per-row and order-free, so results are bit-deterministic.
+    """
+    toks = word_tokens(text)
+    length_term = F.least(F.lit(1.0), F.size(toks).cast("double") / F.lit(50.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stopword_ratio(toks, QUALITY_STOPWORDS)
+    )
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(tokens, words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax language guess with a fixed priority tie-break
+    (LANG_PRIORITY order; 'und' = undetermined when no list scores > 0)."""
+    scores = lang_scores(word_tokens(text))
+    expr = F.lit("und")
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(LANG_PRIORITY):
+        others = [scores[o] for o in LANG_PRIORITY if o != lang]
+        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    lowercase token set. Two documents with the same bag of words collide —
+    the classic cheap near-dup prefilter."""
+    toks = F.array_sort(F.array_distinct(F.transform(word_tokens(text), F.lower)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document stat bundle (all JVM-side)."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_tokens", bpe_token_count(t))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("quality", F.round(quality_score(t), 6))
+        .withColumn("lang_guess", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

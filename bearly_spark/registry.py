@@ -1,0 +1,1034 @@
+"""Query registry: the (queries, oracle_sql) driver contract surface.
+
+Every operator family from SURVEY §2 (and the LLM-pipeline extensions of
+§2.3) is represented by at least one named query. Each entry is a callable
+``(spark, sf_dir) -> DataFrame``; where the semantics are SQL-expressible
+the matching DuckDB oracle SQL lives in ``ORACLE`` with **identical column
+aliases** (the driver sorts columns by name before hashing values).
+
+Determinism rules applied throughout (so Spark and DuckDB hash-match):
+- every float aggregate is ROUND()ed (2dp for money sums, 4-6dp for
+  ratios/similarities) — kills last-ulp differences from summation order;
+- every LIMIT is preceded by a total order including a unique key;
+- rankings order by (rounded value, unique id) so ties break identically;
+- event-time math is integer arithmetic on epoch seconds derived from the
+  stored int64 nanos (exact in both engines; no float epoch conversion).
+
+Queries with no oracle entry (LSH/minhash/simhash families — their hash
+functions are engine-specific) get the driver's weaker rows-only check and
+are instead pinned by planted-fixture tests in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import relational as R
+from bearly_spark.operators import similarity as S
+from bearly_spark.operators import text as T
+from bearly_spark.operators import windows as W
+from bearly_spark.operators.aggregate import grouped_agg, sum_int64
+from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# SQL fragment: whitespace tokens with empties removed (mirrors
+# operators.text.word_tokens exactly).
+_TOKS = r"[x for x in string_split_regex(text, '\s+') if x <> '']"
+_STOP_HITS = {
+    lang: f"len([t for t in {_TOKS} if list_contains({_sql_list(words)}, lower(t))])"
+    for lang, words in T.STOPWORDS.items()
+}
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN ({_STOP_HITS[lang]}) > 0 AND ({_STOP_HITS[lang]}) >= GREATEST("
+        + ", ".join(f"({_STOP_HITS[o]})" for o in T.LANG_PRIORITY if o != lang)
+        + f") THEN '{lang}'"
+        for lang in T.LANG_PRIORITY
+    )
+    + " ELSE 'und' END"
+)
+
+# ===================================================================
+# Reference-parity surface (SURVEY §2.1)
+# ===================================================================
+
+
+@register(
+    "sum_lineitem_int64",
+    oracle="""
+    SELECT CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT) AS l_orderkey,
+           CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT)  AS l_partkey,
+           CAST(COALESCE(SUM(l_suppkey), 0) AS BIGINT)  AS l_suppkey
+    FROM lineitem
+    """,
+)
+def q_sum_lineitem(spark, sf_dir):
+    """Flagship: the reference's sum over every int64 column of lineitem
+    (type-gated projection O2 + columnar sum O3, bearly_ext.cc:26-90)."""
+    return sum_int64(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "produce_array",
+    oracle="SELECT * FROM (VALUES (42), (555), (NULL)) t(awesome_numbers)",
+)
+def q_produce_array(spark, sf_dir):
+    return produce_array(spark)
+
+
+@register(
+    "produce_stream",
+    oracle="""
+    SELECT * FROM (VALUES (CAST(42 AS INTEGER), CAST(555 AS BIGINT)),
+                          (84, 1110), (NULL, NULL)) t(column0, column1)
+    """,
+)
+def q_produce_stream(spark, sf_dir):
+    return produce_stream(spark)
+
+
+@register(
+    "sum_produce_stream",
+    oracle="SELECT CAST(1665 AS BIGINT) AS column1",
+)
+def q_sum_produce_stream(spark, sf_dir):
+    """Golden-pin: sum(produce_stream()) drops the int32 column and null
+    counts as 0 → one row {column1: 1665} (reference test semantics)."""
+    return sum_int64(produce_stream(spark))
+
+
+# ===================================================================
+# Scans, projection, filters (pushdown-friendly)
+# ===================================================================
+
+
+@register(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q_filter_project(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.sort_limit(
+        R.project_filter(
+            li,
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.05),
+        ),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        100,
+    )
+
+
+# ===================================================================
+# Aggregations (grouped, distinct, rollup, cube)
+# ===================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — partial+final hash agg, 2 grouping
+    keys, scan-level filter pushdown on l_shipdate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@register(
+    "distinct_agg_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        ],
+    )
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+        mode="rollup",
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+        mode="cube",
+    )
+
+
+# ===================================================================
+# Joins
+# ===================================================================
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_nation(spark, sf_dir):
+    """Fact⋈dim⋈dim chain: customer/nation broadcast, orders never
+    shuffles before the final group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = R.join_broadcast(
+        R.join(o, c, F.col("o_custkey") == F.col("c_custkey")),
+        n,
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return grouped_agg(
+        joined,
+        ["n_name"],
+        [F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")],
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp_ntz")
+    )
+    joined = li.join(
+        R.join_broadcast(o, c, F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return R.sort_limit(
+        agg.select("l_orderkey", "revenue", "o_orderdate"),
+        [F.desc("revenue"), F.asc("l_orderkey")],
+        10,
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_q5(spark, sf_dir):
+    """Six-table join; all dims broadcast, lineitem⋈orders is the only
+    shuffle pair (AQE picks the small side at runtime)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def q_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return R.join(c, o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_no_pending_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def q_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return R.join(c, o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        R.join(c, o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "broadcast_join_part_agg",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_broadcast_part(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        R.join_broadcast(li, p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ===================================================================
+# Sorts, limits, top-k, set ops
+# ===================================================================
+
+
+@register(
+    "top_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_top_orders(spark, sf_dir):
+    return R.sort_limit(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_topk_per_customer(spark, sf_dir):
+    return R.top_k_per_group(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "set_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return R.intersect(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
+    )
+
+
+@register(
+    "set_except_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_set_except(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return R.except_(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "P").select("o_custkey"),
+    )
+
+
+@register(
+    "set_union_ids",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT o_custkey AS id FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q_set_union(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return R.union_all(
+        c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("id")),
+        o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("id")),
+    ).distinct()
+
+
+# ===================================================================
+# Window functions
+# ===================================================================
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = W.running_sum(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.col("o_totalprice"),
+        "running_total_raw",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round(F.col("running_total_raw"), 2).alias("running_total")
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_window_gaps(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = W.lag_lead_delta(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.col("o_orderdate"),
+        out_prev="prev_date",
+        out_next="next_date",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date"))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+# ===================================================================
+# Scalar function packs (string / date / math / json / array)
+# ===================================================================
+
+
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey, UPPER(p_name) AS name_upper, LENGTH(p_name) AS name_len,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            "o_totalprice",
+        )
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "math_funcs_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+           ROUND(LN(l_extendedprice + 1), 6) AS ln_price,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+           ROUND(ABS(l_quantity - 25.0), 2) AS qty_dev
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 500
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.sort_limit(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+            F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+            F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
+            F.round(F.abs(F.col("l_quantity") - 25.0), 2).alias("qty_dev"),
+        ),
+        [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        500,
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(SQRT(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                for x in embedding])), 4) AS l2_norm,
+           label
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(S.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+        "label",
+    )
+
+
+# ===================================================================
+# Event-time windows (batch form; streaming twins live in
+# bearly_spark.streaming and are pinned by stream-vs-batch tests)
+# ===================================================================
+
+# Exact integer epoch-second bucket math from int64 nanos; see module doc.
+_EV_SEC_SPARK = F.expr("ts DIV 1000000000")
+_EV_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT CAST({_EV_SEC_SQL} - ({_EV_SEC_SQL} % 3600) AS BIGINT) AS window_start_sec,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sec = _EV_SEC_SPARK
+    return (
+        ev.select((sec - (sec % 3600)).cast("long").alias("window_start_sec"), "event_type", "value")
+        .groupBy("window_start_sec", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH b AS (SELECT CAST({_EV_SEC_SQL} - ({_EV_SEC_SQL} % 1800) AS BIGINT) AS bucket
+               FROM events),
+    w AS (SELECT unnest([bucket - 1800, bucket]) AS window_start_sec FROM b)
+    SELECT window_start_sec, COUNT(*) AS n_events FROM w GROUP BY 1
+    """,
+)
+def q_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min — each event lands in exactly
+    two windows (explode), matching F.window(ts,'1 hour','30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = _EV_SEC_SPARK
+    bucket = (sec - (sec % 1800)).cast("long")
+    return (
+        ev.select(
+            F.explode(F.array(bucket - 1800, bucket)).alias("window_start_sec")
+        )
+        .groupBy("window_start_sec")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST({_EV_SEC_SQL} AS BIGINT) AS ts_sec FROM events),
+    m AS (SELECT user_id, ts_sec,
+                 CASE WHEN LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+                        OR ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e),
+    s AS (SELECT user_id, ts_sec,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM m)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_sec) AS session_start_sec, MAX(ts_sec) AS session_end_sec
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) via lag + cumulative
+    flag-sum — the batch twin of streaming session_window."""
+    from pyspark.sql import Window as SW
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", _EV_SEC_SPARK.cast("long").alias("ts_sec")
+    )
+    w = SW.partitionBy("user_id").orderBy("ts_sec")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | ((F.col("ts_sec") - F.lag("ts_sec").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wsum).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_sec").alias("session_start_sec"),
+        F.max("ts_sec").alias("session_end_sec"),
+    )
+
+
+# ===================================================================
+# LLM-pipeline: dedup
+# ===================================================================
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+@register(
+    "dedup_stats_documents",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents
+    """,
+)
+def q_dedup_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@register(
+    "jaccard_pairs_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct([lower(x) for x in {_TOKS}]) AS toks
+               FROM documents WHERE doc_id < 200),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 ROUND(len(list_intersect(a.toks, b.toks)) /
+                       GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1), 6)
+                   AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark, sf_dir):
+    """Brute-force n-gram(1) Jaccard over a bounded id range — the
+    exactness oracle for the MinHash path."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+@register("dedup_simhash")  # rows-only: signature UDF has no SQL twin
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+# ===================================================================
+# LLM-pipeline: similarity search
+# ===================================================================
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 10
+    """,
+)
+def q_embedding_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("embedding_ann_lsh")  # rows-only: seeded hyperplanes, no SQL twin
+def q_embedding_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("embedding_near_dup")  # rows-only
+def q_embedding_near_dup(spark, sf_dir):
+    # The synthetic embeddings have no true near-dups (max pairwise cosine
+    # ~0.5), so the demo threshold is 0.4; production near-dup would use
+    # 0.95+. The planted-pair test in tests/ pins the high-threshold path.
+    return S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ===================================================================
+# LLM-pipeline: text analysis
+# ===================================================================
+
+_PUNCT_SQL = (
+    "ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    " / GREATEST(length(text), 1), 6)"
+)
+_PUNCT_RAW_SQL = (
+    "((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    " / GREATEST(length(text), 1))"
+)
+_QUALITY_SQL = (
+    f"ROUND(0.4 * LEAST(1.0, len({_TOKS}) / 50.0)"
+    f" + 0.3 * (1.0 - {_PUNCT_RAW_SQL})"
+    f" + 0.3 * ({_STOP_HITS['en']} / GREATEST(len({_TOKS}), 1)), 6)"
+)
+_FPRINT_SQL = (
+    f"md5(array_to_string(list_sort(list_distinct([lower(t) for t in {_TOKS}])), ' '))"
+)
+
+
+@register(
+    "text_stats_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_REGEX}')) AS INTEGER) AS n_bpe_tokens,
+           {_PUNCT_SQL} AS punct_ratio,
+           {_QUALITY_SQL} AS quality,
+           {_LANG_CASE} AS lang_guess,
+           {_FPRINT_SQL} AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return T.with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio", "quality", "lang_guess", "fingerprint"
+    )
+
+
+@register(
+    "lang_id_distribution",
+    oracle=f"""
+    SELECT {_LANG_CASE} AS lang_guess, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_lang_distribution(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ===================================================================
+# LLM-pipeline: multimodal columns
+# ===================================================================
+
+
+@register(
+    "multimodal_ingest",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_ingest(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    p = M.attach_payload(d)
+    return p.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.payload_bytes").cast("long").alias("payload_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: mapInPandas decode stub
+def q_multimodal_decode(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_features(M.attach_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, GREATEST(1,
+             CAST(FLOOR(octet_length(encode(text)) / 200.0) AS INTEGER)) * 200, 200))
+           AS frame_offset,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = M.frame_sample_stub(M.attach_payload(d), every_n_bytes=200)
+    return out.select(
+        "doc_id",
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+    )

@@ -1,0 +1,58 @@
+"""Parquet sources for the driver fixture tables (TESTDATA.md).
+
+All tables are plain parquet scans — Catalyst pushes filters and prunes
+columns into the scan (verify with ``df.explain``: ``PushedFilters`` /
+``ReadSchema``).  At 100 TB the same code path applies; the only knobs that
+change are ``spark.sql.files.maxPartitionBytes`` and the partition layout
+of the table directory.
+
+Special case: ``events.parquet`` stores ``TIMESTAMP(NANOS)``, which Spark 4
+cannot represent — we set ``spark.sql.legacy.parquet.nanosAsLong`` so the
+scan yields raw int64 nanoseconds, and expose a derived ``ts_ts``
+(microsecond timestamp) for operators that need a real timestamp type.
+Integer bucket math on the raw nanos is both exact and cheaper than
+timestamp arithmetic, so batch window queries use the long directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. For ``events``, ``ts`` is int64 epoch-nanos."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    apply_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_ts`` = proper timestamp column (microsecond
+    truncation of the stored nanoseconds; session tz is UTC)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

@@ -1,0 +1,148 @@
+"""Structured Streaming operators over the events fixture.
+
+The reference has no streaming runtime at all (SURVEY §2.2) — its "stream"
+is an Arrow chunk iterator. This module supplies the unbounded-stream
+surface a production events pipeline needs: file-source ingestion,
+watermarked tumbling/sliding/session windows, and a custom stateful
+operator via ``applyInPandasWithState``.
+
+Every windowed transform here is also runnable in batch mode (pass a batch
+DataFrame) — the tests exercise stream mode with ``trigger(availableNow)``
+and assert equality against the batch run of the same transform, which is
+exactly the incremental-execution guarantee Structured Streaming makes.
+
+Scale: file-source streaming shards by file; state (windows, sessions) is
+partitioned by group key in the state store; watermarks bound state size —
+without one, a 100 TB backfill would accrete unbounded window state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bearly_spark.session import apply_runtime_confs
+
+#: events.parquet reads with ts as int64 epoch-nanos (nanosAsLong).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read of the events directory with a proper event-time
+    column ``ts_ts`` (µs truncation of the stored nanos)."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}")
+    )
+    return raw.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    return (
+        df
+        if "ts_ts" in df.columns
+        else df.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def tumbling_window_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Per-(window, event_type) count + value sum; watermark bounds state
+    and drops late rows beyond ``watermark``."""
+    ev = _with_event_time(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts_ts", watermark)
+    return (
+        ev.groupBy(F.window("ts_ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    ev = _with_event_time(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts_ts", watermark)
+    return (
+        ev.groupBy(F.window("ts_ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a ``gap`` inactivity timeout
+    (``F.session_window`` — dynamic, data-driven window bounds)."""
+    ev = _with_event_time(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts_ts", watermark)
+    return (
+        ev.groupBy(F.session_window("ts_ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stateful_running_max(events: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Custom stateful operator: per-user running max(value) maintained in
+    the state store via ``applyInPandasWithState`` — the escape hatch for
+    semantics the built-in windows can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, running_max double, n_seen long"
+    state_schema = "running_max double, n_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        running_max, n_seen = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                running_max = max(running_max, float(pdf["value"].max()))
+                n_seen += len(pdf)
+        state.update((running_max, n_seen))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_max": [running_max], "n_seen": [n_seen]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,114 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and (where present) its
+``oracle_sql()`` twin on DuckDB over the same parquet fixture dir, then
+compares row count, column names, and exact (order-insensitive) values —
+a stricter check than the driver's value-hash, so passing here implies
+hash-matching there.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _norm_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from bearly_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            print(f"ok   {name}: {len(s_rows)} rows ({status})")
+            if len(s_rows) == 0:
+                print(f"WARN {name}: empty result (weak signal)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        sc, sr = _norm_rows(s_cols, s_rows)
+        dc, dr = _norm_rows(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            failures += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            failures += 1
+            continue
+        if sr != dr:
+            bad = sum(1 for a, b in zip(sr, dr) if a != b)
+            print(f"FAIL {name}: {bad}/{len(sr)} rows differ")
+            for a, b in list(zip(sr, dr))[:200]:
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}")
+                    break
+            failures += 1
+            continue
+        print(f"ok   {name}: {len(sr)} rows match exactly")
+        if len(sr) == 0:
+            print(f"WARN {name}: empty result (vacuous match)")
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'}: {failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:] or None
+    raise SystemExit(1 if run(sf_dir, only) else 0)
