@@ -189,31 +189,38 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- SimHash
 
-@F.pandas_udf("long")
-def _simhash64(tokens: pd.Series) -> pd.Series:
+def _make_simhash_udf():
     """64-bit SimHash over a token array (Arrow-batched; md5-based token
-    hashing so results are deterministic across workers/sessions)."""
-    out = np.empty(len(tokens), dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks if toks is not None else []:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig.astype(np.int64)
-    return pd.Series(out)
+    hashing so results are deterministic across workers/sessions).
+
+    Built lazily because pandas_udf registration needs an active session.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash64(tokens: pd.Series) -> pd.Series:
+        out = np.empty(len(tokens), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, toks in enumerate(tokens):
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks if toks is not None else []:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            sig = np.uint64(0)
+            for b in np.nonzero(acc > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return _simhash64
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — signature compute is map-only."""
     toks = F.transform(word_tokens(F.col(text_col)), F.lower)
-    return df.select(F.col(id_col), _simhash64(toks).alias("simhash"))
+    return df.select(F.col(id_col), _make_simhash_udf()(toks).alias("simhash"))
 
 
 def simhash_dedup_pairs(

@@ -719,7 +719,11 @@ def q_array_funcs(spark, sf_dir):
 # ===================================================================
 
 # Exact integer epoch-second bucket math from int64 nanos; see module doc.
-_EV_SEC_SPARK = F.expr("ts DIV 1000000000")
+# (built lazily: F.expr needs an active SparkContext)
+def _ev_sec_spark():
+    return F.expr("ts DIV 1000000000")
+
+
 _EV_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
 
 
@@ -733,7 +737,7 @@ _EV_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
 )
 def q_tumbling(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    sec = _EV_SEC_SPARK
+    sec = _ev_sec_spark()
     return (
         ev.select((sec - (sec % 3600)).cast("long").alias("window_start_sec"), "event_type", "value")
         .groupBy("window_start_sec", "event_type")
@@ -757,7 +761,7 @@ def q_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min — each event lands in exactly
     two windows (explode), matching F.window(ts,'1 hour','30 minutes')."""
     ev = load_table(spark, sf_dir, "events")
-    sec = _EV_SEC_SPARK
+    sec = _ev_sec_spark()
     bucket = (sec - (sec % 1800)).cast("long")
     return (
         ev.select(
@@ -793,7 +797,7 @@ def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window as SW
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", _EV_SEC_SPARK.cast("long").alias("ts_sec")
+        "user_id", _ev_sec_spark().cast("long").alias("ts_sec")
     )
     w = SW.partitionBy("user_id").orderBy("ts_sec")
     marked = ev.withColumn(

@@ -1,0 +1,159 @@
+"""Planted-fixture tests for the non-SQL-expressible LLM-pipeline
+operators (minhash/simhash/ANN have no DuckDB oracle — these tests are
+their correctness contract instead).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import similarity as S
+from bearly_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """12 docs: 0/1 identical; 2/3 near-dup (1 word of ~40 changed);
+    4/5 moderately similar (~60%); rest unrelated."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "changed")
+    moderate = " ".join(f"tok{i}" for i in range(24)) + " " + " ".join(
+        f"other{i}" for i in range(16)
+    )
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base),
+        (3, near),
+        (4, base),
+        (5, moderate),
+    ] + [(i, " ".join(f"unrel{i}_{j}" for j in range(40))) for i in range(6, 12)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_planted(spark, planted_docs):
+    kept = D.drop_exact_dups(planted_docs, "doc_id", ["text"])
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # 0,1,2,4 share identical text → only min id 0 survives of that group
+    assert 0 in ids and not {1, 2, 4} & ids
+    assert {3, 5} <= ids  # near-dups are NOT exact dups
+    assert kept.count() == planted_docs.count() - 3
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs):
+    pairs = D.minhash_dedup_pairs(
+        planted_docs, "doc_id", "text", threshold=0.7
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # identical docs must be found (Jaccard 1.0)
+    assert (0, 1) in found and (0, 2) in found and (0, 4) in found
+    # the 1-word-changed pair has shingle-Jaccard ~0.85 → must be found
+    assert any({a, b} == {2, 3} or {a, b} == {0, 3} for a, b in found)
+    # unrelated docs must not pair
+    assert not any(a >= 6 or b >= 6 for a, b in found)
+    # verified jaccard values are exact (identical pair == 1.0)
+    exact = {r.jaccard for r in pairs if (r.id_a, r.id_b) == (0, 1)}
+    assert exact == {1.0}
+
+
+def test_minhash_agrees_with_bruteforce_jaccard(spark, sf_dir):
+    """On real fixture data: every LSH-found pair's verified Jaccard must
+    match the brute-force pair computation (same doc subset)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    # LSH candidates are verified with exact Jaccard → subset of brute force
+    assert set(lsh) <= set(brute)
+    # note: token-level vs shingle-level Jaccard differ; both are computed
+    # on shingles here? jaccard_pairs uses unigram tokens, minhash uses
+    # 3-gram shingles — so only containment on ids is asserted, not values.
+
+
+def test_simhash_identical_and_near(spark, planted_docs):
+    pairs = D.simhash_dedup_pairs(planted_docs, "doc_id", "text", max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found[(0, 1)] == 0  # identical text → identical signature
+    assert not any(a >= 6 or b >= 6 for a, b in found)
+
+
+def test_simhash_deterministic(spark, planted_docs):
+    a = {r.doc_id: r.simhash for r in D.simhash(planted_docs, "doc_id", "text").collect()}
+    b = {r.doc_id: r.simhash for r in D.simhash(planted_docs, "doc_id", "text").collect()}
+    assert a == b
+    assert a[0] == a[1] == a[2] == a[4]  # identical docs, identical sigs
+
+
+def test_brute_force_topk_self_similarity(spark):
+    """A query's nearest neighbor must be its planted duplicate with
+    cosine 1.0; self-matches excluded."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    vecs.append((100, vecs[0][1]))  # plant an exact duplicate of vec 0
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert top[0].neighbor_id == 100 and top[0].cosine_sim == 1.0
+    assert all(r.neighbor_id != 0 for r in top)
+
+
+def test_lsh_ann_recall_against_bruteforce(spark, sf_dir):
+    """ANN results must be a subset of the brute-force candidate space and
+    achieve reasonable top-10 recall on the fixture embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, queries, k=10).collect()
+    ann = S.lsh_ann_topk(emb, queries, k=10).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query answered
+    assert set(ann_sets) == set(brute_sets)
+    # ANN sims must be exact cosines (verified rerank): spot-check overlap
+    recalls = [
+        len(ann_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.2, recalls  # blocking, not exhaustive
+
+
+def test_embedding_near_dup_planted(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.01, size=64)  # cosine ~0.9999
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])] + [
+        (i, [float(x) for x in rng.normal(size=64)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
+    assert all(r.cosine_sim >= 0.95 for r in pairs)
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = M.decode_features(M.attach_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == M.N_FEATURES for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic across runs
+    again = {r.doc_id: r.feature for r in M.decode_features(M.attach_payload(docs)).collect()}
+    assert all(again[r.doc_id] == r.feature for r in rows)
+
+
+def test_multimodal_strict_mode_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        M.decode_features(M.attach_payload(docs), strict=True)
