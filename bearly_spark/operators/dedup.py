@@ -17,8 +17,6 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -114,13 +112,19 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(shingle, i). All JVM built-ins; map-only, no shuffle."""
+    """(id, hs, sig[num_hashes]) — ``hs`` is the distinct 64-bit hashed
+    shingle set; sig[i] = min over hs of xxhash64(h, i).
+
+    Each shingle *string* is hashed exactly once; the ``num_hashes``
+    permutations re-hash the resulting long (cheap fixed-width op), not the
+    string. All JVM built-ins; map-only, no shuffle.
+    """
     shing = word_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col), shing.alias("shingles"))
+    hs = F.array_distinct(F.transform(shing, lambda s: F.xxhash64(s)))
+    base = df.select(F.col(id_col), hs.alias("hs"))
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(F.col("hs"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -143,10 +147,19 @@ def minhash_dedup_pairs(
     1-(1-s⁴)¹⁶ ≈ 0.99+ at s=0.8. Buckets larger than ``max_bucket`` are
     dropped (degenerate content; prevents quadratic blowup at scale).
 
+    Scale design: the signature table is persisted (at cluster scale:
+    write it out) because three downstream branches consume it — the band
+    explode, the bucket-size skew guard, and the verify join — and must
+    not each recompute the shingling. Only (id, band, bucket) rows travel
+    through the explode + self-join shuffle; the shingle sets are joined
+    back for verification of the (small) candidate pair set, as hashed
+    longs rather than strings. Jaccard over hashed shingles equals string
+    Jaccard up to xxhash64 collisions (~n²/2⁶⁴, negligible).
+
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sig_df = minhash_signature(df, id_col, text_col, num_hashes, shingle_n).persist()
 
     band_structs = F.array(
         *[
@@ -159,29 +172,28 @@ def minhash_dedup_pairs(
             for j in range(bands)
         ]
     )
-    buckets = sig_df.select(
-        F.col(id_col), F.col("shingles"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "shingles", "bb.band", "bb.bucket")
+    buckets = sig_df.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
 
     # Guard against degenerate buckets before the self-join.
     sizes = buckets.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
     buckets = buckets.join(sizes.select("band", "bucket"), ["band", "bucket"], "left_semi")
 
-    a = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    b = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = sig_df.select(F.col(id_col), F.col("hs"))
     return (
-        cand.select(
-            "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -189,38 +201,40 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- SimHash
 
-def _make_simhash_udf():
-    """64-bit SimHash over a token array (Arrow-batched; md5-based token
-    hashing so results are deterministic across workers/sessions).
+def _make_simhash_pack_udf():
+    """Pack per-token 64-bit hashes into one 64-bit SimHash signature.
+
+    Token hashing happens JVM-side (xxhash64, deterministic across
+    workers); this Arrow-batched UDF only does the vectorized bit-count:
+    a tokens×64 bit matrix per doc, column sums, sign → signature bits.
 
     Built lazily because pandas_udf registration needs an active session.
     """
 
     @F.pandas_udf("long")
-    def _simhash64(tokens: pd.Series) -> pd.Series:
-        out = np.empty(len(tokens), dtype=np.int64)
+    def _pack64(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, toks in enumerate(tokens):
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks if toks is not None else []:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            sig = np.uint64(0)
-            for b in np.nonzero(acc > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = sig.astype(np.int64)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            acc = 2 * bits.sum(axis=0) - len(h)
+            out[i] = (weights[acc > 0].sum(dtype=np.uint64)).astype(np.int64)
         return pd.Series(out)
 
-    return _simhash64
+    return _pack64
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — signature compute is map-only."""
+    """(id, simhash) — signature compute is map-only (JVM token hashing +
+    one Arrow-batched numpy packing pass)."""
     toks = F.transform(word_tokens(F.col(text_col)), F.lower)
-    return df.select(F.col(id_col), _make_simhash_udf()(toks).alias("simhash"))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), _make_simhash_pack_udf()(tok_hashes).alias("simhash"))
 
 
 def simhash_dedup_pairs(
@@ -234,8 +248,11 @@ def simhash_dedup_pairs(
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair within
     Hamming ≤ 3 must agree exactly on ≥1 chunk, so an equi-join per chunk
     finds all candidates (no O(n²)), then ``bit_count(a^b)`` verifies.
+
+    The signature table is persisted: both sides of the self-join (and the
+    dedup pass) would otherwise re-run the packing UDF over the full corpus.
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col).persist()
     chunks = F.array(
         *[
             F.struct(
