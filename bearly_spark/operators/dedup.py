@@ -17,12 +17,25 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from bearly_spark.operators.text import word_tokens
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input arrives in fewer splits (e.g. one small parquet file locally).
+    A no-op at scale, where scans already produce >= core-count splits —
+    this never *reduces* partitioning and never triggers a job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------- exact
@@ -105,6 +118,67 @@ def jaccard_pairs(
 
 # -------------------------------------------------------------- MinHash
 
+def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-add permutation params over Z_2^64.
+
+    Odd multipliers make ``h -> a*h + b (mod 2^64)`` a bijection, the
+    standard cheap stand-in for independent random permutations.
+    """
+    rng = np.random.RandomState(42)
+    hi = rng.randint(0, 2**32, size=num_hashes).astype(np.uint64)
+    lo = rng.randint(0, 2**32, size=num_hashes).astype(np.uint64)
+    a = ((hi << np.uint64(32)) | lo) | np.uint64(1)
+    hi = rng.randint(0, 2**32, size=num_hashes).astype(np.uint64)
+    lo = rng.randint(0, 2**32, size=num_hashes).astype(np.uint64)
+    b = (hi << np.uint64(32)) | lo
+    return a, b
+
+
+def _hashed_shingles(text: str | None, n: int) -> np.ndarray:
+    """Distinct word n-gram shingles of ``text`` as 64-bit blake2b hashes
+    (uint64). Mirrors :func:`word_shingles`: lowercased whitespace tokens,
+    whole-text fallback for docs shorter than n tokens."""
+    toks = [t.lower() for t in (text or "").split()]
+    if len(toks) >= n:
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        grams = {" ".join(toks)}
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
+def _make_minhash_udf(num_hashes: int, shingle_n: int):
+    """text -> struct<hs: array<long>, sig: array<long>> in one Arrow batch.
+
+    The whole signature kernel lives in a single vectorized pandas UDF
+    rather than JVM ``transform``/``array_min`` lambdas: Spark's
+    higher-order array functions are CodegenFallback (interpreted,
+    per-element expression eval), which made the 64-permutation signature
+    ~100x slower than this numpy matrix min. Map-only — partitions stream
+    through Arrow batches, no shuffle, scales with input splits.
+    """
+    a, b = _perm_params(num_hashes)
+
+    @F.pandas_udf("hs array<bigint>, sig array<bigint>")
+    def _minhash(texts: pd.Series) -> pd.DataFrame:
+        hs_out: list[list[int]] = []
+        sig_out: list[list[int]] = []
+        for text in texts:
+            h = _hashed_shingles(text, shingle_n)
+            derived = h[:, None] * a[None, :] + b[None, :]  # (n_shingles, num_hashes)
+            hs_out.append(h.view(np.int64).tolist())
+            sig_out.append(derived.min(axis=0).view(np.int64).tolist())
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out})
+
+    return _minhash
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -113,22 +187,13 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, hs, sig[num_hashes]) — ``hs`` is the distinct 64-bit hashed
-    shingle set; sig[i] = min over hs of xxhash64(h, i).
-
-    Each shingle *string* is hashed exactly once; the ``num_hashes``
-    permutations re-hash the resulting long (cheap fixed-width op), not the
-    string. All JVM built-ins; map-only, no shuffle.
-    """
-    shing = word_shingles(F.col(text_col), shingle_n)
-    hs = F.array_distinct(F.transform(shing, lambda s: F.xxhash64(s)))
-    base = df.select(F.col(id_col), hs.alias("hs"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    shingle set; sig[i] = min over hs of permutation_i(h). Map-only."""
+    udf = _make_minhash_udf(num_hashes, shingle_n)
+    return (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), udf(F.col(text_col)).alias("ms"))
+        .select(id_col, "ms.hs", "ms.sig")
     )
-    return base.withColumn("sig", sig)
 
 
 def minhash_dedup_pairs(
@@ -160,6 +225,10 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_hashes // bands
     sig_df = minhash_signature(df, id_col, text_col, num_hashes, shingle_n).persist()
+    # Pin the cache eagerly: the band explode, the skew guard, and the two
+    # verify joins materialize concurrently under AQE, and each racer would
+    # recompute the (expensive) signature stage against a cold cache.
+    sig_df.count()
 
     band_structs = F.array(
         *[
@@ -176,16 +245,30 @@ def minhash_dedup_pairs(
         id_col, "bb.band", "bb.bucket"
     )
 
-    # Guard against degenerate buckets before the self-join.
-    sizes = buckets.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
-    buckets = buckets.join(sizes.select("band", "bucket"), ["band", "bucket"], "left_semi")
-
-    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
+    # One shuffle: gather each bucket's member ids, drop degenerate buckets
+    # (> max_bucket: near-identical boilerplate that would go quadratic),
+    # and emit in-bucket pairs inline. This replaces the classic
+    # count-guard + semi-join + self-join chain (4 passes over the 16n-row
+    # exploded table) with a single groupBy pass; in-bucket pair expansion
+    # is bounded by max_bucket², and typical buckets hold 1-4 ids.
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    bucket_ids = (
+        buckets.groupBy("band", "bucket")
+        .agg(ids_sorted.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucket_ids.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sets = sig_df.select(F.col(id_col), F.col("hs"))
@@ -201,40 +284,48 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- SimHash
 
-def _make_simhash_pack_udf():
-    """Pack per-token 64-bit hashes into one 64-bit SimHash signature.
-
-    Token hashing happens JVM-side (xxhash64, deterministic across
-    workers); this Arrow-batched UDF only does the vectorized bit-count:
-    a tokens×64 bit matrix per doc, column sums, sign → signature bits.
+def _make_simhash_udf():
+    """text -> 64-bit SimHash in one Arrow-batched vectorized pass:
+    blake2b-hash each lowercased token (duplicates count), build the
+    tokens×64 bit matrix, column-sum, sign → signature bits. Deterministic
+    across workers/sessions; map-only.
 
     Built lazily because pandas_udf registration needs an active session.
     """
 
     @F.pandas_udf("long")
-    def _pack64(hashes: pd.Series) -> pd.Series:
-        out = np.empty(len(hashes), dtype=np.int64)
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
+        for i, text in enumerate(texts):
+            toks = [t.lower() for t in (text or "").split()]
+            if not toks:
                 out[i] = 0
                 continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+                    )
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
             bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             acc = 2 * bits.sum(axis=0) - len(h)
             out[i] = (weights[acc > 0].sum(dtype=np.uint64)).astype(np.int64)
         return pd.Series(out)
 
-    return _pack64
+    return _simhash64
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — signature compute is map-only (JVM token hashing +
-    one Arrow-batched numpy packing pass)."""
-    toks = F.transform(word_tokens(F.col(text_col)), F.lower)
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(F.col(id_col), _make_simhash_pack_udf()(tok_hashes).alias("simhash"))
+    """(id, simhash) — signature compute is map-only."""
+    return _ensure_parallelism(df).select(
+        F.col(id_col), _make_simhash_udf()(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_dedup_pairs(
@@ -253,6 +344,7 @@ def simhash_dedup_pairs(
     dedup pass) would otherwise re-run the packing UDF over the full corpus.
     """
     sh = simhash(df, id_col, text_col).persist()
+    sh.count()  # pin eagerly — see minhash_dedup_pairs
     chunks = F.array(
         *[
             F.struct(
