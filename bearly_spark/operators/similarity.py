@@ -1,25 +1,40 @@
 """Embedding similarity search: brute-force cosine top-k + LSH ANN.
 
 Scale path (100 TB / billions of vectors):
-- the **query side is broadcast** (queries are few), so the corpus never
-  shuffles for brute force — each partition scores its own vectors and a
-  rank-window takes top-k per query;
+- the **query side is collected** (queries are few by contract — same
+  contract as Spark ML's ``approxNearestNeighbors`` key) and shipped to
+  every partition inside an Arrow-batched ``mapInPandas`` kernel; the
+  corpus never shuffles for scoring — each partition matmuls its own
+  vectors against the query matrix and emits only its local top-k per
+  query, so the global rank window sees ≤ partitions×k×n_queries rows,
+  not corpus×n_queries;
 - the **LSH variant** (random-hyperplane signatures) buckets corpus and
-  queries by signature and only scores within matching buckets — this is
-  the 100 TB default, with brute force as the exactness oracle;
-- dot products are JVM-side ``zip_with``/``aggregate`` folds in double —
-  no Python in the hot path.
+  queries by signature bands and only scores within matching buckets —
+  the 100 TB default, with brute force as the exactness oracle. Only
+  (id, band, bkey) rows travel through the bucket shuffle; vectors are
+  joined back for the (small) candidate rerank;
+- all inner products are numpy matmuls over Arrow batches. The
+  ``zip_with``/``aggregate`` built-ins were abandoned: Spark's
+  higher-order array functions are CodegenFallback (interpreted,
+  per-element) and benched ~50x slower than one BLAS call per batch.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double (sequential left-to-right fold, deterministic)."""
+    """Σ aᵢ·bᵢ in double (sequential left-to-right fold, deterministic).
+
+    Kept for expression-level composition / small arrays; hot paths use
+    the vectorized kernels below instead (interpreted per-element eval).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,6 +52,26 @@ def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | 
     return dot(a, b) / (na * nb)
 
 
+def _vec_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list<float> column into an (n, dim) float64 matrix."""
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def make_cosine_udf():
+    """(array, array) -> cosine similarity, one numpy pass per Arrow batch.
+    Built lazily: pandas_udf registration needs an active session."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _vec_matrix(a), _vec_matrix(b)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,29 +81,43 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
-    Output: (query_id, neighbor_id, cosine_sim) ranked by
+    Output: (query_id, neighbor_id, cosine_sim, rn) ranked by
     (round(sim,6) desc, neighbor_id) — the rounding makes the ranking
     reproducible across engines/float orderings. Self-matches excluded.
+
+    Each partition emits only its local top-k per query (argpartition on
+    the batch scores), so the final rank window is over a k·partitions
+    bounded set — the corpus itself never shuffles.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")), 6
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine_sim")
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            mat = _vec_matrix(pdf.iloc[:, 1])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat @ qmat.T) / (norms[:, None] * qnorm[None, :]), 6)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                keep = ids != qids[j]  # exclude self-match
+                cand_idx = np.nonzero(keep)[0]
+                if len(cand_idx) > k:
+                    # top-k by (sim desc, id asc): lexsort on (id, -sim)
+                    order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                    cand_idx = cand_idx[order]
+                out_q.extend([qids[j]] * len(cand_idx))
+                out_n.extend(ids[cand_idx].tolist())
+                out_s.extend(col[cand_idx].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s})
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -82,8 +131,24 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(nbits, dim))
 
 
+def make_lsh_signature_udf(planes: np.ndarray):
+    """vector -> packed random-hyperplane signature (bit i = sign(v·pᵢ)),
+    one matmul per Arrow batch. Deterministic given the plane matrix."""
+    pt = planes.T.copy()
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mat = _vec_matrix(vecs)
+        bits = (mat @ pt) >= 0  # (n, nbits)
+        return pd.Series((bits * weights[None, :]).sum(axis=1).astype(np.int64))
+
+    return _sig
+
+
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature as a long: bit i = sign(vec·planeᵢ)."""
+    """Expression form of the hyperplane signature (interpreted fold —
+    test/composition use; bulk paths use :func:`make_lsh_signature_udf`)."""
     bits = []
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(v)) for v in plane])
@@ -94,6 +159,20 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     for b in bits[1:]:
         sig = sig + b
     return sig
+
+
+def _band_structs(sig_col: Column, bands: int, bits_per_band: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(sig_col, j * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("bkey"),
+            )
+            for j in range(bands)
+        ]
+    )
 
 
 def lsh_ann_topk(
@@ -114,42 +193,38 @@ def lsh_ann_topk(
     OR-amplification: higher recall than one exact signature match). Only
     candidates get an exact cosine — at 1B vectors with 3×4-bit bands this
     scores ~3/16 of the corpus per query instead of all of it; more bits
-    per band cut it further.
+    per band cut it further. The corpus side ships only (id, band, bkey)
+    through the candidate join; vectors rejoin for the rerank.
     """
     planes = _hyperplanes(dim, nbits, seed)
     bits_per_band = nbits // bands
+    sig_udf = make_lsh_signature_udf(planes)
 
-    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        out = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftrightunsigned(F.col("_sig"), j * bits_per_band)
-                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                    .alias("bkey"),
-                )
-                for j in range(bands)
-            ]
-        )
-        return out.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            l2_norm(F.col(vec_col)).alias(f"{prefix}_norm"),
-            F.explode(structs).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm", "bb.band", "bb.bkey")
+    cb = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
+    ).select("c_id", "bb.band", "bb.bkey")
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
+    ).select("q_id", "bb.band", "bb.bkey")
 
-    cb = with_bands(corpus, "c")
-    qb = with_bands(queries, "q")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bkey"])
         .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cand.withColumn(
-        "cosine_sim",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")), 6),
-    ).select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
+    cos_udf = make_cosine_udf()
+    scored = (
+        cand.join(
+            F.broadcast(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))),
+            "q_id",
+        )
+        .join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")), "c_id")
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("c_vec")), 6))
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -169,41 +244,45 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ threshold) via the same
-    LSH blocking as :func:`lsh_ann_topk` (corpus self-join on bands)."""
+    LSH blocking as :func:`lsh_ann_topk` (corpus self-join on bands).
+
+    Mirrors the MinHash layout: one groupBy over (band, bkey) gathers
+    bucket members and emits in-bucket pairs inline (no self-join), then
+    vectors join back for the exact-cosine verify of the candidate set.
+    """
     planes = _hyperplanes(dim, nbits, seed)
     bits_per_band = nbits // bands
-    sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftrightunsigned(F.col("_sig"), j * bits_per_band)
-                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                .alias("bkey"),
-            )
-            for j in range(bands)
-        ]
-    )
-    ex = sig.select(
+    sig_udf = make_lsh_signature_udf(planes)
+
+    ex = df.select(
         F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_norm"),
-        F.explode(structs).alias("bb"),
-    ).select(id_col, vec_col, "_norm", "bb.band", "bb.bkey")
-    a = ex.select(
-        "band", "bkey", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_norm").alias("na")
+        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+    bucket_ids = (
+        ex.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = ex.select(
-        "band", "bkey", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_norm").alias("nb")
-    )
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "cosine_sim",
-            F.round(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    cand = (
+        bucket_ids.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cos_udf = make_cosine_udf()
+    return (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
