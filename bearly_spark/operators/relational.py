@@ -82,3 +82,87 @@ def top_k_per_group(
     """
     w = Window.partitionBy(*partition_by).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tie_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right_ts <= left_ts`` for the same ``key`` (NULLs when none).
+
+    Scale design: Spark has no ASOF JOIN operator, and expressing it as a
+    non-equi join degenerates to a per-key cross product. Instead both
+    sides are unioned and processed with ONE shuffle+sort per key and a
+    running ``last(value, ignorenulls)`` window — the classic
+    merge-as-of, linear in rows, no candidate blowup, AQE-skew-splittable.
+
+    Ties on ``right_ts`` resolve to the row with the greatest
+    ``tie_cols`` (default: ``value_cols`` order), deterministically.
+    Right rows sort before left rows at equal timestamps, so an exactly
+    coincident right row IS matched (<= semantics).
+    """
+    tie_cols = list(tie_cols or value_cols)
+    rv_struct = F.struct(*[F.col(c) for c in value_cols]).alias("_rv")
+    rv_type = right.select(rv_struct).schema[0].dataType
+
+    lhs = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).cast("long").alias("_t"),
+        F.lit(1).alias("_is_l"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    rhs = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).cast("long").alias("_t"),
+        F.lit(0).alias("_is_l"),
+        F.lit(None).cast(left.select(F.struct(*left.columns).alias("s")).schema[0].dataType).alias("_lrow"),
+        rv_struct,
+    )
+    order = [F.col("_t").asc(), F.col("_is_l").asc()] + [
+        F.col(f"_rv.{c}").asc_nulls_first() for c in tie_cols
+    ]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = lhs.unionByName(rhs).withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
+    return matched.filter(F.col("_is_l") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_offset: int,
+    upper_offset: int,
+) -> DataFrame:
+    """Interval/range join: pairs (l, r) sharing ``key`` with
+    ``l.left_ts + lower < r.right_ts <= l.left_ts + upper``.
+
+    With an equi key this is a plain hash join plus a residual range
+    predicate — shuffle on the key only, no cross product. (For a PURE
+    range join with no equi key, bucketize time to ``upper-lower``-sized
+    buckets, equi-join on bucket ± 1, then apply the residual — same
+    shape, bounded candidates.)
+    """
+    lt = F.col(f"l.{left_ts}").cast("long")
+    rt = F.col(f"r.{right_ts}").cast("long")
+    return left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt > lt + lower_offset)
+        & (rt <= lt + upper_offset),
+    )

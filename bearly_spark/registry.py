@@ -1036,3 +1036,250 @@ def q_frame_sample(spark, sf_dir):
         F.col("frame_offset").cast("long").alias("frame_offset"),
         F.col("payload_bytes").cast("long").alias("payload_bytes"),
     )
+
+
+# ===================================================================
+# Temporal joins (as-of / interval) — SURVEY §2.2 joins row
+# ===================================================================
+
+
+@register(
+    "asof_join_orders_events",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec FROM events),
+    o AS (SELECT o_custkey AS user_id, CAST(epoch(o_orderdate) AS BIGINT) AS t,
+                 o_orderkey, o_totalprice FROM orders),
+    u AS (
+      SELECT user_id, ts_sec AS t, 1 AS is_l, event_id, ts_sec,
+             NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice FROM e
+      UNION ALL
+      SELECT user_id, t, 0, NULL, NULL, o_orderkey, o_totalprice FROM o
+    ),
+    w AS (SELECT *,
+        last_value(o_orderkey IGNORE NULLS) OVER win AS asof_o_orderkey,
+        last_value(o_totalprice IGNORE NULLS) OVER win AS asof_o_totalprice
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, is_l, o_orderkey NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, ts_sec, asof_o_orderkey, asof_o_totalprice
+    FROM w WHERE is_l = 1
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each event picks the user's latest order at or
+    before the event (merge-as-of via union + running window — one shuffle,
+    no non-equi candidate blowup; see relational.asof_join)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ev_sec_spark().cast("long").alias("ts_sec")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("o_sec"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = R.asof_join(
+        ev, od, key="user_id", left_ts="ts_sec", right_ts="o_sec",
+        value_cols=["o_orderkey", "o_totalprice"], tie_cols=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "ts_sec", "asof_o_orderkey", "asof_o_totalprice")
+
+
+@register(
+    "range_join_purchase_follow",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+                      event_type FROM events)
+    SELECT p.event_id AS purchase_event_id,
+           COUNT(*) AS n_follow,
+           COUNT(DISTINCT f.event_type) AS n_types
+    FROM e p JOIN e f
+      ON p.user_id = f.user_id
+     AND f.ts_sec > p.ts_sec AND f.ts_sec <= p.ts_sec + 3600
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval join: events within 1h after each purchase by the same
+    user (equi key + residual range predicate — shuffles on user_id only)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ev_sec_spark().cast("long").alias("ts_sec"), "event_type"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase")
+    joined = R.interval_join(purch, ev, key="user_id", left_ts="ts_sec", right_ts="ts_sec",
+                             lower_offset=0, upper_offset=3600)
+    return joined.groupBy(F.col("l.event_id").alias("purchase_event_id")).agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.countDistinct(F.col("r.event_type")).alias("n_types"),
+    )
+
+
+# ===================================================================
+# Grouping sets / approx aggregates — SURVEY §2.2 aggregation row
+# ===================================================================
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_bearly_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_total
+        FROM _bearly_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register("approx_count_distinct_orders")  # rows-only: HLL sketches differ by engine
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count; the
+    relative-error contract is pinned by tests/test_relational_extra.py."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+
+
+# ===================================================================
+# UDF / UDAF surface — SURVEY §2.2 user-extension row
+# ===================================================================
+
+
+@register(
+    "pandas_udf_charge",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udf_charge(spark, sf_dir):
+    """Scalar Arrow-batched UDF path (the sanctioned Python extension
+    point): per-row charge in numpy, JVM-side aggregation on top.
+
+    Lambda form: ``from __future__ import annotations`` stringifies
+    signature annotations, which pandas_udf cannot introspect.
+    """
+    charge = F.pandas_udf(
+        lambda price, disc, tax: price * (1.0 - disc) * (1.0 + tax), "double"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("c", charge("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("c"), 2).alias("sum_charge"))
+    )
+
+
+@register(
+    "udaf_weighted_avg_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_avg(spark, sf_dir):
+    """UDAF surface via applyInPandas: quantity-weighted mean price per
+    return flag, computed in pandas per group (Arrow exchange both ways)."""
+    import pandas as pd
+
+    def wavg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "w_avg_price": [
+                    round(
+                        float(
+                            (pdf["l_extendedprice"] * pdf["l_quantity"]).sum()
+                            / pdf["l_quantity"].sum()
+                        ),
+                        4,
+                    )
+                ],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        wavg, "l_returnflag string, w_avg_price double"
+    )
+
+
+# ===================================================================
+# File-format scans beyond parquet (CSV / JSON round trips)
+# ===================================================================
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import os as _os
+
+    return _os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+@register(
+    "csv_scan_nation",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_csv_scan(spark, sf_dir):
+    """CSV sink + scan round trip: write nation as headered CSV, read it
+    back with an explicit schema (no inference job), aggregate. Exercises
+    the text-source path end to end; correctness = parquet-derived oracle."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/nation_csv"
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "json_scan_orders",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_json_scan(spark, sf_dir):
+    """JSON-lines sink + scan round trip (explicit schema on read)."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_json"
+    (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )

@@ -1,0 +1,96 @@
+"""Planted-fixture tests for the temporal joins, approx aggregates, and
+non-parquet scan round trips added on top of the core relational surface."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bearly_spark.operators import relational as R
+from bearly_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def ticks_and_quotes(spark):
+    """Classic as-of fixture: trades must pick the latest quote <= trade ts."""
+    quotes = spark.createDataFrame(
+        [
+            (1, 10, 100, 9.9),
+            (1, 20, 101, 10.1),
+            (1, 20, 102, 10.2),  # tie on ts: greater quote_id must win
+            (1, 50, 103, 10.5),
+            (2, 30, 200, 55.0),
+        ],
+        ["sym", "ts", "quote_id", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, 5, 1000),   # before any quote -> NULL match
+            (1, 20, 1001),  # exactly at quote time -> quote 102 (<= semantics, tie max id)
+            (1, 35, 1002),  # between -> quote 102
+            (1, 60, 1003),  # after all -> quote 103
+            (2, 30, 2000),  # exact hit other key -> quote 200
+            (3, 40, 3000),  # key with no quotes -> NULL
+        ],
+        ["sym", "ts", "trade_id"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_planted(spark, ticks_and_quotes):
+    trades, quotes = ticks_and_quotes
+    out = R.asof_join(
+        trades, quotes, key="sym", left_ts="ts", right_ts="ts",
+        value_cols=["quote_id", "px"], tie_cols=["quote_id"],
+    )
+    got = {r.trade_id: r.asof_quote_id for r in out.collect()}
+    assert got == {1000: None, 1001: 102, 1002: 102, 1003: 103, 2000: 200, 3000: None}
+
+
+def test_asof_join_carries_consistent_value_struct(spark, ticks_and_quotes):
+    trades, quotes = ticks_and_quotes
+    out = R.asof_join(
+        trades, quotes, key="sym", left_ts="ts", right_ts="ts",
+        value_cols=["quote_id", "px"], tie_cols=["quote_id"],
+    ).filter(F.col("asof_quote_id").isNotNull())
+    px_by_quote = {100: 9.9, 101: 10.1, 102: 10.2, 103: 10.5, 200: 55.0}
+    for r in out.collect():
+        assert r.asof_px == px_by_quote[r.asof_quote_id]
+
+
+def test_interval_join_planted(spark):
+    left = spark.createDataFrame([(1, 100, "a"), (1, 200, "b")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 100, "x0"), (1, 150, "x1"), (1, 161, "x2"), (2, 120, "y")],
+        ["k", "ts", "ev"],
+    )
+    out = R.interval_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                          lower_offset=0, upper_offset=60)
+    pairs = {(r["tag"], r["ev"]) for r in out.select("l.tag", "r.ev").collect()}
+    # strictly-after lower bound (ts > 100), inclusive upper (ts <= 160)
+    assert pairs == {("a", "x1")}
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    row = od.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_csv_json_round_trips_preserve_values(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    p_csv = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(p_csv)
+    back = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(p_csv)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    p_json = str(tmp_path / "orders_json")
+    od.write.mode("overwrite").json(p_json)
+    back_j = spark.read.schema("o_orderkey long, o_totalprice double").json(p_json)
+    assert back_j.count() == od.count()
+    assert back_j.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s == \
+        od.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
