@@ -83,3 +83,50 @@ def grouped_agg(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return grouped.agg(*aggs)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    names: Sequence[str] | None = None,
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the quantile_cont
+    definition) via a rank window instead of ``F.percentile``.
+
+    ``F.percentile`` buffers every group value in the aggregation buffer —
+    O(group size) driver-of-OOM memory and no spill. This form does ONE
+    shuffle+external-sort per group (Tungsten window sort, spills to disk),
+    then picks the two straddling ranks per quantile and interpolates:
+    h = (n-1)*q; p = v[floor(h)] + (h - floor(h)) * (v[ceil(h)] - v[floor(h)]).
+
+    Parallelism is bounded by group cardinality (inherent to exact
+    per-group quantiles); at 100 TB with few groups prefer
+    ``approx_percentile`` (t-digest, mergeable partial aggregates).
+    """
+    from pyspark.sql import Window
+
+    names = list(names or [f"p{int(q * 100)}" for q in quantiles])
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, value_col).withColumn(
+        "_rn", F.row_number().over(w) - F.lit(1)
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+
+    aggs = []
+    for q, name in zip(quantiles, names):
+        h = (F.col("_n") - 1) * F.lit(float(q))
+        lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col(value_col))).alias(f"_lo_{name}")
+        hi = F.max(F.when(F.col("_rn") == F.ceil(h), F.col(value_col))).alias(f"_hi_{name}")
+        aggs += [lo, hi]
+    agged = ranked.groupBy(*group_cols).agg(F.max("_n").alias("_n"), *aggs)
+
+    out_cols = list(group_cols)
+    for q, name in zip(quantiles, names):
+        h = (F.col("_n") - 1) * F.lit(float(q))
+        frac = h - F.floor(h)
+        val = F.col(f"_lo_{name}") + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
+        out_cols.append(F.round(val, decimals).alias(name))
+    return agged.select(*out_cols)

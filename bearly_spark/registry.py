@@ -1283,3 +1283,87 @@ def q_json_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
     )
+
+
+# ===================================================================
+# Remaining scalar/agg surface: percentiles, map functions, UDTF
+# ===================================================================
+
+
+@register(
+    "percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont), via the spill-safe rank-window form in
+    operators.aggregate.exact_percentiles (F.percentile buffers whole
+    groups in memory). At 100 TB prefer approx_percentile (t-digest)."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75)
+    )
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id < 200
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Map-typed column surface: parse the JSON props into map<string,long>,
+    then map_keys / element_at."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@register(
+    "udtf_tokenize_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id, [x for x in string_split_regex(text, '\\s+') if x <> ''] AS toks
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS tok
+    FROM d
+    """,
+)
+def q_udtf(spark, sf_dir):
+    """Python UDTF surface (Spark 4 @udtf): lateral-join tokenizer emitting
+    (pos, tok) rows per document. UDTFs run row-at-a-time in Python — fine
+    for control-plane expansion like this, wrong for bulk transforms (use
+    mapInPandas there)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield i, t
+
+    spark.udtf.register("bearly_tokenize", TokenizeUdtf)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_bearly_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.tok
+        FROM _bearly_docs_udtf d, LATERAL bearly_tokenize(d.text) s
+        """
+    )
