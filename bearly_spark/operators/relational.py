@@ -166,3 +166,29 @@ def interval_join(
         & (rt > lt + lower_offset)
         & (rt <= lt + upper_offset),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join: salt the big side's hot keys across
+    ``salt`` sub-keys and replicate the small side once per sub-key.
+
+    Use when a handful of join keys dominate (power-law FKs) and AQE's
+    skew-join split isn't available/enough — e.g. a shuffle-hash join
+    where one key holds 30% of rows would put 30% of the data in one
+    task. Salting bounds any task at ~1/salt of the hot key.
+
+    Cost: small side replicated ×salt (keep it broadcast-small), and the
+    shuffle key becomes (key, salt_id) — uniform by construction.
+    """
+    big_salted = big.withColumn("_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt))
+    small_rep = skewed_small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_salted.join(small_rep, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -1367,3 +1367,67 @@ def q_udtf(spark, sf_dir):
         FROM _bearly_docs_udtf d, LATERAL bearly_tokenize(d.text) s
         """
     )
+
+
+# ===================================================================
+# Subqueries (scalar-correlated / EXISTS — Catalyst decorrelation)
+# ===================================================================
+
+
+@register(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_orderstatus = o.o_orderstatus)
+    ORDER BY o.o_orderkey LIMIT 200
+    """,
+)
+def q_subquery_above_avg(spark, sf_dir):
+    """Scalar correlated subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution; check the plan for a single
+    Aggregate feeding a Join)."""
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_bearly_orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM _bearly_orders_sq o
+        WHERE o.o_totalprice > (
+            SELECT 1.5 * AVG(o2.o_totalprice) FROM _bearly_orders_sq o2
+            WHERE o2.o_orderstatus = o.o_orderstatus)
+        ORDER BY o.o_orderkey LIMIT 200
+        """
+    )
+
+
+@register(
+    "subquery_exists_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def q_subquery_exists(spark, sf_dir):
+    """EXISTS / NOT EXISTS pair — decorrelated to left-semi + left-anti
+    joins by Catalyst."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_bearly_cust_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_bearly_orders_sq2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM _bearly_cust_sq c
+        WHERE EXISTS (SELECT 1 FROM _bearly_orders_sq2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM _bearly_orders_sq2 o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )

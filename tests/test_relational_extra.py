@@ -94,3 +94,16 @@ def test_csv_json_round_trips_preserve_values(spark, sf_dir, tmp_path):
     assert back_j.count() == od.count()
     assert back_j.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s == \
         od.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be a pure execution-strategy change — result identical
+    to the plain equi join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey")
+    salted = R.salted_join(li, part, on="l_partkey", salt=8)
+    assert sorted(map(tuple, salted.select("l_partkey", "l_orderkey", "p_brand").collect())) == \
+        sorted(map(tuple, plain.select("l_partkey", "l_orderkey", "p_brand").collect()))
