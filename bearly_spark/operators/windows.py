@@ -53,3 +53,23 @@ def ranked(
         .withColumn("rank", F.rank().over(w))
         .withColumn("dense_rank", F.dense_rank().over(w))
     )
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: Column,
+    value: Column,
+    preceding_range: int,
+    out_col: str,
+) -> DataFrame:
+    """Value-based rolling frame: sum over rows whose ``order_col`` lies in
+    ``[current - preceding_range, current]`` (rangeBetween, not rowsBetween
+    — frame membership follows the ordering VALUE, so irregular event
+    spacing is handled correctly). Single shuffle on the partition keys."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rangeBetween(-preceding_range, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))

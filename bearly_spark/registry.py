@@ -1431,3 +1431,50 @@ def q_subquery_exists(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "window_range_frame_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_sec,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS rolling_90d_total
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """Value-based RANGE frame: per-customer rolling 90-day order total
+    (windows.rolling_range_sum)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_sec"),
+        "o_totalprice",
+    )
+    out = W.rolling_range_sum(
+        od, ["o_custkey"], F.col("order_sec"), F.col("o_totalprice"),
+        preceding_range=7776000, out_col="rolling_90d_total",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "order_sec",
+        F.round(F.col("rolling_90d_total"), 2).alias("rolling_90d_total"),
+    )
+
+
+@register(
+    "dedup_keep_representatives",
+    oracle="""
+    WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN k USING (doc_id)
+    """,
+)
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end exact-dedup: keep one representative row (min doc_id)
+    per content group via semi-join (dedup.drop_exact_dups)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.drop_exact_dups(d, "doc_id", ["text"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -107,3 +107,16 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     salted = R.salted_join(li, part, on="l_partkey", salt=8)
     assert sorted(map(tuple, salted.select("l_partkey", "l_orderkey", "p_brand").collect())) == \
         sorted(map(tuple, plain.select("l_partkey", "l_orderkey", "p_brand").collect()))
+
+
+def test_connector_wrappers_validate_args(spark):
+    """No DB/broker in this container — pin the argument contracts and the
+    clean failure mode for the missing Kafka package."""
+    from bearly_spark.sources.connectors import jdbc_read, kafka_stream
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_read(spark, "jdbc:postgresql://h/db", "t", partition_column="id")
+
+    with pytest.raises(Exception) as ei:
+        kafka_stream(spark, "localhost:9092", "events").printSchema()
+    assert "kafka" in str(ei.value).lower()

@@ -88,3 +88,50 @@ def test_stateful_running_max(spark, stream_src, batch_events):
     }
     got_map = {r.user_id: (r.running_max, r.n_seen) for r in final}
     assert got_map == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: a row arriving
+    after the watermark passed its window must be dropped, while on-time
+    windows emit. (Batch mode would include the late row — the delta IS
+    the watermark contract.)"""
+    import pyspark.sql.functions as F
+    from bearly_spark.streaming import events_stream, tumbling_window_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ck = tmp_path / "late_ck"
+
+    def hours(h):  # epoch nanos at hour h of 2024-01-01
+        return (1704067200 + h * 3600) * 1_000_000_000
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch A: on-time events in [10:00, 11:00)
+    write_batch([(i, hours(10) + i * 60_000_000_000, 1, "click", 1.0, "{}") for i in range(5)], "a")
+
+    sdf = tumbling_window_counts(events_stream(spark, str(src)), window="1 hour", watermark="30 minutes")
+    q = (
+        sdf.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").option("checkpointLocation", str(ck)).start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> 10:04+ - 0:30 (no window closed yet)
+        # batch B: an event at 13:00 (advances watermark past 11:00) plus a
+        # LATE row back at 08:00 whose window the watermark already passed.
+        write_batch([(100, hours(13), 2, "click", 1.0, "{}"),
+                     (101, hours(8), 3, "click", 1.0, "{}")], "b")
+        q.processAllAvailable()
+        # batch C: push watermark far ahead so 13:00's window also closes.
+        write_batch([(200, hours(20), 2, "click", 1.0, "{}")], "c")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.window_start.hour for r in spark.table("t_late").collect()}
+    assert 10 in got          # on-time window emitted
+    assert 13 in got          # the watermark-advancing event's window emitted
+    assert 8 not in got       # late row dropped by the watermark
