@@ -1478,3 +1478,91 @@ def q_dedup_keep(spark, sf_dir):
     return D.drop_exact_dups(d, "doc_id", ["text"]).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "orc_scan_supplier",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS sum_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_orc_scan(spark, sf_dir):
+    """ORC sink + scan round trip (columnar format #2), then a broadcast
+    dim join — correctness = parquet-derived oracle."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/supplier_orc"
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@register(
+    "pivot_orders_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot: order counts by priority x status. Explicit pivot values —
+    at scale an unvalued pivot() runs a distinct scan first; always
+    enumerate the columns when the domain is known."""
+    od = load_table(spark, sf_dir, "orders")
+    out = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "collect_agg_nations",
+    oracle="""
+    SELECT r_name, ARRAY_AGG(n_name ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS INTEGER) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_collect_agg(spark, sf_dir):
+    """Sorted collect_list (array_agg) — deterministic via sort_array."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.size(F.sort_array(F.collect_list("n_name"))).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "set_intersect_all_quantities",
+    oracle="""
+    SELECT CAST(l_quantity AS DOUBLE) AS q FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT CAST(l_quantity AS DOUBLE) AS q FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL (duplicate-preserving — distinct from the
+    set-semantics intersect already covered)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("q"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("q"))
+    return a.intersectAll(r)
