@@ -22,8 +22,14 @@ def bucketed_tables(spark, sf_dir):
     od = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_totalprice", "o_orderstatus"
     )
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for name, df in [("b_lineitem", li), ("b_orders", od)]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse directory persists — clear it or saveAsTable refuses
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
