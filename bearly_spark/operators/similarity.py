@@ -286,3 +286,103 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def _kmeans_fit(mat: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means (k-means++ init) on a driver-side
+    sample. At corpus scale, fit on a bounded sample (centroid quality
+    degrades gracefully); assignment stays fully distributed."""
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    centroids = [mat[rng.randint(len(mat))]]
+    for _ in range(1, n_cells):
+        d2 = np.min(
+            [((mat - c) ** 2).sum(axis=1) for c in centroids], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(mat[rng.choice(len(mat), p=probs)])
+    C = np.asarray(centroids)
+    for _ in range(iters):
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_cells):
+            members = mat[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def make_cell_assign_udf(centroids: np.ndarray):
+    """vector -> nearest-centroid cell id (batch matmul per Arrow batch)."""
+    C = centroids.copy()
+    c2 = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        mat = _vec_matrix(vecs)
+        # argmin ||x-c||² = argmin (c² - 2x·c)
+        d = c2[None, :] - 2.0 * (mat @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _cell
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + multi-probe, exact rerank.
+
+    The scale path complementary to hyperplane LSH: centroids are fit on a
+    bounded driver-side sample, every corpus vector is assigned to its
+    nearest cell in one map-only pass, and each query scores ONLY the
+    vectors inside its ``n_probe`` nearest cells (~n_probe/n_cells of the
+    corpus). Candidates get an exact cosine + rank-window top-k, so
+    returned similarities are exact; only recall is approximate.
+    """
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    C = _kmeans_fit(smat, n_cells, seed)
+
+    cell_udf = make_cell_assign_udf(C)
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), cell_udf(F.col(vec_col)).alias("cell")
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    c2 = (C**2).sum(axis=1)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = c2 - 2.0 * (C @ qv)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    probes = corpus.sparkSession.createDataFrame(probe_rows, "q_id long, cell int")
+
+    cos_udf = make_cosine_udf()
+    cand = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .join(
+            F.broadcast(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))),
+            "q_id",
+        )
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("c_vec")), 6))
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )

@@ -1566,3 +1566,11 @@ def q_intersect_all(spark, sf_dir):
     a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("q"))
     r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("q"))
     return a.intersectAll(r)
+
+
+@register("embedding_ann_ivf")  # rows-only: seeded k-means cells, no SQL twin
+def q_embedding_ann_ivf(spark, sf_dir):
+    """IVF (k-means cells + multi-probe) ANN — the second canonical scale
+    path next to hyperplane LSH; recall pinned by tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

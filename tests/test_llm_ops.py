@@ -157,3 +157,25 @@ def test_multimodal_strict_mode_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         M.decode_features(M.attach_payload(docs), strict=True)
+
+
+def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
+    """IVF results: exact sims, every query answered, recall above the
+    probe-fraction floor on the fixture embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, queries, k=10).collect()
+    ivf = S.ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()
+    brute_sets, brute_sims = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        brute_sims[(r.query_id, r.neighbor_id)] = r.cosine_sim
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # rerank is exact: any overlap with brute force must agree on sim
+        if (r.query_id, r.neighbor_id) in brute_sims:
+            assert r.cosine_sim == brute_sims[(r.query_id, r.neighbor_id)]
+    assert set(ivf_sets) == set(brute_sets)
+    recalls = [len(ivf_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in brute_sets]
+    assert sum(recalls) / len(recalls) > 0.2, recalls
