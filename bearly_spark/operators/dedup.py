@@ -369,3 +369,97 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------- winnowing (rolling hash)
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 61) - 1
+
+
+def _make_winnow_udf(k: int, window: int):
+    """text -> winnowed fingerprint set (array<long>).
+
+    Classic MOSS winnowing: Rabin-Karp rolling hash over character
+    k-grams (polynomial base 257 mod 2^61-1), then keep the minimum hash
+    of every ``window``-wide span (rightmost on ties, each position kept
+    once). Guarantees: any shared substring of length >= k + window - 1
+    produces at least one shared fingerprint. Map-only, vectorized per
+    Arrow batch.
+    """
+
+    @F.pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        powers = np.array(
+            [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)], dtype=object
+        )
+        out = []
+        for text in texts:
+            s = (text or "").lower()
+            if len(s) < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(object)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            hashes = (grams * powers[None, :]).sum(axis=1) % _WINNOW_MOD
+            hashes = hashes.astype(np.uint64)
+            if len(hashes) <= window:
+                picks = {int(hashes.min())}
+            else:
+                spans = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                idx = spans.argmin(axis=1) + np.arange(len(spans))
+                picks = {int(hashes[i]) for i in np.unique(idx)}
+            out.append([np.uint64(p).astype(np.int64).item() for p in picks])
+        return pd.Series(out)
+
+    return _winnow
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, window: int = 8
+) -> DataFrame:
+    """(id, fingerprints array<long>) — rolling-hash winnowing sketch."""
+    return _ensure_parallelism(df).select(
+        F.col(id_col), _make_winnow_udf(k, window)(F.col(text_col)).alias("fingerprints")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 8,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Pairs sharing >= min_shared winnowed fingerprints (substring-level
+    near-dup/plagiarism detection — catches shared passages that token-set
+    Jaccard dilutes away).
+
+    Same shape as the MinHash path: explode to an inverted index
+    (fingerprint -> ids), cap degenerate postings (boilerplate), emit
+    in-posting pairs from ONE groupBy pass, count shared prints per pair.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    inv = fp.select(F.col(id_col), F.explode("fingerprints").alias("print"))
+    postings = (
+        inv.groupBy("print")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .filter(F.col("shared_prints") >= min_shared)
+    )

@@ -1574,3 +1574,15 @@ def q_embedding_ann_ivf(spark, sf_dir):
     path next to hyperplane LSH; recall pinned by tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("fingerprint_winnow_pairs")  # rows-only: rolling-hash sketch, no SQL twin
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowed rolling-hash fingerprint overlap — substring-level near-dup
+    pairs (MOSS-style); semantics pinned by planted tests. k=16/window=8:
+    guarantees detection of any shared passage >= 23 chars while staying
+    selective on this shared-vocabulary corpus (8-char grams paired
+    ~everything)."""
+    return D.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=8
+    )

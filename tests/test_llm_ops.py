@@ -179,3 +179,27 @@ def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
     assert set(ivf_sets) == set(brute_sets)
     recalls = [len(ivf_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in brute_sets]
     assert sum(recalls) / len(recalls) > 0.2, recalls
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Two docs sharing one long passage (but dissimilar overall) must share
+    fingerprints; unrelated docs must not pair."""
+    passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, passage + " " + " ".join(f"alpha{i}" for i in range(30))),
+        (1, " ".join(f"beta{i}" for i in range(30)) + " " + passage),
+        (2, " ".join(f"gamma{i}" for i in range(40))),
+        (3, " ".join(f"delta{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.shared_prints
+             for r in D.winnow_overlap_pairs(df, "doc_id", "text", min_shared=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert not any({a, b} & {2, 3} for a, b in pairs)
+
+
+def test_winnow_fingerprints_deterministic(spark):
+    df = spark.createDataFrame([(0, "some repeated text for determinism checks")], ["doc_id", "text"])
+    a = D.winnow_fingerprints(df, "doc_id", "text").collect()[0].fingerprints
+    b = D.winnow_fingerprints(df, "doc_id", "text").collect()[0].fingerprints
+    assert sorted(a) == sorted(b) and len(a) > 0
