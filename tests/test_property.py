@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the semantics most likely to hide
+edge bugs: the reference sum contract and the temporal joins. Each example
+runs real Spark jobs, so example counts are deliberately small."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import pyarrow as pa
+
+from bearly_spark import from_arrow, sum_int64, to_arrow
+from bearly_spark.operators import relational as R
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_i64 = st.lists(st.one_of(st.none(), st.integers(-(2**40), 2**40)), min_size=0, max_size=8)
+_str = st.lists(st.one_of(st.none(), st.text(max_size=5)), min_size=0, max_size=8)
+
+
+@given(col_a=_i64, col_b=_i64, col_s=_str)
+@settings(**_SETTINGS)
+def test_sum_int64_matches_null_as_zero_reference(spark, col_a, col_b, col_s):
+    """Reference contract (bearly_ext.cc:26-90): sum only int64 columns,
+    nulls count as 0, always exactly one row, names/order preserved."""
+    n = max(len(col_a), len(col_b), len(col_s))
+    pad = lambda xs: xs + [None] * (n - len(xs))  # noqa: E731
+    table = pa.table(
+        {
+            "a": pa.array(pad(col_a), type=pa.int64()),
+            "s": pa.array(pad(col_s), type=pa.string()),
+            "b": pa.array(pad(col_b), type=pa.int64()),
+        }
+    )
+    got = to_arrow(sum_int64(from_arrow(spark, table)))
+    assert got.column_names == ["a", "b"]  # string dropped, order kept
+    assert got.num_rows == 1
+    assert got.column("a")[0].as_py() == sum(x or 0 for x in pad(col_a))
+    assert got.column("b")[0].as_py() == sum(x or 0 for x in pad(col_b))
+
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+)
+
+
+@given(lefts=_events, rights=_events)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive_reference(spark, lefts, rights):
+    """asof_join == per-row 'latest right with ts<=left ts, max value on
+    ties' over arbitrary key/ts data (including duplicate timestamps)."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["k", "ts", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rights)], ["k", "ts", "val"]
+    )
+    got = {
+        r.lid: r.asof_val
+        for r in R.asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts", value_cols=["val"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [1000 + j for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        want = max(
+            cands,
+            key=lambda v: (rights[v - 1000][1], v),  # latest ts, then max val
+            default=None,
+        )
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@given(lefts=_events, rights=_events, span=st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_interval_join_matches_brute_filter(spark, lefts, rights, span):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["k", "ts", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rights)], ["k", "ts", "rid"]
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in R.interval_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            lower_offset=0, upper_offset=span,
+        ).select("l.lid", "r.rid").collect()
+    }
+    want = {
+        (i, 1000 + j)
+        for i, (lk, lt) in enumerate(lefts)
+        for j, (rk, rt) in enumerate(rights)
+        if lk == rk and lt < rt <= lt + span
+    }
+    assert got == want
