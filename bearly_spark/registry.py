@@ -9,6 +9,10 @@ aliases** (the driver sorts columns by name before hashing values).
 Determinism rules applied throughout (so Spark and DuckDB hash-match):
 - every float aggregate is ROUND()ed (2dp for money sums, 4-6dp for
   ratios/similarities) — kills last-ulp differences from summation order;
+- high-group-count money sums additionally cast each row to
+  decimal(18,6) BEFORE the SUM (exact, order-independent): with
+  thousands of output groups, double summation-order noise lands ON the
+  rounding boundary for a handful of groups (observed 15/4188 in q7);
 - every LIMIT is preceded by a total order including a unique key;
 - rankings order by (rounded value, unique id) so ties break identically;
 - event-time math is integer arithmetic on epoch seconds derived from the
@@ -1666,4 +1670,28 @@ def q_q10(spark, sf_dir):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+@register(
+    "stats_agg_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance/variance/stddev (single-pass co-moment aggregates — all
+    mergeable partials, no extra shuffle vs a plain sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
     )

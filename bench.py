@@ -45,6 +45,8 @@ HEADLINE = [
     "grouping_sets_orders",
     "pandas_udf_charge",
     "percentiles_lineitem",
+    "q7_nation_volume",
+    "q10_returned_items",
 ]
 
 
