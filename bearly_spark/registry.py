@@ -1695,3 +1695,291 @@ def q_stats_agg(spark, sf_dir):
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
     )
+
+
+# ===================================================================
+# Relational surface widening: explode/unnest, unpivot, min_by/max_by,
+# median + deterministic mode, hash-sampling, EXCEPT ALL, cross join,
+# calendar gap-fill. Each demonstrates one operator family the
+# reference lacks entirely (SURVEY §2.2) expressed Spark-first.
+# ===================================================================
+
+
+@register(
+    "wordcount_tokens",
+    oracle=r"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def q_wordcount(spark, sf_dir):
+    """explode(split()) wordcount — the canonical lateral-view query.
+    Scale note: explode is a map-side generator (no shuffle); the single
+    shuffle is the token groupBy, with map-side partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "posexplode_embeddings",
+    oracle="""
+    SELECT vec_id, CAST(u.pos AS INTEGER) AS pos,
+           ROUND(CAST(u.val AS DOUBLE), 6) AS val
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(embedding) AS val,
+                         UNNEST(range(len(embedding))) AS pos) u
+    WHERE vec_id < 10
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """posexplode: array -> (ordinal, element) rows — UNNEST WITH
+    ORDINALITY semantics (vector-to-long-format for feature pipelines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_discount), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM s
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """unpivot/melt: wide measure columns -> long (measure, value) rows —
+    the inverse of pivot. Runs on the already-aggregated (tiny) frame, so
+    the melt itself is shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@register(
+    "minmax_by_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS top_order,
+           MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS bottom_order,
+           ROUND(MAX(o_totalprice), 2) AS top_price
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_by(spark, sf_dir):
+    """min_by/max_by (arg-min/arg-max) with a deterministic struct
+    tie-break — single-pass mergeable aggregates, no join-back or window
+    needed on the Spark side (the oracle uses the window form to pin the
+    identical tie order)."""
+    o = load_table(spark, sf_dir, "orders")
+    tie = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", tie).alias("top_order"),
+        F.min_by("o_orderkey", tie).alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@register(
+    "median_mode_orders",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority, ROUND(median(o_totalprice), 2) AS median_price,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority),
+    c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus ASC) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus)
+    SELECT m.o_orderpriority, m.median_price, m.n_orders,
+           c.o_orderstatus AS modal_status
+    FROM m JOIN c ON m.o_orderpriority = c.o_orderpriority AND c.rn = 1
+    """,
+)
+def q_median_mode(spark, sf_dir):
+    """Exact median (built-in single-expression form) + deterministic mode
+    (count-then-arg-min composition; ties broken by lowest value, unlike
+    the engine-arbitrary built-in MODE())."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modal = counts.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderstatus", F.struct(-F.col("cnt"), F.col("o_orderstatus"))).alias(
+            "modal_status"
+        )
+    )
+    return med.join(modal, "o_orderpriority").select(
+        "o_orderpriority", "median_price", "n_orders", "modal_status"
+    )
+
+
+@register(
+    "sample_hash_orders",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic content-hash sampling (~1/16 of rows): the stable,
+    engine-independent way to sample at 100 TB — the same rows are chosen
+    on every run, every engine, every partitioning, unlike TABLESAMPLE /
+    rand()-based sampling. The predicate is map-side (no shuffle) and the
+    hash input is the key column only."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 1) == "0")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "set_except_all_quantities",
+    oracle="""
+    SELECT CAST(l_quantity AS DOUBLE) AS q FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT CAST(l_quantity AS DOUBLE) AS q FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (duplicate-preserving difference) — completes
+    the set-op family next to intersectAll/exceptAll-distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("q"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("q"))
+    return a.exceptAll(r)
+
+
+@register(
+    "cross_join_priority_status",
+    oracle="""
+    SELECT p.o_orderpriority, s.o_orderstatus
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    """Explicit cartesian product of two (small, distinct-reduced) dims —
+    the only sane cross-join shape at scale: reduce both sides first, the
+    product itself is broadcast-nested-loop over tiny inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    p = o.select("o_orderpriority").distinct()
+    s = o.select("o_orderstatus").distinct()
+    return p.crossJoin(s)
+
+
+@register(
+    "calendar_fill_orders",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                      CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+    cal AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    d AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS total_price
+          FROM orders GROUP BY 1)
+    SELECT cal.day, COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.total_price, 0.0) AS total_price
+    FROM cal LEFT JOIN d ON cal.day = d.day
+    """,
+)
+def q_calendar_fill(spark, sf_dir):
+    """Time-series gap fill: generate the full calendar spine with
+    sequence()+explode and left-join daily aggregates, so days with no
+    orders appear as explicit zeros. The spine is derived distributively
+    (min/max agg -> one-row sequence), never collected to the driver."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    cal = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    )
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@register(
+    "null_funcs_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) - COUNT(NULLIF(l_discount, 0)) AS n_zero_disc,
+           ROUND(AVG(NULLIF(l_discount, 0)), 6) AS avg_nonzero_disc,
+           ROUND(SUM(CASE WHEN l_tax > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+             AS high_tax_price,
+           ROUND(SUM(COALESCE(NULLIF(l_tax, 0), 0.01)), 2) AS floored_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_null_funcs(spark, sf_dir):
+    """Null-handling expression pack: NULLIF / COALESCE / CASE WHEN
+    compositions (three-valued logic on the fast JVM expression path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.count(F.lit(1)) - F.count(F.nullif(F.col("l_discount"), F.lit(0)))).alias(
+            "n_zero_disc"
+        ),
+        F.round(F.avg(F.nullif(F.col("l_discount"), F.lit(0))), 6).alias(
+            "avg_nonzero_disc"
+        ),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.05, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("high_tax_price"),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("l_tax"), F.lit(0)), F.lit(0.01))), 2
+        ).alias("floored_tax"),
+    )
