@@ -1983,3 +1983,35 @@ def q_null_funcs(spark, sf_dir):
             F.sum(F.coalesce(F.nullif(F.col("l_tax"), F.lit(0)), F.lit(0.01))), 2
         ).alias("floored_tax"),
     )
+
+
+@register(
+    "partitioned_scan_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partitioned_scan(spark, sf_dir):
+    """Hive-partitioned parquet sink + partition-pruned scan: write orders
+    laid out as ``o_orderstatus=<v>/`` directories, read back with a
+    partition predicate — the scan lists ONLY the matching directory
+    (PartitionFilters; zero I/O against other partitions). At 100 TB this
+    is the difference between scanning 1/3 of the table and all of it;
+    the pruning itself is asserted on the physical plan in
+    tests/test_sinks.py."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_part"
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -118,6 +118,62 @@ def session_window_counts(
     )
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    follows: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to same-user events
+    in the ``(p_ts, p_ts + window]`` interval.
+
+    Both sides carry watermarks plus the time-bound join condition, which
+    is what lets the state store evict: a buffered left row can be dropped
+    once the right watermark passes ``p_ts + window``, and vice versa —
+    without the bound, stream-stream join state grows forever. Works
+    identically on batch inputs (watermarks skipped), so the batch run is
+    the correctness twin.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ts").alias("p_ts"),
+    )
+    f = follows.select(
+        F.col("event_id").alias("f_id"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts_ts").alias("f_ts"),
+        F.col("event_type").alias("f_type"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if f.isStreaming:
+        f = f.withWatermark("f_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("f_user"))
+        & (F.col("f_ts") > F.col("p_ts"))
+        & (F.col("f_ts") <= F.col("p_ts") + F.expr(f"interval {window_seconds} seconds"))
+    )
+    return p.join(f, cond, "inner").select("p_id", "f_id", "f_type", "p_ts", "f_ts")
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key dedup on an unbounded stream:
+    ``dropDuplicatesWithinWatermark`` keeps one row per ``event_id`` and
+    evicts seen-key state once the watermark passes — bounded memory, the
+    streaming twin of batch ``dropDuplicates`` (which it falls back to on a
+    batch input). The first step of every streaming ingestion pipeline
+    whose upstream is at-least-once (Kafka, file redelivery)."""
+    ev = _with_event_time(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:
+        ev = ev.dropDuplicates(["event_id"])
+    return ev.select("event_id", "user_id", "event_type", "ts_ts")
+
+
 def stateful_running_max(events: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
     """Custom stateful operator: per-user running max(value) maintained in
     the state store via ``applyInPandasWithState`` — the escape hatch for

@@ -135,3 +135,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert 10 in got          # on-time window emitted
     assert 13 in got          # the watermark-advancing event's window emitted
     assert 8 not in got       # late row dropped by the watermark
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory, batch_events):
+    """Stream-stream interval join (both sides watermarked) drained with
+    availableNow must equal the batch run of the same transform."""
+    import shutil
+
+    from bearly_spark.streaming import stream_stream_interval_join
+
+    d = tmp_path_factory.mktemp("ss_join")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    sp = events_stream(spark, str(d)).filter(F.col("event_type") == "purchase")
+    sf = events_stream(spark, str(d))
+    got = _run_stream_to_memory(
+        spark,
+        stream_stream_interval_join(sp, sf, window_seconds=1800),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    want = stream_stream_interval_join(
+        batch_events.filter(F.col("event_type") == "purchase"),
+        batch_events,
+        window_seconds=1800,
+    )
+    assert _normalize(got) == _normalize(want)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """A doubled source (every file delivered twice) must come out with
+    exactly one row per event_id."""
+    import shutil
+
+    from bearly_spark.streaming import streaming_dedup
+
+    d = tmp_path_factory.mktemp("dedup_src")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    got = _run_stream_to_memory(
+        spark, streaming_dedup(events_stream(spark, str(d))), "t_sdedup", output_mode="append"
+    )
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
