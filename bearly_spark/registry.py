@@ -2015,3 +2015,117 @@ def q_partitioned_scan(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_totalprice
+    HAVING SUM(l.l_quantity) > 250
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """,
+)
+def q_q18(spark, sf_dir):
+    """TPC-H Q18 shape: GROUP BY ... HAVING over a 3-way join (HAVING =
+    post-aggregation filter; Catalyst evaluates it after the final
+    HashAggregate, so only group rows — not fact rows — are filtered)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_q22(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery in a predicate +
+    NOT EXISTS anti-join + aggregation. Expressed in SQL so Catalyst plans
+    the scalar subquery as a broadcast one-row relation and the NOT EXISTS
+    as a left-anti hash join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM v_customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "levenshtein_near_dup",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def q_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup candidates: same-language, similar-length
+    blocking (equi-join on lang + residual length band — the join shuffles
+    on the blocking key only, never cross-joins the corpus), then a
+    40-char-prefix Levenshtein filter. The string-metric complement to the
+    token-set (Jaccard/MinHash) and bit-vector (SimHash) dedup families;
+    at 100 TB the blocking key would widen to (lang, length_bucket) and
+    AQE's skew-join handles the dominant-language bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.substring("text", 1, 40).alias("pref_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.substring("text", 1, 40).alias("pref_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 5),
+        )
+        .withColumn("prefix_dist", F.levenshtein("pref_a", "pref_b"))
+        .filter(F.col("prefix_dist") <= 20)
+        .select("id_a", "id_b", "prefix_dist")
+    )
