@@ -5,6 +5,7 @@ from bearly_spark.streaming.events import (  # noqa: F401
     session_window_counts,
     sliding_window_counts,
     stateful_running_max,
+    stateful_user_stats_v2,
     stream_stream_interval_join,
     streaming_dedup,
     tumbling_window_counts,

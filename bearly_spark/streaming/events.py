@@ -118,6 +118,44 @@ def session_window_counts(
     )
 
 
+def stateful_user_stats_v2(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-stateful API (successor to
+    ``applyInPandasWithState``): an explicit ``StatefulProcessor`` holding a
+    typed ``ValueState`` in the (RocksDB) state store. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    ``RocksDBStateStoreProvider`` on the session, and the python-side
+    ``protobuf`` package (the API's state-server wire protocol) — absent
+    that, use :func:`stateful_running_max` (applyInPandasWithState)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("stats", "n_seen long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._state.get()
+            n_seen, total = (prior[0], prior[1]) if prior is not None else (0, 0.0)
+            for pdf in rows:
+                n_seen += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n_seen, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_seen": [n_seen], "total": [round(total, 2)]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n_seen long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_interval_join(
     purchases: DataFrame,
     follows: DataFrame,

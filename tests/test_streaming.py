@@ -178,3 +178,46 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_transform_with_state_user_stats(spark, sf_dir, tmp_path_factory, batch_events):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor + ValueState):
+    final per-user state must equal the batch (count, sum) aggregate.
+
+    The API's state-server protocol needs protobuf python-side; skipped
+    where that dependency is absent (applyInPandasWithState above covers
+    the stateful contract there)."""
+    pytest.importorskip("google.protobuf")
+    import shutil
+
+    from bearly_spark.streaming import stateful_user_stats_v2
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path_factory.mktemp("tws_src")
+        shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+        got = _run_stream_to_memory(
+            spark,
+            stateful_user_stats_v2(events_stream(spark, str(d))),
+            "t_tws",
+            output_mode="update",
+        )
+        final = (
+            got.groupBy("user_id")
+            .agg(F.max("n_seen").alias("n_seen"), F.max("total").alias("total"))
+            .collect()
+        )
+        want = {
+            r.user_id: (r.n, round(r.total, 2))
+            for r in batch_events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert {r.user_id: (r.n_seen, r.total) for r in final} == want
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
