@@ -2098,34 +2098,46 @@ def q_q22(spark, sf_dir):
     """,
 )
 def q_levenshtein(spark, sf_dir):
-    """Edit-distance near-dup candidates: same-language, similar-length
-    blocking (equi-join on lang + residual length band — the join shuffles
-    on the blocking key only, never cross-joins the corpus), then a
-    40-char-prefix Levenshtein filter. The string-metric complement to the
-    token-set (Jaccard/MinHash) and bit-vector (SimHash) dedup families;
-    at 100 TB the blocking key would widen to (lang, length_bucket) and
-    AQE's skew-join handles the dominant-language bucket."""
+    """Edit-distance near-dup candidates: (lang, length-bucket) composite
+    equi-key blocking, then a 40-char-prefix Levenshtein filter. The
+    string-metric complement to the token-set (Jaccard/MinHash) and
+    bit-vector (SimHash) dedup families.
+
+    Scale/plan notes (the first cut was 35x slower — see PLANS.md):
+    - the +/-5 length band is carried IN the hash-join key (one side
+      explodes to its 3 neighbor width-8 buckets; band < width means
+      neighbors suffice, and |bucket delta| <= 1 matches each pair exactly
+      once), so the join probes ~band-sized groups instead of whole-language
+      groups — and the key has lang x buckets cardinality instead of 5
+      skewed language keys;
+    - every predicate lives in the join condition ordered cheap -> expensive:
+      Catalyst merges a post-join filter into the join residual PREPENDED,
+      which put levenshtein first and ran it on every same-language pair
+      (3.2M at sf0.1) instead of the ~69k banded ones;
+    - the in-join distance uses the bounded form levenshtein(a, b, 20)
+      (banded DP, early-abandon above the threshold, -1 sentinel)."""
     docs = load_table(spark, sf_dir, "documents")
+    bkt = F.floor(F.col("n_chars") / F.lit(8)).cast("long")
     a = docs.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("n_chars").alias("nc_a"),
         F.substring("text", 1, 40).alias("pref_a"),
+        bkt.alias("bkt_a"),
     )
     b = docs.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("n_chars").alias("nc_b"),
         F.substring("text", 1, 40).alias("pref_b"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt_b"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 5),
-        )
-        .withColumn("prefix_dist", F.levenshtein("pref_a", "pref_b"))
-        .filter(F.col("prefix_dist") <= 20)
-        .select("id_a", "id_b", "prefix_dist")
+    bounded_dist = F.levenshtein("pref_a", "pref_b", 20)
+    cond = (
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("bkt_a") == F.col("bkt_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 5)
+        & (bounded_dist >= 0)
     )
+    return a.join(b, cond).select("id_a", "id_b", bounded_dist.alias("prefix_dist"))

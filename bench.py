@@ -47,6 +47,12 @@ HEADLINE = [
     "percentiles_lineitem",
     "q7_nation_volume",
     "q10_returned_items",
+    "q18_large_volume_orders",
+    "wordcount_tokens",
+    "calendar_fill_orders",
+    "levenshtein_near_dup",
+    "embedding_ann_ivf",
+    "partitioned_scan_orders",
 ]
 
 
