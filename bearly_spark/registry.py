@@ -2141,3 +2141,60 @@ def q_levenshtein(spark, sf_dir):
         & (bounded_dist >= 0)
     )
     return a.join(b, cond).select("id_a", "id_b", bounded_dist.alias("prefix_dist"))
+
+
+@register(
+    "window_distribution_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window family: ntile / percent_rank / cume_dist over a
+    per-customer total order (the order includes the unique key, so tile
+    assignment is deterministic). One shuffle+sort serves all three."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders")
+    w = SW.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "regexp_funcs_documents",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE regexp_matches(text, 'spark\\s+\\w+ine')) AS n_spark_ine,
+           CAST(SUM(len(regexp_extract_all(text, '\\b(merge|join)\\b'))) AS BIGINT)
+             AS n_merge_join,
+           CAST(COUNT(DISTINCT regexp_extract(text, '([a-z]{6,})', 1)) AS BIGINT)
+             AS n_first_long_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q_regexp_funcs(spark, sf_dir):
+    """Regexp expression pack: rlike predicate (conditional count),
+    regexp_count-style match totals via regexp_extract_all, and
+    regexp_extract first-group capture — all JVM-side codegen expressions
+    (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.when(F.col("text").rlike(r"spark\s+\w+ine"), 1)).alias("n_spark_ine"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(merge|join)\b")))).alias(
+            "n_merge_join"
+        ),
+        F.countDistinct(F.regexp_extract("text", "([a-z]{6,})", 1)).alias(
+            "n_first_long_words"
+        ),
+    )
