@@ -463,3 +463,61 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_prints"))
         .filter(F.col("shared_prints") >= min_shared)
     )
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 25
+) -> DataFrame:
+    """Connected components by iterative neighborhood-min label
+    propagation: every node repeatedly adopts the minimum label in its
+    closed neighborhood until a fixpoint — the step that turns pairwise
+    near-dup evidence into dedup CLUSTERS (A~B and B~C group A,B,C even
+    though the pair stage never compared A to C).
+
+    Scale shape: converges in O(max component diameter) rounds; near-dup
+    components are near-cliques (diameter 2-3), so a handful of rounds in
+    practice, with ``max_iterations`` guarding pathological chains. Each
+    round is one equi-join + one groupBy-min over the (node, label) table
+    — all mergeable partials — and convergence is detected by one scalar
+    agg (sum of labels, strictly decreasing until fixpoint), not a
+    row-level diff. The symmetrized edge table is persisted once and
+    eagerly pinned (lazy caches get recomputed per consumer under AQE).
+    For adversarially long chains the alternating large-star/small-star
+    contraction ("Connected Components in MapReduce and Beyond") bounds
+    rounds by O(log n); unnecessary at dedup diameters.
+
+    Returns (node, component); component = min reachable node id. Nodes
+    with no edges don't appear — callers coalesce to self-labels.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.persist()
+    sym.count()
+
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    try:
+        for _ in range(max_iterations):
+            propagated = sym.join(
+                labels.withColumnRenamed("u", "v"), "v"
+            ).select("u", "label")
+            new_labels = (
+                propagated.union(labels.select("u", "label"))
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+    finally:
+        sym.unpersist()

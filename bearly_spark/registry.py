@@ -2198,3 +2198,26 @@ def q_regexp_funcs(spark, sf_dir):
             "n_first_long_words"
         ),
     )
+
+
+@register("dedup_components")  # rows-only: minhash edges are seeded/engine-specific
+def q_dedup_components(spark, sf_dir):
+    """Cluster-level dedup: MinHash near-dup pairs -> connected components
+    -> per-cluster membership stats. The transitive-closure step pairwise
+    dedup can't express (A~B, B~C groups all three); chain semantics are
+    pinned by planted tests in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    labeled = docs.select("doc_id").join(
+        cc, F.col("doc_id") == F.col("node"), "left"
+    ).select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component_id"))
+    return (
+        labeled.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("component_id")
+    )

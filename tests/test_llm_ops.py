@@ -203,3 +203,60 @@ def test_winnow_fingerprints_deterministic(spark):
     a = D.winnow_fingerprints(df, "doc_id", "text").collect()[0].fingerprints
     b = D.winnow_fingerprints(df, "doc_id", "text").collect()[0].fingerprints
     assert sorted(a) == sorted(b) and len(a) > 0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A~B, B~C must land in ONE component without an A~C edge (the
+    transitivity pairwise dedup lacks); disjoint pairs stay separate;
+    min-id labeling is deterministic."""
+    from bearly_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 33), (33, 34)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30,
+    }
+
+
+def test_dedup_components_consistent_with_pairs(spark, sf_dir):
+    """End-to-end on the fixture: both endpoints of every minhash pair
+    land in the SAME component, the component label is the min member id,
+    and multi-member component membership covers every paired doc."""
+    from bearly_spark.operators.dedup import connected_components, minhash_dedup_pairs
+    from bearly_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_rows, "fixture should contain near-dup pairs at 0.5"
+
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    for a, b in pair_rows:
+        assert comp[a] == comp[b], (a, b)
+    # label = min member id per component
+    import collections
+
+    members = collections.defaultdict(list)
+    for node, c in comp.items():
+        members[c].append(node)
+    for c, nodes in members.items():
+        assert c == min(nodes)
+    # the registry query reports exactly the multi-member components
+    got = {
+        r.component_id: r.n_members
+        for r in __import__("bearly_spark.registry", fromlist=["QUERIES"])
+        .QUERIES["dedup_components"](spark, sf_dir)
+        .collect()
+    }
+    want = {c: len(set(ns)) for c, ns in members.items() if len(set(ns)) >= 2}
+    assert got == want
