@@ -2221,3 +2221,18 @@ def q_dedup_components(spark, sf_dir):
         .filter(F.col("n_members") >= 2)
         .orderBy("component_id")
     )
+
+
+@register("approx_percentile_lineitem")  # rows-only: sketch internals differ by engine
+def q_approx_percentile(spark, sf_dir):
+    """approx_percentile (KLL-style quantile sketch, mergeable partials —
+    the 100 TB default; exact_percentiles is the small-data twin). The
+    accuracy contract against the exact rank-window form is pinned by
+    tests/test_relational_extra.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "approx_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

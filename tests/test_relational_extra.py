@@ -120,3 +120,64 @@ def test_connector_wrappers_validate_args(spark):
     with pytest.raises(Exception) as ei:
         kafka_stream(spark, "localhost:9092", "events").printSchema()
     assert "kafka" in str(ei.value).lower()
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """approx_percentile with accuracy=10000 must rank-match the exact
+    percentile within the sketch's rank-error bound (~1/accuracy ~ 1e-4
+    of rows; allow 1% of the group as slack on the discrete rank)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.registry import QUERIES
+    from bearly_spark.sources.tables import load_table
+
+    got = {
+        r.l_returnflag: r.approx_p50_p95
+        for r in QUERIES["approx_percentile_lineitem"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, (p50, p95) in got.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        slack = max(2, n // 100)
+        import bisect
+
+        for q, v in ((0.5, p50), (0.95, p95)):
+            rank = bisect.bisect_left(vals, v)
+            assert abs(rank - q * n) <= slack, (flag, q, v, rank, q * n)
+
+
+def test_foreach_batch_sink_accumulates_all_rows(spark, sf_dir, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch — each microbatch is
+    handed to plain batch code (here: parquet append tagged with the batch
+    id); after availableNow drains, the sink holds every source row
+    exactly once."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.streaming import events_stream
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    out = str(tmp_path / "fb_out")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        events_stream(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fb_ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    written = spark.read.parquet(out)
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
