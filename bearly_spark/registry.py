@@ -2236,3 +2236,43 @@ def q_approx_percentile(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "clustered_scan_lineitem",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+           COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-06-01'
+    GROUP BY 1
+    """,
+)
+def q_clustered_scan(spark, sf_dir):
+    """Range-clustered data layout: repartitionByRange + sortWithinPartitions
+    on l_shipdate before writing, so each parquet file (and row group) holds
+    a narrow, near-disjoint shipdate span — a time filter then prunes whole
+    files/row-groups via min/max statistics instead of scanning everything.
+    The hive-partition complement for high-cardinality ordering keys where
+    one-directory-per-value would explode. Clustering quality (disjoint
+    file spans) is asserted in tests/test_sinks.py."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/lineitem_clustered"
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+        )
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

@@ -41,3 +41,38 @@ def test_partitioned_scan_query_matches_direct(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_range_clustered_write_produces_disjoint_file_spans(spark, sf_dir, tmp_path):
+    """repartitionByRange+sortWithinPartitions must yield parquet files
+    whose l_shipdate [min,max] spans are pairwise non-overlapping (modulo
+    boundary duplicates) — the property that makes min/max row-group
+    pruning effective. An unclustered write has every file spanning the
+    whole range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "clustered")
+    (
+        orders.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(path)
+    )
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4
+    spans.sort()
+    overlaps = sum(1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b)
+    assert overlaps == 0, spans
