@@ -2276,3 +2276,70 @@ def q_clustered_scan(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS between two fact tables (orders
+    with any line shipped >60 days after ordering). Catalyst plans the
+    EXISTS as a left-semi hash join on the correlation key — the fact-fact
+    semi join shuffles both sides on l_orderkey/o_orderkey only."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders
+        WHERE EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "window_ignore_nulls_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           last_value(CASE WHEN o_totalprice > 250000
+                           THEN ROUND(o_totalprice, 2) END IGNORE NULLS)
+             OVER w AS last_big_price,
+           first_value(CASE WHEN o_totalprice > 250000
+                            THEN ROUND(o_totalprice, 2) END IGNORE NULLS)
+             OVER w AS first_big_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation: carry the most recent / first
+    'big order' price forward along each customer's order history (the
+    gaps-filling idiom for sparse observations — sensor carry-forward,
+    last-known-good values)."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        SW.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    big = F.when(F.col("o_totalprice") > 250000, F.round("o_totalprice", 2))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.last(big, ignorenulls=True).over(w).alias("last_big_price"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big_price"),
+    )
