@@ -2343,3 +2343,124 @@ def q_window_ignore_nulls(spark, sf_dir):
         F.last(big, ignorenulls=True).over(w).alias("last_big_price"),
         F.first(big, ignorenulls=True).over(w).alias("first_big_price"),
     )
+
+
+# ===================================================================
+# Training-data pipeline end-to-end shapes: deterministic splits,
+# stratified sampling, quality-gated corpus cleaning.
+# ===================================================================
+
+
+@register(
+    "dataset_split_documents",
+    oracle="""
+    WITH s AS (
+      SELECT *, CASE
+        WHEN CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204
+          THEN 'train'
+        WHEN CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230
+          THEN 'val'
+        ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM s GROUP BY split
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split keyed on a content
+    hash of the document id (first sha256 byte: <204 train, <230 val,
+    else test). Hash-keyed splits are the only splits that survive at
+    100 TB: stable under re-partitioning, re-runs, engine changes, and
+    incremental arrivals — no rand() seed to desynchronize, and a doc
+    never migrates between splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    byte0 = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(byte0 < 204, "train").when(byte0 < 230, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified sampling: exactly k docs per language stratum, chosen by
+    hash order (deterministic, unbiased w.r.t. insertion order — the way
+    to build balanced eval sets from a skewed corpus). One shuffle on the
+    stratum key; WindowGroupLimit keeps per-group state at O(k)."""
+    from pyspark.sql import Window as SW
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = SW.partitionBy("lang").orderBy(
+        F.asc(F.sha2(F.col("doc_id").cast("string"), 256)), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             {_QUALITY_SQL} AS quality,
+             {_FPRINT_SQL} AS fingerprint
+      FROM documents),
+    gated AS (
+      SELECT * FROM scored WHERE quality >= 0.4 AND n_tokens >= 20),
+    kept AS (
+      SELECT g.* FROM gated g
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fingerprint) k
+        USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def q_pipeline_clean(spark, sf_dir):
+    """End-to-end corpus cleaning, the composition a real training-data
+    pipeline runs as one job: score (token count, quality) -> gate
+    (quality/length thresholds — map-side, no shuffle) -> canonical
+    bag-of-words dedup (keeps min doc_id per sorted-distinct-token
+    fingerprint; catches word-order shuffles exact dedup misses) ->
+    per-language corpus stats. Every stage is JVM expressions + two
+    key-local shuffles (fingerprint groupBy, lang groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.with_text_stats(docs).select(
+        "doc_id", "lang", "n_chars", "n_tokens", "quality", "fingerprint"
+    )
+    gated = scored.filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20))
+    reps = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(reps, ["fingerprint", "doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

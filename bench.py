@@ -53,6 +53,8 @@ HEADLINE = [
     "levenshtein_near_dup",
     "embedding_ann_ivf",
     "partitioned_scan_orders",
+    "pipeline_clean_corpus",
+    "dataset_split_documents",
 ]
 
 
