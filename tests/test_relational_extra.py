@@ -181,3 +181,47 @@ def test_foreach_batch_sink_accumulates_all_rows(spark, sf_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Join-strategy hints must reach the physical plan: broadcast() ->
+    BroadcastHashJoin, hint('shuffle_hash') -> ShuffledHashJoin,
+    hint('merge') -> SortMergeJoin — the knobs that let a 100 TB job pin
+    the right strategy when stats mislead the optimizer."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(o.join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in plan(
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    )
+    assert "SortMergeJoin" in plan(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must shrink the static shuffle width for small data: after
+    materialization the final plan's shuffle read coalesces to fewer
+    partitions than spark.sql.shuffle.partitions (the runtime re-plan that
+    keeps small intermediate stages from fanning into thousands of tiny
+    tasks at scale)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+
+    static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.collect()  # materialize so AQE finalizes the plan
+    final = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in final, final[:500]
+    assert agg.rdd.getNumPartitions() < static
