@@ -2512,3 +2512,60 @@ def q_events_rollup(spark, sf_dir):
             F.round(F.max("max_value"), 2).alias("max_value"),
         )
     )
+
+
+@register(
+    "variant_events_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS max_k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_props(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json once into a binary-encoded
+    variant column, then typed variant_get extraction — the
+    schema-on-read path for ragged semi-structured payloads (no schema
+    inference pass over 100 TB, unlike from_json; unchanged fields stay
+    un-shredded bytes)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int").cast("long")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT (the
+    SQL spelling of per-group top-k; Catalyst decorrelates it into a
+    ranked window join rather than re-executing the subquery per row)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_customer c, LATERAL (
+          SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+          FROM v_orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
