@@ -225,3 +225,38 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     final = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in final, final[:500]
     assert agg.rdd.getNumPartitions() < static
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Malformed-input contract for JSON ingestion: PERMISSIVE captures the
+    bad line in _corrupt_record (good rows survive), DROPMALFORMED drops
+    it, FAILFAST raises — the data-quality triage every 100 TB ingest
+    needs to choose deliberately."""
+    import pytest
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "value": 1.5}\n'
+        "{BROKEN not json}\n"
+        '{"event_id": 3, "value": 3.5}\n'
+    )
+    schema = "event_id long, value double, _corrupt_record string"
+
+    permissive = spark.read.schema(schema).json(str(p)).cache()
+    assert permissive.count() == 3
+    bad = permissive.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt_record
+    assert permissive.filter("event_id IS NOT NULL").count() == 2
+    permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("event_id long, value double")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert [r.event_id for r in dropped.orderBy("event_id").collect()] == [1, 3]
+
+    with pytest.raises(Exception):
+        spark.read.schema("event_id long, value double").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()
