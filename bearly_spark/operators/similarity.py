@@ -242,6 +242,7 @@ def embedding_near_dup_pairs(
     bands: int = 3,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ threshold) via the same
     LSH blocking as :func:`lsh_ann_topk` (corpus self-join on bands).
@@ -249,6 +250,9 @@ def embedding_near_dup_pairs(
     Mirrors the MinHash layout: one groupBy over (band, bkey) gathers
     bucket members and emits in-bucket pairs inline (no self-join), then
     vectors join back for the exact-cosine verify of the candidate set.
+    Buckets larger than ``max_bucket`` are dropped (degenerate collapsed
+    embeddings — e.g. zero vectors — would otherwise expand
+    quadratically), same guard as the MinHash/winnowing paths.
     """
     planes = _hyperplanes(dim, nbits, seed)
     bits_per_band = nbits // bands
@@ -261,7 +265,7 @@ def embedding_near_dup_pairs(
     bucket_ids = (
         ex.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     pair_structs = F.flatten(
         F.transform(
