@@ -76,3 +76,53 @@ def test_range_clustered_write_produces_disjoint_file_spans(spark, sf_dir, tmp_p
     spans.sort()
     overlaps = sum(1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b)
     assert overlaps == 0, spans
+
+
+def test_observe_collects_metrics_without_extra_pass(spark, sf_dir):
+    """df.observe: aggregate data-quality metrics piggyback on the main
+    action (no second scan) — how a 100 TB pipeline gets row counts /
+    null counts / sums for monitoring without re-reading the input."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+        F.count(F.when(F.col("l_discount").isNull(), 1)).alias("null_discounts"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()
+    m = obs.get
+    assert m["n_rows"] >= n
+    assert m["null_discounts"] == 0
+    assert m["total_qty"] > 0
+
+
+def test_parquet_zstd_and_file_sizing(spark, sf_dir, tmp_path):
+    """Write knobs that matter at scale: compression codec selection
+    (zstd) must reach the file metadata, and maxRecordsPerFile must bound
+    output file row counts (file-count/size control for downstream
+    readers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").coalesce(1)
+    n_rows = li.count()
+    path = str(tmp_path / "zstd_sized")
+    (
+        li.write.option("compression", "zstd")
+        .option("maxRecordsPerFile", 3000)
+        .parquet(path)
+    )
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= -(-n_rows // 3000)
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(path, f))
+        assert pf.metadata.num_rows <= 3000
+        total += pf.metadata.num_rows
+        assert pf.metadata.row_group(0).column(0).compression == "ZSTD"
+    assert total == n_rows
