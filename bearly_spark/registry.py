@@ -2569,3 +2569,42 @@ def q_lateral_topk(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 5 AND 30 AND p_size <= 20)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 40 AND p_size <= 30)
+    GROUP BY p_brand
+    """,
+)
+def q_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table predicate over
+    a fact-dim join. Catalyst splits the disjunction into per-table
+    implied filters (l_quantity range, p_size/p_brand) that push to both
+    scans, keeping the residual OR as the join filter — the broadcast dim
+    join then sees pre-filtered inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(5, 30)
+            & (F.col("p_size") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(10, 40)
+            & (F.col("p_size") <= 30)
+        )
+    )
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -126,3 +126,46 @@ def test_parquet_zstd_and_file_sizing(spark, sf_dir, tmp_path):
         total += pf.metadata.num_rows
         assert pf.metadata.row_group(0).column(0).compression == "ZSTD"
     assert total == n_rows
+
+
+def test_text_source_round_trip(spark, sf_dir, tmp_path):
+    """spark.read.text: the line-oriented raw-text format (one row per
+    line). Newlines are escaped before writing so each document stays one
+    line; count and content survive the round trip."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_txt")
+    one_line = docs.select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("\t"),
+            F.regexp_replace("text", r"[\r\n]", " "),
+        ).alias("value")
+    )
+    one_line.write.text(path)
+    back = spark.read.text(path)
+    assert back.count() == docs.count()
+    parsed = back.select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).cast("long").alias("doc_id")
+    )
+    assert parsed.distinct().count() == docs.count()
+
+
+def test_binary_file_source_for_multimodal_payloads(spark, tmp_path):
+    """spark.read.format('binaryFile'): the blob-ingestion source for
+    multimodal corpora — one row per file with (path, length, content
+    bytes); pathGlobFilter selects a modality by extension."""
+    blobs = {"a.img": b"\x89PNGfake", "b.img": b"\x89PNGother", "c.txt": b"not image"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(tmp_path))
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert rows == {
+        "a.img": (8, b"\x89PNGfake"),
+        "b.img": (9, b"\x89PNGother"),
+    }
