@@ -2608,3 +2608,31 @@ def q_q19(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register("events_hll_rollup")  # rows-only: sketch bytes are engine-specific
+def q_events_hll_rollup(spark, sf_dir):
+    """Mergeable distinct-count rollup: hourly HLL sketches of user_id
+    (hll_sketch_agg) unioned into daily sketches (hll_union_agg) and
+    estimated — the sketch twin of events_rollup_hourly_daily. At 100 TB
+    the hourly sketch table is a few KB per (type, hour) row and daily /
+    weekly / monthly distinct-user counts all derive from it WITHOUT
+    re-touching raw events (COUNT(DISTINCT) partials are not mergeable;
+    sketches are). Estimate accuracy vs exact distinct is pinned in
+    tests/test_relational_extra.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_sec = ((F.col("ts") / F.lit(1_000_000_000)).cast("long") / 3600).cast(
+        "long"
+    ) * 3600
+    hourly = ev.groupBy("event_type", hour_sec.alias("hour_sec")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    daily = hourly.groupBy(
+        "event_type",
+        ((F.col("hour_sec") / 86400).cast("long") * 86400).alias("day_sec"),
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("approx_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    return daily.orderBy("event_type", "day_sec")

@@ -260,3 +260,32 @@ def test_json_corrupt_record_modes(spark, tmp_path):
         spark.read.schema("event_id long, value double").option(
             "mode", "FAILFAST"
         ).json(str(p)).collect()
+
+
+def test_hll_rollup_estimates_match_exact_distinct(spark, sf_dir):
+    """The daily HLL estimate (unioned from hourly sketches, lgK=14) must
+    track the exact daily distinct user count within 2% — the accuracy
+    contract that makes sketch rollups usable in place of
+    COUNT(DISTINCT)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.registry import QUERIES
+    from bearly_spark.sources.tables import load_table
+
+    got = {
+        (r.event_type, r.day_sec): r.approx_users
+        for r in QUERIES["events_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    day_sec = (
+        ((F.col("ts") / F.lit(1_000_000_000)).cast("long") / 86400).cast("long") * 86400
+    )
+    exact = {
+        (r.event_type, r.day_sec): r.n
+        for r in ev.groupBy("event_type", day_sec.alias("day_sec"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key, est in got.items():
+        assert abs(est - exact[key]) <= max(2, 0.02 * exact[key]), (key, est, exact[key])
