@@ -2636,3 +2636,40 @@ def q_events_hll_rollup(spark, sf_dir):
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
     return daily.orderBy("event_type", "day_sec")
+
+
+@register(
+    "try_arithmetic_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount = 0 THEN NULL
+                          ELSE l_extendedprice / l_discount END), 2) AS price_per_disc,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 127
+                         THEN CAST(l_quantity AS TINYINT) END) AS BIGINT) AS small_qty_sum,
+           COUNT(*) - COUNT(TRY_CAST(l_comment_missing AS INTEGER)) AS n_uncastable
+    FROM (SELECT *, l_returnflag || 'x' AS l_comment_missing FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic family: try_divide / try_cast return NULL
+    instead of raising under ANSI mode (Spark 4 default ON) — the
+    production answer to div-by-zero and bad casts in 100 TB inputs,
+    where one poisoned row must not kill a 10-hour job. This query runs
+    identically with ANSI on or off."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_comment_missing", F.concat(F.col("l_returnflag"), F.lit("x"))
+    )
+    narrow = F.when(F.col("l_quantity").between(1, 127), F.col("l_quantity")).try_cast(
+        "tinyint"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0)))),
+            2,
+        ).alias("price_per_disc"),
+        F.sum(narrow).cast("bigint").alias("small_qty_sum"),
+        (
+            F.count(F.lit(1)) - F.count(F.col("l_comment_missing").try_cast("int"))
+        ).alias("n_uncastable"),
+    )

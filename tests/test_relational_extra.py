@@ -289,3 +289,33 @@ def test_hll_rollup_estimates_match_exact_distinct(spark, sf_dir):
     assert set(got) == set(exact)
     for key, est in got.items():
         assert abs(est - exact[key]) <= max(2, 0.02 * exact[key]), (key, est, exact[key])
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python DataSource API: the registered generator source must
+    (a) parallelize into its declared partitions, (b) produce identical
+    rows across repeated reads (deterministic per-row seeding — safe under
+    task retries), and (c) compose with ordinary DataFrame ops."""
+    from bearly_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("synthetic_docs").option("n_rows", 500).option("n_parts", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 500
+
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("n_rows", 500)
+        .option("n_parts", 4)
+        .load()
+        .collect()
+    )
+    assert a == b
+    assert {r.doc_id for r in df.select("doc_id").collect()} == set(range(500))
+
+    import pyspark.sql.functions as F
+
+    stats = df.agg(F.min("n_words"), F.max("n_words")).collect()[0]
+    assert 10 <= stats[0] and stats[1] <= 60
