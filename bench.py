@@ -55,6 +55,9 @@ HEADLINE = [
     "partitioned_scan_orders",
     "pipeline_clean_corpus",
     "dataset_split_documents",
+    "events_hll_rollup",
+    "variant_events_props",
+    "q19_disjunctive_revenue",
 ]
 
 
