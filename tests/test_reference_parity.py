@@ -118,3 +118,38 @@ def test_column_order_and_names_preserved(spark):
     )
     df = spark.createDataFrame([(1, "x", 2)], schema)
     assert to_arrow(sum_int64(df)).column_names == ["z_last", "a_first"]
+
+
+def test_sum_accepts_any_arrow_stream_capsule_producer(spark):
+    """The reference's ingest contract is the Arrow PyCapsule STREAM
+    protocol, not a pyarrow type check (`bearly_ext.cc:10-18` calls
+    obj.__arrow_c_stream__() on whatever it gets). A minimal foreign
+    object exposing ONLY that dunder must flow through from_arrow ->
+    sum_int64 with bearly's golden result."""
+    import pyarrow as pa
+
+    from bearly_spark.interchange import from_arrow, to_arrow
+    from bearly_spark.operators.aggregate import sum_int64
+
+    golden = pa.table(
+        {
+            "col0": pa.array([1, 2], type=pa.int64()),
+            "col1": pa.array([3, 4, None], type=pa.int64()).slice(0, 2),
+            "skip": pa.array(["x", "y"]),
+        }
+    )
+
+    class ForeignProducer:
+        """Only the protocol — no pyarrow inheritance, no other methods."""
+
+        def __init__(self, table):
+            self._t = table
+
+        def __arrow_c_stream__(self, requested_schema=None):
+            return self._t.__arrow_c_stream__(requested_schema)
+
+    df = from_arrow(spark, ForeignProducer(golden))
+    out = to_arrow(sum_int64(df))
+    assert out.column("col0").to_pylist() == [3]
+    assert out.column("col1").to_pylist() == [7]
+    assert out.column_names == ["col0", "col1"]
