@@ -2673,3 +2673,28 @@ def q_try_arithmetic(spark, sf_dir):
             F.count(F.lit(1)) - F.count(F.col("l_comment_missing").try_cast("int"))
         ).alias("n_uncastable"),
     )
+
+
+@register(
+    "misc_agg_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bit_xor(o_orderkey) AS key_xor,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_misc_agg(spark, sf_dir):
+    """Aggregate odds-and-ends: bool_and/bool_or (EVERY/ANY), bit_xor
+    (order-independent checksum — handy for cheap partition-equality
+    verification at scale), and deterministic string_agg (sorted distinct
+    list rendered as one string)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
