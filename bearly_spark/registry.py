@@ -2698,3 +2698,47 @@ def q_misc_agg(spark, sf_dir):
         F.bit_xor("o_orderkey").alias("key_xor"),
         F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
     )
+
+
+@register(
+    "cogroup_user_behavior",
+    oracle="""
+    WITH p AS (SELECT user_id, COUNT(*) AS n_purchases,
+                      ROUND(SUM(value), 2) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    o AS (SELECT user_id, COUNT(*) AS n_other
+          FROM events WHERE event_type <> 'purchase' GROUP BY user_id)
+    SELECT COALESCE(p.user_id, o.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(purchase_value, 0.0) AS purchase_value,
+           COALESCE(n_other, 0) AS n_other
+    FROM p FULL OUTER JOIN o ON p.user_id = o.user_id
+    """,
+)
+def q_cogroup(spark, sf_dir):
+    """cogroup().applyInPandas: both groups for a key delivered to ONE
+    Python function as two pandas frames — the escape hatch for per-key
+    logic that needs both sides at once (custom as-of merges, per-entity
+    reconciliation) without a pre-join. One shuffle per side on the key;
+    Arrow-batched transfer. Here: purchase vs non-purchase behavior per
+    user, so the result is SQL-checkable against a full-outer-join twin."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").groupBy("user_id")
+    others = ev.filter(F.col("event_type") != "purchase").groupBy("user_id")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_purchases": [len(left)],
+                "purchase_value": [round(float(left["value"].sum()), 2) if len(left) else 0.0],
+                "n_other": [len(right)],
+            }
+        )
+
+    return purchases.cogroup(others).applyInPandas(
+        merge, "user_id long, n_purchases long, purchase_value double, n_other long"
+    )
