@@ -2742,3 +2742,41 @@ def q_cogroup(spark, sf_dir):
     return purchases.cogroup(others).applyInPandas(
         merge, "user_id long, n_purchases long, purchase_value double, n_other long"
     )
+
+
+@register(
+    "full_outer_status_counts",
+    oracle="""
+    WITH p AS (SELECT o_custkey, COUNT(*) AS n_pending FROM orders
+               WHERE o_orderstatus = 'P' GROUP BY o_custkey),
+    f AS (SELECT o_custkey, COUNT(*) AS n_filled FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT COALESCE(p.o_custkey, f.o_custkey) AS o_custkey,
+           COALESCE(n_pending, 0) AS n_pending,
+           COALESCE(n_filled, 0) AS n_filled
+    FROM p FULL OUTER JOIN f ON p.o_custkey = f.o_custkey
+    """,
+)
+def q_full_outer(spark, sf_dir):
+    """FULL OUTER join (completes the outer-join family next to the left
+    outer in outer_join_order_counts): customers pending-only, filled-only,
+    and both, with COALESCE'd keys/counts. Aggregate-then-join, so the
+    outer join runs on the small per-customer side."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+        .withColumnRenamed("o_custkey", "p_custkey")
+    )
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_filled"))
+        .withColumnRenamed("o_custkey", "f_custkey")
+    )
+    return p.join(f, p.p_custkey == f.f_custkey, "full_outer").select(
+        F.coalesce("p_custkey", "f_custkey").alias("o_custkey"),
+        F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
+        F.coalesce("n_filled", F.lit(0)).alias("n_filled"),
+    )
