@@ -2780,3 +2780,72 @@ def q_full_outer(spark, sf_dir):
         F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
         F.coalesce("n_filled", F.lit(0)).alias("n_filled"),
     )
+
+
+@register(
+    "rank_ties_orders",
+    oracle="""
+    WITH t AS (SELECT o_orderpriority, o_orderkey,
+                      CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band
+               FROM orders)
+    SELECT o_orderpriority, o_orderkey, price_band,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY price_band DESC, o_orderkey ASC) AS rn
+    FROM t
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_band DESC)
+    """,
+)
+def q_rank_ties(spark, sf_dir):
+    """rank vs dense_rank vs row_number tie semantics, made visible by
+    banding prices into deliberate ties: rank leaves gaps after tie
+    groups, dense_rank doesn't, row_number breaks ties by the unique key
+    (its order therefore includes o_orderkey so results are total)."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_band"),
+    )
+    w = SW.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
+    wt = SW.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_band"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "price_band",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(wt).alias("rn"),
+    )
+
+
+@register(
+    "filter_clause_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_chars > 200) AS n_long,
+           ROUND(AVG(n_chars) FILTER (WHERE source = 'web'), 4) AS avg_web_chars,
+           CAST(SUM(n_chars) FILTER (WHERE n_chars <= 200) AS BIGINT) AS short_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_filter_clause(spark, sf_dir):
+    """SQL FILTER clause on aggregates (per-aggregate predicates in one
+    pass — the standard spelling of conditional aggregation, planned
+    identically to CASE WHEN but closer to intent)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE n_chars > 200) AS n_long,
+               ROUND(AVG(n_chars) FILTER (WHERE source = 'web'), 4) AS avg_web_chars,
+               CAST(SUM(n_chars) FILTER (WHERE n_chars <= 200) AS BIGINT) AS short_chars
+        FROM v_documents GROUP BY lang
+        """
+    )
