@@ -95,3 +95,40 @@ def test_interval_join_matches_brute_filter(spark, lefts, rights, span):
         if lk == rk and lt < rt <= lt + span
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """dedup.connected_components must agree with a driver-side union-find
+    on arbitrary small graphs (same partition of nodes AND the same
+    min-id component labels)."""
+    from bearly_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df, "src", "dst").collect()}
+    assert got == want
