@@ -132,3 +132,33 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(df, "src", "dst").collect()}
     assert got == want
+
+
+@given(
+    a_words=st.lists(st.sampled_from("abcdefghij"), min_size=4, max_size=30),
+    b_words=st.lists(st.sampled_from("abcdefghij"), min_size=4, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_minhash_signature_estimates_jaccard(a_words, b_words):
+    """The MinHash kernel's signature-agreement fraction must estimate the
+    exact shingle Jaccard within the 64-hash binomial error (±0.3 is >4σ)
+    — driver-side property over the numpy kernel, no Spark round trip."""
+    import numpy as np
+
+    from bearly_spark.operators.dedup import _hashed_shingles, _perm_params
+
+    ta, tb = " ".join(a_words), " ".join(b_words)
+    sa, sb = set(_hashed_shingles(ta, 3).tolist()), set(_hashed_shingles(tb, 3).tolist())
+    if not sa or not sb:
+        return
+    true_j = len(sa & sb) / len(sa | sb)
+
+    A, B = _perm_params(64)
+
+    def sig(hs):
+        # the production kernel's formula: h*a + b over Z_2^64 wraparound
+        hv = np.asarray(sorted(hs), dtype=np.uint64)
+        return (hv[:, None] * A[None, :] + B[None, :]).min(axis=0)
+
+    est = float((sig(sa) == sig(sb)).mean())
+    assert abs(est - true_j) <= 0.3, (true_j, est)
