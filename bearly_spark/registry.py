@@ -2218,7 +2218,13 @@ def q_dedup_components(spark, sf_dir):
     dedup can't express (A~B, B~C groups all three); chain semantics are
     pinned by planted tests in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    # 20 bands x 3 rows: capture of a true 0.5-Jaccard pair is
+    # 1-(1-0.5^3)^20 = 0.93 (the default 16x4 scheme only reaches 0.645
+    # at this threshold: its S-curve midpoint sits AT 0.5), while random
+    # s=0.1 pairs still only become candidates ~2% of the time.
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=60, bands=20, threshold=0.5
+    )
     cc = D.connected_components(pairs, "id_a", "id_b")
     labeled = docs.select("doc_id").join(
         cc, F.col("doc_id") == F.col("node"), "left"

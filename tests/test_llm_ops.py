@@ -233,7 +233,9 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
     from bearly_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=60, bands=20, threshold=0.5
+    )
     pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert pair_rows, "fixture should contain near-dup pairs at 0.5"
 
