@@ -185,7 +185,18 @@ def salted_join(
 
     Cost: small side replicated ×salt (keep it broadcast-small), and the
     shuffle key becomes (key, salt_id) — uniform by construction.
+
+    Only ``inner`` and ``left`` joins are supported: under ``right`` or
+    ``full``, an unmatched small-side row survives once per salt replicate
+    (×salt duplicate output rows), so those modes are rejected rather than
+    silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer joins would emit every unmatched small-side "
+            "row once per salt replicate"
+        )
     big_salted = big.withColumn("_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt))
     small_rep = skewed_small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -1022,10 +1022,44 @@ def q_multimodal_ingest(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_features")  # rows-only: mapInPandas decode stub
+# Oracle twin of the decode stub: feature i is md5-digest byte i (hex-pair
+# -> int via a digit-lookup strpos), matching _fake_features exactly.
+_HEXD = "'0123456789abcdef'"
+_DECODE_FEATURES_SQL = ", ".join(
+    f"CAST((strpos({_HEXD}, substr(md5(text), {2 * i + 1}, 1)) - 1) * 16"
+    f" + (strpos({_HEXD}, substr(md5(text), {2 * i + 2}, 1)) - 1)"
+    f" AS BIGINT) AS feature_{i}"
+    for i in range(M.N_FEATURES)
+)
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    SELECT doc_id, 'text/plain' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           {_DECODE_FEATURES_SQL}
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode stub, surfaced in driver-hashable scalar form:
+    the array<double> feature vector (kept for the pytest path — the
+    harness canonicalizer cannot sort/hash list cells) is re-expressed as
+    one exact byte-scaled long per dimension (feature*255 is the md5
+    digest byte, so round() recovers the integer exactly — no float
+    comparison risk)."""
     d = load_table(spark, sf_dir, "documents")
-    return M.decode_features(M.attach_payload(d))
+    feats = M.decode_features(M.attach_payload(d))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "payload_bytes",
+        *[
+            F.round(F.col("feature")[i] * 255).cast("long").alias(f"feature_{i}")
+            for i in range(M.N_FEATURES)
+        ],
+    )
 
 
 @register(

@@ -55,4 +55,7 @@ def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_ts`` = proper timestamp column (microsecond
     truncation of the stored nanoseconds; session tz is UTC)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer division, not `/ 1000`: double division of epoch-nanos (~2^60)
+    # carries ~0.125 absolute rounding error, enough to push an event within
+    # ~1us of a window boundary into the wrong window.
+    return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -52,14 +52,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}")
     )
-    return raw.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
     return (
         df
         if "ts_ts" in df.columns
-        else df.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        else df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 
