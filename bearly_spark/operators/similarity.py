@@ -161,18 +161,32 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     return sig
 
 
-def _band_structs(sig_col: Column, bands: int, bits_per_band: int) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftrightunsigned(sig_col, j * bits_per_band)
-                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                .alias("bkey"),
+def _band_structs(sig_col: Column, bands: int, bits_per_band: int, probe: int = 0) -> Column:
+    """Per-band (band, bkey) structs for a packed signature.
+
+    ``probe=1`` adds radius-1 multi-probe: for each band, also emit every
+    bkey with one bit flipped (bits_per_band extra keys per band). Used on
+    the QUERY side only — the corpus stays at one key per band, so the
+    index size is unchanged and only the (tiny) query fan-out grows. This
+    lets bands be wider (fewer random collisions → less corpus scanned)
+    while keeping recall: a true neighbor may disagree on one bit of a
+    wide band and still be probed.
+    """
+    structs = []
+    for j in range(bands):
+        bkey = F.shiftrightunsigned(sig_col, j * bits_per_band).bitwiseAND(
+            F.lit((1 << bits_per_band) - 1)
+        )
+        structs.append(F.struct(F.lit(j).alias("band"), bkey.alias("bkey")))
+        if probe >= 1:
+            structs.extend(
+                F.struct(
+                    F.lit(j).alias("band"),
+                    bkey.bitwiseXOR(F.lit(1 << t)).alias("bkey"),
+                )
+                for t in range(bits_per_band)
             )
-            for j in range(bands)
-        ]
-    )
+    return F.array(*structs)
 
 
 def lsh_ann_topk(
@@ -185,6 +199,7 @@ def lsh_ann_topk(
     nbits: int = 12,
     bands: int = 3,
     seed: int = 42,
+    probe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH blocking, exact rerank.
 
@@ -195,6 +210,12 @@ def lsh_ann_topk(
     scores ~3/16 of the corpus per query instead of all of it; more bits
     per band cut it further. The corpus side ships only (id, band, bkey)
     through the candidate join; vectors rejoin for the rerank.
+
+    ``probe=1`` turns on radius-1 multi-probe on the query side (see
+    :func:`_band_structs`): wider bands + probing beats narrow bands on
+    the scan-fraction/recall frontier because random collisions fall
+    geometrically with band width while a true neighbor is still caught
+    when it misses a wide band by a single bit.
     """
     planes = _hyperplanes(dim, nbits, seed)
     bits_per_band = nbits // bands
@@ -206,7 +227,9 @@ def lsh_ann_topk(
     ).select("c_id", "bb.band", "bb.bkey")
     qb = queries.select(
         F.col(id_col).alias("q_id"),
-        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
+        F.explode(
+            _band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band, probe=probe)
+        ).alias("bb"),
     ).select("q_id", "bb.band", "bb.bkey")
 
     cand = (
@@ -361,8 +384,25 @@ def ivf_ann_topk(
     vectors inside its ``n_probe`` nearest cells (~n_probe/n_cells of the
     corpus). Candidates get an exact cosine + rank-window top-k, so
     returned similarities are exact; only recall is approximate.
+
+    The centroid sample is hash-ORDERED, not ``limit()``: taking the
+    first N rows in file order fits centroids to one slice of a time- or
+    source-ordered corpus and silently degrades recall elsewhere. Sorting
+    by xxhash64(id) and taking the top ``sample_size`` is a deterministic
+    uniform draw, and Spark executes orderBy+limit as
+    TakeOrderedAndProject (per-partition bounded heap + driver merge —
+    one pass, no full sort/shuffle).
     """
-    sample = corpus.select(vec_col).limit(sample_size).collect()
+    sample = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
     smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
     C = _kmeans_fit(smat, n_cells, seed)
 

@@ -919,13 +919,22 @@ def q_embedding_topk(spark, sf_dir):
 
 @register("embedding_ann_lsh")  # rows-only: seeded hyperplanes, no SQL twin
 def q_embedding_ann(spark, sf_dir):
-    """Hyperplane-LSH ANN at the (nbits=32, bands=8) operating point:
-    measured recall@10 = 0.72 at 43% corpus scanned on the sf0.1 fixture
-    (isotropic synthetic embeddings are the worst case for hashing ANN —
-    clustered real corpora separate far better; sweep in PLANS.md)."""
+    """Hyperplane-LSH ANN — the STREAMING-FRIENDLY FALLBACK path (the
+    signature of a new vector needs no global model, so it works in a
+    foreachBatch upsert); ``embedding_ann_ivf`` is the batch-scale
+    default (better recall-per-scanned-row on every measured point).
+
+    Operating point (nbits=56, bands=8, radius-1 multi-probe): measured
+    recall@10 = 0.86 at 43% corpus scanned on sf0.1 — same scan fraction
+    as the pre-multi-probe 32/8 point but +14pt recall (sweep in
+    PLANS.md). Isotropic synthetic embeddings are the worst case for
+    hashing ANN (top-10 cosine ~0.35-0.5 vs 0.5 background → per-bit
+    discrimination 0.62 vs 0.50); ≤25% scan at ≥0.72 recall is not
+    reachable by any (nbits≤64, bands, probe≤1) combination here, while
+    clustered real corpora separate far better."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=32, bands=8
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=56, bands=8, probe=1
     )
 
 
@@ -1614,11 +1623,13 @@ def q_intersect_all(spark, sf_dir):
 
 @register("embedding_ann_ivf")  # rows-only: seeded k-means cells, no SQL twin
 def q_embedding_ann_ivf(spark, sf_dir):
-    """IVF (k-means cells + multi-probe) ANN — the second canonical scale
-    path next to hyperplane LSH; recall pinned by tests/test_llm_ops.py.
+    """IVF (k-means cells + multi-probe) ANN — the DEFAULT batch-scale
+    ANN path; recall pinned by tests/test_llm_ops.py.
     (n_cells=64, n_probe=16) measured recall@10 = 0.82 at 26% corpus
     scanned on sf0.1 — the best recall-per-scanned-row of the sweep in
-    PLANS.md."""
+    PLANS.md, dominating every LSH operating point on this fixture.
+    Centroids fit on a hash-ordered (order-unbiased) bounded sample;
+    ``embedding_ann_lsh`` remains the streaming-friendly fallback."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=64, n_probe=16
@@ -2252,12 +2263,14 @@ def q_dedup_components(spark, sf_dir):
     dedup can't express (A~B, B~C groups all three); chain semantics are
     pinned by planted tests in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    # 20 bands x 3 rows: capture of a true 0.5-Jaccard pair is
-    # 1-(1-0.5^3)^20 = 0.93 (the default 16x4 scheme only reaches 0.645
-    # at this threshold: its S-curve midpoint sits AT 0.5), while random
-    # s=0.1 pairs still only become candidates ~2% of the time.
+    # 24 bands x 3 rows: capture of a true 0.5-Jaccard pair is
+    # 1-(1-0.5^3)^24 = 0.96 (the default 16x4 scheme only reaches 0.645
+    # at this threshold: its S-curve midpoint sits AT 0.5; the earlier
+    # 20x3 scheme reached 0.93), while random s=0.1 pairs still only
+    # become candidates ~2.4% of the time. Cost vs 20x3: +20% signature
+    # width and band rows — the verify join stays candidate-bounded.
     pairs = D.minhash_dedup_pairs(
-        docs, "doc_id", "text", num_hashes=60, bands=20, threshold=0.5
+        docs, "doc_id", "text", num_hashes=72, bands=24, threshold=0.5
     )
     cc = D.connected_components(pairs, "id_a", "id_b")
     labeled = docs.select("doc_id").join(
@@ -2272,6 +2285,43 @@ def q_dedup_components(spark, sf_dir):
         .filter(F.col("n_members") >= 2)
         .orderBy("component_id")
     )
+
+
+@register(
+    "dedup_components_jaccard",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id,
+                 list_distinct([lower(x) for x in string_split_regex(text, '\\s+')
+                                if x <> '']) AS toks
+          FROM documents WHERE doc_id < 200),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))
+                / GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1)
+                >= 0.9),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b AS u, id_a AS v FROM p),
+    walk(u, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN e ON w.u = e.u
+    )
+    SELECT u AS node, MIN(label) AS component FROM walk GROUP BY u
+    """,
+)
+def q_dedup_components_jaccard(spark, sf_dir):
+    """Connected components over an ENGINE-INDEPENDENT edge set — exact
+    token-set Jaccard >= 0.9 on the bounded doc_id < 200 sample (the same
+    bounded-brute contract as jaccard_pairs_sample) — so the full
+    pairs -> clusters propagation is value-checked against a DuckDB
+    recursive-CTE transitive closure, not just rows-only. The MinHash-edge
+    variant (``dedup_components``) stays rows-only by design (seeded
+    engine-specific signatures); this query proves the clustering step
+    itself on edges both engines can agree on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    return D.connected_components(pairs, "id_a", "id_b")
 
 
 @register("approx_percentile_lineitem")  # rows-only: sketch internals differ by engine

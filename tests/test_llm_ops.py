@@ -181,6 +181,44 @@ def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) > 0.2, recalls
 
 
+def test_ivf_centroid_sample_unbiased_on_clustered_order(spark):
+    """Regression for the limit()-sampled centroid fit: a corpus stored in
+    CLUSTER ORDER (all of cluster 0 first, etc. — the layout of any time-
+    or source-ordered 100 TB table) must still get centroids covering all
+    clusters when the fit sample is smaller than the first cluster. With
+    first-N sampling every centroid landed in cluster 0 and recall for
+    out-of-cluster queries collapsed; the hash-ordered sample keeps it
+    high."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(4, 16)) * 5.0
+    rows = []
+    vid = 0
+    for c in range(4):  # cluster-ordered: ids 0..299 are cluster 0, etc.
+        for _ in range(300):
+            v = centers[c] + rng.normal(scale=0.3, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    # one query per cluster, from the corpus itself
+    queries = df.filter(F.col("vec_id").isin([0, 300, 600, 900]))
+    brute = S.brute_force_topk(df, queries, k=10).collect()
+    # sample_size=200 < first cluster's 300 rows: first-N sampling would
+    # see ONLY cluster 0 here
+    ivf = S.ivf_ann_topk(
+        df, queries, k=10, n_cells=8, n_probe=2, sample_size=200
+    ).collect()
+    brute_sets, ivf_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf_sets) == set(brute_sets)
+    recalls = [len(ivf_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in brute_sets]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_winnow_fingerprints_shared_substring(spark):
     """Two docs sharing one long passage (but dissimilar overall) must share
     fingerprints; unrelated docs must not pair."""
@@ -234,7 +272,7 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", num_hashes=60, bands=20, threshold=0.5
+        docs, "doc_id", "text", num_hashes=72, bands=24, threshold=0.5
     )
     pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert pair_rows, "fixture should contain near-dup pairs at 0.5"
