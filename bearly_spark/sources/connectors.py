@@ -2,9 +2,12 @@
 
 The reference has no connectors (SURVEY §2.2 'Connectors' row); these are
 the standard Spark surfaces, wrapped with the partitioning options that
-matter at scale. This container has no database server, JDBC driver jar,
-or Kafka broker, so the wrappers are exercised only for argument/plan
-construction in tests — the code paths are the stock production ones.
+matter at scale. The JDBC path is verified END TO END against embedded
+Derby (the in-JVM database Spark itself ships for its Hive metastore —
+``derby-*.jar`` is already on the classpath, no server needed): see
+``tests/test_jdbc_derby.py`` for the write → striped parallel read →
+DuckDB oracle comparison. Kafka stays argument-contract-only (no broker
+or spark-sql-kafka package in this container).
 """
 
 from __future__ import annotations
@@ -91,3 +94,31 @@ def kafka_stream(
     if value_schema is not None:
         out = out.withColumn("parsed", F.from_json(F.col("value"), value_schema))
     return out
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink. ``batch_size`` controls rows per INSERT batch (the same
+    order-of-magnitude rule as ``fetch_size`` on the read side); writers
+    run one connection per partition, so ``num_partitions`` caps the
+    connection count against the database (coalesce before fan-in —
+    a 1000-task write is a 1000-connection storm)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
