@@ -31,9 +31,18 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's default parallelism when
     the input arrives in fewer splits (e.g. one small parquet file locally).
     A no-op at scale, where scans already produce >= core-count splits —
-    this never *reduces* partitioning and never triggers a job."""
+    this never *reduces* partitioning and never triggers a job.
+
+    The split estimate comes from the scan's file listing
+    (``df.inputFiles()``) — NOT ``df.rdd.getNumPartitions()``, which
+    compiles the plan to an RDD on every call. File count underestimates
+    splits when ``maxPartitionBytes`` chops large files, but that case is
+    exactly the already-parallel one where the repartition is skipped
+    anyway at scale; non-file sources (empty listing) are left alone
+    (``createDataFrame`` already spreads to default parallelism)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

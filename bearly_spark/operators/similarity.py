@@ -189,6 +189,66 @@ def _band_structs(sig_col: Column, bands: int, bits_per_band: int, probe: int = 
     return F.array(*structs)
 
 
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+    probe: int = 0,
+    out_id: str = "c_id",
+) -> DataFrame:
+    """(id, band, bkey) rows for LSH blocking — the ANN *index*.
+
+    Deterministic given (dim, nbits, seed): a vector's band keys depend on
+    nothing but the fixed hyperplanes, NO global model or corpus pass —
+    which is what makes this the streaming-friendly path (an index over a
+    stream is just this table appended per micro-batch; see
+    ``streaming.ann_index``). IVF by contrast needs fitted centroids.
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    sig_udf = make_lsh_signature_udf(planes)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            _band_structs(sig_udf(F.col(vec_col)), bands, nbits // bands, probe=probe)
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.bkey")
+
+
+def rerank_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-cosine verify + per-query top-k over a (q_id, c_id) candidate
+    set (the shared tail of every blocked ANN variant). Queries broadcast;
+    the corpus joins by id so only candidate vectors are scored."""
+    cos_udf = make_cosine_udf()
+    scored = (
+        cand.join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "q_id",
+        )
+        .join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")), "c_id")
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("c_vec")), 6))
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -217,43 +277,17 @@ def lsh_ann_topk(
     geometrically with band width while a true neighbor is still caught
     when it misses a wide band by a single bit.
     """
-    planes = _hyperplanes(dim, nbits, seed)
-    bits_per_band = nbits // bands
-    sig_udf = make_lsh_signature_udf(planes)
-
-    cb = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
-    ).select("c_id", "bb.band", "bb.bkey")
-    qb = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.explode(
-            _band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band, probe=probe)
-        ).alias("bb"),
-    ).select("q_id", "bb.band", "bb.bkey")
-
+    cb = lsh_band_table(corpus, id_col, vec_col, dim, nbits, bands, seed, out_id="c_id")
+    qb = lsh_band_table(
+        queries, id_col, vec_col, dim, nbits, bands, seed, probe=probe, out_id="q_id"
+    )
     cand = (
         cb.join(F.broadcast(qb), ["band", "bkey"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    cos_udf = make_cosine_udf()
-    scored = (
-        cand.join(
-            F.broadcast(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))),
-            "q_id",
-        )
-        .join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")), "c_id")
-        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("c_vec")), 6))
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rn")
-    )
+    return rerank_candidates(cand, corpus, queries, id_col, vec_col, k)
 
 
 def embedding_near_dup_pairs(

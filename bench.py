@@ -58,6 +58,13 @@ HEADLINE = [
     "events_hll_rollup",
     "variant_events_props",
     "q19_disjunctive_revenue",
+    # round 2: the subquery/decorrelation and python-extension paths, so
+    # regressions there show up round-over-round
+    "q4_order_priority_check",
+    "q22_idle_rich_customers",
+    "subquery_above_avg_orders",
+    "cogroup_user_behavior",
+    "udtf_tokenize_docs",
 ]
 
 

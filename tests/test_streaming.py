@@ -267,3 +267,44 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path_fac
 
     dup_counts = got.groupBy("event_id").count().select(F.collect_set("count")).collect()[0][0]
     assert dup_counts == [2]
+
+
+def test_streaming_lsh_index_equals_batch_ann(spark, sf_dir, tmp_path_factory):
+    """The incrementally-built LSH index (vectors arriving as a stream,
+    one micro-batch per file) must answer ANN queries IDENTICALLY to the
+    one-shot batch path at the same operating point — the concrete form
+    of 'LSH is the streaming-friendly ANN fallback'."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.similarity import lsh_ann_topk
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.ann_index import (
+        ann_query_over_index,
+        streaming_lsh_index,
+    )
+
+    root = tmp_path_factory.mktemp("annidx")
+    src, idx, ckpt = f"{root}/src", f"{root}/index", f"{root}/ckpt"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # stage the corpus as two arrival waves -> at least two micro-batches
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(src, mode="append")
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_lsh_index(stream, idx, ckpt)
+    q.awaitTermination(120)
+
+    # every corpus vector indexed exactly once per band
+    n = emb.count()
+    got = spark.read.parquet(idx)
+    assert got.count() == n * 8  # bands=8, one key per band per vector
+    assert got.select("c_id").distinct().count() == n
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    via_index = ann_query_over_index(spark, idx, emb, queries).collect()
+    batch = lsh_ann_topk(emb, queries, k=10, nbits=56, bands=8, probe=1).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows)
+    assert key(via_index) == key(batch)
