@@ -58,20 +58,59 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:N_FEATURES]]
 
 
-def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def pil_image_features(payload: bytes) -> list[float]:
+    """REAL image decoder (activates wherever Pillow is installed; this
+    container has no codec libs, so it is exercised via an importorskip
+    test): decode → RGB → 32×32 resize → 8 features = per-channel
+    mean/std + luma mean/std. The production shape for the decode stage —
+    swap in torchvision/ffmpeg the same way."""
+    import io
+
+    from PIL import Image  # noqa: F401 — hard dep only on this code path
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB").resize((32, 32))
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    luma = arr @ np.array([0.299, 0.587, 0.114])
+    feats = list(arr.mean(axis=(0, 1))) + list(arr.std(axis=(0, 1)))
+    feats += [float(luma.mean()), float(luma.std())]
+    return [float(f) for f in feats]
+
+
+def default_decoder():
+    """Best real decoder available in this environment, else None.
+    Media libs are optional deps: Pillow unlocks image decode; the same
+    hook is where ffmpeg/torchaudio would slot in for audio/video."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_image_features
+    except ImportError:
+        return None
+
+
+def decode_features(df: DataFrame, strict: bool = False, decoder=None) -> DataFrame:
     """Arrow-batched decode/feature-extract over payload binaries.
 
     ``df`` must have (doc_id, payload, meta) as produced by
-    :func:`attach_payload`. With ``strict=True`` this raises
-    ``NotImplementedError`` (no codec libraries in this environment) —
-    the documented integration point for a real decoder.
+    :func:`attach_payload`. ``decoder`` is any ``bytes -> list[float]``
+    (length N_FEATURES) callable — :func:`pil_image_features` where
+    Pillow is installed, a torchvision/ffmpeg wrapper in production.
+    With no decoder given, :func:`default_decoder` is consulted;
+    ``strict=True`` then refuses to fall back to the deterministic
+    fake-feature path, so a misconfigured cluster fails loudly instead
+    of producing md5 pseudo-features.
     """
-    if strict:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (PIL/ffmpeg) not "
-            "present in this environment; use strict=False for the "
-            "deterministic fake-feature path"
-        )
+    decoder = decoder or default_decoder()
+    if decoder is None:
+        if strict:
+            raise NotImplementedError(
+                "no media decoder available: install Pillow (images) or pass "
+                "decoder=...; strict=False falls back to deterministic fake "
+                "features for plumbing tests"
+            )
+        decoder = _fake_features
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +119,7 @@ def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "modality": [m["modality"] for m in pdf["meta"]],
                     "payload_bytes": [m["payload_bytes"] for m in pdf["meta"]],
-                    "feature": [_fake_features(bytes(p)) for p in pdf["payload"]],
+                    "feature": [decoder(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

@@ -65,6 +65,9 @@ HEADLINE = [
     "subquery_above_avg_orders",
     "cogroup_user_behavior",
     "udtf_tokenize_docs",
+    # round 2: heaviest of the TPC-H completion set
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
 ]
 
 
