@@ -2828,9 +2828,19 @@ def q_cogroup(spark, sf_dir):
     user, so the result is SQL-checkable against a full-outer-join twin."""
     import pandas as pd
 
+    # Prune to the consumed columns BEFORE the cogroup: every column in
+    # the grouped frames crosses the JVM->Python Arrow boundary once per
+    # key — shipping the wide event rows (json props, timestamps) tripled
+    # the query's wall clock at sf0.1.
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").groupBy("user_id")
-    others = ev.filter(F.col("event_type") != "purchase").groupBy("user_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .groupBy("user_id")
+    )
+    others = (
+        ev.filter(F.col("event_type") != "purchase").select("user_id").groupBy("user_id")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
@@ -3519,6 +3529,165 @@ def q_q21(spark, sf_dir):
         GROUP BY s_name
         """
     )
+
+
+
+
+@register(
+    "xml_scan_supplier",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_xml_scan(spark, sf_dir):
+    """XML sink + scan round trip (Spark 4 ships the XML datasource
+    in-core): write supplier as <row> elements, read back with an
+    explicit schema (no inference job), aggregate. Completes the
+    file-format family: parquet/CSV/JSON/ORC/text/binary/XML."""
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/supplier_xml"
+    (
+        load_table(spark, sf_dir, "supplier")
+        .write.mode("overwrite")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@register(
+    "repetition_quality_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      lower(unnest([x for x in string_split_regex(text, '\\s+')
+                                    if x <> ''])) AS tok
+               FROM documents),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+    d AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_toks,
+                 COUNT(*) AS n_distinct
+          FROM per GROUP BY doc_id)
+    SELECT doc_id, CAST(top_cnt AS BIGINT) AS top_cnt,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND(top_cnt / n_toks, 6) AS top_token_share,
+           ROUND(1.0 - n_distinct / n_toks, 6) AS repetition_ratio,
+           (top_cnt / n_toks <= 0.2 AND 1.0 - n_distinct / n_toks <= 0.5) AS keep
+    FROM d
+    """,
+)
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality filters (the standard pretraining
+    corpus gates next to the length/punct/stopword scores in
+    ``text_stats_documents``): per-document top-token share and repeated-
+    token ratio, plus the keep/drop gate at the published-style
+    thresholds. Two key-local shuffles on doc_id, all-JVM built-ins,
+    counts are mergeable partials — scale-safe. At 100 TB the same plan
+    applies with documents pre-partitioned by doc_id."""
+    from bearly_spark.operators.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.transform(word_tokens(F.col("text")), F.lower)).alias("tok")
+    )
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    d = per.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top_share = F.col("top_cnt") / F.col("n_toks")
+    rep_ratio = F.lit(1.0) - F.col("n_distinct") / F.col("n_toks")
+    return d.select(
+        "doc_id",
+        F.col("top_cnt").cast("long").alias("top_cnt"),
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(rep_ratio, 6).alias("repetition_ratio"),
+        ((top_share <= 0.2) & (rep_ratio <= 0.5)).alias("keep"),
+    )
+
+
+
+
+@register(
+    "arrow_grouped_discount_stats",
+    oracle="""
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS discount_amount
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_apply_in_arrow(spark, sf_dir):
+    """Spark 4 arrow-NATIVE grouped map (``applyInArrow``): the zero-copy
+    sibling of applyInPandas — groups arrive as ``pyarrow.Table`` and
+    aggregate via pyarrow.compute kernels, skipping the pandas
+    conversion entirely (the fastest Python-UDF path for columnar
+    math)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        amount = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table(
+            {
+                "l_linestatus": [t["l_linestatus"][0].as_py()],
+                "n_rows": [t.num_rows],
+                "discount_amount": [round(pc.sum(amount).as_py(), 2)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    return li.groupBy("l_linestatus").applyInArrow(
+        stats, "l_linestatus string, n_rows long, discount_amount double"
+    )
+
+
+@register(
+    "arrow_map_charge_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) / 10000)
+                AS BIGINT) AS charge_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY charge_bucket
+    """,
+)
+def q_map_in_arrow(spark, sf_dir):
+    """Spark 4 ``mapInArrow``: per-batch pyarrow.compute transformation
+    (charge formula + bucketing) with no pandas materialization, feeding
+    a JVM-side aggregate — the pattern for Python columnar math inside
+    an otherwise built-in pipeline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge(batches):
+        for b in batches:
+            amount = pc.multiply(
+                pc.multiply(
+                    b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                ),
+                pc.add(pa.scalar(1.0), b["l_tax"]),
+            )
+            bucket = pc.floor(pc.divide(amount, pa.scalar(10000.0)))
+            yield pa.RecordBatch.from_arrays(
+                [pc.cast(bucket, pa.int64())], names=["charge_bucket"]
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount", "l_tax"
+    )
+    mapped = li.mapInArrow(charge, "charge_bucket long")
+    return mapped.groupBy("charge_bucket").agg(F.count(F.lit(1)).alias("n_items"))
 
 
 # ===================================================================
