@@ -3690,6 +3690,148 @@ def q_map_in_arrow(spark, sf_dir):
     return mapped.groupBy("charge_bucket").agg(F.count(F.lit(1)).alias("n_items"))
 
 
+
+
+@register(
+    "pii_redact_documents",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 10.0.'
+                    || (doc_id % 256) || '.7' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+              AS BIGINT) AS n_pii,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (the standard pretraining-corpus pass): count and
+    redact email addresses and IPv4 literals via regexp_extract_all +
+    global regexp_replace — pure JVM built-ins, map-only, no shuffle.
+    The fixture text contains no PII, so a deterministic synthetic
+    email+IP is appended per doc IN BOTH ENGINES before redaction — the
+    redaction path is genuinely exercised (n_pii >= 2 per doc) and the
+    md5 of the redacted text is value-checked."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, email, "<EMAIL>"), ipv4, "<IP>"
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(aug, F.lit(email), 0))
+        + F.size(F.regexp_extract_all(aug, F.lit(ipv4), 0))
+    ).cast("long")
+    return docs.select(
+        "doc_id", n_pii.alias("n_pii"), F.md5(redacted).alias("redacted_md5")
+    )
+
+
+@register(
+    "decontaminate_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      [lower(x) for x in string_split_regex(text, '\\s+')
+                       if x <> ''] AS toks
+               FROM documents),
+    ok AS (SELECT * FROM t WHERE len(toks) >= 4),
+    tg AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                                        for i in range(1, len(toks) - 2)])) AS gram
+           FROM ok WHERE doc_id < 480),
+    bg AS (SELECT doc_id AS bench_id,
+                  unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                                        for i in range(1, len(toks) - 2)])) AS gram
+           FROM ok WHERE doc_id >= 480)
+    SELECT tg.doc_id, COUNT(DISTINCT bench_id) AS n_contaminating
+    FROM tg JOIN bg ON tg.gram = bg.gram
+    GROUP BY tg.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out benchmark set (doc_id >= 480 stands in for the
+    eval suite; n=4 here — production uses 8-13-grams, but the synthetic
+    shared-vocab corpus needs 4 to exercise the path). The benchmark
+    side's gram set BROADCASTS (benchmarks are KBs even when the corpus
+    is 100 TB), so the containment join is map-side — the train corpus
+    never shuffles. Returns each contaminated doc with how many
+    benchmark docs it hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    ok = docs.filter(F.size(T.word_tokens(F.col("text"))) >= 4)
+    grams = lambda df, idc: df.select(
+        F.col("doc_id").alias(idc),
+        F.explode(D.word_shingles(F.col("text"), 4)).alias("gram"),
+    )
+    tg = grams(ok.filter(F.col("doc_id") < 480), "doc_id")
+    bg = grams(ok.filter(F.col("doc_id") >= 480), "bench_id")
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_contaminating"))
+    )
+
+
+@register(
+    "pack_sequences_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      len([x for x in string_split_regex(text, '\\s+')
+                           if x <> '']) AS n_toks
+               FROM documents),
+    c AS (SELECT lang, doc_id, n_toks,
+                 COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS prior
+          FROM t)
+    SELECT lang, CAST(FLOOR(prior / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tokens_total
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training (fill 2048-token context windows
+    with consecutive docs): cumulative-token-count bucketing — the
+    deterministic, shuffle-free approximation of greedy bin packing
+    (exact greedy is inherently sequential). Partitioned by lang: each
+    stream packs independently, so the window sort is per-partition and
+    the plan scales with partition count, the same shape a real pipeline
+    uses with (source, shard) partitions. Integer token counts make the
+    bucketing exact in both engines."""
+    from pyspark.sql import Window as SW
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(T.word_tokens(F.col("text"))).alias("n_toks")
+    )
+    w = SW.partitionBy("lang").orderBy("doc_id").rowsBetween(SW.unboundedPreceding, -1)
+    c = t.withColumn("prior", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    return (
+        c.groupBy("lang", F.floor(F.col("prior") / 2048).cast("long").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+        )
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================
