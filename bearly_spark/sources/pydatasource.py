@@ -18,7 +18,12 @@ shuffle — the source parallelizes like a parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -40,6 +45,18 @@ class _RangePartition(InputPartition):
         self.seed = seed
 
 
+def _gen_row(seed: int, doc_id: int):
+    """One deterministic synthetic row. Shared by the batch partitions
+    and the streaming batches so stream output == batch output for the
+    same id range (pinned by tests)."""
+    import random
+
+    rng = random.Random((seed << 32) ^ doc_id)
+    n_words = rng.randint(10, 60)
+    text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
+    return (doc_id, text, n_words)
+
+
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 1000))
@@ -55,13 +72,37 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition):
         # Per-row seeding keeps output identical under retries/re-splits.
-        import random
-
         for doc_id in range(partition.start, partition.end):
-            rng = random.Random((partition.seed << 32) ^ doc_id)
-            n_words = rng.randint(10, 60)
-            text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
-            yield (doc_id, text, n_words)
+            yield _gen_row(partition.seed, doc_id)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the generator (Spark 4 python streaming data
+    source API): each micro-batch emits the next ``rows_per_batch`` ids,
+    the offset is just ``{"next": <first unemitted id>}``, and
+    ``readBetweenOffsets`` regenerates any offset range deterministically
+    — which is exactly what gives the source exactly-once REPLAY under
+    checkpoint recovery (the same contract a Kafka offset range
+    provides)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        return [_gen_row(self.seed, i) for i in range(start, end)]
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["next"], end["next"]))
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -80,6 +121,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -308,3 +308,94 @@ def test_streaming_lsh_index_equals_batch_ann(spark, sf_dir, tmp_path_factory):
     batch = lsh_ann_topk(emb, queries, k=10, nbits=56, bands=8, probe=1).collect()
     key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows)
     assert key(via_index) == key(batch)
+
+
+def test_rocksdb_state_store_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Stateful streaming on the RocksDB state store provider (ships in
+    Spark's jars) — the 100 TB posture for streaming state: state lives
+    off-heap/on-disk per task instead of in executor heap, so watermark
+    state scales with disk, not memory. Same tumbling aggregation must
+    produce identical results to the batch twin under the provider."""
+    import shutil
+
+    from bearly_spark.streaming import events_stream, tumbling_window_counts
+
+    d = tmp_path_factory.mktemp("events_rocksdb")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = tumbling_window_counts(events_stream(spark, str(d)))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("rocksdb_tumbling")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # RocksDB provider actually engaged for this query's state
+        assert "RocksDB" in spark.conf.get(key)
+        got = sorted(tuple(r) for r in spark.table("rocksdb_tumbling").collect())
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    from bearly_spark.sources.tables import events_with_timestamp
+
+    batch = sorted(
+        tuple(r)
+        for r in tumbling_window_counts(events_with_timestamp(spark, sf_dir)).collect()
+    )
+    assert got == batch
+
+
+def test_python_streaming_datasource_equals_batch(spark, tmp_path_factory):
+    """The custom python data source's STREAMING face: micro-batches of
+    deterministic ids; the drained stream must equal the batch read of
+    the same id range (offset-range replay determinism — the contract
+    checkpoint recovery relies on)."""
+    import time
+
+    from bearly_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ckpt = str(tmp_path_factory.mktemp("pyds_ckpt"))
+    sdf = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 50)
+        .option("max_rows", 200)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("pyds_stream").count() >= 200:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("pyds_stream").collect())
+    assert len(got) == 200
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("n_rows", 200)
+        .load()
+        .collect()
+    )
+    assert got == batch
