@@ -17,6 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -386,6 +387,13 @@ _WINNOW_BASE = 257
 _WINNOW_MOD = (1 << 61) - 1
 
 
+@functools.lru_cache(maxsize=8)
+def _winnow_powers(k: int) -> np.ndarray:
+    return np.array(
+        [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)], dtype=object
+    )
+
+
 def _make_winnow_udf(k: int, window: int):
     """text -> winnowed fingerprint set (array<long>).
 
@@ -399,29 +407,32 @@ def _make_winnow_udf(k: int, window: int):
 
     @F.pandas_udf("array<bigint>")
     def _winnow(texts: pd.Series) -> pd.Series:
-        powers = np.array(
-            [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)], dtype=object
-        )
-        out = []
-        for text in texts:
-            s = (text or "").lower()
-            if len(s) < k:
-                out.append([])
-                continue
-            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(object)
-            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
-            hashes = (grams * powers[None, :]).sum(axis=1) % _WINNOW_MOD
-            hashes = hashes.astype(np.uint64)
-            if len(hashes) <= window:
-                picks = {int(hashes.min())}
-            else:
-                spans = np.lib.stride_tricks.sliding_window_view(hashes, window)
-                idx = spans.argmin(axis=1) + np.arange(len(spans))
-                picks = {int(hashes[i]) for i in np.unique(idx)}
-            out.append([np.uint64(p).astype(np.int64).item() for p in picks])
-        return pd.Series(out)
+        return pd.Series([winnow_text(t, k, window) for t in texts])
 
     return _winnow
+
+
+def winnow_text(text: str | None, k: int = 16, window: int = 8) -> list[int]:
+    """Pure winnowing kernel (one document) — the exact computation the
+    Arrow-batched UDF applies per row; exposed separately so the
+    detection guarantee (any shared substring of length >= k+window-1
+    yields a shared fingerprint) is property-testable without a Spark
+    round trip (see tests/test_property.py)."""
+    powers = _winnow_powers(k)
+    s = (text or "").lower()
+    if len(s) < k:
+        return []
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(object)
+    grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+    hashes = (grams * powers[None, :]).sum(axis=1) % _WINNOW_MOD
+    hashes = hashes.astype(np.uint64)
+    if len(hashes) <= window:
+        picks = {int(hashes.min())}
+    else:
+        spans = np.lib.stride_tricks.sliding_window_view(hashes, window)
+        idx = spans.argmin(axis=1) + np.arange(len(spans))
+        picks = {int(hashes[i]) for i in np.unique(idx)}
+    return [np.uint64(p).astype(np.int64).item() for p in picks]
 
 
 def winnow_fingerprints(

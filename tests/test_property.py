@@ -162,3 +162,25 @@ def test_minhash_signature_estimates_jaccard(a_words, b_words):
 
     est = float((sig(sa) == sig(sb)).mean())
     assert abs(est - true_j) <= 0.3, (true_j, est)
+
+
+@given(
+    prefix_a=st.text(alphabet="abcdefg ", max_size=60),
+    prefix_b=st.text(alphabet="hijklmn ", max_size=60),
+    shared=st.text(alphabet="opqrstu ", min_size=23, max_size=80),
+    suffix_a=st.text(alphabet="abcdefg ", max_size=60),
+    suffix_b=st.text(alphabet="hijklmn ", max_size=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_detection_guarantee(prefix_a, prefix_b, shared, suffix_a, suffix_b):
+    """The MOSS winnowing guarantee: two documents sharing ANY substring
+    of length >= k + window - 1 (23 at k=16, w=8) must share at least one
+    fingerprint — regardless of what surrounds the shared passage. The
+    disjoint alphabets make the shared passage the only common
+    material."""
+    from bearly_spark.operators.dedup import winnow_text
+
+    a = prefix_a + shared + suffix_a
+    b = prefix_b + shared + suffix_b
+    fa, fb = set(winnow_text(a)), set(winnow_text(b))
+    assert fa & fb, (a, b)

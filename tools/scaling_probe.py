@@ -33,17 +33,23 @@ def build_fixture(spark, factor: int) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r")
+    # fact tables: disjoint key ranges per replica (same structure a
+    # bigger TPC-H SF would have). documents/embeddings: identical
+    # content per replica — which is exactly the dedup workload (each
+    # original doc gains factor-1 exact/near duplicates), so the
+    # minhash/simhash/banding paths see realistic duplicate mass.
     for name, keys in (
         ("lineitem", ["l_orderkey"]),
         ("orders", ["o_orderkey"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
     ):
         df = spark.read.parquet(f"{SF_DIR}/{name}.parquet").select("*", replicas)
         for kcol in keys:
             df = df.withColumn(kcol, F.col(kcol) + F.col("_r") * F.lit(KEY_SHIFT))
         df.drop("_r").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     for name in (
-        "region", "nation", "customer", "supplier", "part",
-        "events", "documents", "embeddings",
+        "region", "nation", "customer", "supplier", "part", "events",
     ):
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
