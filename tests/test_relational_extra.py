@@ -319,3 +319,52 @@ def test_python_datasource_synthetic_docs(spark):
 
     stats = df.agg(F.min("n_words"), F.max("n_words")).collect()[0]
     assert 10 <= stats[0] and stats[1] <= 60
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """AQE runtime bloom-filter injection (on by default in Spark 4): a
+    selective dimension filter gets turned into a bloom filter applied on
+    the FACT side's scan, pruning shuffle input before the join — a
+    headline 100 TB feature (the fixture is below the default size
+    thresholds, so they're lowered to exercise the path; production
+    defaults only engage at real scale)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:2000]
+        # and it still computes the right thing
+        got = {r.o_orderstatus: r["count"] for r in joined.collect()}
+        import duckdb
+
+        want = dict(
+            duckdb.sql(
+                f"""SELECT o_orderstatus, COUNT(*) FROM '{sf_dir}/lineitem.parquet' l
+                JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+                WHERE o_orderpriority = '1-URGENT' GROUP BY 1"""
+            ).fetchall()
+        )
+        assert got == want
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
