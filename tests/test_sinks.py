@@ -169,3 +169,43 @@ def test_binary_file_source_for_multimodal_payloads(spark, tmp_path):
         "a.img": (8, b"\x89PNGfake"),
         "b.img": (9, b"\x89PNGother"),
     }
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Schema evolution on read: two file batches with different (but
+    compatible) schemas — the 100 TB reality where a column was added
+    mid-history. mergeSchema unions the schemas; old files surface NULL
+    for the new column. (Off by default because footer-merging every
+    file is a planning cost at scale — enable per-read, as here.)"""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path_factory.mktemp("evolve"))
+    spark.range(0, 5).select(F.col("id").alias("k")).write.parquet(f"{d}/b1")
+    spark.range(5, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(f"{d}/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{d}/b1", f"{d}/b2")
+    assert set(merged.columns) == {"k", "v"}
+    rows = {r.k: r.v for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 14 and len(rows) == 10
+
+
+def test_catalog_statistics_for_cbo(spark, sf_dir, tmp_path_factory):
+    """ANALYZE TABLE COMPUTE STATISTICS: persisted row-count/size stats
+    are what the cost-based optimizer's join reordering and broadcast
+    decisions read at scale. Assert the stats land in the catalog."""
+    from bearly_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_t"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED nation_stats_t").collect()
+        }
+        assert "Statistics" in desc, desc.keys()
+        assert "rows" in desc["Statistics"], desc["Statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")

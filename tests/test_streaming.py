@@ -399,3 +399,46 @@ def test_python_streaming_datasource_equals_batch(spark, tmp_path_factory):
         .collect()
     )
     assert got == batch
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-static join (the canonical streaming enrichment: fact
+    stream x broadcast dimension): per-micro-batch join against a static
+    DataFrame needs NO watermark/state — results must equal the batch
+    join of the same inputs."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import events_with_timestamp, load_table
+    from bearly_spark.streaming import events_stream
+
+    d = tmp_path_factory.mktemp("events_static")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    def enrich(ev):
+        return (
+            ev.join(F.broadcast(dim), "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q = (
+        enrich(events_stream(spark, str(d)))
+        .writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.table("stream_static").collect())
+    want = sorted(
+        tuple(r) for r in enrich(events_with_timestamp(spark, sf_dir)).collect()
+    )
+    assert got == want
