@@ -3832,6 +3832,42 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "dedup_components_star",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id,
+                 list_distinct([lower(x) for x in string_split_regex(text, '\\s+')
+                                if x <> '']) AS toks
+          FROM documents WHERE doc_id < 200),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))
+                / GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1)
+                >= 0.9),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b AS u, id_a AS v FROM p),
+    walk(u, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN e ON w.u = e.u
+    )
+    SELECT u AS node, MIN(label) AS component FROM walk GROUP BY u
+    """,
+)
+def q_dedup_components_star(spark, sf_dir):
+    """Same engine-independent edge set and oracle as
+    ``dedup_components_jaccard``, but clustered with the O(log n)
+    large-star/small-star contraction instead of label propagation —
+    the two algorithms are value-checked EQUAL through the harness
+    (and to DuckDB's recursive closure)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    return D.connected_components_star(pairs, "id_a", "id_b")
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

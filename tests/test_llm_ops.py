@@ -341,3 +341,18 @@ def test_decode_features_pil_real_decoder(spark):
     row = M.decode_features(df, decoder=M.pil_image_features).collect()[0]
     # solid red: R mean 1.0, G/B mean 0, zero std
     assert abs(row.feature[0] - 1.0) < 1e-9 and abs(row.feature[1]) < 1e-9
+
+
+def test_star_contraction_long_chain_few_rounds(spark):
+    """A 600-node path graph: label propagation needs O(diameter)=599
+    rounds (it would hit max_iterations), star contraction is O(log n) —
+    must fully converge to one component well inside 30 alternating
+    rounds."""
+    from bearly_spark.operators.dedup import connected_components_star
+
+    n = 600
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components_star(edges).collect()}
+    assert got == {i: 0 for i in range(n)}

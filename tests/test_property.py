@@ -184,3 +184,39 @@ def test_winnowing_detection_guarantee(prefix_a, prefix_b, shared, suffix_a, suf
     b = prefix_b + shared + suffix_b
     fa, fb = set(winnow_text(a)), set(winnow_text(b))
     assert fa & fb, (a, b)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_star_contraction_matches_union_find(spark, edges):
+    """The O(log n) large-star/small-star components must produce the
+    same (node -> min-id component) map as union-find on arbitrary
+    graphs."""
+    from bearly_spark.operators.dedup import connected_components_star
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components_star(df, "src", "dst").collect()
+    }
+    assert got == want
