@@ -3868,6 +3868,52 @@ def q_dedup_components_star(spark, sf_dir):
     return D.connected_components_star(pairs, "id_a", "id_b")
 
 
+
+
+@register(
+    "recursive_order_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(key, root, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0
+        FROM orders o WHERE o.o_orderkey < 10
+        UNION ALL
+        SELECT c.o_orderkey, w.root, w.depth + 1
+        FROM walk w JOIN orders c
+          ON c.o_orderkey >= 10 AND c.o_orderkey // 10 = w.key
+    )
+    SELECT root, COUNT(*) AS tree_size, MAX(depth) AS max_depth
+    FROM walk GROUP BY root
+    """,
+)
+def q_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (new in Spark 4.1): BOM/org-chart-style hierarchy
+    walk — single-digit orderkeys are roots (the keyspace is dense from
+    0, so a no-parent-present test finds none and 0 would self-loop),
+    children attach via the derived parent edge key DIV 10, and each tree reports size and
+    max depth. One join per recursion level, each level a normal
+    shuffle-planned batch (Spark executes recursive CTEs as iterative
+    UNION ALL steps — same execution shape as the hand-rolled loops in
+    ``dedup.connected_components``, but expressed declaratively).
+    UNION-distinct recursion (cyclic closure) is not yet supported in
+    Spark 4.1 — cyclic graphs stay on the connected-components
+    operators."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(key, root, depth) AS (
+            SELECT o_orderkey, o_orderkey, 0
+            FROM v_orders o WHERE o.o_orderkey < 10
+            UNION ALL
+            SELECT c.o_orderkey, w.root, w.depth + 1
+            FROM walk w JOIN v_orders c
+              ON c.o_orderkey >= 10 AND c.o_orderkey DIV 10 = w.key
+        )
+        SELECT root, COUNT(*) AS tree_size, MAX(depth) AS max_depth
+        FROM walk GROUP BY root
+        """
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================
