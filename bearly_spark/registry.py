@@ -3914,6 +3914,30 @@ def q_recursive_hierarchy(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "crosstab_orders",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_crosstab(spark, sf_dir):
+    """Contingency table via ``df.stat.crosstab`` (exact pairwise
+    frequency counts — one shuffle on the pair key, then a pivot with
+    the distinct column values; same plan shape as the explicit-values
+    pivot already covered, surfaced through the stat API)."""
+    return load_table(spark, sf_dir, "orders").stat.crosstab(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================
