@@ -3938,6 +3938,87 @@ def q_crosstab(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "funnel_conversion_events",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM v), 6)
+               AS conversion
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase, each stage
+    strictly AFTER the previous stage's first occurrence): the canonical
+    event-analytics operator. Each stage is one groupBy-min on user_id +
+    one equi join back to the event stream — every shuffle keyed on
+    user_id, so at 100 TB all three stages co-partition after the first
+    exchange (and pre-bucketing events by user_id removes even that).
+    Event times are integer nanos — exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    def stage(prev, etype):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", F.col("ts").alias("et"))
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("et").alias("t"))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("et") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("et").alias("t"))
+        )
+    v = stage(None, "view")
+    c = stage(v, "click")
+    p = stage(c, "purchase")
+    nv, nc, np_ = v.count(), c.count(), p.count()
+    return ev.sparkSession.createDataFrame(
+        [(nv, nc, np_, round(np_ / nv, 6))],
+        "n_view long, n_click_after_view long, n_purchase_after_click long, conversion double",
+    )
+
+
+@register(
+    "cohort_retention_events",
+    oracle="""
+    WITH weekly AS (SELECT DISTINCT user_id,
+                           CAST(epoch_ns(ts) // (86400000000000 * 7) AS BIGINT) AS week
+                    FROM events),
+    first_week AS (SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id)
+    SELECT f.cohort, w.week - f.cohort AS weeks_since,
+           COUNT(DISTINCT w.user_id) AS active_users
+    FROM weekly w JOIN first_week f ON w.user_id = f.user_id
+    GROUP BY f.cohort, weeks_since
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (users grouped by first-active week,
+    counted per weeks-since-cohort): the second canonical event-analytics
+    shape. Week buckets are exact integer arithmetic on the stored
+    nanos; both shuffles key on user_id then (cohort, offset) — mergeable
+    counts all the way, scale-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.expr("ts DIV 604800000000000")).cast("long")
+    weekly = ev.select("user_id", week.alias("week")).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        weekly.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================
