@@ -3979,10 +3979,17 @@ def q_funnel(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.min("et").alias("t"))
         )
-    v = stage(None, "view")
-    c = stage(v, "click")
+    # each stage is persisted and pinned by its (needed anyway) count, so
+    # stage N+1 builds on the materialized stage N instead of recomputing
+    # the whole chain per action
+    v = stage(None, "view").persist()
+    nv = v.count()
+    c = stage(v, "click").persist()
+    nc = c.count()
     p = stage(c, "purchase")
-    nv, nc, np_ = v.count(), c.count(), p.count()
+    np_ = p.count()
+    v.unpersist()
+    c.unpersist()
     return ev.sparkSession.createDataFrame(
         [(nv, nc, np_, round(np_ / nv, 6))],
         "n_view long, n_click_after_view long, n_purchase_after_click long, conversion double",
