@@ -29,8 +29,12 @@ from pyspark.sql.types import (
 )
 
 from bearly_spark.session import apply_runtime_confs
+from bearly_spark.sources.tables import normalize_events_ts
 
-#: events.parquet reads with ts as int64 epoch-nanos (nanosAsLong).
+#: Canonical post-normalization schema: ``ts`` is int64 epoch-nanos.
+#: (Used by tests that synthesize their own micro-batch files; the
+#: on-disk fixture may instead store ts as TIMESTAMP(MICROS) — the file
+#: stream infers the directory's actual schema and normalizes.)
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -45,13 +49,21 @@ EVENTS_SCHEMA = StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read of the events directory with a proper event-time
-    column ``ts_ts`` (µs truncation of the stored nanos)."""
+    column ``ts_ts`` (µs truncation of the stored nanos).
+
+    File streams need an explicit schema; rather than hard-coding one we
+    read it off the files already present (a batch-scan footer peek, no
+    data read), so both fixture generations — ts as TIMESTAMP(NANOS)
+    (long via nanosAsLong) and ts as TIMESTAMP(MICROS) — stream
+    correctly, normalized to the int64-nanos contract either way."""
     apply_runtime_confs(spark)
+    schema = spark.read.parquet(sf_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}")
     )
+    raw = normalize_events_ts(raw)
     return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
