@@ -8,19 +8,40 @@ IVF (the batch-scale default) cannot do this without periodically
 re-fitting and re-assigning against a global k-means model.
 
 Shape at scale:
-- ``foreachBatch`` appends (id, band, bkey) rows to a parquet index
-  partitioned by ``band`` — each band's keys cluster together, so a
-  query probing band b prunes the other bands' files entirely;
+- ``foreachBatch`` writes each micro-batch's (id, band, bkey) rows to the
+  parquet index partitioned by ``(batch, band)``. foreachBatch is
+  **at-least-once**: a batch replayed after a failure/restart runs the
+  sink again, so the write must be idempotent per ``batch_id`` — we use
+  dynamic partition overwrite keyed on the batch id, so a replay
+  *rewrites* exactly its own ``batch=<id>/band=*`` partitions instead of
+  appending duplicates. That upgrades the index to effectively-once.
+- ``band`` stays a partition column under each batch, so a query probing
+  band b prunes the other bands' files entirely;
 - the vectors themselves stay in the stream's own sink (any store keyed
   by id); the index holds only (id, band, bkey) — the same
   "only ids travel through the blocking structures" rule as the batch
   paths;
 - queries run the standard candidate-join + exact rerank against the
-  index as of the last committed batch (parquet append is atomic per
-  task-commit; readers see whole batches).
+  index as of the last committed batch. The query path dedups candidate
+  (q_id, c_id) pairs, so it is additionally tolerant of index-row
+  duplicates — which makes **compaction crash-safe** (see below).
+
+Compaction: a long-running stream accretes one small file set per
+micro-batch (the classic streaming small-files problem — at one batch
+per second that is ~86k file sets/day). ``compact_lsh_index`` folds all
+committed batch partitions into a single ``batch=-1`` base partition
+(one file per band) and then drops the per-batch directories. Crash
+safety: the base is written BEFORE the old directories are removed, and
+index-row duplicates are harmless to queries (dedup'd in the candidate
+join), so a crash mid-compaction degrades to a larger index, never a
+wrong one. Run it from a maintenance task between micro-batches (or
+foreachBatch every N batches).
 """
 
 from __future__ import annotations
+
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -28,6 +49,38 @@ from pyspark.sql.streaming import StreamingQuery
 from bearly_spark.operators.similarity import lsh_band_table, rerank_candidates
 
 import pyspark.sql.functions as F
+
+#: The batch id under which compacted rows live. Real micro-batch ids are
+#: >= 0, so -1 can never collide with a replay.
+BASE_BATCH_ID = -1
+
+
+def upsert_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 56,
+    bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """Idempotently write one micro-batch's band rows.
+
+    Dynamic partition overwrite only replaces the partitions present in
+    the incoming data — here exactly ``batch=<batch_id>/band=*`` — so
+    replaying a batch (at-least-once foreachBatch) rewrites its own
+    slice byte-for-byte instead of appending a duplicate copy. Exposed
+    at module level so tests can simulate a replay directly."""
+    (
+        lsh_band_table(batch_df, id_col, vec_col, dim, nbits, bands, seed)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "band")
+        .parquet(index_dir)
+    )
 
 
 def streaming_lsh_index(
@@ -41,16 +94,14 @@ def streaming_lsh_index(
     bands: int = 8,
     seed: int = 42,
 ) -> StreamingQuery:
-    """Start a stream that appends each micro-batch's LSH band rows to
-    the parquet index at ``index_dir``. availableNow drains the backlog
-    and stops (swap for a continuous trigger in production)."""
+    """Start a stream that upserts each micro-batch's LSH band rows into
+    the parquet index at ``index_dir`` (idempotent per batch — see module
+    docstring). availableNow drains the backlog and stops (swap for a
+    continuous trigger in production)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            lsh_band_table(batch_df, id_col, vec_col, dim, nbits, bands, seed)
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(index_dir)
+        upsert_index_batch(
+            batch_df, batch_id, index_dir, id_col, vec_col, dim, nbits, bands, seed
         )
 
     return (
@@ -59,6 +110,63 @@ def streaming_lsh_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_index(spark: SparkSession, index_dir: str, dedup: bool = False) -> DataFrame:
+    """The logical index: (c_id, band, bkey), whatever the physical
+    batch layout (``batch`` is dropped).
+
+    ``dedup=True`` adds a distinct over (c_id, band, bkey) — needed only
+    when exact index-row counts matter (compaction, invariant checks).
+    The QUERY path leaves it off: index duplicates are already collapsed
+    by the candidate-level ``dropDuplicates([q_id, c_id])``, so paying a
+    full index shuffle per query to de-dup rows the join dedups anyway
+    would be pure overhead."""
+    idx = spark.read.parquet(index_dir).select("c_id", "band", "bkey")
+    return idx.dropDuplicates(["c_id", "band", "bkey"]) if dedup else idx
+
+
+def compact_lsh_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every batch partition (including any previous base) into ONE
+    new base partition with one file per band, then drop the folded
+    directories. Returns the number of directories folded in.
+
+    Sequencing makes every crash window safe:
+
+    1. write the full dedup'd snapshot to a hidden ``.compacting`` dir
+       (hidden ⇒ invisible to Spark's file listing — readers never see a
+       half-written snapshot; a stale one from a crash is removed first);
+    2. atomically rename it to ``batch=<next base id>`` (base ids count
+       down from -1 so a new base never collides with a replayed
+       micro-batch id or the previous base);
+    3. delete the folded directories.
+
+    A crash before (2) changes nothing; between (2) and (3) the index
+    holds duplicates, which the query path dedups (see module
+    docstring) — there is no window where rows are missing."""
+    root = Path(index_dir)
+    tmp = root / ".compacting"
+    if tmp.exists():
+        shutil.rmtree(tmp)  # leftover from a previous crash; re-derivable
+    batch_dirs = [d for d in root.iterdir() if d.is_dir() and d.name.startswith("batch=")]
+    if len(batch_dirs) <= 1:
+        return 0  # already compact
+    batch_ids = [int(d.name.split("=", 1)[1]) for d in batch_dirs]
+    new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
+
+    idx = read_index(spark, index_dir, dedup=True)
+    n_bands = max(idx.select("band").distinct().count(), 1)
+    # one shuffle partition per band ⇒ exactly one file per band dir
+    (
+        idx.repartition(n_bands, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(str(tmp))
+    )
+    tmp.rename(root / f"batch={new_base}")
+    for d in batch_dirs:
+        shutil.rmtree(d)
+    return len(batch_dirs)
 
 
 def ann_query_over_index(
@@ -78,7 +186,7 @@ def ann_query_over_index(
     """Top-k ANN against the incrementally-built index: identical
     semantics to ``lsh_ann_topk`` at the same operating point — the index
     scan replaces the corpus-side signature pass."""
-    cb = spark.read.parquet(index_dir)
+    cb = read_index(spark, index_dir)
     qb = lsh_band_table(
         queries, id_col, vec_col, dim, nbits, bands, seed, probe=probe, out_id="q_id"
     )

@@ -310,6 +310,61 @@ def test_streaming_lsh_index_equals_batch_ann(spark, sf_dir, tmp_path_factory):
     assert key(via_index) == key(batch)
 
 
+def test_lsh_index_replay_idempotent_and_compaction(spark, sf_dir, tmp_path_factory):
+    """foreachBatch is at-least-once: a replayed micro-batch must NOT
+    duplicate index rows (dynamic partition overwrite keyed on batch_id
+    makes the sink idempotent), and compaction must fold the per-batch
+    file sets into one file per band without changing query answers."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.ann_index import (
+        ann_query_over_index,
+        compact_lsh_index,
+        read_index,
+        upsert_index_batch,
+    )
+
+    idx = str(tmp_path_factory.mktemp("annidx_replay") / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    upsert_index_batch(even, 0, idx)
+    upsert_index_batch(odd, 1, idx)
+    assert read_index(spark, idx).count() == n * 8  # bands=8, 1 key/band
+
+    # at-least-once replay of batch 0: rewrites its own partitions,
+    # count unchanged WITHOUT any dedup-on-read
+    upsert_index_batch(even, 0, idx)
+    assert read_index(spark, idx).count() == n * 8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = ann_query_over_index(spark, idx, emb, queries).collect()
+
+    folded = compact_lsh_index(spark, idx)
+    assert folded == 2  # batch=0 and batch=1 both folded into the base
+
+    # bounded file count: exactly one parquet file per band, one base dir
+    import pathlib
+
+    root = pathlib.Path(idx)
+    batch_dirs = [d for d in root.iterdir() if d.name.startswith("batch=")]
+    assert len(batch_dirs) == 1
+    files = list(batch_dirs[0].glob("band=*/*.parquet"))
+    assert len(files) == 8
+
+    # index content and query answers unchanged
+    assert read_index(spark, idx).count() == n * 8
+    after = ann_query_over_index(spark, idx, emb, queries).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows)
+    assert key(after) == key(before)
+
+    # already compact -> no-op
+    assert compact_lsh_index(spark, idx) == 0
+
+
 def test_rocksdb_state_store_equals_batch(spark, sf_dir, tmp_path_factory):
     """Stateful streaming on the RocksDB state store provider (ships in
     Spark's jars) — the 100 TB posture for streaming state: state lives
