@@ -186,20 +186,57 @@ def salted_join(
     Cost: small side replicated ×salt (keep it broadcast-small), and the
     shuffle key becomes (key, salt_id) — uniform by construction.
 
-    Only ``inner`` and ``left`` joins are supported: under ``right`` or
-    ``full``, an unmatched small-side row survives once per salt replicate
-    (×salt duplicate output rows), so those modes are rejected rather than
-    silently wrong.
+    ``inner``/``left`` run directly on the salted keys. ``right``/``full``
+    cannot: an unmatched small-side row would survive once per salt
+    replicate, and a row matched under ONE salt would still emit its
+    other replicates as spurious null-extended rows. Those modes are
+    instead composed as ``salted-inner ∪ null-extended remainders``:
+
+    - small-side remainder = small ANTI-JOIN distinct(big keys). The key
+      set is reduced by a partial (map-side) aggregate first, so a hot
+      key collapses to one row per input partition before the shuffle —
+      skew never concentrates on one task;
+    - big-side remainder (``full`` only) = big ANTI-JOIN small, which
+      broadcasts the small side — no shuffle of the big side at all.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
-        raise ValueError(
-            f"salted_join supports how='inner'/'left' only, got {how!r}: "
-            "right/full outer joins would emit every unmatched small-side "
-            "row once per salt replicate"
-        )
+    norm = {
+        "inner": "inner",
+        "left": "left", "left_outer": "left", "leftouter": "left",
+        "right": "right", "right_outer": "right", "rightouter": "right",
+        "full": "full", "outer": "full", "full_outer": "full", "fullouter": "full",
+    }
+    if how not in norm:
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    mode = norm[how]
+
     big_salted = big.withColumn("_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt))
     small_rep = skewed_small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = big_salted.join(small_rep, on=[on, "_salt"], how=how)
-    return out.drop("_salt")
+    if mode in ("inner", "left"):
+        return big_salted.join(small_rep, on=[on, "_salt"], how=mode).drop("_salt")
+
+    inner = big_salted.join(small_rep, on=[on, "_salt"], how="inner").drop("_salt")
+
+    def _null_extend(df: DataFrame, other: DataFrame) -> DataFrame:
+        """Add `other`'s non-key columns as typed nulls, matching the
+        inner join's output schema for unionByName."""
+        out = df
+        for f in other.schema.fields:
+            if f.name != on:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out
+
+    # distinct() here is the skew shield: partial aggregation collapses a
+    # hot key locally before its single-row-per-partition shuffle.
+    unmatched_small = _null_extend(
+        skewed_small.join(big.select(on).distinct(), on, "left_anti"), big
+    )
+    out = inner.unionByName(unmatched_small)
+    if mode == "full":
+        unmatched_big = _null_extend(
+            big.join(F.broadcast(skewed_small.select(on).distinct()), on, "left_anti"),
+            skewed_small,
+        )
+        out = out.unionByName(unmatched_big)
+    return out

@@ -109,6 +109,29 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         sorted(map(tuple, plain.select("l_partkey", "l_orderkey", "p_brand").collect()))
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_salted_join_all_modes_match_plain_join(spark, how):
+    """All four salted modes must be pure execution-strategy changes.
+    Fixture engineered so every interesting case exists: a hot key (skew),
+    big-side-only keys (left/full null-extension), small-side-only keys
+    (right/full null-extension), and a key matched under only some salts
+    (the spurious-replicate trap the composition must not fall into)."""
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)]      # hot key
+        + [(2, 900), (3, 901)]            # matched keys with 1 row each
+        + [(4, 902)],                     # big-side-only key
+        "k long, b long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "two"), (3, "three"), (5, "small_only"), (5, "small_dup")],
+        "k long, s string",
+    )
+    plain = big.join(small, "k", how)
+    salted = R.salted_join(big, small, on="k", how=how, salt=16)
+    assert sorted(map(tuple, salted.select("k", "b", "s").collect())) == \
+        sorted(map(tuple, plain.select("k", "b", "s").collect()))
+
+
 def test_connector_wrappers_validate_args(spark):
     """No DB/broker in this container — pin the argument contracts and the
     clean failure mode for the missing Kafka package."""
