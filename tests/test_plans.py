@@ -35,22 +35,34 @@ def _plan_of(spark, name, sf_dir):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Queries allowed to fail plan-compile without external setup. Currently
+# EMPTY: every registry query compiles against the bare fixture dir. A
+# query that starts throwing here is a regression, not a skip — add it to
+# this set only with a comment naming the setup it needs.
+COMPILE_SETUP_ALLOWED: set[str] = set()
+
+
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """No registry query may compile to CartesianProduct, and
     BroadcastNestedLoopJoin is only tolerated where a bounded brute-force
     or one-row scalar-subquery makes it intentional. Catches the classic
     silent scale-killer: a join whose condition stopped being an equi
-    key after a refactor."""
+    key after a refactor. Compile errors fail the test too — silently
+    skipping a broken query would exclude it from the sweep."""
     offenders = {}
+    compile_errors = {}
     for name in QUERIES:
         try:
             plan = _plan_of(spark, name, sf_dir)
-        except Exception:
-            continue  # queries needing setup beyond plan-compile
+        except Exception as e:  # noqa: BLE001 — recorded and asserted below
+            if name not in COMPILE_SETUP_ALLOWED:
+                compile_errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            continue
         has_cart = "CartesianProduct" in plan
         has_bnlj = "BroadcastNestedLoopJoin" in plan
         if (has_cart or has_bnlj) and name not in CARTESIAN_ALLOWED:
             offenders[name] = ("CartesianProduct" if has_cart else "BNLJ")
+    assert not compile_errors, compile_errors
     assert not offenders, offenders
 
 
