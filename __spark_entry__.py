@@ -37,11 +37,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins for every SQL-expressible query.
 
-    Keys absent here (the LSH/minhash/simhash/ANN families and the
-    mapInPandas decode stub) are non-SQL-expressible by design — engine-
-    specific hash functions / seeded projections — and take the driver's
-    rows-only check; their semantics are pinned by planted-fixture tests
-    in tests/ instead.
+    Round 3 closed most of the formerly rows-only surface: the
+    hyperplane-LSH family (embedding_ann_lsh, embedding_near_dup) twins
+    inline the deterministic plane matrix as SQL literals, and the
+    winnowing fingerprint twin re-computes the rolling hash in HUGEINT
+    arithmetic. Keys still absent are non-SQL-expressible by design —
+    engine-specific hashes (xxhash64 minhash/simhash), engine-specific
+    sketch bytes (HLL, approx-percentile), and IVF's seeded k-means fit —
+    and take the driver's rows-only check; their semantics are pinned by
+    planted-fixture tests in tests/ instead.
     """
     from bearly_spark.registry import ORACLE
 

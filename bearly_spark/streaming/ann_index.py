@@ -50,8 +50,9 @@ from bearly_spark.operators.similarity import lsh_band_table, rerank_candidates
 
 import pyspark.sql.functions as F
 
-#: The batch id under which compacted rows live. Real micro-batch ids are
-#: >= 0, so -1 can never collide with a replay.
+#: First (largest) base-partition id for compacted rows; successive
+#: compactions count DOWN from here (-1, -2, ...). Real micro-batch ids
+#: are >= 0, so a base id can never collide with a replayed batch.
 BASE_BATCH_ID = -1
 
 

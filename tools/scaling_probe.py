@@ -4,12 +4,19 @@ sf0.1 fact tables (PLANS.md 'Scaling probe' sections).
 Usage:
     PYTHONPATH=/root/repo python tools/scaling_probe.py 64 \
         q18_large_volume_orders percentiles_lineitem
+    PYTHONPATH=/root/repo python tools/scaling_probe.py --docs-only 256 \
+        dedup_minhash_lsh embedding_near_dup
 
 Builds /root/repo/.scratch/sf0.1x{N}/ once (symlinks for dimension
 tables; lineitem/orders replicated with per-replica orderkey shifts so
 join fan-outs stay realistic — each replica is a disjoint key range, the
 same structure a bigger TPC-H SF would have), then reports best-of-2
 noop-sink wall clock per query at 1× and N×.
+
+``--docs-only`` replicates only documents/embeddings (symlinking the
+fact tables): the adversarial-duplicate-mass probe for the dedup and
+similarity banding paths at factors where a 153M-row lineitem build
+would only add fixture-build time.
 """
 
 from __future__ import annotations
@@ -27,8 +34,8 @@ SCRATCH = "/root/repo/.scratch"
 KEY_SHIFT = 10_000_000
 
 
-def build_fixture(spark, factor: int) -> str:
-    out = f"{SCRATCH}/sf0.1x{factor}"
+def build_fixture(spark, factor: int, docs_only: bool = False) -> str:
+    out = f"{SCRATCH}/sf0.1x{factor}" + ("docs" if docs_only else "")
     if os.path.exists(f"{out}/_DONE"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -38,19 +45,21 @@ def build_fixture(spark, factor: int) -> str:
     # content per replica — which is exactly the dedup workload (each
     # original doc gains factor-1 exact/near duplicates), so the
     # minhash/simhash/banding paths see realistic duplicate mass.
-    for name, keys in (
-        ("lineitem", ["l_orderkey"]),
-        ("orders", ["o_orderkey"]),
+    blown = [
         ("documents", ["doc_id"]),
         ("embeddings", ["vec_id"]),
-    ):
+    ]
+    if not docs_only:
+        blown = [("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])] + blown
+    for name, keys in blown:
         df = spark.read.parquet(f"{SF_DIR}/{name}.parquet").select("*", replicas)
         for kcol in keys:
             df = df.withColumn(kcol, F.col(kcol) + F.col("_r") * F.lit(KEY_SHIFT))
         df.drop("_r").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-    for name in (
-        "region", "nation", "customer", "supplier", "part", "events",
-    ):
+    linked = ["region", "nation", "customer", "supplier", "part", "events"]
+    if docs_only:
+        linked += ["lineitem", "orders"]
+    for name in linked:
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF_DIR}/{name}.parquet", dst)
@@ -59,15 +68,19 @@ def build_fixture(spark, factor: int) -> str:
 
 
 def main() -> None:
-    factor = int(sys.argv[1])
-    queries = sys.argv[2:]
+    args = sys.argv[1:]
+    docs_only = "--docs-only" in args
+    if docs_only:
+        args.remove("--docs-only")
+    factor = int(args[0])
+    queries = args[1:]
 
     from bearly_spark.registry import QUERIES
     from bearly_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    probe_dir = build_fixture(spark, factor)
+    probe_dir = build_fixture(spark, factor, docs_only=docs_only)
 
     def best_of_2(name: str, sf_dir: str) -> float:
         best = float("inf")
