@@ -81,3 +81,51 @@ def test_key_plan_properties_hold(spark, sf_dir):
     # type-gated sum reads only the 3 bigint columns
     plan = _plan_of(spark, "sum_lineitem_int64", sf_dir)
     assert "l_orderkey" in plan and "l_extendedprice" not in plan
+
+
+def test_cbo_catalog_stats_flip_join_strategy(spark, sf_dir):
+    """ANALYZE statistics must be CONSUMED by the planner, not just
+    collected: with CBO on and a selective filter over a catalog table,
+    the same join compiles to SortMergeJoin before ANALYZE (no column
+    stats -> the filter's output is sized like the whole table, above
+    the broadcast threshold) and to BroadcastHashJoin after (min/max
+    column stats price the filter at a handful of rows). AQE is off in
+    this test so the flip is attributable to catalog stats alone, not
+    runtime re-planning."""
+    from bearly_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.adaptive.enabled": "false",
+        # below the raw table's file size, above the filtered estimate
+        "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024),
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    try:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("cbo_orders")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        def plan() -> str:
+            li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+            dim = spark.table("cbo_orders").filter("o_orderkey < 10").select(
+                "o_orderkey", "o_totalprice"
+            )
+            q = li.join(dim, li.l_orderkey == dim.o_orderkey)
+            return q._jdf.queryExecution().executedPlan().toString()
+
+        before = plan()
+        assert "BroadcastHashJoin" not in before, before
+
+        spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = plan()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
