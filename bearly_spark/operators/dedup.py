@@ -343,15 +343,32 @@ def simhash_dedup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair within
-    Hamming ≤ 3 must agree exactly on ≥1 chunk, so an equi-join per chunk
+    Hamming ≤ 3 must agree exactly on ≥1 chunk, so chunk-equality blocking
     finds all candidates (no O(n²)), then ``bit_count(a^b)`` verifies.
 
-    The signature table is persisted: both sides of the self-join (and the
-    dedup pass) would otherwise re-run the packing UDF over the full corpus.
+    Same single-shuffle layout as ``minhash_dedup_pairs``: ONE groupBy
+    over (chunk, key) gathers each bucket's (id, simhash) members, drops
+    degenerate buckets (> ``max_bucket``), and emits in-bucket pairs
+    inline with the hamming verify applied IMMEDIATELY — only true
+    near-dup pairs ever reach the pair-dedup shuffle. (The round-2 shape
+    was a chunk-key self-join that dropDuplicates'd the FULL candidate
+    set, signatures included, before filtering; at 64× adversarial
+    duplicate mass that materialized hundreds of millions of pre-filter
+    pairs in the dedup exchange and thrashed GC. Caught by the 256×
+    scaling probe, tools/scaling_probe.py --docs-only.)
+
+    At genuinely degenerate duplicate mass (entire corpus near-identical)
+    run exact dedup first — the documented pipeline order
+    (`pipeline_clean_corpus`) — so banding sees representatives, not
+    copies; ``max_bucket`` is the backstop, not the plan.
+
+    The signature table is persisted: the banding pass and any downstream
+    consumer would otherwise re-run the packing UDF over the full corpus.
     """
     sh = simhash(df, id_col, text_col).persist()
     sh.count()  # pin eagerly — see minhash_dedup_pairs
@@ -369,15 +386,33 @@ def simhash_dedup_pairs(
     exploded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")).select(
         id_col, "simhash", "cc.chunk", "cc.key"
     )
-    a = exploded.select("chunk", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = exploded.select("chunk", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    # struct sorts by leading field = id, so pairs come out id_a < id_b
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+    )
+    bucket_members = (
+        exploded.groupBy("chunk", "key")
+        .agg(members.alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        bucket_members.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.bit_count(F.col("p.a.sh").bitwiseXOR(F.col("p.b.sh"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
