@@ -2519,6 +2519,69 @@ def q_clustered_scan(spark, sf_dir):
 
 
 @register(
+    "zorder_scan_lineitem",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_partkey <= 5000 AND l_suppkey <= 250
+    """,
+)
+def q_zorder_scan(spark, sf_dir):
+    """Z-order (Morton) clustered layout: lineitem rewritten with the bits
+    of grid-normalized (l_partkey, l_suppkey) interleaved into one sort
+    key, so each parquet file holds a compact RECTANGLE of the 2-D key
+    space and a conjunctive predicate on EITHER/BOTH columns prunes whole
+    files via footer min/max stats — the multi-dimensional complement of
+    ``clustered_scan_lineitem``'s single-key range clustering (where the
+    second column spans its full domain in every file). Layout quality
+    (per-file spans bounded on BOTH dimensions simultaneously) is
+    asserted in tests/test_sinks.py."""
+    from bearly_spark.operators.layout import zorder_write
+
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/lineitem_zorder"
+    li = load_table(spark, sf_dir, "lineitem")
+    zorder_write(li, path, ["l_partkey", "l_suppkey"], bits=16, num_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("l_partkey") <= 5000) & (F.col("l_suppkey") <= 250))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "bitmap_distinct_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    group builds fixed-size (4KB-bucket) bitmaps over the key space
+    instead of holding every distinct key in the aggregation hash map.
+    At 100 TB this is the mergeable exact-distinct pattern — partial
+    bitmaps OR together map-side, shuffle bytes are bounded by key-range
+    /32768 per group rather than by distinct count, and (unlike HLL,
+    ``approx_count_distinct``) the result is exact — which is why the
+    DuckDB COUNT(DISTINCT) twin can hash-match it."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus", F.expr("bitmap_bucket_number(o_custkey)").alias("_bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("_bm"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.expr("bitmap_count(_bm)")).cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
     "q4_order_priority_check",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders

@@ -209,3 +209,61 @@ def test_catalog_statistics_for_cbo(spark, sf_dir, tmp_path_factory):
         assert "rows" in desc["Statistics"], desc["Statistics"]
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-order clustering quality: every output file must cover a compact
+    rectangle of the (l_partkey, l_suppkey) key space — per-file footer
+    min/max spans bounded on BOTH dimensions at once — whereas a
+    single-key range clustering leaves the second dimension spanning its
+    full domain in every file (so min/max stats cannot prune on it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bearly_spark.operators.layout import zorder_write
+    from bearly_spark.sources.tables import load_table
+
+    root = tmp_path_factory.mktemp("zorder")
+    li = load_table(spark, sf_dir, "lineitem")
+    zorder_write(li, f"{root}/z", ["l_partkey", "l_suppkey"], bits=16, num_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(f"{root}/single")
+    )
+
+    lo = li.agg(F.min("l_partkey"), F.min("l_suppkey")).collect()[0]
+    hi = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+    dom_p, dom_s = hi[0] - lo[0], hi[1] - lo[1]
+
+    def span_fractions(path):
+        fr = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            names = md.schema.names
+            pi, si = names.index("l_partkey"), names.index("l_suppkey")
+            stats = [
+                (md.row_group(i).column(ci).statistics)
+                for i in range(md.num_row_groups)
+                for ci in (pi, si)
+            ]
+            pstats = stats[0::2]
+            sstats = stats[1::2]
+            pspan = max(s.max for s in pstats) - min(s.min for s in pstats)
+            sspan = max(s.max for s in sstats) - min(s.min for s in sstats)
+            fr.append((pspan / dom_p, sspan / dom_s))
+        return fr
+
+    z = span_fractions(f"{root}/z")
+    single = span_fractions(f"{root}/single")
+    assert len(z) >= 4 and len(single) >= 4
+
+    zp = sum(p for p, _ in z) / len(z)
+    zs = sum(s for _, s in z) / len(z)
+    # z-order: BOTH dimensions bounded well below their domains on average
+    assert zp < 0.7 and zs < 0.7, (zp, zs, z)
+    # single-key contrast: the second dimension is unprunable
+    ss = sum(s for _, s in single) / len(single)
+    assert ss > 0.9, (ss, single)
