@@ -18,9 +18,14 @@ Determinism rules applied throughout (so Spark and DuckDB hash-match):
 - event-time math is integer arithmetic on epoch seconds derived from the
   stored int64 nanos (exact in both engines; no float epoch conversion).
 
-Queries with no oracle entry (LSH/minhash/simhash families — their hash
-functions are engine-specific) get the driver's weaker rows-only check and
-are instead pinned by planted-fixture tests in tests/.
+Queries with no oracle entry get the driver's weaker rows-only check and
+are instead pinned by planted-fixture tests in tests/. Round 3 shrank
+that set to the genuinely engine-specific: xxhash64-based signatures
+(minhash/simhash), sketch bytes (HLL, approx-percentile), and IVF's
+seeded k-means fit. The hyperplane-LSH family and the winnowing
+fingerprint are now oracle-checked — their deterministic constants
+(float64 plane matrix, rolling-hash powers) are inlined into the DuckDB
+SQL (see _ann_lsh_oracle/_near_dup_oracle/_winnow_oracle).
 """
 
 from __future__ import annotations
@@ -1731,15 +1736,20 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
-def _winnow_oracle(k: int = 16, window: int = 8, min_shared: int = 8) -> str:
+def _winnow_oracle(
+    k: int = 16, window: int = 8, min_shared: int = 8, max_posting: int = 1000
+) -> str:
     """Exact DuckDB twin of ``winnow_overlap_pairs``: the Rabin-Karp
     polynomial hash (base 257 mod 2^61-1) is plain integer arithmetic, so
     it is computable in SQL with the power constants inlined (HUGEINT
     keeps the code*power products exact; codes are codepoints, identical
     to the UDF's utf-32 view). Window minima take the LEFTMOST min per
     span, mirroring numpy argmin; the fingerprint set is the distinct
-    picked values; pair counting applies the same [2, 1000] posting cap
-    and ``min_shared`` floor."""
+    picked values (sorted). Mirrors the operator's duplicate-mass-
+    invariant GROUP-level semantics: docs collapse into groups by exact
+    fingerprint set (DuckDB groups by the list value directly), the
+    posting cap and shared-print counting run over groups, and doc pairs
+    are expanded from group pairs + within-group membership."""
     mod = D._WINNOW_MOD
     powers = [int(p) for p in D._winnow_powers(k)]
     gram_sum = " + ".join(
@@ -1756,21 +1766,47 @@ def _winnow_oracle(k: int = 16, window: int = 8, min_shared: int = 8) -> str:
     w AS (SELECT doc_id,
             CASE WHEN len(hs) = 0 THEN []::BIGINT[]
                  WHEN len(hs) <= {window} THEN [list_min(hs)]
-                 ELSE list_distinct(
+                 ELSE list_sort(list_distinct(
                      [hs[i - 1 + list_indexof(hs[i:i + {window - 1}],
                                               list_min(hs[i:i + {window - 1}]))]
-                      for i in range(1, len(hs) - {window} + 2)])
+                      for i in range(1, len(hs) - {window} + 2)]))
             END AS fps
           FROM h),
-    ex AS (SELECT doc_id, unnest(fps) AS print FROM w),
-    ok AS (SELECT print FROM ex GROUP BY print
-           HAVING COUNT(*) BETWEEN 2 AND 1000)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_prints
-    FROM ex a
-    JOIN ex b ON a.print = b.print AND a.doc_id < b.doc_id
-    JOIN ok ON ok.print = a.print
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= {min_shared}
+    g AS (SELECT fps, MIN(doc_id) AS gid, COUNT(*) AS gsize
+          FROM w GROUP BY fps),
+    m AS (SELECT w.doc_id, g.gid FROM w JOIN g ON w.fps = g.fps),
+    ex AS (SELECT gid, unnest(fps) AS print FROM g),
+    post AS (SELECT print, COUNT(*) AS c FROM ex GROUP BY print),
+    reppairs AS (
+        SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS shared
+        FROM ex a
+        JOIN ex b ON a.print = b.print AND a.gid < b.gid
+        JOIN post p ON p.print = a.print AND p.c BETWEEN 2 AND {max_posting}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}),
+    cross_pairs AS (
+        SELECT LEAST(m1.doc_id, m2.doc_id) AS id_a,
+               GREATEST(m1.doc_id, m2.doc_id) AS id_b,
+               r.shared AS shared_prints
+        FROM reppairs r
+        JOIN m m1 ON m1.gid = r.ga
+        JOIN m m2 ON m2.gid = r.gb),
+    capped AS (SELECT ex.gid, COUNT(*) AS n_capped
+               FROM ex JOIN post p ON p.print = ex.print AND p.c > {max_posting}
+               GROUP BY ex.gid),
+    samegrp AS (
+        SELECT g.gid, CAST(len(g.fps) - COALESCE(c.n_capped, 0) AS BIGINT) AS shared_prints
+        FROM g LEFT JOIN capped c ON c.gid = g.gid
+        WHERE g.gsize >= 2
+          AND len(g.fps) - COALESCE(c.n_capped, 0) >= {min_shared}),
+    same_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, s.shared_prints
+        FROM samegrp s
+        JOIN m a ON a.gid = s.gid
+        JOIN m b ON b.gid = s.gid AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, shared_prints FROM cross_pairs
+    UNION ALL
+    SELECT id_a, id_b, shared_prints FROM same_pairs
     """
 
 
