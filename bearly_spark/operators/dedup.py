@@ -232,9 +232,40 @@ def minhash_dedup_pairs(
     Jaccard up to xxhash64 collisions (~n²/2⁶⁴, negligible).
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+
+    **Duplicate-mass invariance** (round 3, same design as
+    ``winnow_overlap_pairs``): documents first collapse into groups by
+    exact text (md5), and the ENTIRE expensive pipeline — shingling UDF,
+    signature matrix, banding, Jaccard verify — runs once per distinct
+    text. A corpus where every doc has C exact copies costs the same
+    discovery work as its deduplicated form; only the final expansion
+    back to doc pairs is quadratic in C, and that is the answer's own
+    size. Within-group pairs (identical texts) have Jaccard exactly 1.0
+    by definition and are emitted directly — they can no longer be lost
+    to the degenerate-bucket cap, which now counts distinct contents.
     """
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signature(df, id_col, text_col, num_hashes, shingle_n).persist()
+    fpk = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_tkey", F.md5(F.coalesce(F.col(text_col), F.lit("\x00null")))
+    )
+    groups = (
+        fpk.groupBy("_tkey")
+        .agg(
+            F.min(id_col).alias("_gid"),
+            F.count(F.lit(1)).alias("_gsize"),
+            F.first(text_col).alias(text_col),
+        )
+        .persist()
+    )
+    groups.count()  # pin eagerly — members join + signature stage
+    members = (
+        fpk.select(F.col(id_col), "_tkey")
+        .join(groups.select("_tkey", "_gid"), "_tkey")
+        .select(F.col(id_col), "_gid")
+    )
+    reps = groups.select(F.col("_gid").alias(id_col), F.col(text_col))
+
+    sig_df = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
     # Pin the cache eagerly: the band explode, the skew guard, and the two
     # verify joins materialize concurrently under AQE, and each racer would
     # recompute the (expensive) signature stage against a cold cache.
@@ -282,7 +313,7 @@ def minhash_dedup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sets = sig_df.select(F.col(id_col), F.col("hs"))
-    return (
+    rep_pairs = (
         cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .select(
@@ -290,6 +321,33 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # expand representative pairs to doc pairs; add within-group pairs
+    # (identical texts, Jaccard exactly 1.0 by definition)
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("_gid").alias("id_a"), F.col(id_col).alias("_ia")), "id_a"
+        )
+        .join(members.select(F.col("_gid").alias("id_b"), F.col(id_col).alias("_ib")), "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    same = (
+        groups.filter(F.col("_gsize") >= 2)
+        .select("_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(same)
 
 
 # -------------------------------------------------------------- SimHash
@@ -362,15 +420,39 @@ def simhash_dedup_pairs(
     pairs in the dedup exchange and thrashed GC. Caught by the 256×
     scaling probe, tools/scaling_probe.py --docs-only.)
 
-    At genuinely degenerate duplicate mass (entire corpus near-identical)
-    run exact dedup first — the documented pipeline order
-    (`pipeline_clean_corpus`) — so banding sees representatives, not
-    copies; ``max_bucket`` is the backstop, not the plan.
+    **Duplicate-mass invariance** (round 3, same design as the minhash
+    and winnowing paths): documents first collapse into groups by exact
+    text, the signature UDF + banding + verify run once per distinct
+    text, and doc pairs expand from representative pairs at the end.
+    Within-group pairs (identical texts → identical simhash) are emitted
+    directly with hamming 0; ``max_bucket`` caps now count distinct
+    contents, so duplicate mass can neither blow up the buckets nor
+    evict a page from them.
 
     The signature table is persisted: the banding pass and any downstream
-    consumer would otherwise re-run the packing UDF over the full corpus.
+    consumer would otherwise re-run the packing UDF over the corpus.
     """
-    sh = simhash(df, id_col, text_col).persist()
+    fpk = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_tkey", F.md5(F.coalesce(F.col(text_col), F.lit("\x00null")))
+    )
+    groups = (
+        fpk.groupBy("_tkey")
+        .agg(
+            F.min(id_col).alias("_gid"),
+            F.count(F.lit(1)).alias("_gsize"),
+            F.first(text_col).alias(text_col),
+        )
+        .persist()
+    )
+    groups.count()  # pin eagerly — members join + signature stage
+    members = (
+        fpk.select(F.col(id_col), "_tkey")
+        .join(groups.select("_tkey", "_gid"), "_tkey")
+        .select(F.col(id_col), "_gid")
+    )
+    reps = groups.select(F.col("_gid").alias(id_col), F.col(text_col))
+
+    sh = simhash(reps, id_col, text_col).persist()
     sh.count()  # pin eagerly — see minhash_dedup_pairs
     chunks = F.array(
         *[
@@ -387,12 +469,12 @@ def simhash_dedup_pairs(
         id_col, "simhash", "cc.chunk", "cc.key"
     )
     # struct sorts by leading field = id, so pairs come out id_a < id_b
-    members = F.array_sort(
+    gathered = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
     )
     bucket_members = (
         exploded.groupBy("chunk", "key")
-        .agg(members.alias("ms"))
+        .agg(gathered.alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     pair_structs = F.flatten(
@@ -404,7 +486,7 @@ def simhash_dedup_pairs(
             ),
         )
     )
-    return (
+    rep_pairs = (
         bucket_members.select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.a.id").alias("id_a"),
@@ -414,6 +496,30 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("_gid").alias("id_a"), F.col(id_col).alias("_ia")), "id_a"
+        )
+        .join(members.select(F.col("_gid").alias("id_b"), F.col(id_col).alias("_ib")), "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        groups.filter(F.col("_gsize") >= 2)
+        .select("_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 # ---------------------------------------------------- winnowing (rolling hash)

@@ -30,7 +30,7 @@ SQL (see _ann_lsh_oracle/_near_dup_oracle/_winnow_oracle).
 
 from __future__ import annotations
 
-import decimal
+import math
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -4225,16 +4225,11 @@ def q_funnel(spark, sf_dir):
     np_ = p.count()
     v.unpersist()
     c.unpersist()
-    # half-away-from-zero rounding to mirror the oracle's ROUND (Python's
-    # round() is banker's and diverges on exact .5 ties at the 6th digit)
-    if nv == 0:
-        conversion = None
-    else:
-        conversion = float(
-            (decimal.Decimal(np_) / decimal.Decimal(nv)).quantize(
-                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-            )
-        )
+    # Mirror DuckDB's ROUND(x, 6) bit-for-bit: half-away-from-zero on the
+    # scaled DOUBLE (floor(x*1e6 + 0.5)/1e6 for x >= 0) — Python's round()
+    # is banker's and an exact-decimal quantize would diverge where the
+    # double representation of the ratio falls on the other side of a tie.
+    conversion = None if nv == 0 else math.floor((np_ / nv) * 1e6 + 0.5) / 1e6
     return ev.sparkSession.createDataFrame(
         [(nv, nc, np_, conversion)],
         "n_view long, n_click_after_view long, n_purchase_after_click long, conversion double",
