@@ -4151,6 +4151,105 @@ def q_recursive_hierarchy(spark, sf_dir):
 
 
 
+# ----- Spark 4 SQL-language surfaces (pipe syntax, variables, ---------
+# ----- parameter markers, procedural scripting) -----------------------
+
+
+@register(
+    "pipe_syntax_orders",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus
+    """,
+)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0+, `|>`): linear dataflow SQL — each
+    stage reads top-to-bottom like a DataFrame chain. Compiles to the
+    SAME logical plan as the classic formulation (the oracle), so this
+    pins both the parser surface and plan equivalence."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pipe")
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS total_price
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n_orders, total_price
+        """
+    )
+
+
+@register(
+    "sql_variables_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_totalprice > 150000.0 GROUP BY o_orderpriority
+    """,
+)
+def q_sql_variables(spark, sf_dir):
+    """Session variables (Spark 4: DECLARE / SET VARIABLE): server-side
+    named state usable in any later statement — the SQL-native way to
+    parameterize dashboards/jobs without string interpolation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders_var WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "parameterized_orders",
+    oracle="""
+    SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders WHERE o_custkey % 10 = 3 GROUP BY o_orderstatus
+    """,
+)
+def q_parameterized(spark, sf_dir):
+    """Named parameter markers (spark.sql(..., args={...})): values bind
+    as literals in the plan — injection-safe, cache-friendly
+    parameterization (the PySpark twin of a prepared statement)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM v_orders_param WHERE o_custkey % :modulus = :bucket
+        GROUP BY o_orderstatus
+        """,
+        args={"modulus": 10, "bucket": 3},
+    )
+
+
+@register(
+    "sql_scripting_orders",
+    oracle="""
+    SELECT 'F' AS status_checked, COUNT(*) AS n_orders FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4.1: BEGIN ... END with DECLARE/SET and
+    control flow): procedural multi-statement logic executed entirely
+    engine-side; the script's final statement is the result set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE chosen STRING DEFAULT 'O';
+          SET chosen = 'F';
+          SELECT chosen AS status_checked, COUNT(*) AS n_orders
+          FROM v_orders_script WHERE o_orderstatus = chosen;
+        END
+        """
+    )
+
+
 @register(
     "crosstab_orders",
     oracle="""
