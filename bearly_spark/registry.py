@@ -4399,16 +4399,18 @@ PREFIX_ORDER = [
     "q7_nation_volume",
     "asof_join_orders_events",
     "range_join_purchase_follow",
-    # aggregation families
+    # aggregation families (approx_count_distinct_orders left the prefix
+    # in r3: rows-only by nature — bitmap_distinct_orders carries the
+    # distinct-counting family with an exact oracle instead)
     "grouping_sets_orders",
     "percentiles_lineitem",
-    "approx_count_distinct_orders",
+    "bitmap_distinct_orders",
     "stats_agg_lineitem",
     "minmax_by_orders",
-    # windows / top-k
+    # windows / top-k (window_ignore_nulls_orders left the prefix in r3
+    # to hold the list at 50 — the family keeps three representatives)
     "window_running_total",
     "rank_ties_orders",
-    "window_ignore_nulls_orders",
     "topk_orders_per_customer",
     # set ops (set + multiset)
     "set_intersect_custkeys",
@@ -4433,15 +4435,19 @@ PREFIX_ORDER = [
     "udaf_weighted_avg_price",
     "udtf_tokenize_docs",
     "cogroup_user_behavior",
-    # LLM-pipeline: dedup
+    # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 — now
+    # oracle-checked via the HUGEINT rolling-hash twin)
     "dedup_exact_documents",
     "jaccard_pairs_sample",
     "dedup_minhash_lsh",
     "levenshtein_near_dup",
     "dedup_components_jaccard",
+    "fingerprint_winnow_pairs",
     # LLM-pipeline: similarity / text / multimodal / dataset ops
+    # (embedding_ann_lsh joined r3 — oracle-checked via inlined planes —
+    # and took the ANN slot from rows-only embedding_ann_ivf)
     "embedding_topk_cosine",
-    "embedding_ann_ivf",
+    "embedding_ann_lsh",
     "text_stats_documents",
     "multimodal_decode_features",
     "dataset_split_documents",
