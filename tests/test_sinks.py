@@ -267,3 +267,25 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path_factory):
     # single-key contrast: the second dimension is unprunable
     ss = sum(s for _, s in single) / len(single)
     assert ss > 0.9, (ss, single)
+
+
+def test_zorder_value_exact_bit_interleave(spark):
+    """Pin the Morton code bit-for-bit: bit b of grid column c lands at
+    position b*ncols + c (x gets even bits, y gets odd bits for 2
+    columns) — checked against a pure-Python interleave."""
+    from bearly_spark.operators.layout import zorder_value
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535)]
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=16).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == py_morton(x, y), (x, y, got[(x, y)], py_morton(x, y))
