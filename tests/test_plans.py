@@ -129,3 +129,44 @@ def test_cbo_catalog_stats_flip_join_strategy(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+def test_aqe_skew_join_runtime_split(spark):
+    """AQE skew-join must actually SPLIT a hot partition at runtime —
+    the mechanism the 100 TB posture leans on for power-law join keys
+    (PLANS.md sizing sheet; salted_join is the manual fallback). Builds
+    a join where one key holds ~80% of the left side, forces a
+    sort-merge join (no broadcast), executes, and asserts the final
+    adaptive plan marks the join `skew=true`."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(128 * 1024),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(16 * 1024),
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id") % 997).alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k").select("k", "payload", "tag")
+        # collect through THIS DataFrame's query execution: a .write/.count
+        # clones the plan into a new execution, whose AQE result would not
+        # be visible on `joined`
+        assert len(joined.collect()) == 400_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
