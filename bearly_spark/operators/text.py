@@ -120,3 +120,62 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def hashed_tf_embedding(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashed TF embedding: text -> L2-normalized dense
+    ``array<double>`` of ``dim`` md5-bucketed token counts — the
+    deterministic, model-free featurizer that turns the ``documents``
+    table into an ``embeddings``-shaped table (ids + vectors), closing
+    the docs -> vectors -> ANN pipeline loop without any external model.
+
+    Every step is a JVM-side built-in (no UDF): tokenize/explode ->
+    bucket = md5(token) first-6-hex as int mod dim (md5 is the one hash
+    both Spark and DuckDB implement identically, which is what makes the
+    oracle twin exact) -> per-(id, bucket) counts -> one map_from_entries
+    per doc -> dense vector + L2 normalization over a 64-element array
+    (interpreted HOF, but bounded by ``dim``, not data). Docs with no
+    tokens get the zero vector. Counts are integers and the
+    sum-of-squares is exact, so the normalized values match DuckDB
+    bit-for-bit before the 6dp rounding.
+
+    Scale: explode + one (id, bucket) shuffle + one (id) shuffle — both
+    keyed on the doc id, mergeable partial aggregates all the way; at
+    100 TB this is the same shape as wordcount.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower(F.col("_tok"))), 1, 6), 16, 10).cast("long") % dim
+    ).alias("bucket")
+    counts = (
+        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok"))
+        .select(id_col, bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sparse = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("_dense"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sparse, id_col, "left")
+        .withColumn("_dense", dense)
+        .withColumn("_norm", norm)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_dense"),
+                lambda v: F.round(v / F.when(F.col("_norm") > 0, F.col("_norm")).otherwise(F.lit(1.0)), 6),
+            ).alias("embedding"),
+        )
+    )

@@ -1103,6 +1103,81 @@ def q_lang_distribution(spark, sf_dir):
     )
 
 
+def _hashed_embed_oracle(dim: int = 64) -> str:
+    """Exact DuckDB twin of ``text.hashed_tf_embedding``: md5 is the one
+    hash both engines implement identically, so the bucket assignment
+    (first 6 hex chars of md5(lower(token)) as int, mod dim) reproduces
+    exactly; counts are integers, the sum-of-squares is exact, and the
+    L2-normalized values match bit-for-bit before the 6dp round."""
+    hex_fold = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id,
+               lower(unnest([x for x in string_split_regex(text, '\\s+') if x <> ''])) AS tok
+        FROM documents),
+    b AS (SELECT doc_id, ({hex_fold}) % {dim} AS bucket
+          FROM (SELECT doc_id, substring(md5(tok), 1, 6) AS h FROM tk)),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    s AS (SELECT doc_id, list({{'b': bucket, 'c': c}}) AS pairs FROM c GROUP BY doc_id),
+    d AS (SELECT dd.doc_id,
+                 [CAST(COALESCE(list_sum([p.c for p in COALESCE(s.pairs, []) if p.b = i]), 0) AS DOUBLE)
+                  for i in range(0, {dim})] AS dense
+          FROM documents dd LEFT JOIN s ON s.doc_id = dd.doc_id),
+    n AS (SELECT doc_id, dense, sqrt(list_sum([v * v for v in dense])) AS nrm FROM d)
+    SELECT doc_id,
+           [ROUND(v / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END), 6) for v in dense]
+               AS embedding
+    FROM n
+    """
+
+
+@register("hashed_embedding_documents", oracle=_hashed_embed_oracle())
+def q_hashed_embedding(spark, sf_dir):
+    """Feature-hashed TF embedding (model-free featurizer): turns the
+    documents table into an embeddings-shaped (id, vector) table with
+    nothing but JVM built-ins — the missing docs->vectors stage that
+    closes the corpus -> embedding -> ANN/near-dup pipeline loop. See
+    ``text.hashed_tf_embedding`` for the scale notes; oracle is exact
+    because md5 is implemented identically in both engines."""
+    return T.hashed_tf_embedding(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )
+
+
+@register(
+    "hashed_embedding_topk",
+    oracle=f"""
+    WITH emb AS ({_hashed_embed_oracle()}),
+    q AS (SELECT doc_id AS query_id, embedding AS qv FROM emb WHERE doc_id < 3),
+    c AS (SELECT doc_id AS neighbor_id, embedding AS cv FROM emb),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 5
+    """,
+)
+def q_hashed_embedding_topk(spark, sf_dir):
+    """End-to-end model-free semantic search: documents -> feature-hashed
+    TF embeddings -> exact cosine top-5 — the full docs->vectors->search
+    pipeline in one query, oracle-checked END TO END (DuckDB re-derives
+    the same embeddings from raw text and ranks with
+    list_cosine_similarity). Composes ``text.hashed_tf_embedding`` with
+    ``similarity.brute_force_topk``."""
+    emb = T.hashed_tf_embedding(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )
+    return S.brute_force_topk(
+        emb, emb.filter(F.col("doc_id") < 3), id_col="doc_id", vec_col="embedding", k=5
+    )
+
+
 # ===================================================================
 # LLM-pipeline: multimodal columns
 # ===================================================================
