@@ -94,13 +94,23 @@ def streaming_lsh_index(
     nbits: int = 56,
     bands: int = 8,
     seed: int = 42,
+    prepare=None,
 ) -> StreamingQuery:
     """Start a stream that upserts each micro-batch's LSH band rows into
     the parquet index at ``index_dir`` (idempotent per batch — see module
     docstring). availableNow drains the backlog and stops (swap for a
-    continuous trigger in production)."""
+    continuous trigger in production).
+
+    ``prepare`` (optional ``DataFrame -> DataFrame``) runs INSIDE each
+    foreachBatch on the plain batch frame — the place for per-batch
+    derivations that are illegal on an unbounded stream (aggregating
+    featurizers like ``text.hashed_tf_embedding``, joins against
+    snapshots). This is what lets a raw document stream feed the index:
+    embed the micro-batch the moment it lands, then upsert."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         upsert_index_batch(
             batch_df, batch_id, index_dir, id_col, vec_col, dim, nbits, bands, seed
         )

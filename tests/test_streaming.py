@@ -497,3 +497,55 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path_factory):
         tuple(r) for r in enrich(events_with_timestamp(spark, sf_dir)).collect()
     )
     assert got == want
+
+
+def test_streaming_document_embedding_index_pipeline(spark, sf_dir, tmp_path_factory):
+    """End-to-end INCREMENTAL training-data pipeline: documents arriving
+    as a file stream -> feature-hashed TF embeddings (deterministic,
+    model-free — so a micro-batch can be embedded the moment it lands)
+    -> idempotent LSH index upsert. ANN answers over the incrementally
+    built index must equal the one-shot batch pipeline over the same
+    corpus: the streaming form of docs -> vectors -> search."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.similarity import lsh_ann_topk
+    from bearly_spark.operators.text import hashed_tf_embedding
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.ann_index import (
+        ann_query_over_index,
+        streaming_lsh_index,
+    )
+
+    root = tmp_path_factory.mktemp("docpipe")
+    src, idx, ckpt = f"{root}/src", f"{root}/index", f"{root}/ckpt"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # two arrival waves -> at least two micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src, mode="append")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # the featurizer aggregates, which is illegal on the unbounded stream
+    # itself — it runs per-micro-batch via the prepare hook instead
+    q = streaming_lsh_index(
+        stream,
+        idx,
+        ckpt,
+        id_col="doc_id",
+        prepare=lambda batch: hashed_tf_embedding(batch, "doc_id", "text", dim=64),
+    )
+    q.awaitTermination(120)
+
+    batch_emb = hashed_tf_embedding(docs, "doc_id", "text", dim=64)
+    queries = batch_emb.filter(F.col("doc_id") < 3)
+    via_index = ann_query_over_index(
+        spark, idx, batch_emb, queries, id_col="doc_id", k=5
+    ).collect()
+    batch = lsh_ann_topk(
+        batch_emb, queries, id_col="doc_id", k=5, nbits=56, bands=8, probe=1
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows)
+    assert key(via_index) == key(batch)
+    assert len(via_index) == 15  # 3 queries x k=5
