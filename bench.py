@@ -72,6 +72,10 @@ HEADLINE = [
     # round 2: heaviest of the TPC-H completion set
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    # round 3: the new operator families (exact bitmap distinct; the
+    # model-free docs->vectors featurizer)
+    "bitmap_distinct_orders",
+    "hashed_embedding_documents",
 ]
 
 
