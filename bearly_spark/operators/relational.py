@@ -240,3 +240,28 @@ def salted_join(
         )
         out = out.unionByName(unmatched_big)
     return out
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnostic: the top-N heaviest key values with their
+    row share — run this BEFORE a big join to decide between plain
+    shuffle, AQE skew split, and :func:`salted_join` (a key holding >1/
+    shuffle-partitions of the rows will bottleneck one task).
+
+    One partial-aggregated count per key + a scalar total + a bounded
+    TakeOrderedAndProject — nothing here materializes the key space on
+    the driver, so it runs at any scale the join itself would.
+
+    Output: (key_value, n_rows, share, rank) ordered by rank.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.count()
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .select("key_value", "n_rows", "share", "rank")
+    )

@@ -4441,6 +4441,33 @@ def q_cohort_retention(spark, sf_dir):
 
 
 # ===================================================================
+# Join-key skew diagnostics
+# ===================================================================
+
+
+@register(
+    "skew_report_lineitem",
+    oracle="""
+    WITH c AS (SELECT l_suppkey AS key_value, COUNT(*) AS n_rows
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT key_value, n_rows,
+           ROUND(n_rows / total, 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS INTEGER) AS rank
+    FROM c, t
+    QUALIFY rank <= 10
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic (``relational.key_skew_report``): the
+    top-10 heaviest l_suppkey values with row shares — the profiling
+    step that decides plain-shuffle vs AQE-skew-split vs salted_join
+    before a 100 TB fact-fact join. Partial-aggregated counts + a
+    bounded rank window; nothing key-space-sized reaches the driver."""
+    return R.key_skew_report(load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+# ===================================================================
 # Prefix-sample ordering
 # ===================================================================
 #
