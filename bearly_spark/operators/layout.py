@@ -89,3 +89,66 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Generic small-files compaction for a parquet directory
+    (hive-partitioned or flat): rewrite into ~``target_file_bytes`` files
+    per partition, preserving the partition layout. Returns the number of
+    data files after compaction.
+
+    The streaming-sink flavor of this problem (and its crash analysis)
+    lives in ``streaming.ann_index.compact_lsh_index``; this is the
+    batch-table counterpart — the maintenance pass any long-lived
+    append-mode dataset needs (a 1-file-per-micro-batch sink accretes
+    ~86k file sets/day at one batch/second; file-listing and task-setup
+    costs then dominate scans long before data size does).
+
+    Sizing: output file count per partition = ceil(bytes / target) from
+    the CURRENT on-disk footprint — a cheap, good-enough proxy for the
+    rewritten size (same codec in and out). Crash safety: the rewrite
+    goes to a hidden staging dir first, so a crash before the swap
+    leaves the original untouched; the swap itself is two renames, and a
+    crash between them leaves the full data in ``.old-<name>`` — which
+    the next invocation restores automatically before proceeding.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    tmp = root.parent / f".compacting-{root.name}"
+    old = root.parent / f".old-{root.name}"
+    if not root.exists() and old.exists():
+        old.rename(root)  # heal a crash that landed between the renames
+    if tmp.exists():
+        shutil.rmtree(tmp)
+
+    data_files = [p for p in root.rglob("*.parquet") if not p.name.startswith(("_", "."))]
+    total_bytes = sum(p.stat().st_size for p in data_files)
+    df = spark.read.option("basePath", str(root)).parquet(str(root))
+
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    if partition_cols:
+        # repartition by the partition key so each output dir is written
+        # by few tasks (AQE coalesces the tiny ones)
+        writer = (
+            df.repartition(n, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(n).write.mode("overwrite")
+    writer.parquet(str(tmp))
+
+    if old.exists():
+        shutil.rmtree(old)
+    root.rename(old)
+    tmp.rename(root)
+    shutil.rmtree(old)
+    return len([p for p in root.rglob("*.parquet") if not p.name.startswith(("_", "."))])

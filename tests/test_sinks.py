@@ -289,3 +289,44 @@ def test_zorder_value_exact_bit_interleave(spark):
     got = {(r.x, r.y): r.z for r in df.collect()}
     for x, y in cases:
         assert got[(x, y)] == py_morton(x, y), (x, y, got[(x, y)], py_morton(x, y))
+
+
+def test_compact_parquet_dir_preserves_content_and_pruning(spark, sf_dir, tmp_path_factory):
+    """Small-files compaction on a hive-partitioned table: file count
+    must drop to ~1 per partition, content must be identical, and the
+    partition layout must survive (directory-level pruning still
+    applies on the compacted table)."""
+    from bearly_spark.operators.layout import compact_parquet_dir
+    from bearly_spark.sources.tables import load_table
+
+    root = tmp_path_factory.mktemp("compact") / "orders_p"
+    od = load_table(spark, sf_dir, "orders")
+    # simulate micro-batch accretion: many tiny files per partition
+    od.repartition(24).write.partitionBy("o_orderstatus").mode("overwrite").parquet(str(root))
+
+    import pathlib
+
+    def n_files():
+        return len([p for p in pathlib.Path(root).rglob("*.parquet")])
+
+    before_files = n_files()
+    assert before_files > 30  # 24 writers x 3 status dirs, minus empties
+
+    before = sorted(map(tuple, spark.read.parquet(str(root)).collect()))
+    after_count = compact_parquet_dir(
+        spark, str(root), target_file_bytes=1 << 30, partition_cols=["o_orderstatus"]
+    )
+    assert after_count == n_files()
+    assert after_count <= 3  # one file per status partition
+    after = sorted(map(tuple, spark.read.parquet(str(root)).collect()))
+    assert after == before
+
+    # directory-level pruning still works on the compacted layout
+    plan = (
+        spark.read.parquet(str(root))
+        .filter(F.col("o_orderstatus") == "O")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
