@@ -364,6 +364,23 @@ def test_lsh_index_replay_idempotent_and_compaction(spark, sf_dir, tmp_path_fact
     # already compact -> no-op
     assert compact_lsh_index(spark, idx) == 0
 
+    # ingestion continues after compaction: new batches land beside the
+    # base, counts stay exact, and the next compaction folds base + new
+    # batches into a fresh base (generation id counts down)
+    from bearly_spark.operators.similarity import lsh_ann_topk
+
+    extra = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    upsert_index_batch(extra, 2, idx)
+    assert read_index(spark, idx).count() == (n + 10) * 8
+    assert compact_lsh_index(spark, idx) == 2  # base + batch=2
+    assert read_index(spark, idx).count() == (n + 10) * 8
+    aug = emb.unionByName(extra)
+    after2 = ann_query_over_index(spark, idx, aug, queries).collect()
+    expect = lsh_ann_topk(aug, queries, k=10, nbits=56, bands=8, probe=1).collect()
+    assert key(after2) == key(expect)
+
 
 def test_rocksdb_state_store_equals_batch(spark, sf_dir, tmp_path_factory):
     """Stateful streaming on the RocksDB state store provider (ships in
