@@ -23,9 +23,32 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 from bearly_spark.operators.text import word_tokens
+
+
+def _observe_bucket_drops(
+    buckets: DataFrame, size_col: Column, cap: int, observation: Observation | None
+) -> DataFrame:
+    """Attach loud bucket-cap saturation metrics to a banding stage.
+
+    Every banded dedup path here drops buckets larger than its cap
+    (degenerate-content guard). That is the right guard, but at scale a
+    FIXED operating point can saturate it on legitimate content and
+    silently lose true pairs — so callers can pass an ``Observation``
+    and read ``dropped_buckets`` / ``dropped_ids`` / ``max_bucket_size``
+    after the query runs. Zero-cost when unused; the metrics ride the
+    existing aggregate, no extra pass."""
+    if observation is None:
+        return buckets
+    over = size_col > cap
+    return buckets.observe(
+        observation,
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(over, size_col).otherwise(0)).alias("dropped_ids"),
+        F.max(size_col).alias("max_bucket_size"),
+    )
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -215,6 +238,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -302,11 +326,12 @@ def minhash_dedup_pairs(
     # exploded table) with a single groupBy pass; in-bucket pair expansion
     # is bounded by max_bucket², and typical buckets hold 1-4 ids.
     ids_sorted = F.array_sort(F.collect_list(id_col))
-    bucket_ids = (
-        buckets.groupBy("band", "bucket")
-        .agg(ids_sorted.alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
+    bucket_ids = _observe_bucket_drops(
+        buckets.groupBy("band", "bucket").agg(ids_sorted.alias("ids")),
+        F.size("ids"),
+        max_bucket,
+        observation,
+    ).filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -411,12 +436,22 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair within
     Hamming ≤ 3 must agree exactly on ≥1 chunk, so chunk-equality blocking
-    finds all candidates (no O(n²)), then ``bit_count(a^b)`` verifies.
+    finds every candidate **whose shared bucket stays within
+    ``max_bucket`` distinct contents** — buckets past the cap are dropped
+    (degenerate near-identical boilerplate that would expand
+    quadratically), so the pigeonhole completeness guarantee holds only
+    for pairs all of whose agreeing chunks sit in capped-in buckets. With
+    just 4×65536 possible (chunk, key) buckets, a large diverse corpus
+    WILL exceed the cap on common chunk values; size ``max_bucket`` to
+    ~N_distinct/65536 × a safety factor at scale, or pass an
+    ``observation`` to get a loud dropped-bucket count (see below).
+    ``bit_count(a^b)`` verifies surviving candidates exactly.
 
     Same single-shuffle layout as ``minhash_dedup_pairs``: ONE groupBy
     over (chunk, key) gathers each bucket's (id, simhash) members, drops
@@ -481,11 +516,12 @@ def simhash_dedup_pairs(
     gathered = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
     )
-    bucket_members = (
-        exploded.groupBy("chunk", "key")
-        .agg(gathered.alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
-    )
+    bucket_members = _observe_bucket_drops(
+        exploded.groupBy("chunk", "key").agg(gathered.alias("ms")),
+        F.size("ms"),
+        max_bucket,
+        observation,
+    ).filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     pair_structs = F.flatten(
         F.transform(
             F.col("ms"),
@@ -602,6 +638,7 @@ def winnow_overlap_pairs(
     window: int = 8,
     min_shared: int = 8,
     max_posting: int = 1000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Pairs sharing >= min_shared winnowed fingerprints (substring-level
     near-dup/plagiarism detection — catches shared passages that token-set
@@ -653,7 +690,12 @@ def winnow_overlap_pairs(
     )
 
     inv = groups.select("gid", F.explode("fps").alias("print"))
-    postings = inv.groupBy("print").agg(F.array_sort(F.collect_list("gid")).alias("gids"))
+    postings = _observe_bucket_drops(
+        inv.groupBy("print").agg(F.array_sort(F.collect_list("gid")).alias("gids")),
+        F.size("gids"),
+        max_posting,
+        observation,
+    )
     ok = postings.filter((F.size("gids") >= 2) & (F.size("gids") <= max_posting))
     pair_structs = F.flatten(
         F.transform(

@@ -248,20 +248,32 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     shuffle, AQE skew split, and :func:`salted_join` (a key holding >1/
     shuffle-partitions of the rows will bottleneck one task).
 
-    One partial-aggregated count per key + a scalar total + a bounded
-    TakeOrderedAndProject — nothing here materializes the key space on
-    the driver, so it runs at any scale the join itself would.
+    ONE pass over the fact: a single ``rollup(key)`` aggregate yields
+    both the per-key counts and the grand total (grouping_id
+    distinguishes the total row from a genuine NULL key), so there is no
+    separate full-scan ``df.count()``; the two consumers of the rollup
+    are identical subplans, which Spark's ReuseExchange collapses. The
+    top-N is an explicit ``orderBy().limit()`` (TakeOrderedAndProject —
+    per-partition bounded heap + driver merge), not a rank-filter that
+    relies on WindowGroupLimit pushdown; the rank window then runs over
+    at most ``top_n`` rows. Nothing key-space-sized reaches the driver,
+    so it runs at any scale the join itself would.
 
     Output: (key_value, n_rows, share, rank) ordered by rank.
     """
-    counts = df.groupBy(F.col(key).alias("key_value")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    agg = df.rollup(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.grouping_id().alias("_gid")
     )
-    total = df.count()
+    total = agg.filter(F.col("_gid") == 1).select(F.col("n_rows").alias("_total"))
+    top = (
+        agg.filter(F.col("_gid") == 0)
+        .orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top_n)
+    )
     w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
         .select("key_value", "n_rows", "share", "rank")
     )

@@ -21,12 +21,13 @@ Scale path (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -129,6 +130,33 @@ def brute_force_topk(
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(nbits, dim))
+
+
+def auto_banding(n: int, bands: int = 3, target_bucket: int = 64, max_nbits: int = 63) -> int:
+    """Size the hyperplane signature to the corpus: returns ``nbits``
+    (= bands × bits_per_band) such that the EXPECTED per-band bucket
+    holds ≤ ``target_bucket`` vectors under a uniform key spread —
+    bits_per_band ≥ log2(N / target_bucket), the sizing rule a fixed
+    operating point silently violates as the corpus grows (a 12-bit/
+    3-band default saturates its [2, max_bucket] bucket cap at ≥128k
+    vectors and drops candidates; measured in the round-3 256× probe).
+
+    ``max_nbits`` caps the packed signature at 63 bits (int64). ``n``
+    can come from an ``approx_count_distinct`` pre-pass or a known
+    corpus size — callers that pass ``nbits=None`` to the LSH entry
+    points get this rule applied automatically."""
+    bpb = 1
+    if n > target_bucket:
+        bpb = max(1, math.ceil(math.log2(n / target_bucket)))
+    bpb = max(1, min(bpb, max_nbits // bands))
+    return bands * bpb
+
+
+def _corpus_size(df: DataFrame, id_col: str) -> int:
+    """Cheap corpus-size estimate for auto-sizing: approx_count_distinct
+    over the id column only (column-pruned scan, HLL partial-merge —
+    one pass, no exact count shuffle)."""
+    return int(df.agg(F.approx_count_distinct(F.col(id_col)).alias("n")).collect()[0]["n"])
 
 
 def make_lsh_signature_udf(planes: np.ndarray):
@@ -256,10 +284,12 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 10,
     dim: int = 64,
-    nbits: int = 12,
+    nbits: int | None = None,
     bands: int = 3,
     seed: int = 42,
     probe: int = 0,
+    n_vectors: int | None = None,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH blocking, exact rerank.
 
@@ -276,7 +306,18 @@ def lsh_ann_topk(
     the scan-fraction/recall frontier because random collisions fall
     geometrically with band width while a true neighbor is still caught
     when it misses a wide band by a single bit.
+
+    With ``nbits=None`` (the default) the signature width is derived
+    from the corpus size via :func:`auto_banding` (``n_vectors`` if
+    given, else an ``approx_count_distinct`` pre-pass): here saturation
+    is a COST cliff, not a recall cliff — fixed-width bands on a grown
+    corpus collide ~N/2^bits vectors per bucket and the candidate join
+    degrades toward a full scan. Fixed reproducible operating points
+    (oracle twins, the streaming index) pass ``nbits`` explicitly.
     """
+    if nbits is None:
+        n = n_vectors if n_vectors is not None else _corpus_size(corpus, id_col)
+        nbits = auto_banding(n, bands=bands, target_bucket=target_bucket)
     cb = lsh_band_table(corpus, id_col, vec_col, dim, nbits, bands, seed, out_id="c_id")
     qb = lsh_band_table(
         queries, id_col, vec_col, dim, nbits, bands, seed, probe=probe, out_id="q_id"
@@ -295,11 +336,14 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    nbits: int = 12,
+    nbits: int | None = None,
     bands: int = 3,
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 1000,
+    n_vectors: int | None = None,
+    target_bucket: int = 64,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ threshold) via the same
     LSH blocking as :func:`lsh_ann_topk` (corpus self-join on bands).
@@ -310,7 +354,32 @@ def embedding_near_dup_pairs(
     Buckets larger than ``max_bucket`` are dropped (degenerate collapsed
     embeddings — e.g. zero vectors — would otherwise expand
     quadratically), same guard as the MinHash/winnowing paths.
+
+    **The operating point is auto-sized by default** (round 4): with
+    ``nbits=None`` the signature width is derived from the corpus size
+    via :func:`auto_banding` — ``n_vectors`` if given, else one cheap
+    ``approx_count_distinct`` pre-pass — so a growing corpus gets wider
+    bands instead of silently saturating the ``[2, max_bucket]`` bucket
+    cap and dropping candidates (the round-3 256× probe measured exactly
+    that failure for a fixed 12-bit/3-band point at ≥128k vectors).
+    Fixed reproducible points (e.g. oracle twins) pass ``nbits``
+    explicitly.
+
+    **Saturation is observable**: pass an ``Observation`` and the bucket
+    stage reports ``dropped_buckets`` (buckets past the cap),
+    ``dropped_ids`` (their total member mass) and ``max_bucket_size``
+    after the query runs — a non-zero drop count is the loud signal to
+    re-run with more bits (or a higher cap) instead of quietly losing
+    recall. Caveat: if the query's OUTPUT is entirely empty, AQE's
+    empty-relation propagation can eliminate the metrics node before the
+    final stage (the observation then holds an empty row); the
+    authoritative health check for an operating point is
+    :func:`banding_saturation_report`, a standalone one-row diagnostic
+    that cannot be pruned.
     """
+    if nbits is None:
+        n = n_vectors if n_vectors is not None else _corpus_size(df, id_col)
+        nbits = auto_banding(n, bands=bands, target_bucket=target_bucket)
     planes = _hyperplanes(dim, nbits, seed)
     bits_per_band = nbits // bands
     sig_udf = make_lsh_signature_udf(planes)
@@ -319,11 +388,14 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, bits_per_band)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
-    bucket_ids = (
-        ex.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
+    from bearly_spark.operators.dedup import _observe_bucket_drops
+
+    bucket_ids = _observe_bucket_drops(
+        ex.groupBy("band", "bkey").agg(F.array_sort(F.collect_list(id_col)).alias("ids")),
+        F.size("ids"),
+        max_bucket,
+        observation,
+    ).filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -346,6 +418,52 @@ def embedding_near_dup_pairs(
         .withColumn("cosine_sim", F.round(cos_udf(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def banding_saturation_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int | None = None,
+    bands: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    n_vectors: int | None = None,
+    target_bucket: int = 64,
+) -> DataFrame:
+    """One-row health report for an LSH banding operating point — the
+    authoritative "is this corpus saturating the bucket cap?" check.
+
+    Output: (nbits, bands, n_buckets, dropped_buckets, dropped_ids,
+    max_bucket_size). ``dropped_buckets > 0`` means
+    :func:`embedding_near_dup_pairs` at the same point is discarding
+    candidate mass and the signature needs more bits (the
+    :func:`auto_banding` rule) or the cap needs raising. Run it as a
+    pre-flight on a new corpus scale, or on a schedule over a growing
+    one — it is one banding pass + a scalar aggregate, far cheaper than
+    the dedup itself, and unlike the piggybacked ``Observation`` metrics
+    it always produces its row (AQE cannot prune a scalar aggregate).
+    """
+    if nbits is None:
+        n = n_vectors if n_vectors is not None else _corpus_size(df, id_col)
+        nbits = auto_banding(n, bands=bands, target_bucket=target_bucket)
+    planes = _hyperplanes(dim, nbits, seed)
+    sig_udf = make_lsh_signature_udf(planes)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(_band_structs(sig_udf(F.col(vec_col)), bands, nbits // bands)).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+    sizes = ex.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > max_bucket
+    return sizes.agg(
+        F.lit(nbits).alias("nbits"),
+        F.lit(bands).alias("bands"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("dropped_buckets"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("dropped_ids"),
+        F.max("n").alias("max_bucket_size"),
     )
 
 

@@ -1039,9 +1039,51 @@ def q_embedding_near_dup(spark, sf_dir):
     # ~0.5), so the demo threshold is 0.4; production near-dup would use
     # 0.95+. The planted-pair test in tests/ pins the high-threshold path.
     # Oracle: the full banded pipeline re-expressed in DuckDB with the
-    # hyperplanes inlined as literals (see _near_dup_oracle).
+    # hyperplanes inlined as literals (see _near_dup_oracle). nbits/bands
+    # are pinned EXPLICITLY to the oracle's operating point — the
+    # operator default is now corpus-size auto-sizing (round 4), which
+    # would legitimately pick a different width per scale factor.
     return S.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, nbits=12, bands=3
+    )
+
+
+def _lsh_saturation_oracle(nbits: int = 12, bands: int = 3, max_bucket: int = 1000) -> str:
+    """Twin of ``banding_saturation_report`` at the fixed 12/3 point:
+    band keys from the inlined hyperplanes, bucket sizes, one scalar
+    aggregate."""
+    keys = _lsh_band_key_sqls(nbits, bands)
+    key_cols = ", ".join(f"{e} AS b{j}" for j, e in enumerate(keys))
+    ex_union = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band, b{j} AS bkey FROM s" for j in range(bands)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    s AS (SELECT vec_id, {key_cols} FROM v),
+    ex AS ({ex_union}),
+    b AS (SELECT band, bkey, COUNT(*) AS n FROM ex GROUP BY 1, 2)
+    SELECT CAST({nbits} AS INTEGER) AS nbits, CAST({bands} AS INTEGER) AS bands,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN n > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_buckets,
+           CAST(SUM(CASE WHEN n > {max_bucket} THEN n ELSE 0 END) AS BIGINT)
+             AS dropped_ids,
+           MAX(n) AS max_bucket_size
+    FROM b
+    """
+
+
+@register("lsh_saturation_embeddings", oracle=_lsh_saturation_oracle())
+def q_lsh_saturation(spark, sf_dir):
+    """Operating-point health check (``similarity.banding_saturation_
+    report``): is the fixed 12-bit/3-band point saturating its bucket cap
+    on this corpus? The pre-flight that makes LSH recall loss LOUD at
+    scale (round-3 verdict: the fixed point silently drops candidates at
+    ≥128k vectors — this one-row scalar aggregate is the check that
+    cannot be pruned away, unlike piggybacked Observation metrics under
+    AQE empty-relation propagation)."""
+    return S.banding_saturation_report(
+        load_table(spark, sf_dir, "embeddings"), nbits=12, bands=3
     )
 
 

@@ -55,9 +55,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it off the files already present (a batch-scan footer peek, no
     data read), so both fixture generations — ts as TIMESTAMP(NANOS)
     (long via nanosAsLong) and ts as TIMESTAMP(MICROS) — stream
-    correctly, normalized to the int64-nanos contract either way."""
+    correctly, normalized to the int64-nanos contract either way.
+
+    A directory with no files yet (a stream started before its producer)
+    has nothing to infer from — the batch peek throws — so we fall back
+    to :data:`EVENTS_SCHEMA`, the canonical int64-nanos contract, and the
+    stream starts empty and picks up files as they land."""
     apply_runtime_confs(spark)
-    schema = spark.read.parquet(sf_dir).schema
+    try:
+        schema = spark.read.parquet(sf_dir).schema
+    except Exception:  # empty dir / no parquet footers yet (AnalysisException)
+        schema = EVENTS_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -356,3 +356,102 @@ def test_star_contraction_long_chain_few_rounds(spark):
     )
     got = {r.node: r.component for r in connected_components_star(edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_auto_banding_rule():
+    """bits/band = ceil(log2(N / target_bucket)), floored at 1 bit and
+    capped so the packed signature fits an int64."""
+    assert S.auto_banding(10, bands=3, target_bucket=64) == 3  # tiny corpus → 1 bit/band
+    assert S.auto_banding(64 * 1024, bands=3, target_bucket=64) == 30  # log2(1024)=10
+    assert S.auto_banding(256_000, bands=3, target_bucket=64) == 36  # ceil(11.97)=12
+    assert S.auto_banding(2**80, bands=3, target_bucket=64) == 63  # int64 cap
+    assert S.auto_banding(0, bands=8, target_bucket=128) == 8  # degenerate corpus
+
+
+def test_near_dup_saturation_metric_and_autosize(spark):
+    """The round-3 256× probe showed a FIXED LSH operating point silently
+    saturating its bucket cap as the corpus grows. Round-4 contract: a
+    saturated run must be LOUD (Observation reports dropped buckets),
+    and the auto-sized default must find the planted neighbor with zero
+    drops on the same corpus."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    mat = rng.normal(size=(n, 16))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.005, size=16)  # cosine ~0.99999
+    rows.append((n, [float(x) for x in base]))
+    rows.append((n + 1, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+
+    # Deliberately-undersized fixed point: 1-bit bands put ~2000 ids in
+    # every bucket — all past the cap, so every candidate (including the
+    # planted pair) is dropped. The standalone report must say so (the
+    # piggybacked Observation is AQE-prunable exactly when the output is
+    # fully empty — this is why the report exists).
+    report = S.banding_saturation_report(
+        df, nbits=3, bands=3, dim=16, max_bucket=100
+    ).collect()[0]
+    assert report.dropped_buckets > 0  # loud, not silent
+    assert report.max_bucket_size > 100
+    fixed = S.embedding_near_dup_pairs(
+        df, threshold=0.95, nbits=3, bands=3, dim=16, max_bucket=100
+    )
+    fixed_pairs = {(r.id_a, r.id_b) for r in fixed.collect()}
+    assert (n, n + 1) not in fixed_pairs  # recall genuinely lost
+
+    # Auto-sized default: bits/band grows with N → buckets within cap,
+    # planted neighbor found, zero drops.
+    obs_auto = Observation("lsh_sat_auto")
+    auto = S.embedding_near_dup_pairs(
+        df, threshold=0.95, dim=16, observation=obs_auto
+    )
+    auto_pairs = {(r.id_a, r.id_b) for r in auto.collect()}
+    assert (n, n + 1) in auto_pairs
+    assert obs_auto.get["dropped_buckets"] == 0
+
+
+def test_minhash_simhash_saturation_observed(spark):
+    """The banded text-dedup paths expose the same loud saturation metric
+    under partial saturation (the realistic regime: SOME buckets past the
+    cap while others still yield pairs — total pruning is covered by the
+    standalone banding_saturation_report above): a 4-way near-identical
+    cluster overflows a 2-sized cap (its pairs are lost and REPORTED),
+    while an independent near-dup pair in a small bucket still comes out."""
+    from pyspark.sql import Observation
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base.replace(f"tok{10 + i}", f"var{i}")) for i in range(4)]
+    other = " ".join(f"zzz{i}" for i in range(40))
+    rows += [(20, other), (21, other.replace("zzz7", "changed"))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    obs = Observation("minhash_sat")
+    got = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bucket=2, observation=obs
+    ).collect()
+    assert any((r.id_a, r.id_b) == (20, 21) for r in got)  # small bucket survives
+    assert obs.get["dropped_buckets"] > 0  # 4-cluster overflow is loud
+
+    # simhash is order-invariant, so three PERMUTATIONS of one token bag
+    # are distinct contents with identical signatures — every chunk
+    # bucket holds all three, past the 2-cap, and must be reported while
+    # the independent (20, 21) pair still comes out of its 2-bucket.
+    toks = [f"tok{i}" for i in range(40)]
+    perm_rows = [
+        (30, " ".join(toks)),
+        (31, " ".join(reversed(toks))),
+        (32, " ".join(toks[20:] + toks[:20])),
+        (20, other),
+        (21, other.replace("zzz7", "changed")),
+    ]
+    perm_docs = spark.createDataFrame(perm_rows, ["doc_id", "text"])
+    obs2 = Observation("simhash_sat")
+    got2 = D.simhash_dedup_pairs(
+        perm_docs, "doc_id", "text", max_hamming=10, max_bucket=2, observation=obs2
+    ).collect()
+    assert any((r.id_a, r.id_b) == (20, 21) for r in got2)
+    assert obs2.get["dropped_buckets"] > 0
