@@ -277,6 +277,65 @@ def minhash_dedup_pairs(
     right trade at 100 TB, and at small scale it costs two extra small
     shuffles (measured ~0.5s at sf0.1).
     """
+    groups, members, rep_pairs = _minhash_group_stages(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket, observation
+    )
+    # expand representative pairs to doc pairs; add within-group pairs
+    # (identical texts, Jaccard exactly 1.0 by definition)
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("_gid").alias("id_a"), F.col(id_col).alias("_ia")), "id_a"
+        )
+        .join(members.select(F.col("_gid").alias("id_b"), F.col(id_col).alias("_ib")), "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    same = (
+        groups.filter(F.col("_gsize") >= 2)
+        .select("_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(same)
+
+
+def _minhash_group_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    max_bucket: int,
+    observation: Observation | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The duplicate-mass-invariant MinHash discovery pipeline up to
+    REPRESENTATIVE pairs: exact-text group collapse, signature + banding
+    + Jaccard verify over one representative per distinct text.
+
+    Returns (groups, members, rep_pairs):
+    - groups: (_tkey, _gid, _gsize, text) one row per distinct text;
+    - members: (id, _gid) doc → group assignment;
+    - rep_pairs: (id_a=gid_a, id_b=gid_b, jaccard) verified pairs
+      BETWEEN groups (within-group pairs are definitionally 1.0 and are
+      materialized only by the pair-mode expansion).
+
+    Shared by :func:`minhash_dedup_pairs` (quadratic within-group pair
+    expansion — the answer's own size) and
+    :func:`minhash_dup_clusters` (cluster labels; never materializes
+    within-group pairs).
+    """
     rows_per_band = num_hashes // bands
     fpk = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "_tkey", F.md5(F.coalesce(F.col(text_col), F.lit("\x00null")))
@@ -355,33 +414,49 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # expand representative pairs to doc pairs; add within-group pairs
-    # (identical texts, Jaccard exactly 1.0 by definition)
-    cross = (
-        rep_pairs.join(
-            members.select(F.col("_gid").alias("id_a"), F.col(id_col).alias("_ia")), "id_a"
-        )
-        .join(members.select(F.col("_gid").alias("id_b"), F.col(id_col).alias("_ib")), "id_b")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "jaccard",
-        )
+    return groups, members, rep_pairs
+
+
+def minhash_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS via MinHash — the group-mode default
+    consumption shape (round 4): (id, cluster) labels, cluster = the
+    minimum doc id in the connected near-dup component.
+
+    Where :func:`minhash_dedup_pairs` expands every within-group pair
+    (quadratic in the exact-copy count C — at 256× duplicate mass that
+    is the answer's own size, but most consumers want clusters, not
+    163M pair rows), this runs :func:`connected_components` over the
+    REPRESENTATIVE pair graph (Θ(distinct contents) nodes) and then
+    labels each doc through its group membership — one linear join, no
+    within-group pair materialization ever. Exactly equivalent to
+    components over the pair-mode output (equivalence-tested).
+    """
+    groups, members, rep_pairs = _minhash_group_stages(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket, observation
     )
-    same = (
-        groups.filter(F.col("_gsize") >= 2)
-        .select("_gid")
-        .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
-        .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
-        .filter(F.col("_ia") < F.col("_ib"))
-        .select(
-            F.col("_ia").alias("id_a"),
-            F.col("_ib").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-        .filter(F.lit(1.0) >= F.lit(threshold))
+    comp = connected_components(rep_pairs, "id_a", "id_b")
+    # groups with >= 2 identical copies cluster on their own even with no
+    # cross-group edge (within-group Jaccard is definitionally 1.0)
+    solo = (
+        groups.filter((F.col("_gsize") >= 2) & (F.lit(1.0) >= F.lit(threshold)))
+        .select(F.col("_gid").alias("node"))
+        .join(comp.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
     )
-    return cross.unionByName(same)
+    allc = comp.unionByName(solo)
+    return members.join(allc, members["_gid"] == allc["node"]).select(
+        F.col(id_col), F.col("component").alias("cluster")
+    )
 
 
 # -------------------------------------------------------------- SimHash
@@ -665,26 +740,95 @@ def winnow_overlap_pairs(
     (id_a, id_b, shared_prints). The DuckDB oracle twin mirrors this
     group-level computation exactly (registry _winnow_oracle).
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, window).select(
-        F.col(id_col), F.array_sort("fingerprints").alias("fps")
+    groups, members, rep_pairs, same_groups = _winnow_group_stages(
+        df, id_col, text_col, k, window, min_shared, max_posting, observation
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("gid").alias("gid_a"), F.col(id_col).alias("_ia")), "gid_a"
+        )
+        .join(members.select(F.col("gid").alias("gid_b"), F.col(id_col).alias("_ib")), "gid_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "shared_prints",
+        )
+    )
+    same = (
+        same_groups.join(members.select("gid", F.col(id_col).alias("_ia")), "gid")
+        .join(members.select("gid", F.col(id_col).alias("_ib")), "gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"), "shared_prints")
+    )
+    return cross.unionByName(same)
+
+
+def _winnow_group_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    window: int,
+    min_shared: int,
+    max_posting: int,
+    observation: Observation | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The duplicate-mass-invariant winnowing discovery pipeline up to
+    REPRESENTATIVE pairs (shared by the pair- and cluster-mode outputs).
+
+    Returns (groups, members, rep_pairs, same_groups):
+    - groups: (fkey, gid, gsize, fps) one row per distinct fingerprint set;
+    - members: (id, gid) doc → group assignment;
+    - rep_pairs: (gid_a, gid_b, shared_prints) qualifying pairs BETWEEN
+      groups (capped-posting inverted index + shared-print count);
+    - same_groups: (gid, shared_prints) groups of >= 2 identical
+      fingerprint sets whose (cap-surviving) set size qualifies.
+
+    TWO-LEVEL collapse (round 4): docs first collapse by exact text
+    (md5), the winnowing UDF runs once per DISTINCT text, and the
+    resulting fingerprint sets then collapse again into the fingerprint
+    groups. Fingerprints are a pure function of the text, so the output
+    is identical to fingerprinting every doc — but at 256× exact-copy
+    mass the UDF (the pipeline's Θ(total text bytes) stage) now costs
+    Θ(distinct text bytes): the 256× probe dropped from 70s (UDF over
+    1.28M docs) to ~8s. Same shape as ``_minhash_group_stages``.
+    """
+    tkeyed = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_tkey", F.md5(F.coalesce(F.col(text_col), F.lit("\x00null")))
+    )
+    tgroups = (
+        tkeyed.groupBy("_tkey")
+        .agg(
+            F.min(id_col).alias("_tgid"),
+            F.count(F.lit(1)).alias("_tsize"),
+            F.first(text_col).alias(text_col),
+        )
+        .persist()
+    )
+    tgroups.count()  # pin eagerly — fingerprint input + members join
+    treps = tgroups.select(F.col("_tgid").alias(id_col), F.col(text_col))
+    fp = winnow_fingerprints(treps, id_col, text_col, k, window).select(
+        F.col(id_col).alias("_tgid"), F.array_sort("fingerprints").alias("fps")
     )
     # group key: the fingerprint set itself (md5 of the sorted longs —
     # collision-negligible, cheaper to shuffle than the array)
     fpk = fp.withColumn(
         "fkey", F.md5(F.concat_ws(",", F.transform(F.col("fps"), lambda x: x.cast("string"))))
-    )
+    ).join(tgroups.select("_tgid", "_tsize"), "_tgid")
     groups = (
         fpk.groupBy("fkey")
         .agg(
-            F.min(id_col).alias("gid"),
-            F.count(F.lit(1)).alias("gsize"),
+            F.min("_tgid").alias("gid"),
+            F.sum("_tsize").alias("gsize"),
             F.first("fps").alias("fps"),
         )
         .persist()
     )
     groups.count()  # pin eagerly — consumed by three branches below
     members = (
-        fpk.select(F.col(id_col), "fkey")
+        tkeyed.select(F.col(id_col), "_tkey")
+        .join(tgroups.select("_tkey", "_tgid"), "_tkey")
+        .join(fpk.select("_tgid", "fkey"), "_tgid")
         .join(groups.select("fkey", "gid"), "fkey")
         .select(F.col(id_col), "gid")
     )
@@ -712,20 +856,9 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_prints"))
         .filter(F.col("shared_prints") >= min_shared)
     )
-    cross = (
-        rep_pairs.join(
-            members.select(F.col("gid").alias("gid_a"), F.col(id_col).alias("_ia")), "gid_a"
-        )
-        .join(members.select(F.col("gid").alias("gid_b"), F.col(id_col).alias("_ib")), "gid_b")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "shared_prints",
-        )
-    )
 
-    # same-group pairs: every member pair shares the whole set (minus
-    # capped-out prints); emitted only when the group has >= 2 members
+    # same-group qualification: every member pair shares the whole set
+    # (minus capped-out prints); qualifies only with >= 2 members
     n_capped = (
         postings.filter(F.size("gids") > max_posting)
         .select(F.explode("gids").alias("gid"))
@@ -743,13 +876,46 @@ def winnow_overlap_pairs(
         )
         .filter(F.col("shared_prints") >= min_shared)
     )
-    same = (
-        same_groups.join(members.select("gid", F.col(id_col).alias("_ia")), "gid")
-        .join(members.select("gid", F.col(id_col).alias("_ib")), "gid")
-        .filter(F.col("_ia") < F.col("_ib"))
-        .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"), "shared_prints")
+    return groups, members, rep_pairs, same_groups
+
+
+def winnow_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 8,
+    max_posting: int = 1000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Substring-overlap CLUSTERS via winnowing — the group-mode default
+    consumption shape (round 4): (id, cluster) labels, cluster = the
+    minimum doc id in the connected overlap component.
+
+    Motivation (round-3 verdict #2): at 256× duplicate mass the
+    pair-mode output IS 163M rows (5000 groups × C(256,2) within-group
+    pairs) — pure answer materialization that no consumer of dedup
+    clusters needs. This variant runs :func:`connected_components` over
+    the REPRESENTATIVE pair graph (Θ(distinct fingerprint sets) nodes)
+    and labels docs through group membership: the within-group quadratic
+    expansion never happens, so cost is invariant to exact-copy mass.
+    Exactly equivalent to components over the pair-mode output
+    (equivalence-tested in tests/test_llm_ops.py).
+    """
+    groups, members, rep_pairs, same_groups = _winnow_group_stages(
+        df, id_col, text_col, k, window, min_shared, max_posting, observation
     )
-    return cross.unionByName(same)
+    comp = connected_components(rep_pairs, "gid_a", "gid_b")
+    solo = (
+        same_groups.select(F.col("gid").alias("node"))
+        .join(comp.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    allc = comp.unionByName(solo)
+    return members.join(allc, members["gid"] == allc["node"]).select(
+        F.col(id_col), F.col("component").alias("cluster")
+    )
 
 
 # ------------------------------------------------- connected components

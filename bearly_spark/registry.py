@@ -1087,6 +1087,39 @@ def q_lsh_saturation(spark, sf_dir):
     )
 
 
+@register("ann_index_query", oracle=_ann_lsh_oracle())
+def q_ann_index_query(spark, sf_dir):
+    """ANN top-k served from a MATERIALIZED parquet band index
+    (``streaming.ann_index``) rather than an inline corpus signature
+    pass — the batch face of the incrementally-maintained streaming
+    index (each micro-batch upserts its band rows idempotently; a query
+    probes the index as of the last committed batch). Same operating
+    point and semantics as ``embedding_ann_lsh`` (nbits=56, bands=8,
+    radius-1 multi-probe), so it shares that query's exact DuckDB twin:
+    the index is just the persisted form of the same (id, band, bkey)
+    blocking table. The index build here is the module's own
+    ``upsert_index_batch`` (dynamic partition overwrite keyed on batch
+    id) into a scratch dir — i.e. the registry entry exercises the real
+    index write + read + candidate-join + rerank path end-to-end."""
+    import tempfile
+
+    from bearly_spark.streaming.ann_index import ann_query_over_index, upsert_index_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = tempfile.mkdtemp(prefix="bearly-ann-index-")
+    upsert_index_batch(emb, 0, index_dir, nbits=56, bands=8)
+    return ann_query_over_index(
+        spark,
+        index_dir,
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nbits=56,
+        bands=8,
+        probe=1,
+    )
+
+
 # ===================================================================
 # LLM-pipeline: text analysis
 # ===================================================================
@@ -1867,13 +1900,40 @@ def _winnow_oracle(
     fingerprint set (DuckDB groups by the list value directly), the
     posting cap and shared-print counting run over groups, and doc pairs
     are expanded from group pairs + within-group membership."""
+    body = _winnow_graph_ctes(k, window, min_shared, max_posting)
+    return f"""
+    WITH {body},
+    cross_pairs AS (
+        SELECT LEAST(m1.doc_id, m2.doc_id) AS id_a,
+               GREATEST(m1.doc_id, m2.doc_id) AS id_b,
+               r.shared AS shared_prints
+        FROM reppairs r
+        JOIN m m1 ON m1.gid = r.ga
+        JOIN m m2 ON m2.gid = r.gb),
+    same_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, s.shared_prints
+        FROM samegrp s
+        JOIN m a ON a.gid = s.gid
+        JOIN m b ON b.gid = s.gid AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, shared_prints FROM cross_pairs
+    UNION ALL
+    SELECT id_a, id_b, shared_prints FROM same_pairs
+    """
+
+
+def _winnow_graph_ctes(
+    k: int = 16, window: int = 8, min_shared: int = 8, max_posting: int = 1000
+) -> str:
+    """The shared CTE chain of the winnowing twins: fingerprints →
+    fingerprint-set groups → capped inverted index → representative
+    pairs (reppairs: ga, gb, shared) + qualifying same-set groups
+    (samegrp: gid, shared_prints) + membership (m: doc_id, gid)."""
     mod = D._WINNOW_MOD
     powers = [int(p) for p in D._winnow_powers(k)]
     gram_sum = " + ".join(
         f"CAST(unicode(s[i + {j}]) AS HUGEINT) * {powers[j]}::HUGEINT" for j in range(k)
     )
-    return f"""
-    WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+    return f"""d AS (SELECT doc_id, lower(text) AS s FROM documents),
     h AS (SELECT doc_id,
             CASE WHEN length(s) < {k} THEN []::BIGINT[]
                  ELSE [CAST((({gram_sum}) % {mod}::HUGEINT) AS BIGINT)
@@ -1901,13 +1961,6 @@ def _winnow_oracle(
         JOIN post p ON p.print = a.print AND p.c BETWEEN 2 AND {max_posting}
         GROUP BY 1, 2
         HAVING COUNT(*) >= {min_shared}),
-    cross_pairs AS (
-        SELECT LEAST(m1.doc_id, m2.doc_id) AS id_a,
-               GREATEST(m1.doc_id, m2.doc_id) AS id_b,
-               r.shared AS shared_prints
-        FROM reppairs r
-        JOIN m m1 ON m1.gid = r.ga
-        JOIN m m2 ON m2.gid = r.gb),
     capped AS (SELECT ex.gid, COUNT(*) AS n_capped
                FROM ex JOIN post p ON p.print = ex.print AND p.c > {max_posting}
                GROUP BY ex.gid),
@@ -1915,15 +1968,34 @@ def _winnow_oracle(
         SELECT g.gid, CAST(len(g.fps) - COALESCE(c.n_capped, 0) AS BIGINT) AS shared_prints
         FROM g LEFT JOIN capped c ON c.gid = g.gid
         WHERE g.gsize >= 2
-          AND len(g.fps) - COALESCE(c.n_capped, 0) >= {min_shared}),
-    same_pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, s.shared_prints
-        FROM samegrp s
-        JOIN m a ON a.gid = s.gid
-        JOIN m b ON b.gid = s.gid AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b, shared_prints FROM cross_pairs
-    UNION ALL
-    SELECT id_a, id_b, shared_prints FROM same_pairs
+          AND len(g.fps) - COALESCE(c.n_capped, 0) >= {min_shared})"""
+
+
+def _winnow_clusters_oracle(
+    k: int = 16, window: int = 8, min_shared: int = 8, max_posting: int = 1000
+) -> str:
+    """Twin of ``winnow_dup_clusters``: connected components (recursive
+    min-label walk) over the representative-pair graph, qualifying
+    same-set groups as their own components, labels expanded to docs
+    through group membership. cluster = min doc id in the component
+    (component labels are min gid, and every gid is its group's min
+    doc id)."""
+    body = _winnow_graph_ctes(k, window, min_shared, max_posting)
+    return f"""
+    WITH RECURSIVE {body},
+    e AS (SELECT ga AS u, gb AS v FROM reppairs
+          UNION SELECT gb AS u, ga AS v FROM reppairs),
+    walk(u, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, w2.label FROM walk w2 JOIN e ON w2.u = e.u),
+    comp AS (SELECT u AS gid, MIN(label) AS component FROM walk GROUP BY u),
+    solo AS (SELECT s.gid, s.gid AS component FROM samegrp s
+             WHERE s.gid NOT IN (SELECT gid FROM comp)),
+    allc AS (SELECT gid, component FROM comp
+             UNION ALL SELECT gid, component FROM solo)
+    SELECT m.doc_id, a.component AS cluster
+    FROM m JOIN allc a ON a.gid = m.gid
     """
 
 
@@ -1937,6 +2009,30 @@ def q_winnow_pairs(spark, sf_dir):
     shared-vocabulary corpus (8-char grams paired ~everything)."""
     return D.winnow_overlap_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=8
+    )
+
+
+@register("winnow_clusters_documents", oracle=_winnow_clusters_oracle())
+def q_winnow_clusters(spark, sf_dir):
+    """Group-mode winnowing output (``dedup.winnow_dup_clusters``):
+    (doc_id, cluster) labels instead of the quadratic pair expansion —
+    the default consumption shape for dedup (round-3 verdict #2: at 256×
+    duplicate mass pair mode materializes 163M within-group pairs nobody
+    needs; cluster mode's cost is invariant to exact-copy mass). Twin:
+    recursive min-label walk over the same representative-pair graph."""
+    return D.winnow_dup_clusters(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=8
+    )
+
+
+@register("dedup_clusters_minhash")  # rows-only: blake2b signatures, no SQL twin
+def q_minhash_clusters(spark, sf_dir):
+    """Group-mode MinHash output (``dedup.minhash_dup_clusters``):
+    (doc_id, cluster) labels via components over the representative-pair
+    graph — never materializes within-group pairs. Semantics pinned by
+    the pair-vs-cluster equivalence test in tests/test_llm_ops.py."""
+    return D.minhash_dup_clusters(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
     )
 
 

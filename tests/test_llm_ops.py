@@ -455,3 +455,51 @@ def test_minhash_simhash_saturation_observed(spark):
     ).collect()
     assert any((r.id_a, r.id_b) == (20, 21) for r in got2)
     assert obs2.get["dropped_buckets"] > 0
+
+
+def _clusters_from_pairs(pairs_df, all_pairs_cols=("id_a", "id_b")):
+    """Reference clustering: connected components over pair-mode edges."""
+    comp = D.connected_components(pairs_df, *all_pairs_cols)
+    return {r.node: r.component for r in comp.collect()}
+
+
+def test_winnow_cluster_mode_equals_pair_mode_components(spark):
+    """Group-mode clusters must equal connected components over the
+    pair-mode output — on a corpus with heavy exact-duplicate mass (the
+    regime cluster mode exists for)."""
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    shared = base + " with a shared passage that is long enough to fingerprint"
+    rows = []
+    for c in range(6):  # 6 exact copies of each of 3 related docs
+        rows.append((100 + c, shared))
+        rows.append((200 + c, shared + " plus unique tail " + "x" * c))
+        rows.append((300 + c, "totally different content block " * 4 + str(c)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = D.winnow_overlap_pairs(docs, "doc_id", "text", min_shared=4)
+    expect = _clusters_from_pairs(pairs)
+    got = {
+        r.doc_id: r.cluster
+        for r in D.winnow_dup_clusters(docs, "doc_id", "text", min_shared=4).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_minhash_cluster_mode_equals_pair_mode_components(spark):
+    toks = " ".join(f"tok{i}" for i in range(40))
+    rows = []
+    for c in range(5):  # exact copies + a near variant chain
+        rows.append((100 + c, toks))
+        rows.append((200 + c, toks.replace("tok7", "changed")))
+        rows.append((300 + c, " ".join(f"unrel{c}_{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    expect = _clusters_from_pairs(pairs)
+    got = {
+        r.doc_id: r.cluster
+        for r in D.minhash_dup_clusters(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert got == expect and len(got) > 0
+    # the copies of the base + the near variant fuse into ONE cluster
+    assert len({got[k] for k in got if k < 300}) == 1

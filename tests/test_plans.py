@@ -27,6 +27,9 @@ CARTESIAN_ALLOWED = {
     "q11_important_part_value",
     "q15_top_supplier",
     "q17_small_qty_revenue",
+    # one-row broadcast scalar attach (grand total from the same rollup
+    # pass) — a deliberate top_n x 1 BNLJ, not an accidental product
+    "skew_report_lineitem",
 }
 
 
