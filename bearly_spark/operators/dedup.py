@@ -167,20 +167,30 @@ def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _hash64(s: str) -> int:
+    """64-bit string hash: first 8 bytes of md5, big-endian. md5 (not
+    blake2b/xxhash64) because it is the one 128-bit hash BOTH engines
+    compute identically — DuckDB recomputes this exact value as
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``, which is what makes
+    the minhash/simhash DuckDB oracle twins possible (round-4 verdict
+    #4; same trick as ``text.hashed_tf_embedding``). The hash quality
+    difference is irrelevant here: md5 is a stronger mixer than either
+    alternative, just marginally slower per call (both are C hashlib)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def _hashed_shingles(text: str | None, n: int) -> np.ndarray:
-    """Distinct word n-gram shingles of ``text`` as 64-bit blake2b hashes
-    (uint64). Mirrors :func:`word_shingles`: lowercased whitespace tokens,
-    whole-text fallback for docs shorter than n tokens."""
+    """Distinct word n-gram shingles of ``text`` as 64-bit md5-derived
+    hashes (uint64, :func:`_hash64`). Mirrors :func:`word_shingles`:
+    lowercased whitespace tokens, whole-text fallback for docs shorter
+    than n tokens."""
     toks = [t.lower() for t in (text or "").split()]
     if len(toks) >= n:
         grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
     else:
         grams = {" ".join(toks)}
     return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little")
-            for g in grams
-        ),
+        (_hash64(g) for g in grams),
         dtype=np.uint64,
         count=len(grams),
     )
@@ -253,7 +263,14 @@ def minhash_dedup_pairs(
     through the explode + self-join shuffle; the shingle sets are joined
     back for verification of the (small) candidate pair set, as hashed
     longs rather than strings. Jaccard over hashed shingles equals string
-    Jaccard up to xxhash64 collisions (~n²/2⁶⁴, negligible).
+    Jaccard up to md5-derived 64-bit collisions (~n²/2⁶⁴, negligible).
+
+    **Null-text docs never pair** (round-4 ADVICE): there is no content
+    to compare, so null-text groups are excluded from both the signature
+    stage and the within-group expansion — matching the pre-collapse
+    semantics where a null shingle array produced a null Jaccard that
+    the threshold filter dropped. Empty-STRING docs still pair as
+    identical single-shingle content (they always did).
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
 
@@ -294,7 +311,7 @@ def minhash_dedup_pairs(
         )
     )
     same = (
-        groups.filter(F.col("_gsize") >= 2)
+        groups.filter((F.col("_gsize") >= 2) & F.col(text_col).isNotNull())
         .select("_gid")
         .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
         .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
@@ -355,7 +372,13 @@ def _minhash_group_stages(
         .join(groups.select("_tkey", "_gid"), "_tkey")
         .select(F.col(id_col), "_gid")
     )
-    reps = groups.select(F.col("_gid").alias(id_col), F.col(text_col))
+    # null-text groups carry no content to compare — exclude them from
+    # the signature/banding stage entirely (their docs then never appear
+    # in any pair), restoring the pre-collapse null-Jaccard-filtered
+    # semantics (round-4 ADVICE)
+    reps = groups.filter(F.col(text_col).isNotNull()).select(
+        F.col("_gid").alias(id_col), F.col(text_col)
+    )
 
     sig_df = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
     # Pin the cache eagerly: the band explode, the skew guard, and the two
@@ -363,13 +386,25 @@ def _minhash_group_stages(
     # recompute the (expensive) signature stage against a cold cache.
     sig_df.count()
 
+    # bucket key = md5 over the band's signature slice (comma-joined
+    # signed-decimal strings). md5 rather than xxhash64 so DuckDB can
+    # recompute the IDENTICAL bucket assignment for the oracle twin
+    # (round-4 verdict #4); the key is an identity, not a quality-critical
+    # hash, and the md5 cost is per (rep, band) — bands×distinct-contents
+    # calls, negligible next to the signature UDF.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.xxhash64(F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band)).alias(
-                    "bucket"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
             )
             for j in range(bands)
         ]
@@ -446,9 +481,14 @@ def minhash_dup_clusters(
     )
     comp = connected_components(rep_pairs, "id_a", "id_b")
     # groups with >= 2 identical copies cluster on their own even with no
-    # cross-group edge (within-group Jaccard is definitionally 1.0)
+    # cross-group edge (within-group Jaccard is definitionally 1.0);
+    # null-text groups excluded — no content, no pairing (round-4 ADVICE)
     solo = (
-        groups.filter((F.col("_gsize") >= 2) & (F.lit(1.0) >= F.lit(threshold)))
+        groups.filter(
+            (F.col("_gsize") >= 2)
+            & F.col(text_col).isNotNull()
+            & (F.lit(1.0) >= F.lit(threshold))
+        )
         .select(F.col("_gid").alias("node"))
         .join(comp.select("node"), "node", "left_anti")
         .select("node", F.col("node").alias("component"))
@@ -463,9 +503,14 @@ def minhash_dup_clusters(
 
 def _make_simhash_udf():
     """text -> 64-bit SimHash in one Arrow-batched vectorized pass:
-    blake2b-hash each lowercased token (duplicates count), build the
-    tokens×64 bit matrix, column-sum, sign → signature bits. Deterministic
-    across workers/sessions; map-only.
+    md5-derive a 64-bit hash per lowercased token (duplicates count,
+    :func:`_hash64` — DuckDB-recomputable, which is what gives
+    ``dedup_simhash`` its exact oracle twin), build the tokens×64 bit
+    matrix, column-sum, sign → signature bits. Deterministic across
+    workers/sessions; map-only. Null and empty texts both hash to
+    signature 0 — i.e. trivially identical empty content; they pair
+    with each other at Hamming 0 (a deliberate semantic: filter empty
+    docs upstream if that is not wanted).
 
     Built lazily because pandas_udf registration needs an active session.
     """
@@ -481,12 +526,7 @@ def _make_simhash_udf():
                 out[i] = 0
                 continue
             h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-                    )
-                    for t in toks
-                ),
+                (_hash64(t) for t in toks),
                 dtype=np.uint64,
                 count=len(toks),
             )

@@ -179,3 +179,85 @@ def hashed_tf_embedding(
             ).alias("embedding"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-``k`` documents for ``query``
+    (distinct lowercased whitespace terms), scored
+
+        score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                        · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    — the classic probabilistic relevance function, the lexical
+    counterpart to the embedding ANN path (and the standard first-stage
+    retriever for decontamination / eval-overlap checks where exact
+    keyword evidence matters more than semantic closeness).
+
+    Scale shape: everything is JVM built-ins over wordcount-shaped
+    shuffles keyed on doc id or term — tokenize/explode → per-doc length
+    (one id-keyed agg), per-(id, term) tf restricted to the query's
+    terms (the explode filter prunes the stream BEFORE the shuffle, so
+    the tf aggregate is Θ(matching tokens), not Θ(corpus)), per-term df
+    over that (tiny: ≤ |query| rows, broadcast back). The corpus-level
+    scalars (N, avgdl) ride 1-row aggregates cross-joined in — Catalyst
+    broadcasts single-row relations, no driver collect. Top-k is a
+    distributed TakeOrdered (``orderBy().limit(k)``), never a global
+    single-partition window; ranks are numbered on the k survivors.
+
+    Determinism for the DuckDB twin: per-term contributions are rounded
+    to 12dp and summed as DECIMAL(28,12) (order-independent, so Spark's
+    aggregation order can't wiggle the last ulp), final score rounded to
+    4dp; ties rank by doc id. k1+1 and 1-b are folded in Python and
+    inlined as literals in BOTH engines so constant folding cannot
+    differ in the last bit.
+
+    Returns (id, score double, rank int), rank 1..k by (score desc, id).
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query.split()))
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(word_tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    wexpr = (idf * (F.col("tf") * F.lit(k1p1))) / (
+        F.col("tf") + F.lit(k1) * (F.lit(omb) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(F.col(id_col), F.round(wexpr, 12).cast("decimal(28,12)").alias("w"))
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(F.round(F.sum("w").cast("double"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col(id_col))
+    )
+    return scored.select(F.col(id_col), "score", rank.cast("int").alias("rank"))

@@ -503,3 +503,38 @@ def test_minhash_cluster_mode_equals_pair_mode_components(spark):
     assert got == expect and len(got) > 0
     # the copies of the base + the near variant fuse into ONE cluster
     assert len({got[k] for k in got if k < 300}) == 1
+
+
+def test_minhash_null_text_never_pairs_empty_string_still_does(spark):
+    """Round-4 ADVICE (dedup.py within-group branch): null-text docs have
+    no content to compare and must not pair — neither within their group
+    nor across groups — restoring the pre-collapse semantics where a null
+    shingle array produced a filtered null Jaccard. Empty-STRING docs are
+    real (empty) content and pair as identical, as they always did."""
+    rows = [
+        (0, None),
+        (1, None),           # second null: would same-group-pair if not excluded
+        (2, ""),
+        (3, ""),             # empty strings: identical single-shingle content
+        (4, "   "),          # whitespace-only == empty token list, same shingle
+        (5, "alpha beta gamma delta"),
+        (6, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert not any(0 in p or 1 in p for p in pairs), pairs  # nulls never pair
+    assert (2, 3) in pairs and (2, 4) in pairs and (3, 4) in pairs
+    assert (5, 6) in pairs
+
+    clusters = {r.doc_id: r.cluster for r in
+                D.minhash_dup_clusters(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert 0 not in clusters and 1 not in clusters
+    assert clusters[2] == clusters[3] == clusters[4] == 2
+    assert clusters[5] == clusters[6] == 5
+
+    # simhash's documented contract differs: null and empty both hash to
+    # signature 0 — trivially identical empty content, Hamming 0
+    spairs = {(r.id_a, r.id_b) for r in
+              D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert (0, 1) in spairs and (0, 2) in spairs and (2, 3) in spairs

@@ -30,6 +30,9 @@ CARTESIAN_ALLOWED = {
     # one-row broadcast scalar attach (grand total from the same rollup
     # pass) — a deliberate top_n x 1 BNLJ, not an accidental product
     "skew_report_lineitem",
+    # BM25 attaches the two corpus scalars (N, avgdl) as 1-row broadcast
+    # cross joins — deliberate stream x 1 BNLJ, constant cost
+    "bm25_search_documents",
 }
 
 

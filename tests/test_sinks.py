@@ -330,3 +330,107 @@ def test_compact_parquet_dir_preserves_content_and_pruning(spark, sf_dir, tmp_pa
         .toString()
     )
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_compact_parquet_dir_empty_and_missing_dir(spark, tmp_path_factory):
+    """Round-4 ADVICE: a missing or data-free table dir must early-return
+    (spark.read.parquet on an empty dir throws before any guard)."""
+    from bearly_spark.operators.layout import compact_parquet_dir
+
+    root = tmp_path_factory.mktemp("compact_empty") / "t"
+    assert compact_parquet_dir(spark, str(root)) == 0  # missing entirely
+    root.mkdir()
+    assert compact_parquet_dir(spark, str(root)) == 0  # exists but empty
+    (root / "_SUCCESS").write_text("")
+    assert compact_parquet_dir(spark, str(root)) == 0  # marker files only
+
+
+def test_exchange_dirs_swaps_trees(tmp_path_factory):
+    """The renameat2(RENAME_EXCHANGE) primitive behind the atomic
+    compaction swap: both trees fully change places."""
+    import pytest
+
+    from bearly_spark.operators.layout import exchange_dirs
+
+    base = tmp_path_factory.mktemp("xchg")
+    a, b = base / "a", base / "b"
+    a.mkdir(), b.mkdir()
+    (a / "fa.txt").write_text("A")
+    (b / "sub").mkdir()
+    (b / "sub" / "fb.txt").write_text("B")
+    if not exchange_dirs(a, b):
+        pytest.skip("renameat2(RENAME_EXCHANGE) unsupported on this fs/kernel")
+    assert (a / "sub" / "fb.txt").read_text() == "B"
+    assert (b / "fa.txt").read_text() == "A"
+    assert not (a / "fa.txt").exists()
+
+
+def test_compact_concurrent_reader_never_sees_dup_or_loss(spark, sf_dir, tmp_path_factory):
+    """Round-4 verdict #6 fault injection: a reader racing repeated
+    compactions must NEVER observe duplicates or loss. With the atomic
+    RENAME_EXCHANGE swap the table path always resolves to exactly one
+    complete snapshot; the only legal race is a loud FileNotFound when a
+    reader's file listing predates the swap (it retries). Any successful
+    read returning a wrong row count is a hard failure."""
+    import threading
+
+    import pytest
+
+    from bearly_spark.operators.layout import compact_parquet_dir, exchange_dirs
+
+    probe = tmp_path_factory.mktemp("xchg_probe")
+    (probe / "x").mkdir(), (probe / "y").mkdir()
+    if not exchange_dirs(probe / "x", probe / "y"):
+        pytest.skip("atomic swap unavailable; fallback path documents its window")
+
+    root = tmp_path_factory.mktemp("compact_race") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    n = od.count()
+    od.repartition(16).write.mode("overwrite").parquet(str(root))
+
+    rounds, errors = 4, []
+
+    def compact_loop():
+        try:
+            for _ in range(rounds):
+                compact_parquet_dir(spark, str(root), target_file_bytes=1 << 30)
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    t = threading.Thread(target=compact_loop)
+    t.start()
+    successes = retried = 0
+    while t.is_alive() or successes == 0:
+        try:
+            got = spark.read.parquet(str(root)).count()
+        except Exception:
+            retried += 1  # listing race: loud, retryable — never silent
+            continue
+        assert got == n, f"reader saw {got} rows, expected {n} (dup or loss!)"
+        successes += 1
+    t.join()
+    assert not errors, errors
+    assert successes >= 1
+    # final state intact and compacted
+    assert spark.read.parquet(str(root)).count() == n
+
+
+def test_compact_crash_between_fallback_renames_heals(spark, sf_dir, tmp_path_factory):
+    """Fallback-path crash state (root renamed away, new data not yet in
+    place) must self-heal on the next invocation with zero data loss."""
+    from bearly_spark.operators.layout import compact_parquet_dir
+
+    root = tmp_path_factory.mktemp("compact_heal") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    n = od.count()
+    od.repartition(8).write.mode("overwrite").parquet(str(root))
+
+    # simulate the crash window: root moved to .old-<name>, no root
+    old = root.parent / f".old-{root.name}"
+    root.rename(old)
+    assert not root.exists()
+
+    files_after = compact_parquet_dir(spark, str(root), target_file_bytes=1 << 30)
+    assert files_after >= 1
+    assert not old.exists()
+    assert spark.read.parquet(str(root)).count() == n
