@@ -668,3 +668,50 @@ def ivf_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int | None = None,
+    bands: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    n_vectors: int | None = None,
+    target_bucket: int = 64,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components over the
+    :func:`embedding_near_dup_pairs` graph, labeled (id, cluster) with
+    cluster = the minimum member id — the same group-mode consumption
+    shape the minhash/winnowing families gained in round 4 (consumers of
+    semantic dedup want cluster labels to pick representatives from, not
+    a quadratic pair list).
+
+    Vectors with no qualifying near-dup edge are absent (they are their
+    own singleton cluster by definition); components converge in
+    O(component diameter) rounds — near-dup graphs are near-cliques.
+    All parameters pass straight through to the pair stage, including
+    the round-4 corpus-size auto-sizing and saturation observation.
+    """
+    from bearly_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold,
+        nbits,
+        bands,
+        dim,
+        seed,
+        max_bucket,
+        n_vectors,
+        target_bucket,
+        observation,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias(id_col), F.col("component").alias("cluster"))

@@ -1271,6 +1271,35 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _embedding_clusters_oracle() -> str:
+    """Twin of ``embedding_dup_clusters``: connected components
+    (recursive min-label walk) over the DuckDB-recomputed near-dup pair
+    graph (``_near_dup_oracle`` nested as a plain CTE)."""
+    return f"""
+    WITH RECURSIVE p AS ({_near_dup_oracle()}),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b AS u, id_a AS v FROM p),
+    walk(u, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, w2.label FROM walk w2 JOIN e ON w2.u = e.u)
+    SELECT u AS vec_id, MIN(label) AS cluster FROM walk GROUP BY u
+    """
+
+
+@register("embedding_dup_clusters", oracle=_embedding_clusters_oracle())
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Cluster-mode semantic dedup (round 4): components over the
+    embedding near-dup graph — (vec_id, cluster) labels for picking
+    per-cluster representatives, completing the group-mode output
+    family (minhash/winnowing gained it this round too). Same pinned
+    12-bit/3-band operating point as ``embedding_near_dup`` so the twin
+    stays exact."""
+    return S.embedding_dup_clusters(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, nbits=12, bands=3
+    )
+
+
 def _lsh_saturation_oracle(nbits: int = 12, bands: int = 3, max_bucket: int = 1000) -> str:
     """Twin of ``banding_saturation_report`` at the fixed 12/3 point:
     band keys from the inlined hyperplanes, bucket sizes, one scalar

@@ -79,6 +79,10 @@ HEADLINE = [
     # model-free docs->vectors featurizer)
     "bitmap_distinct_orders",
     "hashed_embedding_documents",
+    # round 4: lexical retrieval (BM25) and the cluster-mode dedup output
+    # (components over the representative graph, no within-group pairs)
+    "bm25_search_documents",
+    "dedup_clusters_minhash",
 ]
 
 
@@ -92,19 +96,34 @@ def _materialize(df) -> None:
 _PREP_TABLES = {"lineitem", "orders"}
 
 
-def _prepare_layout(sf_dir: str) -> str:
-    """Fix pathological single-split fact files before timing.
+#: A monolithic split below this is cheaper to scan as-is than to
+#: rewrite: measured at sf0.1 (60 MB lineitem, one row group), the
+#: single-task scan beats the 32-file rewrite on every scan-heavy
+#: headline query (sum_lineitem 0.24s vs 0.33s — task-setup overhead
+#: dominates tiny scans). Above ~256 MB the single split is a genuine
+#: parallelism cliff and the rewrite wins. Measurements in PLANS.md
+#: (round-4 bench-prep section).
+_PREP_MIN_BYTES = 256 * 1024 * 1024
 
-    The regenerated sf0.1 fixture packs each table into ONE parquet file
-    with ONE row group — and a row group is Spark's atomic split, so
-    every lineitem scan starts as a single task on a 32-core session
-    (round-3 bench inflation, PLANS.md). This is a fixture-layout
-    problem, not a query problem, and the production answer is the
-    layout maintenance the repo already ships (compaction / clustering
-    rewrites): here we rewrite the large facts once into a multi-file
-    layout (content-identical, order-preserving pyarrow slice) under
-    .scratch/ and bench against that. Disable with
-    SPARK_GRAFT_BENCH_PREP=0 to time the raw fixture layout.
+
+def _prepare_layout(sf_dir: str) -> str:
+    """Fix pathological single-split LARGE fact files before timing.
+
+    A parquet row group is Spark's atomic split: a fact table packed
+    into one big row group scans as ONE task no matter how many cores
+    the session has (the round-3 bench inflation, PLANS.md). That is a
+    fixture-layout problem, not a query problem, and the production
+    answer is the layout maintenance the repo already ships
+    (compaction / clustering rewrites): here we rewrite such facts once
+    into a multi-file layout (content-identical, order-preserving
+    pyarrow slice) under .scratch/ and bench against that.
+
+    The rewrite only triggers when the monolithic split is actually big
+    enough to be the bottleneck (``_PREP_MIN_BYTES``): at sf0.1 the
+    whole table is ~60 MB and the single-task scan is CHEAPER than 32
+    scheduled tasks (measured both ways, PLANS.md), so the default
+    bench times the raw fixture there. Disable entirely with
+    SPARK_GRAFT_BENCH_PREP=0.
     """
     if os.environ.get("SPARK_GRAFT_BENCH_PREP", "1") != "1":
         return sf_dir
@@ -117,8 +136,9 @@ def _prepare_layout(sf_dir: str) -> str:
         if not t.is_file() or t.stem not in _PREP_TABLES:
             continue
         md = pq.ParquetFile(t).metadata
-        # >=100k rows but fewer than 4 splittable units: single-task scan
-        if md.num_rows >= 100_000 and md.num_row_groups < 4:
+        # fewer than 4 splittable units AND big enough that one task
+        # per unit starves the session: single-task-scan cliff
+        if md.num_row_groups < 4 and t.stat().st_size >= _PREP_MIN_BYTES:
             plan.append(t.name)
     if not plan:
         return sf_dir
