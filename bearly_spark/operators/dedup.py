@@ -222,6 +222,35 @@ def _make_minhash_udf(num_hashes: int, shingle_n: int):
     return _minhash
 
 
+def minhash_band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """``array<struct<band:int, bucket:string>>`` LSH banding of a MinHash
+    signature array: bucket = md5 over the band's signature slice
+    (comma-joined signed-decimal strings). md5 rather than xxhash64 so
+    DuckDB can recompute the IDENTICAL bucket assignment for the oracle
+    twins (round-4); the key is an identity, not a quality-critical hash,
+    and the md5 cost is per (doc, band) — negligible next to the
+    signature UDF. Shared by the batch pair/cluster paths and the
+    streaming dedup-at-ingest index so the band layouts can never
+    diverge."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, j * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -386,29 +415,7 @@ def _minhash_group_stages(
     # recompute the (expensive) signature stage against a cold cache.
     sig_df.count()
 
-    # bucket key = md5 over the band's signature slice (comma-joined
-    # signed-decimal strings). md5 rather than xxhash64 so DuckDB can
-    # recompute the IDENTICAL bucket assignment for the oracle twin
-    # (round-4 verdict #4); the key is an identity, not a quality-critical
-    # hash, and the md5 cost is per (rep, band) — bands×distinct-contents
-    # calls, negligible next to the signature UDF.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
-            )
-            for j in range(bands)
-        ]
-    )
+    band_structs = minhash_band_structs(F.col("sig"), bands, rows_per_band)
     buckets = sig_df.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )

@@ -1372,6 +1372,52 @@ def q_ann_index_query(spark, sf_dir):
     )
 
 
+def _dedup_index_oracle() -> str:
+    """Twin of ``dedup_index_query``: the streaming detect step finds
+    every near-dup pair with at least one side in the probing batch
+    (here: odd doc ids) — exactly the full-corpus minhash pair set
+    restricted to non-(even,even) pairs. Banding, caps and the Jaccard
+    verify are the same md5-derived pipeline as ``_minhash_oracle``."""
+    return f"""
+    WITH {_minhash_doc_pairs_sql()},
+    allp AS (SELECT id_a, id_b, jaccard FROM cross_pairs
+             UNION ALL SELECT id_a, id_b, jaccard FROM same_pairs)
+    SELECT id_a, id_b, jaccard FROM allp
+    WHERE id_a % 2 = 1 OR id_b % 2 = 1
+    """
+
+
+@register("dedup_index_query", oracle=_dedup_index_oracle())
+def q_dedup_index_query(spark, sf_dir):
+    """Dedup AT INGEST (round 4, ``streaming.dedup_index``): near-dup
+    detection of an arriving document batch against a MATERIALIZED
+    MinHash band index — the streaming form of "is this new crawl page
+    a near-duplicate of anything we already hold". The registry entry
+    exercises the real path end-to-end: idempotent index upsert (bands
+    + shingle-set sidecar + bucket-count deltas, dynamic partition
+    overwrite per batch), capped candidate join, exact-Jaccard verify.
+    Per-batch outputs union to the batch-mode answer (equivalence test
+    in tests/test_streaming.py); the DuckDB twin is the batch minhash
+    pair oracle restricted to pairs touching the probing batch."""
+    import tempfile
+
+    from bearly_spark.streaming.dedup_index import (
+        near_dups_against_index,
+        upsert_dedup_index_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="bearly-dedup-index-")
+    upsert_dedup_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, index_dir)
+    return near_dups_against_index(
+        spark,
+        index_dir,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.8,
+        exclude_batch=1,
+    )
+
+
 # ===================================================================
 # LLM-pipeline: text analysis
 # ===================================================================

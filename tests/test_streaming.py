@@ -612,3 +612,84 @@ def test_lsh_index_crash_mid_compaction_reader_no_dup_or_loss(
     assert len(batch_dirs) == 1
     assert AI.read_index(spark, idx).count() == n * 8  # no dedup needed
     assert key(AI.read_index(spark, idx, dedup=True)) == before
+
+
+def test_streaming_dedup_index_equals_batch_pairs(spark, sf_dir, tmp_path_factory):
+    """Dedup-at-ingest: documents arriving as a stream (one micro-batch
+    per file) must, across all per-batch dup outputs, find EXACTLY the
+    near-dup pairs the one-shot batch path finds on the full corpus —
+    including pairs that straddle a batch boundary."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.dedup import minhash_dedup_pairs
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.dedup_index import streaming_dedup_index
+
+    root = tmp_path_factory.mktemp("dedupidx")
+    src, idx, ckpt, dups = f"{root}/src", f"{root}/index", f"{root}/ckpt", f"{root}/dups"
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two arrival waves; near-dup pairs exist across the even/odd split
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src, mode="append")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_dedup_index(stream, idx, ckpt, dups, threshold=0.8)
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(dups).select("id_a", "id_b", "jaccard").collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_dedup_index_replay_idempotent_and_cap(spark, sf_dir, tmp_path_factory):
+    """At-least-once replay of a batch (crash after upsert) must
+    reproduce the identical dup set and index slice — the detect step
+    excludes the in-flight batch id from its index read, and every write
+    is dynamic-partition overwrite. The counts/ rollup must also apply
+    the bucket cap across batches (a bucket filled by MANY batches is
+    still dropped)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.dedup_index import (
+        near_dups_against_index,
+        upsert_dedup_index_batch,
+    )
+
+    idx = str(tmp_path_factory.mktemp("dedupidx_replay") / "index")
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    upsert_dedup_index_batch(b0, 0, idx)
+    first = {
+        (r.id_a, r.id_b)
+        for r in near_dups_against_index(spark, idx, b1, exclude_batch=1).collect()
+    }
+    upsert_dedup_index_batch(b1, 1, idx)
+    n_rows = spark.read.parquet(f"{idx}/bands").count()
+
+    # replay batch 1: crash-after-upsert means the index already holds
+    # batch=1 when detect re-runs — identical output, identical index
+    replay = {
+        (r.id_a, r.id_b)
+        for r in near_dups_against_index(spark, idx, b1, exclude_batch=1).collect()
+    }
+    upsert_dedup_index_batch(b1, 1, idx)
+    assert replay == first
+    assert spark.read.parquet(f"{idx}/bands").count() == n_rows
+
+    # cross-batch cap: documents indexed over many batches still share
+    # one (band, bucket); with max_bucket=1 every bucket is over cap, so
+    # the candidate join is empty even though true near-dups exist
+    capped = near_dups_against_index(spark, idx, b1, exclude_batch=1, max_bucket=1)
+    assert capped.count() == 0
