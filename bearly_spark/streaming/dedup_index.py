@@ -45,6 +45,9 @@ ingest (the batch path's null-never-pairs rule, enforced by filtering).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -223,6 +226,12 @@ def near_dups_against_index(
                 F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
+            # a doc's hs can legitimately appear twice in the sets union
+            # (e.g. the post-compaction-crash duplicate window, where the
+            # new base AND the stale batch dirs both hold it); the verify
+            # join then emits the same pair once per copy. Dedup at the
+            # PAIR level — Θ(answer), never a Θ(corpus) sets shuffle.
+            .dropDuplicates(["id_a", "id_b"])
         )
     finally:
         nb.unpersist()
@@ -279,3 +288,89 @@ def streaming_dedup_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: First (largest) base-partition id for compacted rows; successive
+#: compactions count DOWN (-1, -2, ...). Micro-batch ids are >= 0, so a
+#: base id never collides with a replayed batch (same scheme as
+#: ``ann_index.BASE_BATCH_ID``).
+BASE_BATCH_ID = -1
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every batch partition of all three index datasets into one
+    new base partition each, then drop the folded directories. Returns
+    the number of batch partitions folded (counted on ``bands/``).
+
+    Same crash-safety sequencing as ``ann_index.compact_lsh_index``:
+    each dataset's snapshot is written to a hidden ``.compacting`` dir
+    (invisible to Spark's file listing), atomically renamed to
+    ``batch=<next base id>``, and only then are the folded dirs removed.
+    A crash mid-sequence leaves duplicates on disk, never loss — and
+    every reader of this index is duplicate-tolerant: the candidate
+    join dedups (id_a, id_b) pairs, the sets read dedups on doc id, and
+    ``counts/`` is re-derived from the deduped bands during compaction
+    itself (duplicate count rows would OVER-count bucket sizes, which
+    only over-triggers the cap — conservative, never wrong — and the
+    next compaction heals it). The counts base is written from the
+    folded bands snapshot, so cap totals stay exact after compaction.
+    """
+    root = Path(index_dir)
+    bands_root = root / "bands"
+    if not bands_root.is_dir():
+        return 0
+    batch_dirs = [
+        d for d in bands_root.iterdir() if d.is_dir() and d.name.startswith("batch=")
+    ]
+    if len(batch_dirs) <= 1:
+        return 0
+    batch_ids = [int(d.name.split("=", 1)[1]) for d in batch_dirs]
+    new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
+
+    id_col = [
+        c for c in spark.read.parquet(str(bands_root)).columns if c not in ("band", "bucket", "batch")
+    ][0]
+    bands_df = (
+        spark.read.parquet(str(bands_root))
+        .select(id_col, "band", "bucket")
+        .dropDuplicates([id_col, "band", "bucket"])
+        .persist()
+    )
+    try:
+        n_bands = max(bands_df.select("band").distinct().count(), 1)
+
+        for name, df, part_cols, parts in (
+            ("bands", bands_df, ["band"], n_bands),
+            (
+                "sets",
+                spark.read.parquet(str(root / "sets"))
+                .select(id_col, "hs")
+                .dropDuplicates([id_col]),
+                [],
+                1,
+            ),
+            (
+                "counts",
+                bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")),
+                [],
+                1,
+            ),
+        ):
+            ds_root = root / name
+            tmp = ds_root / ".compacting"
+            if tmp.exists():
+                shutil.rmtree(tmp)  # stale from a crash; re-derivable
+            old = [
+                d for d in ds_root.iterdir() if d.is_dir() and d.name.startswith("batch=")
+            ]
+            w = df.repartition(parts, *part_cols) if part_cols else df.coalesce(parts)
+            writer = w.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(str(tmp))
+            tmp.rename(ds_root / f"batch={new_base}")
+            for d in old:
+                shutil.rmtree(d)
+    finally:
+        bands_df.unpersist()
+    return len(batch_dirs)

@@ -693,3 +693,56 @@ def test_dedup_index_replay_idempotent_and_cap(spark, sf_dir, tmp_path_factory):
     # the candidate join is empty even though true near-dups exist
     capped = near_dups_against_index(spark, idx, b1, exclude_batch=1, max_bucket=1)
     assert capped.count() == 0
+
+
+def test_dedup_index_compaction_equivalence_and_crash_window(
+    spark, sf_dir, tmp_path_factory, monkeypatch
+):
+    """Compacting the dedup index must not change detect answers, must
+    fold to one base partition per dataset, and a crash that skips the
+    folded-dir deletion must degrade to duplicates-on-disk that every
+    reader tolerates (candidate pairs dedup'd; cap only over-triggers)."""
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    import bearly_spark.streaming.dedup_index as DI
+    from bearly_spark.sources.tables import load_table
+
+    idx = str(tmp_path_factory.mktemp("dedupidx_compact") / "index")
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+
+    DI.upsert_dedup_index_batch(b0, 0, idx)
+    DI.upsert_dedup_index_batch(b1, 1, idx)
+    key = lambda df: sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+    before = key(DI.near_dups_against_index(spark, idx, probe, exclude_batch=2))
+
+    assert DI.compact_dedup_index(spark, idx) == 2
+    for name in ("bands", "sets", "counts"):
+        dirs = [
+            d
+            for d in pathlib.Path(idx, name).iterdir()
+            if d.is_dir() and d.name.startswith("batch=")
+        ]
+        assert len(dirs) == 1, (name, dirs)
+    assert key(DI.near_dups_against_index(spark, idx, probe, exclude_batch=2)) == before
+    assert DI.compact_dedup_index(spark, idx) == 0  # already compact
+
+    # ingestion continues after compaction; next compaction folds base+new
+    DI.upsert_dedup_index_batch(probe, 2, idx)
+    after_ingest = key(
+        DI.near_dups_against_index(spark, idx, probe, exclude_batch=2)
+    )
+    assert after_ingest == before  # probing its own indexed copy is excluded
+
+    # crash injection: suppress folded-dir deletion -> duplicates on disk
+    monkeypatch.setattr(DI.shutil, "rmtree", lambda *a, **k: None)
+    assert DI.compact_dedup_index(spark, idx) == 2
+    monkeypatch.undo()
+    mid = key(DI.near_dups_against_index(spark, idx, probe, exclude_batch=2))
+    assert mid == before  # readers unharmed by the duplicate window
+    assert DI.compact_dedup_index(spark, idx) == 3  # heals: base + 2 stale
+    assert key(DI.near_dups_against_index(spark, idx, probe, exclude_batch=2)) == before
