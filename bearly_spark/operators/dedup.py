@@ -1006,11 +1006,19 @@ def connected_components(
             propagated = sym.join(
                 labels.withColumnRenamed("u", "v"), "v"
             ).select("u", "label")
+            # localCheckpoint, not persist: each round's plan references
+            # the previous round's TWICE (propagate + union), so cached-
+            # but-uncheckpointed lineage doubles per round — execution
+            # reuses the cache, but Catalyst replans the exponentially
+            # growing logical tree (observed: ~5.6k join nodes in the
+            # printed plan after 4 rounds). Checkpointing truncates the
+            # plan to the materialized blocks each round — the same
+            # pattern as connected_components_star below.
             new_labels = (
                 propagated.union(labels.select("u", "label"))
                 .groupBy("u")
                 .agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()

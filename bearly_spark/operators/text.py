@@ -261,3 +261,71 @@ def bm25_topk(
         Window.orderBy(F.col("score").desc(), F.col(id_col))
     )
     return scored.select(F.col(id_col), "score", rank.cast("int").alias("rank"))
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document:
+    the mean add-k-smoothed log-probability of each document's token
+    bigrams under counts aggregated from the WHOLE input corpus,
+
+        score(d) = mean over bigrams (w1,w2) of
+                   ln( (c(w1,w2) + k) / (c(w1,·) + k·V) )
+
+    with V = vocabulary size. This is the perplexity-shaped quality
+    signal (fluent text scores high; token soup, boilerplate and
+    gibberish score low) that ratio heuristics (punct/stopword shares)
+    can't express — the standard next tier of corpus quality filtering,
+    with the corpus itself as the model (no external LM).
+
+    Scale shape: one posexplode to bigram occurrences, then three
+    wordcount-shaped aggregations (bigram counts, context counts, a
+    1-row distinct-vocab scalar) joined back onto the occurrence stream
+    — every shuffle keyed on token values with mergeable partial
+    aggregates; the vocab scalar rides a 1-row broadcast. The per-doc
+    mean sums per-bigram contributions as DECIMAL(28,12) (rounded to
+    12dp first) so aggregation order can't wiggle the result — the same
+    determinism contract as :func:`bm25_topk`, making the DuckDB twin
+    exact.
+
+    Returns (id, n_bigrams, avg_logprob) for documents with ≥ 1 bigram
+    (≥ 2 tokens); avg_logprob rounded to 4dp.
+    """
+    t = F.transform(word_tokens(F.col(text_col)), F.lower)
+    # bigram structs built array-side (one explode; no positional
+    # self-join shuffle — token counts per doc are bounded, so the
+    # interpreted HOF is Θ(tokens) per row, off the shuffle path)
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.slice(t, 1, F.size(t) - 1),
+            lambda w, i: F.struct(w.alias("w1"), F.get(t, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.col(id_col), F.explode(pair_arr).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(F.explode(t).alias("w")).agg(F.countDistinct("w").alias("v"))
+    contrib = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )

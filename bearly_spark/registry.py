@@ -1590,6 +1590,46 @@ def _bm25_oracle(query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> s
     """
 
 
+def _bigram_lm_oracle(k: float = 0.5) -> str:
+    """Exact DuckDB twin of ``text.bigram_logprob_scores``: bigram /
+    context / vocab counts over the same tokenization, identical
+    arithmetic shape, contributions rounded to 12dp and summed as
+    DECIMAL(28,12) (order-independent), mean rounded to 4dp."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      [lower(x) for x in string_split_regex(text, '\\s+') if x <> ''] AS toks
+               FROM documents),
+    big AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+              SELECT doc_id,
+                     unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                             for i in range(1, len(toks))]) AS p
+              FROM t)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM t)),
+    contrib AS (SELECT big.doc_id,
+                       CAST(ROUND(ln((c2.c2 + {k!r}) / (c1.c1 + {k!r} * vocab.v)), 12)
+                            AS DECIMAL(28,12)) AS lp
+                FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@register("bigram_quality_documents", oracle=_bigram_lm_oracle())
+def q_bigram_quality(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (round 4) — the
+    perplexity-shaped signal ratio heuristics can't express, with the
+    corpus itself as the model. Three wordcount-shaped aggregations +
+    a 1-row broadcast vocab scalar; DECIMAL-summed contributions keep
+    the mean order-independent for the exact twin."""
+    return T.bigram_logprob_scores(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @register("bm25_search_documents", oracle=_bm25_oracle(_BM25_QUERY))
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 keyword retrieval (round 4) — the lexical first-stage

@@ -538,3 +538,32 @@ def test_minhash_null_text_never_pairs_empty_string_still_does(spark):
     spairs = {(r.id_a, r.id_b) for r in
               D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
     assert (0, 1) in spairs and (0, 2) in spairs and (2, 3) in spairs
+
+
+def test_bm25_planted_relevance_ordering(spark):
+    """BM25 semantics on a planted corpus: a doc saturated with the query
+    terms outranks a doc with one mention, which outranks docs with none
+    (absent from results entirely); rarer terms weigh more than common
+    ones at equal tf."""
+    from bearly_spark.operators.text import bm25_topk
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (0, "spark hash " * 5 + filler),   # both terms, high tf
+        (1, "spark " + filler),            # one mention of the common term
+        (2, filler),                       # no query terms
+        (3, "hash " + filler),             # one mention of the rarer term
+    ] + [(i, "spark " + filler) for i in range(4, 10)]  # make 'spark' common
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, "doc_id", "text", "spark hash", k=10).collect()
+    ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked[0] == 0                      # saturated doc first
+    assert 2 not in ranked                     # no-term doc never scored
+    # 'hash' appears in 2/10 docs, 'spark' in 8/10 -> idf(hash) > idf(spark)
+    assert ranked.index(3) < ranked.index(1)
+    # ranks are 1..n dense and scores non-increasing
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(
+        range(1, len(got) + 1)
+    )
+    scores = [r.score for r in sorted(got, key=lambda r: r.rank)]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))

@@ -33,6 +33,8 @@ CARTESIAN_ALLOWED = {
     # BM25 attaches the two corpus scalars (N, avgdl) as 1-row broadcast
     # cross joins — deliberate stream x 1 BNLJ, constant cost
     "bm25_search_documents",
+    # bigram LM attaches the 1-row vocab-size scalar the same way
+    "bigram_quality_documents",
 }
 
 
