@@ -601,8 +601,8 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     sample_size: int = 100_000,
     seed: int = 42,
 ) -> DataFrame:
@@ -615,6 +615,16 @@ def ivf_ann_topk(
     corpus). Candidates get an exact cosine + rank-window top-k, so
     returned similarities are exact; only recall is approximate.
 
+    **Operating point auto-sizes with the corpus** (round 4 — the same
+    rule-executed-not-just-documented fix the LSH banding got): when
+    ``n_cells`` is None it defaults to the IVF-Flat rule of thumb
+    ``clamp(round(sqrt(N)), 4, 4096)`` from a cheap
+    ``approx_count_distinct`` pre-pass, and ``n_probe`` defaults to
+    ``max(4, n_cells // 16)`` — so a corpus that grows 100× no longer
+    probes the same 16 cells and silently scans 100× more vectors per
+    cell. Pass explicit values to pin a measured operating point (the
+    registry/recall tests do).
+
     The centroid sample is hash-ORDERED, not ``limit()``: taking the
     first N rows in file order fits centroids to one slice of a time- or
     source-ordered corpus and silently degrades recall elsewhere. Sorting
@@ -623,6 +633,11 @@ def ivf_ann_topk(
     TakeOrderedAndProject (per-partition bounded heap + driver merge —
     one pass, no full sort/shuffle).
     """
+    if n_cells is None:
+        n = corpus.agg(F.approx_count_distinct(id_col)).collect()[0][0]
+        n_cells = int(min(4096, max(4, round(math.sqrt(max(n, 1))))))
+    if n_probe is None:
+        n_probe = max(4, n_cells // 16)
     sample = (
         corpus.select(
             F.col(vec_col).alias("_v"),
