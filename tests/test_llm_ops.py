@@ -1,6 +1,11 @@
-"""Planted-fixture tests for the non-SQL-expressible LLM-pipeline
-operators (minhash/simhash/ANN have no DuckDB oracle — these tests are
-their correctness contract instead).
+"""Planted-fixture tests for the LLM-pipeline operators.
+
+Since round 4 the minhash/simhash family (and hyperplane LSH since
+round 3) also has exact DuckDB oracle twins — these planted tests
+remain their SEMANTIC contract (capture guarantees, cluster
+equivalences, degenerate inputs, operating-point auto-sizing), probing
+behaviors a value-identical twin can't distinguish; only IVF's seeded
+k-means and the sketch-byte aggregates are still pinned by tests alone.
 """
 
 import pyspark.sql.functions as F
