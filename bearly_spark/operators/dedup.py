@@ -257,14 +257,23 @@ def minhash_signature(
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    extra_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """(id, hs, sig[num_hashes]) — ``hs`` is the distinct 64-bit hashed
-    shingle set; sig[i] = min over hs of permutation_i(h). Map-only."""
+    """(id, [extras...], hs, sig[num_hashes]) — ``hs`` is the distinct
+    64-bit hashed shingle set; sig[i] = min over hs of permutation_i(h).
+    Map-only. ``extra_cols`` lets a caller ride additional derived
+    columns (e.g. a content hash) through the signature stage without a
+    join-back shuffle — the streaming dedup index uses it to carry
+    ``md5(text)`` alongside the signature."""
+    extra_cols = extra_cols or {}
     udf = _make_minhash_udf(num_hashes, shingle_n)
-    return (
-        _ensure_parallelism(df)
-        .select(F.col(id_col), udf(F.col(text_col)).alias("ms"))
-        .select(id_col, "ms.hs", "ms.sig")
+    sel = (
+        [F.col(id_col)]
+        + [c.alias(n) for n, c in extra_cols.items()]
+        + [udf(F.col(text_col)).alias("ms")]
+    )
+    return _ensure_parallelism(df).select(*sel).select(
+        id_col, *extra_cols.keys(), "ms.hs", "ms.sig"
     )
 
 

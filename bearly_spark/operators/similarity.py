@@ -556,7 +556,25 @@ def _kmeans_fit(mat: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) 
     All distances go through the ||x-c||² = x² - 2x·C + c² identity (one
     BLAS matmul) and the k-means++ scan keeps a running min-distance
     vector updated only against the newest centroid — the naive
-    broadcast-subtract forms were ~50x slower on a 2000x64 sample."""
+    broadcast-subtract forms were ~50x slower on a 2000x64 sample.
+
+    Round-5 Lloyd loop (round-4 verdict #3 — the masked update was
+    minutes of driver time at the auto-sized n_cells≈√N → 4096 point):
+
+    - the centroid UPDATE is a per-dimension ``np.bincount`` scatter —
+      O(sample × dim) per iteration instead of the per-cell
+      boolean-mask loop's O(n_cells × sample); the per-cell mean is the
+      exact float64 sum/count over the same member rows;
+    - the ASSIGNMENT distance matmul runs in float32 with in-place
+      post-ops: this container's sgemm is 6.5x the dgemm throughput
+      (52 vs 8 GFLOP/s, measured), the (sample × n_cells) distance
+      matrix halves to manageable size, and argmin needs no x²_row term
+      at all (constant per row). float32 can flip near-tied cell
+      assignments vs float64 — irrelevant to an approximate index
+      (recall tests are threshold-based) and still fully deterministic
+      given (seed, sample), which is what the oracle-twin contract
+      needs. Both changes measured in ``tools/kmeans_fit_bench.py``;
+      empty cells keep their previous centroid, as before."""
     rng = np.random.RandomState(seed)
     x2 = (mat**2).sum(axis=1)
     # k-means++ seeding with incremental nearest-centroid distances
@@ -570,13 +588,19 @@ def _kmeans_fit(mat: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) 
         centroids.append(nxt)
         d2 = np.minimum(d2, x2 - 2.0 * (mat @ nxt) + (nxt**2).sum())
     C = np.asarray(centroids)
+    mat32 = mat.astype(np.float32)
     for _ in range(iters):
-        d = x2[:, None] - 2.0 * (mat @ C.T) + (C**2).sum(axis=1)[None, :]
-        assign = d.argmin(axis=1)
-        for j in range(n_cells):
-            members = mat[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+        C32 = C.astype(np.float32)
+        s = mat32 @ C32.T
+        s *= -2.0
+        s += (C32**2).sum(axis=1)[None, :]
+        assign = s.argmin(axis=1)
+        cnt = np.bincount(assign, minlength=n_cells)
+        sums = np.empty_like(C)
+        for dim in range(mat.shape[1]):
+            sums[:, dim] = np.bincount(assign, weights=mat[:, dim], minlength=n_cells)
+        nz = cnt > 0
+        C[nz] = sums[nz] / cnt[nz, None]
     return C
 
 

@@ -1339,6 +1339,30 @@ def q_lsh_saturation(spark, sf_dir):
     )
 
 
+def _scratch_index(sf_dir: str, name: str, source_table: str, build) -> str:
+    """Deterministic on-disk index location for index-backed registry
+    entries (round-4 verdict #4 / ADVICE: the old per-invocation
+    ``tempfile.mkdtemp`` leaked a full index into /tmp on every
+    correctness/bench run). Same reuse pattern as bench-prep: the index
+    lives under the repo's gitignored ``.scratch/`` keyed on (entry
+    name, sf dir name); a ``_BUILT`` marker newer than the source
+    parquet skips the rebuild, so repeated gate runs reuse one index
+    and a refreshed fixture invalidates it."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{source_table}.parquet"
+    d = Path(__file__).resolve().parent.parent / ".scratch" / f"{name}-{Path(sf_dir).name}"
+    marker = d / "_BUILT"
+    if marker.exists() and src.exists() and marker.stat().st_mtime > src.stat().st_mtime:
+        return str(d / "index")
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True)
+    build(str(d / "index"))
+    marker.touch()
+    return str(d / "index")
+
+
 @register("ann_index_query", oracle=_ann_lsh_oracle())
 def q_ann_index_query(spark, sf_dir):
     """ANN top-k served from a MATERIALIZED parquet band index
@@ -1351,15 +1375,19 @@ def q_ann_index_query(spark, sf_dir):
     the index is just the persisted form of the same (id, band, bkey)
     blocking table. The index build here is the module's own
     ``upsert_index_batch`` (dynamic partition overwrite keyed on batch
-    id) into a scratch dir — i.e. the registry entry exercises the real
-    index write + read + candidate-join + rerank path end-to-end."""
-    import tempfile
-
+    id) into a deterministic ``.scratch/`` dir reused across runs — i.e.
+    the registry entry exercises the real index write + read +
+    candidate-join + rerank path end-to-end without leaking an index
+    per invocation."""
     from bearly_spark.streaming.ann_index import ann_query_over_index, upsert_index_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
-    index_dir = tempfile.mkdtemp(prefix="bearly-ann-index-")
-    upsert_index_batch(emb, 0, index_dir, nbits=56, bands=8)
+    index_dir = _scratch_index(
+        sf_dir,
+        "ann-index",
+        "embeddings",
+        lambda d: upsert_index_batch(emb, 0, d, nbits=56, bands=8),
+    )
     return ann_query_over_index(
         spark,
         index_dir,
@@ -1398,17 +1426,24 @@ def q_dedup_index_query(spark, sf_dir):
     overwrite per batch), capped candidate join, exact-Jaccard verify.
     Per-batch outputs union to the batch-mode answer (equivalence test
     in tests/test_streaming.py); the DuckDB twin is the batch minhash
-    pair oracle restricted to pairs touching the probing batch."""
-    import tempfile
-
+    pair oracle restricted to pairs touching the probing batch — and
+    since round 5 the streaming cap semantics MATCH the batch path
+    (distinct-content HLL cap + exact-copy channel), so the twin's
+    equality holds even on fixtures with > max_bucket exact copies of
+    one text (round-4 ADVICE). The index builds once into a
+    deterministic ``.scratch/`` dir reused across runs."""
     from bearly_spark.streaming.dedup_index import (
         near_dups_against_index,
         upsert_dedup_index_batch,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    index_dir = tempfile.mkdtemp(prefix="bearly-dedup-index-")
-    upsert_dedup_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, index_dir)
+    index_dir = _scratch_index(
+        sf_dir,
+        "dedup-index",
+        "documents",
+        lambda d: upsert_dedup_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, d),
+    )
     return near_dups_against_index(
         spark,
         index_dir,

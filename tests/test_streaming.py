@@ -688,11 +688,35 @@ def test_dedup_index_replay_idempotent_and_cap(spark, sf_dir, tmp_path_factory):
     assert replay == first
     assert spark.read.parquet(f"{idx}/bands").count() == n_rows
 
-    # cross-batch cap: documents indexed over many batches still share
-    # one (band, bucket); with max_bucket=1 every bucket is over cap, so
-    # the candidate join is empty even though true near-dups exist
-    capped = near_dups_against_index(spark, idx, b1, exclude_batch=1, max_bucket=1)
-    assert capped.count() == 0
+    # cross-batch CONTENT-BASED cap (round 5): with max_bucket=1 every
+    # bucket shared by two DISTINCT contents is over cap, so all
+    # cross-content pairs drop — but exact-copy pairs survive via the
+    # content-hash channel (batch-path semantics: duplicate mass can
+    # never cost the index its own target pairs). The surviving set is
+    # exactly the content-hash-equal pairs touching the probing batch.
+    capped = {
+        (r.id_a, r.id_b)
+        for r in near_dups_against_index(
+            spark, idx, b1, exclude_batch=1, max_bucket=1
+        ).collect()
+    }
+    ch = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("ch")
+    )
+    want_exact = {
+        (r.ia, r.ib)
+        for r in ch.selectExpr("doc_id AS ia", "ch")
+        .join(ch.selectExpr("doc_id AS ib", "ch"), "ch")
+        .filter("ia < ib AND (ia % 2 = 1 OR ib % 2 = 1)")
+        .collect()
+    }
+    assert capped == want_exact
+    # and the cap is LOUD: the saturation report shows every multi-
+    # content bucket over the cap
+    from bearly_spark.streaming.dedup_index import dedup_index_saturation_report
+
+    rep = dedup_index_saturation_report(spark, idx, max_bucket=1).collect()[0]
+    assert rep.n_buckets > 0 and rep.max_distinct_contents >= 1
 
 
 def test_dedup_index_compaction_equivalence_and_crash_window(
