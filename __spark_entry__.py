@@ -41,12 +41,13 @@ def oracle_sql() -> dict[str, str]:
     hyperplane-LSH family (embedding_ann_lsh, embedding_near_dup) twins
     inline the deterministic plane matrix as SQL literals, and the
     winnowing fingerprint twin re-computes the rolling hash in HUGEINT
-    arithmetic. Keys still absent are non-SQL-expressible by design —
-    engine-specific hashes (xxhash64 minhash/simhash), engine-specific
-    sketch bytes (HLL, approx-percentile), and IVF's seeded k-means fit —
-    and take the driver's rows-only check; their semantics are pinned by
-    planted-fixture tests in tests/ instead.
+    arithmetic. Round 5 added the IVF twin (the seeded k-means fit runs
+    HERE, lazily, and its centroids are inlined as SQL literals — see
+    registry._ivf_oracle). Keys still absent are non-SQL-expressible by
+    design — engine-specific sketch bytes (HLL, approx-percentile) —
+    and take the driver's rows-only check; their semantics are pinned
+    by planted-fixture tests in tests/ instead.
     """
     from bearly_spark.registry import ORACLE
 
-    return dict(ORACLE)
+    return {k: (v() if callable(v) else v) for k, v in ORACLE.items()}

@@ -629,6 +629,7 @@ def ivf_ann_topk(
     n_probe: int | None = None,
     sample_size: int = 100_000,
     seed: int = 42,
+    sample_by: str = "hash",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells + multi-probe, exact rerank.
 
@@ -649,24 +650,33 @@ def ivf_ann_topk(
     cell. Pass explicit values to pin a measured operating point (the
     registry/recall tests do).
 
-    The centroid sample is hash-ORDERED, not ``limit()``: taking the
-    first N rows in file order fits centroids to one slice of a time- or
-    source-ordered corpus and silently degrades recall elsewhere. Sorting
-    by xxhash64(id) and taking the top ``sample_size`` is a deterministic
-    uniform draw, and Spark executes orderBy+limit as
-    TakeOrderedAndProject (per-partition bounded heap + driver merge —
-    one pass, no full sort/shuffle).
+    The centroid sample is hash-ORDERED by default, not ``limit()``:
+    taking the first N rows in file order fits centroids to one slice of
+    a time- or source-ordered corpus and silently degrades recall
+    elsewhere. Sorting by xxhash64(id) and taking the top
+    ``sample_size`` is a deterministic uniform draw, and Spark executes
+    orderBy+limit as TakeOrderedAndProject (per-partition bounded heap +
+    driver merge — one pass, no full sort/shuffle).
+    ``sample_by="id"`` orders the sample by the id column instead — the
+    TWINNING mode (round 5): an id-ordered sample is reproducible
+    outside Spark without replicating xxhash64, which lets the DuckDB
+    oracle re-run the identical fit and inline the resulting centroids
+    as SQL literals (registry ``embedding_ann_ivf``). Use it only when
+    ids are uncorrelated with content, or the sample bias warning above
+    applies.
     """
     if n_cells is None:
         n = corpus.agg(F.approx_count_distinct(id_col)).collect()[0][0]
         n_cells = int(min(4096, max(4, round(math.sqrt(max(n, 1))))))
     if n_probe is None:
         n_probe = max(4, n_cells // 16)
+    order = (
+        F.col(id_col).cast("long")
+        if sample_by == "id"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
     sample = (
-        corpus.select(
-            F.col(vec_col).alias("_v"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
-        )
+        corpus.select(F.col(vec_col).alias("_v"), order.alias("_h"))
         .orderBy("_h")
         .limit(sample_size)
         .select("_v")
@@ -686,7 +696,9 @@ def ivf_ann_topk(
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
         d = c2 - 2.0 * (C @ qv)
-        for cell in np.argsort(d)[:n_probe]:
+        # stable sort: equidistant cells resolve to the LOWEST cell id,
+        # the tie rule the DuckDB twin spells as ORDER BY d, cell
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((int(r[0]), int(cell)))
     probes = corpus.sparkSession.createDataFrame(probe_rows, "q_id long, cell int")
 

@@ -263,6 +263,89 @@ def bm25_topk(
     return scored.select(F.col(id_col), "score", rank.cast("int").alias("rank"))
 
 
+def bm25_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """:func:`bm25_topk` for a whole DataFrame of queries at once — the
+    shape decontamination / eval-overlap checks actually need at scale:
+    thousands of eval queries scored against the corpus in ONE pass
+    over the token stream, instead of one driver-side loop iteration
+    (and one full corpus scan) per query (round-4 verdict #5).
+
+    Scale shape: identical to the single-query path with one extra
+    broadcast — the (query_id, term) table (tiny: eval suites are
+    thousands of short queries) joins into the per-(doc, term) tf
+    stream AFTER the tf aggregate, so the corpus-sized shuffles
+    (tokenize → dl, tf) are paid once regardless of query count; df_t
+    and the corpus scalars (N, avgdl) are query-independent and also
+    computed once. Per-query top-k is a rank window partitioned by
+    query_id (WindowGroupLimit pushes the k-filter into the sort — no
+    global single-partition sort), never a driver loop.
+
+    Same determinism contract as the single-query path (12dp-rounded
+    DECIMAL(28,12) contributions, 4dp score, ties by doc id), so the
+    DuckDB twin is exact and the two paths agree query-by-query
+    (equivalence-tested).
+
+    Returns (query_id, id, score double, rank int), rank 1..k per query
+    by (score desc, id)."""
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.transform(word_tokens(F.col(query_text_col)), F.lower))
+        ).alias("term"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(word_tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    wexpr = (idf * (F.col("tf") * F.lit(k1p1))) / (
+        F.col("tf") + F.lit(k1) * (F.lit(omb) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(wexpr, 12).cast("decimal(28,12)").alias("w"),
+        )
+    )
+    scored = contrib.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("w").cast("double"), 4).alias("score")
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    )
+    return scored.withColumn("rank", rank.cast("int")).filter(F.col("rank") <= k)
+
+
 def bigram_logprob_scores(
     df: DataFrame, id_col: str, text_col: str, k: float = 0.5
 ) -> DataFrame:

@@ -51,10 +51,13 @@ from bearly_spark.producers import produce_array, produce_stream
 from bearly_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
+#: name -> DuckDB SQL twin, or a zero-arg callable producing one (lazy
+#: oracles whose constants derive from fixture data — e.g. the IVF twin
+#: runs the seeded k-means fit at oracle_sql() time).
+ORACLE: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -1678,6 +1681,71 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+#: (query_id, query) fixture for the multi-query BM25 entry: overlapping
+#: vocabulary across queries exercises the shared tf/df computation.
+_BM25_QUERIES = [
+    (0, _BM25_QUERY),
+    (1, "broadcast join shuffle partition"),
+    (2, "stream window watermark state"),
+]
+
+
+def _bm25_multi_oracle(qs: list[tuple[int, str]], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Exact DuckDB twin of ``text.bm25_topk_multi``: the single-query
+    twin's arithmetic with a (query_id, term) VALUES table joined in
+    after the tf aggregate and the rank window partitioned by query —
+    the same two deltas the Spark path has."""
+    pairs = []
+    for qid, q in qs:
+        for t in dict.fromkeys(w.lower() for w in q.split()):
+            pairs.append(f"({qid}, '{t}')")
+    vals = ", ".join(pairs)
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    return f"""
+    WITH qs(query_id, term) AS (VALUES {vals}),
+    toks AS (
+        SELECT doc_id,
+               lower(unnest([x for x in string_split_regex(text, '\\s+') if x <> ''])) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT qs.query_id, tf.doc_id,
+                 CAST(ROUND(
+                   (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                    * (tf.tf * {k1p1!r}))
+                   / (tf.tf + {k1!r} * ({omb!r} + {b!r} * dl.dl / s.avgdl)), 12)
+                 AS DECIMAL(28,12)) AS w
+          FROM tf JOIN qs USING (term) JOIN dft USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+    sc AS (SELECT query_id, doc_id, ROUND(CAST(SUM(w) AS DOUBLE), 4) AS score
+           FROM w GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+          FROM sc)
+    SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("bm25_multi_search_documents", oracle=_bm25_multi_oracle(_BM25_QUERIES))
+def q_bm25_multi_search(spark, sf_dir):
+    """Multi-query BM25 (round 5, ``text.bm25_topk_multi``) — the shape
+    decontamination actually runs: a whole eval suite of queries scored
+    in ONE pass over the corpus token stream. The (query_id, term)
+    table broadcasts into the tf stream after the corpus-sized shuffles
+    are paid once; per-query top-k is a query-partitioned rank window
+    (WindowGroupLimit), never a driver loop over queries. Exact DuckDB
+    twin; single-vs-multi equivalence pinned in tests/test_llm_ops.py."""
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    return T.bm25_topk_multi(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", queries, k=10
+    )
+
+
 # ===================================================================
 # LLM-pipeline: multimodal columns
 # ===================================================================
@@ -2296,18 +2364,101 @@ def q_intersect_all(spark, sf_dir):
     return a.intersectAll(r)
 
 
-@register("embedding_ann_ivf")  # rows-only: seeded k-means cells, no SQL twin
+def _ivf_oracle() -> str:
+    """Exact DuckDB twin of the ``embedding_ann_ivf`` entry (round-4
+    verdict #6 — the last ANN query without one). The seeded k-means
+    fit is deterministic given (seed, sample), so this builder RUNS the
+    same fit — ``similarity._kmeans_fit`` on the same id-ordered sample
+    read straight from the fixture parquet — and inlines the resulting
+    centroids (and their squared norms, the exact float64 values the
+    Spark assignment uses) as SQL literals, the same
+    deterministic-constants pattern as the hyperplane twins. Everything
+    downstream (argmin cell assignment with ties to the lowest cell,
+    n_probe nearest cells per query, cosine rerank) is plain SQL.
+
+    Built LAZILY (the registry stores the function): the fit needs the
+    fixture, so the SQL is produced when ``oracle_sql()`` is called,
+    against ``$BEARLY_ORACLE_SF_DIR`` (default the driver's sf0.01 —
+    ``tools/check_oracle.py`` sets it to whatever dir it checks)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bearly_spark.operators.similarity import _kmeans_fit
+
+    n_cells, n_probe, k = 64, 16, 10
+    sf_dir = os.environ.get("BEARLY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) ORDER BY vec_id",
+        [f"{sf_dir}/embeddings.parquet"],
+    ).fetchall()
+    con.close()
+    mat = np.asarray([r[0] for r in rows[:100_000]], dtype=np.float64)
+    C = _kmeans_fit(mat, n_cells, seed=42)
+    c2 = (C**2).sum(axis=1)
+    cent_vals = ", ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            j, ", ".join(repr(float(x)) for x in C[j]), float(c2[j])
+        )
+        for j in range(n_cells)
+    )
+    return f"""
+    WITH cent(cell, cv, c2) AS (VALUES {cent_vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    ad AS (SELECT v.vec_id, cent.cell,
+                  cent.c2 - 2.0 * list_dot_product(v.ev, cent.cv) AS d
+           FROM v, cent),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                 FROM ad) WHERE rn = 1),
+    q AS (SELECT vec_id, ev FROM v WHERE vec_id < 5),
+    qd AS (SELECT q.vec_id, cent.cell,
+                  cent.c2 - 2.0 * list_dot_product(q.ev, cent.cv) AS d
+           FROM q, cent),
+    probes AS (SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                 FROM qd) WHERE rn <= {n_probe}),
+    cand AS (SELECT p.q_id AS query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a ON a.cell = p.cell
+             WHERE p.q_id <> a.vec_id),
+    r AS (SELECT c.query_id, c.neighbor_id,
+                 ROUND(list_cosine_similarity(qv.ev, nv.ev), 6) AS cosine_sim
+          FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+                      JOIN v nv ON nv.vec_id = c.neighbor_id),
+    t AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM r)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM t WHERE rn <= {k}
+    """
+
+
+@register("embedding_ann_ivf", oracle=_ivf_oracle)  # lazy: fit runs at oracle_sql() time
 def q_embedding_ann_ivf(spark, sf_dir):
     """IVF (k-means cells + multi-probe) ANN — the DEFAULT batch-scale
     ANN path; recall pinned by tests/test_llm_ops.py.
     (n_cells=64, n_probe=16) measured recall@10 = 0.82 at 26% corpus
     scanned on sf0.1 — the best recall-per-scanned-row of the sweep in
     PLANS.md, dominating every LSH operating point on this fixture.
-    Centroids fit on a hash-ordered (order-unbiased) bounded sample;
-    ``embedding_ann_lsh`` remains the streaming-friendly fallback."""
+    Centroids fit on an id-ordered bounded sample — the TWINNING order
+    (round 5): reproducible outside Spark, so the DuckDB oracle re-runs
+    the identical fit and checks the whole assignment+probe+rerank
+    pipeline exactly (fixture ids are uncorrelated with content, so the
+    hash-order's bias protection isn't needed here; production callers
+    keep the default). ``embedding_ann_lsh`` remains the
+    streaming-friendly fallback."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=64, n_probe=16
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_cells=64,
+        n_probe=16,
+        sample_by="id",
     )
 
 

@@ -79,11 +79,35 @@ from bearly_spark.operators.dedup import (
 #: dirs; compaction additionally sorts by bucket so min/max stats prune.
 _BANDS_WRITE_OPTS = {"parquet.bloom.filter.enabled#bucket": "true"}
 
-#: Max bucket keys per pruned index scan: Spark pushes an IN filter to
+#: Max keys per pruned index scan: Spark pushes an IN filter to
 #: parquet as a nested OR chain, whose recursive evaluation overflows
 #: the task stack past ~2k values (measured in this container; 1024 is
 #: safe). 512 leaves 4x headroom; larger probe sets scan in chunks.
 _PRUNE_CHUNK = 512
+
+
+def _pruned_scan(df: DataFrame, col: str, keys: list) -> DataFrame:
+    """``df`` restricted to ``col IN keys``, scanned in disjoint
+    ``_PRUNE_CHUNK``-key unions so every chunk's IN filter is pushed to
+    parquet (row-group skip via stats/bloom) without the deep-OR stack
+    overflow a single huge pushed IN triggers. Chunks partition the key
+    list and the filter is an equality, so no row matches two chunks —
+    the union is duplicate-free by construction."""
+    chunks = [keys[i : i + _PRUNE_CHUNK] for i in range(0, len(keys), _PRUNE_CHUNK)]
+    out = df.filter(F.col(col).isin(chunks[0]))
+    for c in chunks[1:]:
+        out = out.unionByName(df.filter(F.col(col).isin(c)))
+    return out
+
+
+def _sets_write_opts(id_col: str) -> dict[str, str]:
+    """Bloom filters on the two keys detect prunes the sets scan by:
+    candidate-pair ids (verify join) and content hashes (exact-copy
+    channel)."""
+    return {
+        f"parquet.bloom.filter.enabled#{id_col}": "true",
+        "parquet.bloom.filter.enabled#chash": "true",
+    }
 
 
 def minhash_band_table(
@@ -146,7 +170,19 @@ def upsert_dedup_index_batch(
     try:
         if bt.count() == 0:  # pin: three writers below would each recompute the UDF
             return
-        slim = bt.select(id_col, "band", "bucket").withColumn("batch", F.lit(int(batch_id)))
+        # ONE file per (batch, band) dir, not one per shuffle partition:
+        # a micro-batch left at session parallelism writes ~32 files
+        # into each of 16 band dirs, and after a few hundred batches the
+        # detect scan is a file-listing storm (measured: 17s -> 186s
+        # per-batch detect by batch 7 of the dupmass probe). Micro-
+        # batches are small by definition; the repartition is one tiny
+        # shuffle and compaction keeps the long-run file count flat.
+        slim = (
+            bt.select(id_col, "band", "bucket")
+            .repartition(bands, "band")
+            .sortWithinPartitions("band", "bucket")
+            .withColumn("batch", F.lit(int(batch_id)))
+        )
         w = slim.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         for k, v in _BANDS_WRITE_OPTS.items():
             w = w.option(k, v)
@@ -154,20 +190,20 @@ def upsert_dedup_index_batch(
         sets = (
             bt.select(id_col, "hs", "chash")
             .dropDuplicates([id_col])
+            .coalesce(1)
             .withColumn("batch", F.lit(int(batch_id)))
         )
-        (
-            sets.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(f"{index_dir}/sets")
-        )
+        sw = sets.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        for k, v in _sets_write_opts(id_col).items():
+            sw = sw.option(k, v)
+        sw.partitionBy("batch").parquet(f"{index_dir}/sets")
         counts = (
             bt.groupBy("band", "bucket")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.hll_sketch_agg("chash").alias("chll"),
             )
+            .coalesce(1)
             .withColumn("batch", F.lit(int(batch_id)))
         )
         (
@@ -217,7 +253,7 @@ def near_dups_against_index(
     max_bucket: int = 1000,
     exclude_batch: int | None = None,
     broadcast_max_rows: int = 4_000_000,
-    scan_prune_max_keys: int = 8192,
+    scan_prune_max_keys: int = 2048,
 ) -> DataFrame:
     """Near-dup pairs between ``batch_docs`` and (index ∪ batch): every
     pair where at least one side is in the batch, id_a < id_b,
@@ -249,9 +285,13 @@ def near_dups_against_index(
     IN-pushdown threshold is raised to the chunk size (monotonic; it
     only controls pushdown strategy, never results) since past the
     threshold Spark degrades the pushed filter to a min/max range that
-    random md5 bucket keys span entirely. Set ``scan_prune_max_keys=0``
-    to disable (e.g. for one huge backfill batch where collecting keys
-    to the driver is not worth it).
+    random md5 bucket keys span entirely. The default key budget (2048
+    → ≤ 4 chunked scan branches) targets the small-arriving-batch
+    regime this index exists for; a batch probing more buckets than
+    that falls back to one full scan, which a large batch amortizes
+    anyway (measured: 16 chunk branches over a fragmented index cost
+    more than they saved). Set ``scan_prune_max_keys=0`` to disable
+    entirely.
     """
     nb = minhash_band_table(
         batch_docs, id_col, text_col, num_hashes, bands, shingle_n
@@ -279,7 +319,8 @@ def near_dups_against_index(
         )
 
         probe = nb_slim.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-        if scan_prune_max_keys and small_batch:
+        pruning = bool(scan_prune_max_keys) and small_batch
+        if pruning:
             keys = [
                 r[0]
                 for r in probe.select("bucket")
@@ -299,20 +340,8 @@ def near_dups_against_index(
                 # bucket-only (not (band, bucket)) keeps the filter a
                 # pushable IN; cross-band key collisions are
                 # md5-improbable and harmless (the join still matches
-                # on band AND bucket). Chunked: Spark pushes IN to
-                # parquet as a NESTED OR chain whose recursive
-                # evaluation stack-overflows past ~2k values (measured;
-                # safe through 1024), so each union branch scans with
-                # ≤ _PRUNE_CHUNK keys — chunks are disjoint, so no row
-                # is read twice.
-                chunks = [
-                    keys[i : i + _PRUNE_CHUNK]
-                    for i in range(0, len(keys), _PRUNE_CHUNK)
-                ]
-                pruned = ib.filter(F.col("bucket").isin(chunks[0]))
-                for c in chunks[1:]:
-                    pruned = pruned.unionByName(ib.filter(F.col("bucket").isin(c)))
-                ib = pruned
+                # on band AND bucket)
+                ib = _pruned_scan(ib, "bucket", keys)
         cand = (
             ib.unionByName(nb_slim)
             .withColumnRenamed(id_col, "_other")
@@ -326,13 +355,52 @@ def near_dups_against_index(
         )
 
         nsets = nb.select(id_col, "hs", "chash").dropDuplicates([id_col])
-        sets = (
-            _read_part(spark, f"{index_dir}/sets", exclude_batch, nsets.limit(0))
-            .select(id_col, "hs", "chash")
-            .unionByName(nsets)
+        isets = _read_part(spark, f"{index_dir}/sets", exclude_batch, nsets.limit(0)).select(
+            id_col, "hs", "chash"
         )
-        sa = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-        sb = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+        # The sets dataset is the BYTES-dominant index scan (hs arrays;
+        # bands rows are slim), so at scale it must be pruned too, or
+        # detect stays Θ(index) regardless of the bands pruning. Two
+        # bounded key sets do it: the verify join only needs the
+        # candidate pairs' ids, and the exact-copy channel only needs
+        # the batch's content hashes — both collected when small, both
+        # pushable (blooms on id and chash ride every sets write).
+        # ``cand`` is localCheckpointed first: the ids collect and the
+        # final verify would otherwise each recompute the whole
+        # banding join, and the checkpoint also lets the returned plan
+        # start from the (small) materialized candidate set.
+        isets_verify = isets
+        isets_exact = isets
+        if pruning:
+            cand = cand.localCheckpoint(eager=True)
+            cand_ids = [
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias("i")
+                )
+                .distinct()
+                .limit(scan_prune_max_keys + 1)
+                .collect()
+            ]
+            if len(cand_ids) <= scan_prune_max_keys:
+                isets_verify = (
+                    _pruned_scan(isets, id_col, cand_ids)
+                    if cand_ids
+                    else isets.limit(0)
+                )
+            bchashes = [
+                r[0]
+                for r in nsets.select("chash")
+                .distinct()
+                .limit(scan_prune_max_keys + 1)
+                .collect()
+            ]
+            if 0 < len(bchashes) <= scan_prune_max_keys:
+                isets_exact = _pruned_scan(isets, "chash", bchashes)
+
+        sets_v = isets_verify.unionByName(nsets)
+        sa = sets_v.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+        sb = sets_v.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
         verified = (
             cand.join(sa, "id_a")
             .join(sb, "id_b")
@@ -351,7 +419,8 @@ def near_dups_against_index(
         # the same size guard as the probe.
         bch = nsets.select(F.col(id_col).alias("_bid"), "chash")
         exact = (
-            sets.select(F.col(id_col).alias("_oid"), "chash")
+            isets_exact.unionByName(nsets)
+            .select(F.col(id_col).alias("_oid"), "chash")
             .join(F.broadcast(bch) if small_batch else bch, "chash")
             .filter(F.col("_oid") != F.col("_bid"))
             .select(
@@ -530,7 +599,7 @@ def compact_dedup_index(
             ["band"],
             n_bands,
         ),
-        ("sets", chash_map, [], 1),
+        ("sets", chash_map.coalesce(1).sortWithinPartitions(id_col), [], 1),
         (
             "counts",
             bands_df.join(chash_map.select(id_col, "chash"), id_col)
@@ -550,11 +619,15 @@ def compact_dedup_index(
         old = [
             d for d in ds_root.iterdir() if d.is_dir() and d.name.startswith("batch=")
         ]
-        w = df if part_cols else df.coalesce(parts)
+        w = df if (part_cols or name == "sets") else df.coalesce(parts)
         writer = w.write.mode("overwrite")
         if name == "bands":
             writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
             for k, v in _BANDS_WRITE_OPTS.items():
+                writer = writer.option(k, v)
+        if name == "sets":
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+            for k, v in _sets_write_opts(id_col).items():
                 writer = writer.option(k, v)
         if part_cols:
             writer = writer.partitionBy(*part_cols)

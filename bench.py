@@ -201,19 +201,22 @@ def main() -> None:
     # make a cross-round 2x artifact from shared-host noise (the round-3
     # embedding_ann_lsh dispute: 61s/46s/29s full-run spread on
     # identical code) statistically implausible.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
             start = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             elapsed = time.perf_counter() - start
             spark.catalog.clearCache()  # drop pinned LSH signature caches
-            if elapsed < timings.get(name, float("inf")):
-                timings[name] = elapsed
+            samples[name].append(round(elapsed, 3))
             print(f"pass{_pass} {name}: {elapsed:.3f}s", file=sys.stderr)
-    timings = {k: round(v, 3) for k, v in timings.items()}
+    timings = {k: min(v) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
+    # "samples" carries every raw per-pass measurement (pass order
+    # preserved) so cross-round drift can be attributed to shared-host
+    # noise vs code without re-running the bench (round-4 verdict #8);
+    # "queries"/"value" stay the best-of-3 headline.
     print(
         json.dumps(
             {
@@ -221,6 +224,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

@@ -574,6 +574,30 @@ def test_bm25_planted_relevance_ordering(spark):
     assert all(a >= b for a, b in zip(scores, scores[1:]))
 
 
+def test_bm25_multi_equals_single_per_query(spark, sf_dir):
+    """Round 5: scoring an eval suite through ``bm25_topk_multi`` must
+    reproduce the single-query path exactly, query by query — the multi
+    path shares tf/df/corpus scalars across queries but every per-query
+    score and rank is the same arithmetic."""
+    from bearly_spark.operators.text import bm25_topk, bm25_topk_multi
+
+    docs = load_table(spark, sf_dir, "documents")
+    # query 1 shares terms with query 0 — exercises the shared tf/df
+    # stream actually being reused across queries, with real hits
+    suite = [(0, "hash join spark window"), (1, "spark window")]
+    queries = spark.createDataFrame(suite, "query_id int, query string")
+    multi = bm25_topk_multi(docs, "doc_id", "text", queries, k=10).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, set()).add((r.doc_id, r.score, r.rank))
+    for qid, q in suite:
+        single = {
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_topk(docs, "doc_id", "text", q, k=10).collect()
+        }
+        assert by_q.get(qid, set()) == single, f"query {qid} diverges"
+
+
 def test_ivf_auto_sizes_cells_from_corpus(spark, sf_dir):
     """Round-4: IVF executes its cells≈√N rule instead of documenting it
     — with no explicit operating point, a 500-vector corpus gets ~22

@@ -770,3 +770,60 @@ def test_dedup_index_compaction_equivalence_and_crash_window(
     assert mid == before  # readers unharmed by the duplicate window
     assert DI.compact_dedup_index(spark, idx) == 3  # heals: base + 2 stale
     assert key(DI.near_dups_against_index(spark, idx, probe, exclude_batch=2)) == before
+
+
+def test_dedup_index_empty_batch_and_custom_id_and_big_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Three round-5 hardening paths in one index lifecycle: (a) an
+    all-null-text micro-batch writes NOTHING (a data-less dataset root
+    used to wedge every later read with UNABLE_TO_INFER_SCHEMA —
+    round-4 ADVICE, verified empirically); (b) a non-default id column
+    flows through banding, upsert and detect (out_id used to pin
+    'doc_id'); (c) a batch over the broadcast guard threshold falls
+    back to shuffle joins and still finds the identical pairs."""
+    import pyspark.sql.functions as F
+
+    import bearly_spark.streaming.dedup_index as DI
+    from bearly_spark.sources.tables import load_table
+
+    idx = str(tmp_path_factory.mktemp("dedupidx_r5") / "index")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("page_id"), "text")
+    )
+
+    # (a) empty banding table: all texts null -> no writes, no wedge
+    nulls = docs.limit(5).select("page_id", F.lit(None).cast("string").alias("text"))
+    DI.upsert_dedup_index_batch(nulls, 0, idx, id_col="page_id")
+    import pathlib
+
+    assert not pathlib.Path(idx, "bands").exists()
+
+    # (b) custom id column end-to-end
+    b0 = docs.filter(F.col("page_id") % 2 == 0)
+    b1 = docs.filter(F.col("page_id") % 2 == 1)
+    DI.upsert_dedup_index_batch(b0, 1, idx, id_col="page_id")
+    base = {
+        (r.id_a, r.id_b)
+        for r in DI.near_dups_against_index(
+            spark, idx, b1, id_col="page_id", exclude_batch=2
+        ).collect()
+    }
+    assert len(base) > 0
+
+    # detect still healthy after the null batch wrote nothing
+    # (c) broadcast guard: force the shuffle-join path for the same
+    # batch; pairs must be identical (plan changes, answers don't)
+    big = {
+        (r.id_a, r.id_b)
+        for r in DI.near_dups_against_index(
+            spark,
+            idx,
+            b1,
+            id_col="page_id",
+            exclude_batch=2,
+            broadcast_max_rows=1,
+        ).collect()
+    }
+    assert big == base

@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
@@ -40,6 +41,10 @@ def _norm_rows(cols, rows):
 
 def run(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
+
+    # lazy oracles (e.g. the IVF twin's k-means fit) read their fixture
+    # from this env var; point them at the dir being checked
+    os.environ["BEARLY_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from bearly_spark.session import get_spark
