@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from bearly_spark.operators.similarity import lsh_band_table, rerank_candidates
+from bearly_spark.streaming.dedup_index import _pruned_scan
 
 import pyspark.sql.functions as F
 
@@ -54,6 +55,12 @@ import pyspark.sql.functions as F
 #: compactions count DOWN from here (-1, -2, ...). Real micro-batch ids
 #: are >= 0, so a base id can never collide with a replayed batch.
 BASE_BATCH_ID = -1
+
+#: Bloom filter on the band key: lets a query's pushed bkey-IN filter
+#: skip row groups even in unsorted per-batch dirs (compaction
+#: additionally sorts by bkey so min/max stats prune too) — the same
+#: layout contract as the dedup index's bands dataset.
+_WRITE_OPTS = {"parquet.bloom.filter.enabled#bkey": "true"}
 
 
 def upsert_index_batch(
@@ -73,15 +80,22 @@ def upsert_index_batch(
     the incoming data — here exactly ``batch=<batch_id>/band=*`` — so
     replaying a batch (at-least-once foreachBatch) rewrites its own
     slice byte-for-byte instead of appending a duplicate copy. Exposed
-    at module level so tests can simulate a replay directly."""
-    (
+    at module level so tests can simulate a replay directly.
+
+    One file per (batch, band) dir, not one per shuffle partition: a
+    micro-batch left at session parallelism writes ~32 files into each
+    band dir and a long-running stream turns every query scan into a
+    file-listing storm (round-5 dedup-index finding — same fix here)."""
+    bt = (
         lsh_band_table(batch_df, id_col, vec_col, dim, nbits, bands, seed)
+        .repartition(bands, "band")
+        .sortWithinPartitions("band", "bkey")
         .withColumn("batch", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch", "band")
-        .parquet(index_dir)
     )
+    w = bt.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    for key, v in _WRITE_OPTS.items():
+        w = w.option(key, v)
+    w.partitionBy("batch", "band").parquet(index_dir)
 
 
 def streaming_lsh_index(
@@ -167,13 +181,17 @@ def compact_lsh_index(spark: SparkSession, index_dir: str) -> int:
 
     idx = read_index(spark, index_dir, dedup=True)
     n_bands = max(idx.select("band").distinct().count(), 1)
-    # one shuffle partition per band ⇒ exactly one file per band dir
-    (
+    # one shuffle partition per band ⇒ exactly one file per band dir,
+    # sorted by bkey so pushed bkey-IN query filters skip row groups
+    # via min/max stats (plus the bloom every write carries)
+    w = (
         idx.repartition(n_bands, "band")
+        .sortWithinPartitions("band", "bkey")
         .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(str(tmp))
     )
+    for key, v in _WRITE_OPTS.items():
+        w = w.option(key, v)
+    w.partitionBy("band").parquet(str(tmp))
     tmp.rename(root / f"batch={new_base}")
     for d in batch_dirs:
         shutil.rmtree(d)
@@ -193,14 +211,44 @@ def ann_query_over_index(
     bands: int = 8,
     seed: int = 42,
     probe: int = 1,
+    scan_prune_max_keys: int = 2048,
 ) -> DataFrame:
     """Top-k ANN against the incrementally-built index: identical
     semantics to ``lsh_ann_topk`` at the same operating point — the index
-    scan replaces the corpus-side signature pass."""
+    scan replaces the corpus-side signature pass.
+
+    The index scan is PRUNED to the probed buckets (round 5): the query
+    set is bounded by the API contract, so its (band, bkey) keys are
+    collected and pushed per band — ``band`` is a partition column
+    (whole-directory pruning) and the per-band bkey-IN filter skips row
+    groups via the sorted-by-bkey layout + bloom every write carries.
+    At nbits=56/bands=8 a radius-1 probe touches ≤ 8 of 128 buckets per
+    band (~6% of the index) regardless of index size. Falls back to the
+    full scan when the key set exceeds ``scan_prune_max_keys`` (huge
+    query sets amortize a full scan anyway); 0 disables."""
     cb = read_index(spark, index_dir)
     qb = lsh_band_table(
         queries, id_col, vec_col, dim, nbits, bands, seed, probe=probe, out_id="q_id"
     )
+    if scan_prune_max_keys:
+        qk = (
+            qb.select("band", "bkey")
+            .distinct()
+            .limit(scan_prune_max_keys + 1)
+            .collect()
+        )
+        if 0 < len(qk) <= scan_prune_max_keys:
+            by_band: dict[int, list] = {}
+            for r in qk:
+                by_band.setdefault(r.band, []).append(r.bkey)
+            parts = [
+                _pruned_scan(cb.filter(F.col("band") == b), "bkey", ks)
+                for b, ks in sorted(by_band.items())
+            ]
+            pruned = parts[0]
+            for p in parts[1:]:
+                pruned = pruned.unionByName(p)
+            cb = pruned
     cand = (
         cb.join(F.broadcast(qb), ["band", "bkey"])
         .filter(F.col("q_id") != F.col("c_id"))

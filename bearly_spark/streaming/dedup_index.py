@@ -92,7 +92,19 @@ def _pruned_scan(df: DataFrame, col: str, keys: list) -> DataFrame:
     parquet (row-group skip via stats/bloom) without the deep-OR stack
     overflow a single huge pushed IN triggers. Chunks partition the key
     list and the filter is an equality, so no row matches two chunks —
-    the union is duplicate-free by construction."""
+    the union is duplicate-free by construction.
+
+    Raises the session's parquet IN-pushdown threshold to the chunk
+    size when below it (monotonic — the conf only selects pushdown
+    strategy, never results): past the threshold Spark degrades a
+    pushed IN to a min/max range, which random band/bucket keys span
+    entirely, silently disabling the skip."""
+    spark = df.sparkSession
+    thr = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10"))
+    if _PRUNE_CHUNK > thr:
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold", str(_PRUNE_CHUNK + 1)
+        )
     chunks = [keys[i : i + _PRUNE_CHUNK] for i in range(0, len(keys), _PRUNE_CHUNK)]
     out = df.filter(F.col(col).isin(chunks[0]))
     for c in chunks[1:]:
@@ -329,14 +341,6 @@ def near_dups_against_index(
                 .collect()
             ]
             if 0 < len(keys) <= scan_prune_max_keys:
-                thr = int(
-                    spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
-                )
-                if _PRUNE_CHUNK > thr:
-                    spark.conf.set(
-                        "spark.sql.parquet.pushdown.inFilterThreshold",
-                        str(_PRUNE_CHUNK + 1),
-                    )
                 # bucket-only (not (band, bucket)) keeps the filter a
                 # pushable IN; cross-band key collisions are
                 # md5-improbable and harmless (the join still matches

@@ -308,6 +308,11 @@ def test_streaming_lsh_index_equals_batch_ann(spark, sf_dir, tmp_path_factory):
     batch = lsh_ann_topk(emb, queries, k=10, nbits=56, bands=8, probe=1).collect()
     key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows)
     assert key(via_index) == key(batch)
+    # round 5: the pruned index scan (default) must equal the full scan
+    full = ann_query_over_index(
+        spark, idx, emb, queries, scan_prune_max_keys=0
+    ).collect()
+    assert key(via_index) == key(full)
 
 
 def test_lsh_index_replay_idempotent_and_compaction(spark, sf_dir, tmp_path_factory):
