@@ -1387,7 +1387,7 @@ def q_ann_index_query(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     index_dir = _scratch_index(
         sf_dir,
-        "ann-index",
+        "ann-index-v2",
         "embeddings",
         lambda d: upsert_index_batch(emb, 0, d, nbits=56, bands=8),
     )
@@ -1443,7 +1443,7 @@ def q_dedup_index_query(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     index_dir = _scratch_index(
         sf_dir,
-        "dedup-index",
+        "dedup-index-v2",
         "documents",
         lambda d: upsert_dedup_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, d),
     )

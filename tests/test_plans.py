@@ -31,8 +31,10 @@ CARTESIAN_ALLOWED = {
     # pass) — a deliberate top_n x 1 BNLJ, not an accidental product
     "skew_report_lineitem",
     # BM25 attaches the two corpus scalars (N, avgdl) as 1-row broadcast
-    # cross joins — deliberate stream x 1 BNLJ, constant cost
+    # cross joins — deliberate stream x 1 BNLJ, constant cost (the
+    # multi-query form shares the identical scalar attach)
     "bm25_search_documents",
+    "bm25_multi_search_documents",
     # bigram LM attaches the 1-row vocab-size scalar the same way
     "bigram_quality_documents",
 }
