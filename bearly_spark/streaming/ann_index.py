@@ -40,6 +40,7 @@ foreachBatch every N batches).
 
 from __future__ import annotations
 
+import math
 import shutil
 from pathlib import Path
 
@@ -179,16 +180,23 @@ def compact_lsh_index(spark: SparkSession, index_dir: str) -> int:
     batch_ids = [int(d.name.split("=", 1)[1]) for d in batch_dirs]
     new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
 
-    idx = read_index(spark, index_dir, dedup=True)
+    idx = read_index(spark, index_dir, dedup=True).localCheckpoint(eager=True)
     n_bands = max(idx.select("band").distinct().count(), 1)
-    # one shuffle partition per band ⇒ exactly one file per band dir,
-    # sorted by bkey so pushed bkey-IN query filters skip row groups
-    # via min/max stats (plus the bloom every write carries)
-    w = (
+    # File count scales with rows (bounded-size files at 100 TB, one
+    # file per band dir at test scale); repartitionByRange keeps a
+    # global (band, bkey) sort so every file covers a contiguous bkey
+    # range — tight min/max stats for the pruned query scan, plus the
+    # bloom every write carries. The checkpoint severs lineage from the
+    # batch dirs deleted below (same hazard the dedup index fixed).
+    n_files = max(n_bands, math.ceil(idx.count() / 4_000_000))
+    shaped = (
+        # exactly one file per band dir while a band fits in one file;
+        # range-split past that (ranges then subdivide within bands)
         idx.repartition(n_bands, "band")
-        .sortWithinPartitions("band", "bkey")
-        .write.mode("overwrite")
+        if n_files <= n_bands
+        else idx.repartitionByRange(n_files, "band", "bkey")
     )
+    w = shaped.sortWithinPartitions("band", "bkey").write.mode("overwrite")
     for key, v in _WRITE_OPTS.items():
         w = w.option(key, v)
     w.partitionBy("band").parquet(str(tmp))

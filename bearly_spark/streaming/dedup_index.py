@@ -58,6 +58,7 @@ batch path's null-never-pairs rule, enforced by filtering).
 
 from __future__ import annotations
 
+import math
 import shutil
 from pathlib import Path
 
@@ -595,25 +596,52 @@ def compact_dedup_index(
         .localCheckpoint(eager=True)
     )
     n_bands = max(bands_df.select("band").distinct().count(), 1)
+    # File counts scale with ROW counts (both snapshots are already
+    # materialized — the counts are metadata reads), so a 100 TB index
+    # compacts into bounded-size files instead of one monolith per
+    # dataset. repartitionByRange keeps a global (band, bucket) /
+    # (id) sort across files, so every file covers a CONTIGUOUS key
+    # range with tight min/max stats — the pruned-scan layout at any
+    # file count — and partitionBy("band") still splits band dirs (a
+    # range partition spanning two bands just writes into both).
+    _ROWS_PER_FILE = 4_000_000
+    n_band_files = max(n_bands, math.ceil(bands_df.count() / _ROWS_PER_FILE))
+    n_sets_files = max(1, math.ceil(chash_map.count() / _ROWS_PER_FILE))
+    counts_df = (
+        bands_df.join(chash_map.select(id_col, "chash"), id_col)
+        .groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.hll_sketch_agg("chash").alias("chll"),
+        )
+    )
 
-    for name, df, part_cols, parts in (
+    bands_shaped = (
+        # one file per band dir while a band fits in one file;
+        # range-split past that (ranges then subdivide within bands)
+        bands_df.repartition(n_bands, "band")
+        if n_band_files <= n_bands
+        else bands_df.repartitionByRange(n_band_files, "band", "bucket")
+    )
+    for name, df, part_cols in (
         (
             "bands",
-            bands_df.repartition(n_bands, "band").sortWithinPartitions("band", "bucket"),
+            bands_shaped.sortWithinPartitions("band", "bucket"),
             ["band"],
-            n_bands,
         ),
-        ("sets", chash_map.coalesce(1).sortWithinPartitions(id_col), [], 1),
+        (
+            "sets",
+            (
+                chash_map.coalesce(1)
+                if n_sets_files <= 1
+                else chash_map.repartitionByRange(n_sets_files, id_col)
+            ).sortWithinPartitions(id_col),
+            [],
+        ),
         (
             "counts",
-            bands_df.join(chash_map.select(id_col, "chash"), id_col)
-            .groupBy("band", "bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.hll_sketch_agg("chash").alias("chll"),
-            ),
+            counts_df.repartitionByRange(max(1, n_band_files // n_bands), "band", "bucket"),
             [],
-            1,
         ),
     ):
         ds_root = root / name
@@ -623,8 +651,7 @@ def compact_dedup_index(
         old = [
             d for d in ds_root.iterdir() if d.is_dir() and d.name.startswith("batch=")
         ]
-        w = df if (part_cols or name == "sets") else df.coalesce(parts)
-        writer = w.write.mode("overwrite")
+        writer = df.write.mode("overwrite")
         if name == "bands":
             writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
             for k, v in _BANDS_WRITE_OPTS.items():
