@@ -306,149 +306,152 @@ def near_dups_against_index(
     more than they saved). Set ``scan_prune_max_keys=0`` to disable
     entirely.
     """
+    # localCheckpoint, not persist: the banding table is consumed by the
+    # bands-union, the counts rollup, the sets union AND the caller's
+    # eventual action on the returned plan — a persist released in a
+    # finally block would re-run the (expensive) shingling UDF at
+    # action time. The batch is micro by contract, so materializing it
+    # is cheap, and the checkpoint is GC-released with the DataFrame.
     nb = minhash_band_table(
         batch_docs, id_col, text_col, num_hashes, bands, shingle_n
-    ).persist()
-    try:
-        n_batch_rows = nb.count()  # pin: consumed by bands-union, counts and sets below
-        small_batch = n_batch_rows <= broadcast_max_rows
-        nb_slim = nb.select(id_col, "band", "bucket")
-        bc = nb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("n"), F.hll_sketch_agg("chash").alias("chll")
-        )
-        ib = _read_part(
-            spark, f"{index_dir}/bands", exclude_batch, nb_slim.limit(0)
-        ).select(id_col, "band", "bucket")
+    ).localCheckpoint(eager=True)
+    n_batch_rows = nb.count()
+    small_batch = n_batch_rows <= broadcast_max_rows
+    nb_slim = nb.select(id_col, "band", "bucket")
+    bc = nb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.hll_sketch_agg("chash").alias("chll")
+    )
+    ib = _read_part(
+        spark, f"{index_dir}/bands", exclude_batch, nb_slim.limit(0)
+    ).select(id_col, "band", "bucket")
 
-        ic = _read_part(spark, f"{index_dir}/counts", exclude_batch, bc.limit(0)).select(
-            "band", "bucket", "n", "chll"
-        )
-        over = (
-            ic.unionByName(bc)
-            .groupBy("band", "bucket")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("chll")).alias("nd"))
-            .filter(F.col("nd") > max_bucket)
-            .select("band", "bucket")
-        )
+    ic = _read_part(spark, f"{index_dir}/counts", exclude_batch, bc.limit(0)).select(
+        "band", "bucket", "n", "chll"
+    )
+    over = (
+        ic.unionByName(bc)
+        .groupBy("band", "bucket")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("chll")).alias("nd"))
+        .filter(F.col("nd") > max_bucket)
+        .select("band", "bucket")
+    )
 
-        probe = nb_slim.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-        pruning = bool(scan_prune_max_keys) and small_batch
-        if pruning:
-            keys = [
-                r[0]
-                for r in probe.select("bucket")
-                .distinct()
-                .limit(scan_prune_max_keys + 1)
-                .collect()
-            ]
-            if 0 < len(keys) <= scan_prune_max_keys:
-                # bucket-only (not (band, bucket)) keeps the filter a
-                # pushable IN; cross-band key collisions are
-                # md5-improbable and harmless (the join still matches
-                # on band AND bucket)
-                ib = _pruned_scan(ib, "bucket", keys)
-        cand = (
-            ib.unionByName(nb_slim)
-            .withColumnRenamed(id_col, "_other")
-            .join(F.broadcast(probe) if small_batch else probe, ["band", "bucket"])
-            .filter(F.col("_other") != F.col(id_col))
-            .select(
-                F.least(id_col, "_other").alias("id_a"),
-                F.greatest(id_col, "_other").alias("id_b"),
+    probe = nb_slim.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+    pruning = bool(scan_prune_max_keys) and small_batch
+    if pruning:
+        keys = [
+            r[0]
+            for r in probe.select("bucket")
+            .distinct()
+            .limit(scan_prune_max_keys + 1)
+            .collect()
+        ]
+        if 0 < len(keys) <= scan_prune_max_keys:
+            # bucket-only (not (band, bucket)) keeps the filter a
+            # pushable IN; cross-band key collisions are
+            # md5-improbable and harmless (the join still matches
+            # on band AND bucket)
+            ib = _pruned_scan(ib, "bucket", keys)
+    cand = (
+        ib.unionByName(nb_slim)
+        .withColumnRenamed(id_col, "_other")
+        .join(F.broadcast(probe) if small_batch else probe, ["band", "bucket"])
+        .filter(F.col("_other") != F.col(id_col))
+        .select(
+            F.least(id_col, "_other").alias("id_a"),
+            F.greatest(id_col, "_other").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    nsets = nb.select(id_col, "hs", "chash").dropDuplicates([id_col])
+    isets = _read_part(spark, f"{index_dir}/sets", exclude_batch, nsets.limit(0)).select(
+        id_col, "hs", "chash"
+    )
+    # The sets dataset is the BYTES-dominant index scan (hs arrays;
+    # bands rows are slim), so at scale it must be pruned too, or
+    # detect stays Θ(index) regardless of the bands pruning. Two
+    # bounded key sets do it: the verify join only needs the
+    # candidate pairs' ids, and the exact-copy channel only needs
+    # the batch's content hashes — both collected when small, both
+    # pushable (blooms on id and chash ride every sets write).
+    # ``cand`` is localCheckpointed first: the ids collect and the
+    # final verify would otherwise each recompute the whole
+    # banding join, and the checkpoint also lets the returned plan
+    # start from the (small) materialized candidate set.
+    isets_verify = isets
+    isets_exact = isets
+    if pruning:
+        cand = cand.localCheckpoint(eager=True)
+        cand_ids = [
+            r[0]
+            for r in cand.select(
+                F.explode(F.array("id_a", "id_b")).alias("i")
             )
-            .dropDuplicates(["id_a", "id_b"])
-        )
-
-        nsets = nb.select(id_col, "hs", "chash").dropDuplicates([id_col])
-        isets = _read_part(spark, f"{index_dir}/sets", exclude_batch, nsets.limit(0)).select(
-            id_col, "hs", "chash"
-        )
-        # The sets dataset is the BYTES-dominant index scan (hs arrays;
-        # bands rows are slim), so at scale it must be pruned too, or
-        # detect stays Θ(index) regardless of the bands pruning. Two
-        # bounded key sets do it: the verify join only needs the
-        # candidate pairs' ids, and the exact-copy channel only needs
-        # the batch's content hashes — both collected when small, both
-        # pushable (blooms on id and chash ride every sets write).
-        # ``cand`` is localCheckpointed first: the ids collect and the
-        # final verify would otherwise each recompute the whole
-        # banding join, and the checkpoint also lets the returned plan
-        # start from the (small) materialized candidate set.
-        isets_verify = isets
-        isets_exact = isets
-        if pruning:
-            cand = cand.localCheckpoint(eager=True)
-            cand_ids = [
-                r[0]
-                for r in cand.select(
-                    F.explode(F.array("id_a", "id_b")).alias("i")
-                )
-                .distinct()
-                .limit(scan_prune_max_keys + 1)
-                .collect()
-            ]
-            if len(cand_ids) <= scan_prune_max_keys:
-                isets_verify = (
-                    _pruned_scan(isets, id_col, cand_ids)
-                    if cand_ids
-                    else isets.limit(0)
-                )
-            bchashes = [
-                r[0]
-                for r in nsets.select("chash")
-                .distinct()
-                .limit(scan_prune_max_keys + 1)
-                .collect()
-            ]
-            if 0 < len(bchashes) <= scan_prune_max_keys:
-                isets_exact = _pruned_scan(isets, "chash", bchashes)
-
-        sets_v = isets_verify.unionByName(nsets)
-        sa = sets_v.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-        sb = sets_v.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
-        verified = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"),
+            .distinct()
+            .limit(scan_prune_max_keys + 1)
+            .collect()
+        ]
+        if len(cand_ids) <= scan_prune_max_keys:
+            isets_verify = (
+                _pruned_scan(isets, id_col, cand_ids)
+                if cand_ids
+                else isets.limit(0)
             )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        bchashes = [
+            r[0]
+            for r in nsets.select("chash")
+            .distinct()
+            .limit(scan_prune_max_keys + 1)
+            .collect()
+        ]
+        if 0 < len(bchashes) <= scan_prune_max_keys:
+            isets_exact = _pruned_scan(isets, "chash", bchashes)
 
-        # Exact-copy channel: content-hash-equal pairs (Jaccard exactly
-        # 1.0 by definition) bypass banding, so the degenerate-bucket
-        # cap can never drop them — the batch path's within-group
-        # expansion, in streaming form. The batch side broadcasts under
-        # the same size guard as the probe.
-        bch = nsets.select(F.col(id_col).alias("_bid"), "chash")
-        exact = (
-            isets_exact.unionByName(nsets)
-            .select(F.col(id_col).alias("_oid"), "chash")
-            .join(F.broadcast(bch) if small_batch else bch, "chash")
-            .filter(F.col("_oid") != F.col("_bid"))
-            .select(
-                F.least("_bid", "_oid").alias("id_a"),
-                F.greatest("_bid", "_oid").alias("id_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-            .filter(F.lit(1.0) >= F.lit(threshold))
+    sets_v = isets_verify.unionByName(nsets)
+    sa = sets_v.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = sets_v.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
-        return (
-            verified.unionByName(exact)
-            # a doc's rows can legitimately appear twice in the sets
-            # union (e.g. the post-compaction-crash duplicate window,
-            # where the new base AND the stale batch dirs both hold
-            # it); the joins then emit the same pair once per copy —
-            # and an exact-copy pair appears in BOTH channels (value
-            # identical: 1.0). Dedup at the PAIR level — Θ(answer),
-            # never a Θ(corpus) sets shuffle.
-            .dropDuplicates(["id_a", "id_b"])
+    # Exact-copy channel: content-hash-equal pairs (Jaccard exactly
+    # 1.0 by definition) bypass banding, so the degenerate-bucket
+    # cap can never drop them — the batch path's within-group
+    # expansion, in streaming form. The batch side broadcasts under
+    # the same size guard as the probe.
+    bch = nsets.select(F.col(id_col).alias("_bid"), "chash")
+    exact = (
+        isets_exact.unionByName(nsets)
+        .select(F.col(id_col).alias("_oid"), "chash")
+        .join(F.broadcast(bch) if small_batch else bch, "chash")
+        .filter(F.col("_oid") != F.col("_bid"))
+        .select(
+            F.least("_bid", "_oid").alias("id_a"),
+            F.greatest("_bid", "_oid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
         )
-    finally:
-        nb.unpersist()
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+
+    return (
+        verified.unionByName(exact)
+        # a doc's rows can legitimately appear twice in the sets
+        # union (e.g. the post-compaction-crash duplicate window,
+        # where the new base AND the stale batch dirs both hold
+        # it); the joins then emit the same pair once per copy —
+        # and an exact-copy pair appears in BOTH channels (value
+        # identical: 1.0). Dedup at the PAIR level — Θ(answer),
+        # never a Θ(corpus) sets shuffle.
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def dedup_index_saturation_report(
