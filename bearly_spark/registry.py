@@ -1731,6 +1731,49 @@ def _bm25_multi_oracle(qs: list[tuple[int, str]], k: int = 10, k1: float = 1.2, 
     """
 
 
+def _bm25_decontam_oracle(
+    qs: list[tuple[int, str]], k: int = 20, min_score: float = 1.0
+) -> str:
+    """Twin of ``decontaminate_bm25_documents``: the multi-query twin's
+    ranking CTEs, then the per-document flag rollup."""
+    inner = _bm25_multi_oracle(qs, k=k)
+    # reuse the ranked CTE chain; replace the final projection with the
+    # per-doc rollup (the inner twin ends with its SELECT over t)
+    base = inner.rsplit("SELECT query_id, doc_id, score, rank FROM r WHERE rank <= ", 1)[0]
+    return f"""{base}
+    SELECT doc_id,
+           ROUND(MAX(score), 4) AS max_score,
+           CAST(COUNT(*) AS INTEGER) AS n_queries_hit
+    FROM r WHERE rank <= {k} AND score >= {min_score!r}
+    GROUP BY doc_id
+    """
+
+
+@register("decontaminate_bm25_documents", oracle=_bm25_decontam_oracle(_BM25_QUERIES))
+def q_decontaminate_bm25(spark, sf_dir):
+    """Decontamination via lexical retrieval, end to end (round 5): run
+    the whole eval-query suite through ``bm25_topk_multi`` in one corpus
+    pass, then flag every document that scores ≥ a floor against ANY
+    eval query — (doc_id, max_score, n_queries_hit), the removal list a
+    training pipeline consumes. Complements ``decontaminate_documents``
+    (exact n-gram containment): BM25 catches paraphrased/partial
+    overlap that exact n-grams miss, n-grams catch verbatim inclusions
+    BM25 underweights. Same one-pass scale shape as the multi-query
+    entry; the rollup adds one Θ(hits) aggregate."""
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    hits = T.bm25_topk_multi(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", queries, k=20
+    )
+    return (
+        hits.filter(F.col("score") >= 1.0)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.count(F.lit(1)).cast("int").alias("n_queries_hit"),
+        )
+    )
+
+
 @register("bm25_multi_search_documents", oracle=_bm25_multi_oracle(_BM25_QUERIES))
 def q_bm25_multi_search(spark, sf_dir):
     """Multi-query BM25 (round 5, ``text.bm25_topk_multi``) — the shape

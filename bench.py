@@ -83,6 +83,10 @@ HEADLINE = [
     # (components over the representative graph, no within-group pairs)
     "bm25_search_documents",
     "dedup_clusters_minhash",
+    # round 5: multi-query BM25 (an eval suite scored in one corpus pass
+    # - the decontamination shape; regression here means the shared
+    # tf/df stream stopped being shared)
+    "bm25_multi_search_documents",
 ]
 
 

@@ -35,6 +35,7 @@ CARTESIAN_ALLOWED = {
     # multi-query form shares the identical scalar attach)
     "bm25_search_documents",
     "bm25_multi_search_documents",
+    "decontaminate_bm25_documents",
     # bigram LM attaches the 1-row vocab-size scalar the same way
     "bigram_quality_documents",
 }
