@@ -2505,6 +2505,32 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
+@register("ivf_index_query", oracle=_ivf_oracle)  # same lazy twin as the inline path
+def q_ivf_index_query(spark, sf_dir):
+    """ANN top-k from the PERSISTED IVF index (round 5,
+    ``streaming.ivf_index``) — k-means cells materialized as partition
+    DIRECTORIES, so the probe's ``cell IN (...)`` filter prunes whole
+    dirs at planning time (~n_probe/n_cells of the index bytes read at
+    any scale; ``PartitionFilters`` plan-asserted in tests). Identical
+    semantics to ``embedding_ann_ivf`` at the same operating point —
+    the index build runs the same seeded id-ordered fit — so it shares
+    that entry's exact DuckDB twin. The entry exercises the real
+    build + frozen-centroid layout + partition-pruned query end-to-end
+    (index built once under ``.scratch/``, reused across runs)."""
+    from bearly_spark.streaming.ivf_index import build_ivf_index, ivf_index_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = _scratch_index(
+        sf_dir,
+        "ivf-index-v1",
+        "embeddings",
+        lambda d: build_ivf_index(emb, d, n_cells=64, sample_by="id"),
+    )
+    return ivf_index_query(
+        spark, index_dir, emb.filter(F.col("vec_id") < 5), k=10, n_probe=16
+    )
+
+
 def _winnow_oracle(
     k: int = 16, window: int = 8, min_shared: int = 8, max_posting: int = 1000
 ) -> str:

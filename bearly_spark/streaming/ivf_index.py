@@ -1,0 +1,286 @@
+"""Persisted IVF ANN index — k-means cells as PARTITION DIRECTORIES.
+
+The third member of the index family (next to ``ann_index`` — the
+hyperplane-LSH band index — and ``dedup_index``): the batch-scale IVF
+path (``similarity.ivf_ann_topk``) materialized on disk so repeated
+query sets never re-fit, re-assign or re-scan the corpus. Its pruning
+story is the cleanest of the three, because the blocking key IS a
+Spark partition column: vectors live under ``cells/batch=<b>/cell=<c>``
+directories, a query probes its ``n_probe`` nearest cells, and the
+``cell IN (...)`` filter prunes whole DIRECTORIES at planning time
+(``PartitionFilters`` in the plan — no bloom/row-group machinery
+needed). A probe reads ~n_probe/n_cells of the corpus bytes by
+construction, at any index size.
+
+Maintenance model (the honest IVF trade): centroids are FROZEN at
+build time — that is what makes at-ingest upserts possible (a new
+micro-batch is assigned against the stored centroids, no global
+re-fit) — and a corpus that drifts far from the fitted distribution
+degrades recall, not correctness. The remedy is a periodic
+``build_ivf_index`` refit-and-rebuild, which is why the index keeps
+the same batch-partitioned, idempotent, crash-safe-compaction layout
+as the other two indexes:
+
+- ``foreachBatch`` is at-least-once → every upsert is dynamic
+  partition overwrite under ``batch=<id>`` (a replay rewrites exactly
+  its own slice);
+- queries dedup candidates at the (q_id, c_id) level, so the
+  mid-compaction duplicate window is harmless;
+- compaction folds batch partitions into a ``batch=<base>`` dir with
+  file counts scaled to row counts, then drops the folded dirs
+  (write → atomic rename → delete, same sequencing as the siblings).
+
+Layout under ``index_dir``:
+- ``cells/`` (batch, cell) -> (id, vec): the index proper;
+- ``centroids/``: one small parquet of (cell, c float64[]) — the
+  frozen model, read once per query session.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+import pyspark.sql.functions as F
+
+from bearly_spark.operators.similarity import (
+    _kmeans_fit,
+    make_cell_assign_udf,
+    make_cosine_udf,
+)
+
+#: Compacted-base id scheme shared with the sibling indexes.
+BASE_BATCH_ID = -1
+
+_ROWS_PER_FILE = 4_000_000
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    return np.asarray([r.c for r in rows], dtype=np.float64)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    sample_by: str = "hash",
+) -> np.ndarray:
+    """Fit centroids on a bounded sample (identical rules to
+    ``ivf_ann_topk``: auto-sized cells≈√N when unset; hash-ordered
+    sample by default, ``sample_by="id"`` for the reproducible twinning
+    order), assign every corpus vector in one map-only pass, and write
+    the index. The initial load lands under ``batch=-1`` (a compacted
+    base, so ``compact_ivf_index`` after later upserts folds into -2,
+    -3, ...). Returns the fitted centroid matrix."""
+    if n_cells is None:
+        n = corpus.agg(F.approx_count_distinct(id_col)).collect()[0][0]
+        n_cells = int(min(4096, max(4, round(math.sqrt(max(n, 1))))))
+    order = (
+        F.col(id_col).cast("long")
+        if sample_by == "id"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"), order.alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    C = _kmeans_fit(smat, n_cells, seed)
+
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(j), [float(x) for x in C[j]]) for j in range(n_cells)],
+            "cell int, c array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    _write_cells(corpus, C, BASE_BATCH_ID, index_dir, id_col, vec_col)
+    return C
+
+
+def _write_cells(
+    df: DataFrame,
+    C: np.ndarray,
+    batch_id: int,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    n_cells = len(C)
+    cell_udf = make_cell_assign_udf(C)
+    assigned = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            cell_udf(F.col(vec_col)).alias("cell"),
+        )
+        # bounded files per cell dir (the sibling indexes' hygiene rule):
+        # micro-batches and fixture-scale loads get one file per touched
+        # cell; hash partitioning by cell keeps each task writing few dirs
+        .repartition(max(1, min(n_cells, 64)), "cell")
+        .withColumn("batch", F.lit(int(batch_id)))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def upsert_ivf_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Idempotently index one micro-batch against the FROZEN centroids
+    (read from the index — no refit, no corpus pass). At-least-once
+    replay rewrites exactly ``batch=<id>/cell=*``."""
+    C = _read_centroids(batch_df.sparkSession, index_dir)
+    _write_cells(batch_df, C, batch_id, index_dir, id_col, vec_col)
+
+
+def streaming_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Maintain the IVF index at ingest: each micro-batch is assigned
+    against the stored centroids and upserted idempotently. The index
+    must already exist (``build_ivf_index`` fits the model); centroid
+    refresh is an explicit rebuild, by design."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_ivf_batch(batch_df, batch_id, index_dir, id_col, vec_col)
+
+    return (
+        vectors.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Top-k ANN from the persisted index: identical semantics to
+    ``ivf_ann_topk`` at the same operating point (stable-sorted probe
+    ranking, exact cosine rerank, self-pairs excluded).
+
+    Scale shape: the centroid model is tiny (read once, ranked
+    driver-side per query — queries are bounded by the API contract);
+    the ``cell IN (...)`` filter on the index scan is PARTITION pruning
+    — Spark never lists, let alone reads, the unprobed cell
+    directories, so a probe touches ~n_probe/n_cells of the index
+    bytes at any index size. Vectors ride in the index rows, so the
+    rerank needs no join back to a corpus table."""
+    C = _read_centroids(spark, index_dir)
+    if n_probe is None:
+        n_probe = max(4, len(C) // 16)
+    c2 = (C**2).sum(axis=1)
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = c2 - 2.0 * (C @ qv)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    probed_cells = sorted({c for _, c in probe_rows})
+
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    cos_udf = make_cosine_udf()
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        # index duplicates (replay windows, mid-compaction) collapse here
+        .dropDuplicates(["q_id", "id"])
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "q_id",
+        )
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("vec")), 6))
+        .select(F.col("q_id").alias("query_id"), F.col("id").alias("neighbor_id"), "cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every ``cells/`` batch partition into one new base, file
+    counts scaled to rows (bounded-size files at any scale), then drop
+    the folded dirs — the siblings' write → atomic-rename → delete
+    sequencing, with the same crash posture: a crash mid-sequence
+    leaves duplicates the query path dedups. Returns folded dir count."""
+    root = Path(index_dir) / "cells"
+    if not root.is_dir():
+        return 0
+    batch_dirs = [d for d in root.iterdir() if d.is_dir() and d.name.startswith("batch=")]
+    if len(batch_dirs) <= 1:
+        return 0
+    batch_ids = [int(d.name.split("=", 1)[1]) for d in batch_dirs]
+    new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
+
+    idx = (
+        spark.read.parquet(str(root))
+        .select("id", "vec", "cell")
+        .dropDuplicates(["id", "cell"])
+        .localCheckpoint(eager=True)
+    )
+    n_cells = max(idx.select("cell").distinct().count(), 1)
+    n_files = max(min(n_cells, 64), math.ceil(idx.count() / _ROWS_PER_FILE))
+    tmp = root / ".compacting"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        idx.repartition(n_files, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(tmp))
+    )
+    tmp.rename(root / f"batch={new_base}")
+    for d in batch_dirs:
+        shutil.rmtree(d)
+    return len(batch_dirs)

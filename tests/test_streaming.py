@@ -832,3 +832,67 @@ def test_dedup_index_empty_batch_and_custom_id_and_big_batch(
         ).collect()
     }
     assert big == base
+
+
+def test_ivf_index_build_query_upsert_compact(spark, sf_dir, tmp_path_factory):
+    """Persisted IVF index lifecycle (round 5): (a) build-then-query
+    equals the one-shot ``ivf_ann_topk`` at the same operating point
+    (same seeded fit, same stable probe ranking, same rerank); (b) the
+    probed scan is PARTITION-pruned (cell dirs never listed); (c) a
+    frozen-centroid upsert makes new vectors retrievable, replays
+    idempotently, and compaction folds batches without changing
+    answers."""
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    import bearly_spark.streaming.ivf_index as IVF
+    from bearly_spark.operators.similarity import ivf_ann_topk
+    from bearly_spark.sources.tables import load_table
+
+    idx = str(tmp_path_factory.mktemp("ivfidx") / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows
+    )
+
+    # (a) build on the full corpus == one-shot batch path
+    IVF.build_ivf_index(emb, idx, n_cells=24, sample_by="id")
+    via_index = IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6)
+    batch = ivf_ann_topk(
+        emb, queries, k=10, n_cells=24, n_probe=6, sample_by="id"
+    ).collect()
+    assert key(via_index.collect()) == key(batch)
+
+    # (b) cell partition pruning visible in the plan
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # (c) frozen-centroid upsert on a DISJOINT id range; new ids are
+    # retrievable, replay is idempotent, compaction answer-preserving
+    n = emb.count()
+    shifted = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    IVF.upsert_ivf_batch(shifted, 0, idx)
+    rows_once = spark.read.parquet(f"{idx}/cells").count()
+    after = key(IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6).collect())
+    # each original vector's exact copy (cosine 1.0) now exists -> the
+    # shifted twin of the query itself must appear among its neighbors
+    got_pairs = {(q, c) for q, c, _, _ in after}
+    for qid in (0, 1, 2):
+        assert (qid, qid + n) in got_pairs
+    IVF.upsert_ivf_batch(shifted, 0, idx)  # at-least-once replay
+    assert spark.read.parquet(f"{idx}/cells").count() == rows_once
+    assert key(IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6).collect()) == after
+
+    assert IVF.compact_ivf_index(spark, idx) == 2
+    dirs = [
+        d
+        for d in pathlib.Path(idx, "cells").iterdir()
+        if d.is_dir() and d.name.startswith("batch=")
+    ]
+    assert len(dirs) == 1
+    assert key(IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6).collect()) == after
+    assert IVF.compact_ivf_index(spark, idx) == 0
