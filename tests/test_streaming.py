@@ -896,3 +896,46 @@ def test_ivf_index_build_query_upsert_compact(spark, sf_dir, tmp_path_factory):
     assert len(dirs) == 1
     assert key(IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6).collect()) == after
     assert IVF.compact_ivf_index(spark, idx) == 0
+
+
+def test_dedup_index_heals_dataless_roots_and_empty_report(
+    spark, sf_dir, tmp_path_factory
+):
+    """The healing half of the round-5 empty-batch fix: an index whose
+    dataset roots exist but hold no parquet (e.g. written by a
+    pre-round-5 build's empty batch, or an interrupted first write)
+    must read as EMPTY — detect still answers (within-batch pairs
+    only), instead of throwing UNABLE_TO_INFER_SCHEMA forever. The
+    saturation report on a missing/data-less index returns its zero
+    row rather than erroring."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.dedup_index import (
+        dedup_index_saturation_report,
+        near_dups_against_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("dedupidx_heal") / "index")
+    for name in ("bands", "sets", "counts"):
+        os.makedirs(f"{idx}/{name}")
+        open(f"{idx}/{name}/_SUCCESS", "w").close()
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dups_against_index(spark, idx, b1, exclude_batch=0).collect()
+    }
+    # equals the batch path restricted to within-b1 pairs
+    from bearly_spark.operators.dedup import minhash_dedup_pairs
+
+    want = {
+        (r.id_a, r.id_b) for r in minhash_dedup_pairs(b1, "doc_id", "text").collect()
+    }
+    assert got == want
+
+    rep = dedup_index_saturation_report(spark, idx).collect()[0]
+    assert (rep.n_buckets, rep.over_cap_buckets, rep.max_distinct_contents) == (0, 0, 0)
