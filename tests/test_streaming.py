@@ -939,3 +939,40 @@ def test_dedup_index_heals_dataless_roots_and_empty_report(
 
     rep = dedup_index_saturation_report(spark, idx).collect()[0]
     assert (rep.n_buckets, rep.over_cap_buckets, rep.max_distinct_contents) == (0, 0, 0)
+
+
+def test_streaming_ivf_index_ingest(spark, sf_dir, tmp_path_factory):
+    """The streaming face of the IVF index: vectors arriving as a
+    stream (one micro-batch per file) are assigned against the frozen
+    centroids and become retrievable — equal to upserting the same rows
+    directly."""
+    import pyspark.sql.functions as F
+
+    import bearly_spark.streaming.ivf_index as IVF
+    from bearly_spark.sources.tables import load_table
+
+    root = tmp_path_factory.mktemp("ivfstream")
+    src, idx, ckpt = f"{root}/src", f"{root}/index", f"{root}/ckpt"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    IVF.build_ivf_index(emb, idx, n_cells=24, sample_by="id")
+
+    shifted = emb.select((F.col("vec_id") + n).alias("vec_id"), "embedding")
+    shifted.filter(F.col("vec_id") % 2 == 0).write.parquet(src, mode="append")
+    shifted.filter(F.col("vec_id") % 2 == 1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(shifted.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = IVF.streaming_ivf_index(stream, idx, ckpt)
+    q.awaitTermination(120)
+
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == 2 * n  # base + streamed copies, no dups
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in IVF.ivf_index_query(spark, idx, queries, k=10, n_probe=6).collect()
+    }
+    for qid in (0, 1, 2):  # each query's streamed exact copy is found
+        assert (qid, qid + n) in got
