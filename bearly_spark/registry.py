@@ -41,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bearly_spark.operators import dedup as D
+from bearly_spark.operators import maintenance as MT
 from bearly_spark.operators import multimodal as M
 from bearly_spark.operators import relational as R
 from bearly_spark.operators import similarity as S
@@ -3450,6 +3451,136 @@ def q_zorder_scan(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 37 = 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), o_custkey, 'N',
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE (round 6, ``maintenance.merge_into``): a
+    Delta-style upsert on a plain parquet table — updates (+10.0 price,
+    status 'U' for every 37th key) and inserts (shifted keys, status
+    'N') applied in ONE merge. The entry exercises the real
+    file-pruned path end-to-end: range-clustered scratch table build,
+    ``_metadata.file_path`` semi-join to find touched files, untouched
+    files hard-linked into the new snapshot, atomic
+    ``RENAME_EXCHANGE`` swap, then aggregates the merged table
+    read back from disk. Rebuilt per invocation (a merge MUTATES its
+    table — reuse would double-apply). File-level pruning and crash
+    semantics are pinned in tests/test_sinks.py."""
+    import shutil
+    from pathlib import Path
+
+    orders = load_table(spark, sf_dir, "orders")
+    work_root = Path(f"{_SCRATCH}/{_sf_tag(sf_dir)}/merge_orders")
+    shutil.rmtree(work_root, ignore_errors=True)
+    work = str(work_root / "table")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(work)
+
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    upd = (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    ins = (
+        orders.filter(F.col("o_orderkey") % 41 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    MT.merge_into(spark, work, upd.unionByName(ins), ["o_orderkey"])
+    return (
+        spark.read.parquet(work)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 11 = 0 THEN DATE '1995-06-01'
+                  WHEN c_custkey % 13 = 0 THEN DATE '1997-03-01'
+                  ELSE NULL END AS valid_to
+      FROM customer
+    ),
+    v2 AS (
+      SELECT c_custkey, (c_nationkey + 7) % 25 AS c_nationkey, c_mktsegment,
+             DATE '1995-06-01' AS valid_from,
+             CASE WHEN c_custkey % 13 = 0 THEN DATE '1997-03-01'
+                  ELSE NULL END AS valid_to
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    v3 AS (
+      SELECT c_custkey, (c_nationkey + 3) % 25 AS c_nationkey,
+             'SEG2' AS c_mktsegment,
+             DATE '1997-03-01' AS valid_from, NULL AS valid_to
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    """,
+)
+def q_scd2_customer(spark, sf_dir):
+    """SCD Type 2 history maintenance (round 6,
+    ``maintenance.scd2_apply``): two change batches applied in sequence
+    to a customer dimension snapshot — a nation reassignment (every
+    11th key, 1995-06-01) then a segment migration (every 13th key,
+    1997-03-01). Each apply closes the changed keys' current version
+    and appends the new one; keys hit by both batches carry a 3-deep
+    version chain. The oracle states the resulting history in closed
+    form. Edge semantics (no-op changes dropped, out-of-order changes
+    dropped, new-key inserts, latest-per-key collapse) are pinned in
+    tests/test_relational_extra.py."""
+    cust = load_table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    keys, attrs = ["c_custkey"], ["c_nationkey", "c_mktsegment"]
+    chg1 = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"),
+        "c_mktsegment",
+        F.to_date(F.lit("1995-06-01")).alias("change_ts"),
+    )
+    chg2 = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 3) % 25).alias("c_nationkey"),
+        F.lit("SEG2").alias("c_mktsegment"),
+        F.to_date(F.lit("1997-03-01")).alias("change_ts"),
+    )
+    h = MT.scd2_apply(hist, chg1, keys, attrs)
+    return MT.scd2_apply(h, chg2, keys, attrs)
 
 
 @register(

@@ -391,3 +391,54 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_apply_edge_semantics(spark):
+    """SCD2 apply: changed key versions; identical-attr change is a
+    no-op; out-of-order (stale) change dropped; new key inserted;
+    duplicate change rows for one key collapse to the latest."""
+    import datetime as dt
+
+    from bearly_spark.operators.maintenance import scd2_apply
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [
+            (1, "a", d(2000, 1, 1), None),
+            (2, "b", d(2000, 1, 1), None),
+            (3, "c0", d(2000, 1, 1), d(2001, 1, 1)),  # closed historical row
+            (3, "c", d(2001, 1, 1), None),
+            (4, "d", d(2005, 1, 1), None),
+        ],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", d(2002, 1, 1)),  # real change
+            (1, "a1", d(2001, 1, 1)),  # older duplicate -> collapsed away
+            (2, "b", d(2002, 1, 1)),  # identical attrs -> no-op
+            (3, "c2", d(2002, 1, 1)),  # change on a key with history
+            (4, "d2", d(2004, 1, 1)),  # STALE: before current valid_from
+            (9, "new", d(2002, 1, 1)),  # brand-new key
+        ],
+        "k long, attr string, change_ts date",
+    )
+    out = scd2_apply(hist, changes, ["k"], ["attr"])
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(
+        [
+            (1, "a", d(2000, 1, 1), d(2002, 1, 1)),
+            (1, "a2", d(2002, 1, 1), None),
+            (2, "b", d(2000, 1, 1), None),
+            (3, "c0", d(2000, 1, 1), d(2001, 1, 1)),
+            (3, "c", d(2001, 1, 1), d(2002, 1, 1)),
+            (3, "c2", d(2002, 1, 1), None),
+            (4, "d", d(2005, 1, 1), None),
+            (9, "new", d(2002, 1, 1), None),
+        ]
+    )
+    # exactly one current row per live key, and re-applying the same
+    # batch is a no-op (every change now matches current state or is stale)
+    assert out.filter(F.col("valid_to").isNull()).count() == 5
+    again = scd2_apply(out, changes, ["k"], ["attr"])
+    assert sorted(tuple(r) for r in again.collect()) == got

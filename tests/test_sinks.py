@@ -434,3 +434,125 @@ def test_compact_crash_between_fallback_renames_heals(spark, sf_dir, tmp_path_fa
     assert files_after >= 1
     assert not old.exists()
     assert spark.read.parquet(str(root)).count() == n
+
+
+# ---------------------------------------------------------------- merge_into
+
+
+def _inode_map(root):
+    from pathlib import Path
+
+    return {
+        p.relative_to(root): p.stat().st_ino
+        for p in Path(root).rglob("*.parquet")
+        if not p.name.startswith(("_", "."))
+    }
+
+
+def test_merge_into_upsert_prunes_files_and_matches_algebra(
+    spark, sf_dir, tmp_path_factory
+):
+    """Copy-on-write MERGE: result equals the anti-join∪source algebra;
+    only the files containing matched keys are rewritten; untouched
+    files are hard-linked (same inode — zero data copy)."""
+    from bearly_spark.operators.maintenance import merge_into
+
+    root = tmp_path_factory.mktemp("merge") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    od.repartitionByRange(8, "o_orderkey").write.parquet(str(root))
+    before = _inode_map(root)
+
+    # delta clustered into the LOW key range so range layout keeps most
+    # files untouched — the pruning property under test
+    lo = od.filter(F.col("o_orderkey") % 64 == 0)
+    cut = od.agg(F.expr("percentile(o_orderkey, 0.25)")).collect()[0][0]
+    upd = (
+        lo.filter(F.col("o_orderkey") <= cut)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    mx = od.agg(F.max("o_orderkey")).collect()[0][0]
+    ins = od.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+    src = upd.unionByName(ins.select(*upd.columns))
+
+    stats = merge_into(spark, str(root), src, ["o_orderkey"])
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+
+    merged = spark.read.parquet(str(root))
+    expected = (
+        od.join(src.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*od.columns)
+        .unionByName(src.select(*od.columns))
+    )
+    assert merged.exceptAll(expected).count() == 0
+    assert expected.exceptAll(merged).count() == 0
+    # untouched files carried over by hard link: same inode as before
+    after = _inode_map(root)
+    carried = set(before) & set(after)
+    assert len(carried) == stats["files_total"] - stats["files_rewritten"]
+    assert all(before[p] == after[p] for p in carried)
+
+
+def test_merge_into_delete_and_insert_only(spark, sf_dir, tmp_path_factory):
+    from bearly_spark.operators.maintenance import merge_into
+
+    root = tmp_path_factory.mktemp("merge_del") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    od.repartitionByRange(4, "o_orderkey").write.parquet(str(root))
+    n = od.count()
+
+    dels = od.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    ndel = dels.count()
+    stats = merge_into(spark, str(root), dels, ["o_orderkey"], when_matched="delete")
+    assert stats["files_rewritten"] > 0
+    left = spark.read.parquet(str(root))
+    assert left.count() == n - ndel
+    assert left.filter(F.col("o_orderkey") % 10 == 0).count() == 0
+
+    # insert-only merge (no key matches): zero files rewritten, pure append
+    before = _inode_map(root)
+    mx = od.agg(F.max("o_orderkey")).collect()[0][0]
+    ins = od.limit(7).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+    stats2 = merge_into(spark, str(root), ins, ["o_orderkey"])
+    assert stats2["files_rewritten"] == 0
+    after = _inode_map(root)
+    assert all(after[p] == ino for p, ino in before.items())  # originals untouched
+    assert spark.read.parquet(str(root)).count() == n - ndel + 7
+
+
+def test_merge_into_edge_semantics(spark, sf_dir, tmp_path_factory):
+    """Duplicate SOURCE keys raise; duplicate TARGET rows for a matched
+    key all collapse to the one source row (upsert-by-key); a
+    fallback-crash state (.old- dir, no root) heals on entry."""
+    import pytest as _pytest
+
+    from bearly_spark.operators.maintenance import merge_into
+
+    root = tmp_path_factory.mktemp("merge_edge") / "t"
+    spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(str(root))
+
+    with _pytest.raises(ValueError, match="multiple rows"):
+        merge_into(
+            spark,
+            str(root),
+            spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string"),
+            ["k"],
+        )
+
+    merge_into(
+        spark, str(root), spark.createDataFrame([(1, "new")], "k long, v string"), ["k"]
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(str(root)).collect())
+    assert got == [(1, "new"), (2, "b")]
+
+    # heal a simulated fallback crash: root renamed away pre-swap
+    old = root.parent / f".old-{root.name}"
+    root.rename(old)
+    merge_into(
+        spark, str(root), spark.createDataFrame([(2, "b2")], "k long, v string"), ["k"]
+    )
+    assert not old.exists()
+    got = sorted(tuple(r) for r in spark.read.parquet(str(root)).collect())
+    assert got == [(1, "new"), (2, "b2")]

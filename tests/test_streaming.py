@@ -976,3 +976,85 @@ def test_streaming_ivf_index_ingest(spark, sf_dir, tmp_path_factory):
     }
     for qid in (0, 1, 2):  # each query's streamed exact copy is found
         assert (qid, qid + n) in got
+
+
+def test_cdc_apply_stream_equals_sequential_merges(spark, sf_dir, tmp_path_factory):
+    """CDC apply at ingest: a change stream (upserts + deletes, two
+    micro-batches) folded into a parquet table equals applying the same
+    batches through the batch CDC path in order; replaying the final
+    batch is a no-op (foreachBatch at-least-once safety)."""
+    import shutil
+
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.cdc import apply_cdc_batch, cdc_apply_stream
+
+    base = tmp_path_factory.mktemp("cdc")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    streamed, batched = str(base / "streamed"), str(base / "batched")
+    od.repartitionByRange(4, "o_orderkey").write.parquet(streamed)
+    od.repartitionByRange(4, "o_orderkey").write.parquet(batched)
+
+    # batch 0: update 5 rows + delete 3; batch 1: delete one of the
+    # updated keys, re-insert a deleted one, intra-batch d-then-u churn
+    keys = [r[0] for r in od.limit(9).collect()]
+    b0 = spark.createDataFrame(
+        [(k, "U0", 1.0, "u", 10) for k in keys[:5]]
+        + [(k, None, None, "d", 10) for k in keys[5:8]],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, op string, ts long",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (keys[0], None, None, "d", 20),
+            (keys[5], "BACK", 2.0, "u", 20),
+            # same key: delete at ts 21, upsert at ts 22 -> nets to upsert
+            (keys[8], None, None, "d", 21),
+            (keys[8], "CHURN", 3.0, "u", 22),
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, op string, ts long",
+    )
+
+    src = str(base / "changes")
+    b0.coalesce(1).write.parquet(src)
+    q_schema = spark.read.parquet(src).schema
+    b1.coalesce(1).write.mode("append").parquet(src)
+    # one file per micro-batch; file order follows write order here
+    # (the parquet files sort by name: part-...-<uuid>; force order via dirs)
+    shutil.rmtree(src)
+    b0.coalesce(1).write.parquet(src)
+    q = cdc_apply_stream(
+        spark.readStream.schema(q_schema).option("maxFilesPerTrigger", 1).parquet(src),
+        streamed,
+        str(base / "ckpt"),
+        ["o_orderkey"],
+    )
+    q.awaitTermination(300)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = cdc_apply_stream(
+        spark.readStream.schema(q_schema).option("maxFilesPerTrigger", 1).parquet(src),
+        streamed,
+        str(base / "ckpt"),
+        ["o_orderkey"],
+    )
+    q.awaitTermination(300)
+
+    apply_cdc_batch(spark, batched, b0, ["o_orderkey"])
+    apply_cdc_batch(spark, batched, b1, ["o_orderkey"])
+
+    got = spark.read.parquet(streamed)
+    want = spark.read.parquet(batched)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # spot semantics: churn key present with the later upsert, dels gone
+    row = got.filter(F.col("o_orderkey") == keys[8]).collect()
+    assert [(r["o_orderstatus"], r["o_totalprice"]) for r in row] == [("CHURN", 3.0)]
+    assert got.filter(F.col("o_orderkey") == keys[0]).count() == 0
+    assert got.filter(F.col("o_orderkey") == keys[5]).collect()[0]["o_orderstatus"] == "BACK"
+
+    # replay the last batch: byte-level state may rewrite (touched files
+    # get fresh names), row state must not change — snapshot rows first,
+    # re-read after (the held `want` plan's file listing goes stale)
+    want_rows = sorted(tuple(r) for r in want.collect())
+    apply_cdc_batch(spark, batched, b1, ["o_orderkey"])
+    again_rows = sorted(tuple(r) for r in spark.read.parquet(batched).collect())
+    assert again_rows == want_rows
