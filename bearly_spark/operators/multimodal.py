@@ -140,3 +140,170 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
         F.explode(offsets).alias("frame_offset"),
         F.col("meta.payload_bytes").alias("payload_bytes"),
     )
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def binary_block_table(
+    df: DataFrame, id_col: str, payload_col: str, block_bytes: int
+) -> DataFrame:
+    """(id, bh) DISTINCT block-hash rows: the payload split into fixed
+    ``block_bytes`` chunks, each md5'd — all JVM built-ins (sequence/
+    explode/substring/md5 — substring and md5 both operate natively on
+    BinaryType), no UDF, no payload bytes past the map stage. Repeated
+    blocks inside one payload count once (set semantics). Empty/null
+    payloads yield no rows."""
+    nblocks = F.ceil(F.octet_length(F.col(payload_col)) / F.lit(block_bytes)).cast("int")
+    return (
+        df.filter(F.octet_length(F.col(payload_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("_bi"),
+            F.col(payload_col),
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.expr(
+                    f"substring({payload_col}, _bi * {block_bytes} + 1, {block_bytes})"
+                )
+            ).alias("bh"),
+        )
+        .dropDuplicates([id_col, "bh"])
+    )
+
+
+def binary_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    block_bytes: int = 32,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate MULTIMODAL assets: Jaccard over fixed-size block
+    hashes of the raw payload bytes — the content-defined-storage dedup
+    model (two encodings of the same image/audio share most chunks;
+    re-muxed or partially-corrupted copies share a prefix/suffix of
+    blocks). This is the binary-column counterpart of the text family's
+    MinHash path, built entirely from JVM expressions (no UDF anywhere:
+    block hashing is sequence+substring+md5, discovery is an inverted
+    index over block hashes).
+
+    Same scale skeleton as ``dedup.minhash_dedup_pairs`` (round-3
+    duplicate-mass-invariance design):
+
+    - exact-copy collapse FIRST (md5 of the whole payload): the block
+      stage and the pairwise discovery run once per DISTINCT payload;
+      exact copies expand at the end at Θ(answer) cost, as 1.0-pairs
+      that can never be lost to a posting cap;
+    - discovery is an inverted-index join: only (rep_id, block_hash)
+      rows shuffle, a posting list longer than ``max_posting`` distinct
+      payloads is dropped (degenerate boilerplate blocks — a run of
+      0x00 padding shared by half the corpus must not fan out
+      quadratically), dropped mass is reported through ``observation``
+      (same contract as the text banding paths), and in-posting pair
+      expansion is bounded by max_posting²;
+    - exact block-set Jaccard = shared / (|A| + |B| - shared) from the
+      per-pair shared-block count plus two broadcast-size set-size
+      joins — no re-scan of payloads.
+
+    Fixed (non-content-defined) chunking means an INSERTION that shifts
+    byte alignment breaks all downstream block matches — by design:
+    this operator targets media/container payloads (aligned edits,
+    truncations, metadata patches), not edit-distance text similarity,
+    which the MinHash/SimHash/winnowing family owns. Null and empty
+    payloads never pair cross-group; exact-copy groups of non-null
+    payloads (including empty ones) still emit their within-group 1.0
+    pairs.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    """
+    from bearly_spark.operators.dedup import _observe_bucket_drops
+
+    ckey = F.md5(F.coalesce(F.col(payload_col), F.lit(b"\x00null")))
+    fpk = df.select(F.col(id_col), F.col(payload_col)).withColumn("_ckey", ckey)
+    groups = (
+        fpk.groupBy("_ckey")
+        .agg(
+            F.min(id_col).alias("_gid"),
+            F.count(F.lit(1)).alias("_gsize"),
+            F.first(payload_col).alias(payload_col),
+        )
+        .persist()
+    )
+    groups.count()  # pin eagerly: members join + block stage both consume it
+    members = (
+        fpk.select(F.col(id_col), "_ckey")
+        .join(groups.select("_ckey", "_gid"), "_ckey")
+        .select(F.col(id_col), "_gid")
+    )
+    reps = groups.filter(F.col(payload_col).isNotNull()).select(
+        F.col("_gid").alias(id_col), F.col(payload_col)
+    )
+
+    blocks = binary_block_table(reps, id_col, payload_col, block_bytes).persist()
+    blocks.count()  # consumed by sizes, postings, and the shared-count join
+    sizes = blocks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    postings = _observe_bucket_drops(
+        blocks.groupBy("bh").agg(ids_sorted.alias("ids")),
+        F.size("ids"),
+        max_posting,
+        observation,
+    ).filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    shared = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    rep_pairs = (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("_gid").alias("id_a"), F.col(id_col).alias("_ia")), "id_a"
+        )
+        .join(members.select(F.col("_gid").alias("id_b"), F.col(id_col).alias("_ib")), "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    same = (
+        groups.filter((F.col("_gsize") >= 2) & F.col(payload_col).isNotNull())
+        .select("_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ia")), "_gid")
+        .join(members.select("_gid", F.col(id_col).alias("_ib")), "_gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(same)

@@ -3454,6 +3454,67 @@ def q_zorder_scan(spark, sf_dir):
 
 
 @register(
+    "binary_near_dup_documents",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS ck, MIN(doc_id) AS gid, COUNT(*) AS gsize
+      FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+    ),
+    mem AS (SELECT d.doc_id, g.gid FROM documents d JOIN g ON md5(d.text) = g.ck),
+    rep AS (SELECT g.gid, d.text FROM g JOIN documents d ON d.doc_id = g.gid
+            WHERE length(d.text) > 0),
+    blk AS (
+      SELECT DISTINCT gid, md5(substr(text, CAST(i*32+1 AS INT), 32)) AS bh
+      FROM rep, UNNEST(range(CAST(ceil(length(text)/32.0) AS BIGINT))) AS u(i)
+    ),
+    sz AS (SELECT gid, COUNT(*) AS n FROM blk GROUP BY gid),
+    post AS (SELECT bh FROM blk GROUP BY bh HAVING COUNT(*) BETWEEN 2 AND 1000),
+    shared AS (
+      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS s
+      FROM blk a JOIN post p ON p.bh = a.bh
+           JOIN blk b ON b.bh = a.bh AND a.gid < b.gid
+      GROUP BY a.gid, b.gid
+    ),
+    rp AS (
+      SELECT ga, gb,
+             ROUND(CAST(s AS DOUBLE) / (sa.n + sb.n - s), 6) AS j
+      FROM shared JOIN sz sa ON sa.gid = ga JOIN sz sb ON sb.gid = gb
+    ),
+    cross_p AS (
+      SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+             GREATEST(ma.doc_id, mb.doc_id) AS id_b, j AS jaccard
+      FROM rp JOIN mem ma ON ma.gid = rp.ga JOIN mem mb ON mb.gid = rp.gb
+      WHERE j >= 0.3
+    ),
+    same_p AS (
+      SELECT ma.doc_id AS id_a, mb.doc_id AS id_b, 1.0 AS jaccard
+      FROM g JOIN mem ma ON ma.gid = g.gid JOIN mem mb ON mb.gid = g.gid
+      WHERE g.gsize >= 2 AND ma.doc_id < mb.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM cross_p
+    UNION ALL SELECT id_a, id_b, jaccard FROM same_p
+    """,
+)
+def q_binary_near_dup(spark, sf_dir):
+    """MULTIMODAL near-dup dedup (round 6,
+    ``multimodal.binary_near_dup_pairs``): Jaccard over fixed 32-byte
+    block hashes of the raw payload binary — the storage-style chunk
+    dedup for image/audio/video columns (re-encoded containers,
+    truncated/patched copies), zero UDFs (sequence + substring + md5 on
+    BinaryType, inverted-index discovery, capped postings). Payloads
+    here are the documents' UTF-8 bytes via ``attach_payload``; the
+    DuckDB twin recomputes the identical pipeline over char substrings
+    (the fixture is pure ASCII, so byte and char offsets coincide —
+    asserted obliquely by the hash match itself). Planted-payload
+    semantics (aligned tail edits pair, shifted insertions don't,
+    boilerplate-block cap) pinned in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.binary_near_dup_pairs(
+        M.attach_payload(docs), block_bytes=32, threshold=0.3
+    )
+
+
+@register(
     "merge_upsert_orders",
     oracle="""
     WITH src AS (

@@ -613,3 +613,54 @@ def test_ivf_auto_sizes_cells_from_corpus(spark, sf_dir):
     # auto-sized probe set must at least recall each query's true top-1
     # ... allowing the usual ANN miss on at most one query
     assert sum(1 for p in top1 if p in got_pairs) >= len(top1) - 1
+
+
+def test_binary_near_dup_planted_semantics(spark):
+    """Block-hash near-dup over binary payloads: aligned tail edits
+    pair with high Jaccard; an alignment-shifting insertion breaks all
+    downstream blocks (documented fixed-chunking semantics); exact
+    copies emit 1.0 within-group pairs that bypass discovery; a
+    boilerplate block shared by many payloads is capped out of the
+    inverted index; null/empty payloads never pair cross-group."""
+    from bearly_spark.operators.multimodal import binary_near_dup_pairs
+
+    bs = 8
+    base = bytes(range(256))  # 32 blocks of 8
+    tail_edit = base[:-8] + b"ZZZZZZZZ"  # last block differs -> j = 31/33
+    shifted = b"X" + base  # 1-byte insertion -> every block shifts
+    rows = [
+        (1, base),
+        (2, tail_edit),
+        (3, shifted),
+        (4, base),  # exact copy of 1
+        (5, None),  # null payload
+        (6, b""),  # empty payload
+        (7, b""),  # empty: exact group with 6
+    ]
+    # boilerplate: one shared 8-byte block in >max_posting otherwise-unique payloads
+    rows += [(100 + i, b"SAMEBLK!" + bytes([i]) * 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    out = binary_near_dup_pairs(
+        df, block_bytes=bs, threshold=0.5, max_posting=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+
+    assert got[(1, 2)] == round(31 / 33, 6)  # tail edit: 31 shared of 33 union
+    assert got[(1, 4)] == 1.0 and got[(2, 4)] == round(31 / 33, 6)
+    assert got[(6, 7)] == 1.0  # empty payloads: exact group still pairs
+    assert not any(3 in p for p in got)  # shifted copy shares no block
+    assert not any(5 in p for p in got)  # null payload never pairs
+    # the SAMEBLK! posting (12 > max_posting=8) must NOT fan out
+    assert not any(a >= 100 or b >= 100 for a, b in got)
+
+    # same pipeline with the cap lifted: the boilerplate block alone is
+    # 1 shared of (2+2-1)=3 union blocks -> j=1/3 < 0.5 threshold, so
+    # still no pairs — but at threshold 0.3 they appear, proving the
+    # cap (not the threshold) did the dropping above
+    out2 = binary_near_dup_pairs(
+        df, block_bytes=bs, threshold=0.3, max_posting=1000
+    ).collect()
+    boiler = [r for r in out2 if r["id_a"] >= 100]
+    assert len(boiler) == 12 * 11 // 2
+    assert all(r["jaccard"] == round(1 / 3, 6) for r in boiler)
