@@ -766,3 +766,176 @@ def embedding_dup_clusters(
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias(id_col), F.col("component").alias("cluster"))
+
+
+# ----------------------------------------------------------------- PQ ANN
+
+
+def pq_fit(mat: np.ndarray, m: int, ksub: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of ``dim/m`` dimensions and each gets its
+    own seeded k-means codebook (``ksub`` centroids) — ``_kmeans_fit``
+    per subspace on the same driver-side sample the IVF fit uses.
+    Returns shape (m, ksub, dim//m). Deterministic given (seed, sample),
+    which is what lets the DuckDB twin re-run the identical fit."""
+    dsub = mat.shape[1] // m
+    assert m * dsub == mat.shape[1], f"dim {mat.shape[1]} not divisible by m={m}"
+    return np.stack(
+        [
+            _kmeans_fit(mat[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j, iters=iters)
+            for j in range(m)
+        ]
+    )
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """vector -> m uint8 codes (nearest sub-centroid per subspace; ties
+    to the LOWEST code — numpy argmin's first-hit rule, the same rule
+    the SQL twin spells as ORDER BY d, code). One batch matmul per
+    subspace per Arrow batch."""
+    cb = codebooks.copy()
+    m, ksub, dsub = cb.shape
+    c2 = (cb**2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        mat = _vec_matrix(vecs)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = c2[j][None, :] - 2.0 * (sub @ cb[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    sample_by: str = "hash",
+) -> DataFrame:
+    """Product-quantization ANN: asymmetric-distance (ADC) candidate
+    scan over m-byte codes + exact cosine rerank of the top ``rerank``.
+
+    THE BYTES LEVER of the ANN family: a dim-64 float32 vector (256 B)
+    compresses to m=8 one-byte codes — 32x — so the candidate scan
+    reads Θ(N·m) bytes instead of Θ(N·dim·4). IVF/LSH prune WHICH
+    vectors are scanned; PQ shrinks WHAT a scanned vector costs, and at
+    100 TB the two compose (IVF cells of PQ codes = classic IVF-PQ; the
+    persisted-index layout in ``streaming/ivf_index.py`` would store
+    codes instead of raw vectors). Recall is bounded by quantization
+    error; returned similarities are EXACT (rerank recomputes cosine on
+    the raw vectors of the candidate set only).
+
+    Execution shape:
+    - codebooks fit driver-side on a bounded sample (same contract as
+      the IVF fit; ``sample_by="id"`` is the oracle-twinning order);
+    - encoding is one map-only ``pandas_udf`` pass (m tiny matmuls per
+      Arrow batch); at production scale the code table is the persisted
+      artifact — 32x smaller than the corpus it indexes;
+    - scoring broadcasts the per-query LUT (m × ksub distance terms —
+      the asymmetric trick: the query side stays exact, only the corpus
+      side is quantized) inside a ``mapInPandas`` closure; each
+      partition emits its LOCAL top-``rerank`` per query by the GLOBAL
+      ordering key (rounded ADC, id), so the global top-``rerank``
+      survives partition-local pruning — the same TakeOrdered shape as
+      ``brute_force_topk``, with Θ(q · rerank) rows leaving each
+      partition instead of Θ(q · N);
+    - exact rerank joins the candidate ids back to the raw vectors
+      (Θ(q · rerank) row lookups) and window-ranks by
+      (cosine_sim DESC, id).
+
+    Returns (query_id, neighbor_id, cosine_sim, rn), rn ≤ k.
+    """
+    if sample_by not in ("hash", "id"):
+        raise ValueError(f"sample_by must be 'hash' or 'id': {sample_by}")
+    order = (
+        F.col(id_col).cast("long")
+        if sample_by == "id"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"), order.alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    cb = pq_fit(smat, m, ksub, seed)
+    ksub_, dsub = cb.shape[1], cb.shape[2]
+    c2 = (cb**2).sum(axis=2)  # (m, ksub)
+
+    enc = make_pq_encode_udf(cb)
+    codes = corpus.select(F.col(id_col).alias("c_id"), enc(F.col(vec_col)).alias("codes"))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([int(r[0]) for r in qrows])
+    # per-query LUT of ADC terms, computed EXACTLY like the SQL twin:
+    # term(q, j, c) = c2 - 2·(q_j · C[j][c]) + q_j²  (float64 throughout)
+    luts = np.empty((len(qrows), cb.shape[0], ksub_), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r[1], dtype=np.float64)
+        for j in range(cb.shape[0]):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            luts[qi, j] = c2[j] - 2.0 * (cb[j] @ qj) + (qj @ qj)
+
+    out_schema = "q_id long, c_id long, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat_all = np.asarray([np.asarray(c) for c in pdf["codes"]], dtype=np.int64)
+            ids_all = pdf["c_id"].to_numpy()
+            frames = []
+            for qi in range(len(q_ids)):
+                mask = ids_all != q_ids[qi]  # self-match excluded BEFORE the cut
+                ids, cmat = ids_all[mask], cmat_all[mask]
+                if not len(ids):
+                    continue
+                # sum over subspaces in j order (sequential — matches the
+                # twin's ordered 8-term addition up to ulp, then rounded)
+                adc = luts[qi, np.arange(cmat.shape[1])[None, :], cmat].sum(axis=1)
+                take = min(rerank, len(ids))
+                # partition-local top-`rerank` BY THE GLOBAL ORDERING KEY
+                # (rounded adc, id): global top survives local pruning
+                adc_r = np.round(adc, 6)
+                sel = np.lexsort((ids, adc_r))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "c_id": ids[sel], "adc": adc_r[sel]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    scored = codes.mapInPandas(score, schema=out_schema)
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .select("q_id", "c_id")
+    )
+
+    cos_udf = make_cosine_udf()
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    cvec = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("c_vec")), 6))
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cosine_sim")
+        .withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= k)
+    )

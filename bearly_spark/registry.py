@@ -2506,6 +2506,107 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
+def _pq_oracle() -> str:
+    """Exact DuckDB twin of ``embedding_ann_pq`` (round 6): the
+    per-subspace k-means fit is deterministic given (seed, id-ordered
+    sample), so the builder re-runs ``similarity.pq_fit`` on the same
+    sample read from the fixture parquet and inlines all m×ksub
+    sub-centroids (and their squared norms) as SQL literals. Everything
+    downstream is plain SQL: per-subspace argmin code assignment (ties
+    to the lowest code — numpy argmin's first-hit rule), the per-query
+    ADC term table, ROUND(SUM(term), 6)-ranked candidates (the same
+    rounded value Spark ranks on; the 16-term float sum differs across
+    engines only at ulp scale, absorbed by the rounding), and the exact
+    cosine rerank."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bearly_spark.operators.similarity import pq_fit
+
+    m, ksub, rerank, k = 16, 16, 100, 10
+    sf_dir = os.environ.get("BEARLY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) ORDER BY vec_id",
+        [f"{sf_dir}/embeddings.parquet"],
+    ).fetchall()
+    con.close()
+    mat = np.asarray([r[0] for r in rows[:100_000]], dtype=np.float64)
+    cb = pq_fit(mat, m, ksub, seed=42)
+    c2 = (cb**2).sum(axis=2)
+    dsub = cb.shape[2]
+    cb_vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            j, c, ", ".join(repr(float(x)) for x in cb[j, c]), float(c2[j, c])
+        )
+        for j in range(m)
+        for c in range(ksub)
+    )
+    sub = f"ev[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    qsub = f"q.ev[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    return f"""
+    WITH cb(j, c, cv, c2) AS (VALUES {cb_vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    ad AS (SELECT v.vec_id, cb.j, cb.c,
+                  cb.c2 - 2.0 * list_dot_product(v.{sub}, cb.cv) AS d
+           FROM v, cb),
+    assign AS (SELECT vec_id, j, c FROM (
+                 SELECT vec_id, j, c,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+                 FROM ad) WHERE rn = 1),
+    q AS (SELECT vec_id, ev FROM v WHERE vec_id < 5),
+    qt AS (SELECT q.vec_id AS qid, cb.j, cb.c,
+                  cb.c2 - 2.0 * list_dot_product({qsub}, cb.cv)
+                        + list_dot_product({qsub}, {qsub}) AS term
+           FROM q, cb),
+    adc AS (SELECT qt.qid, a.vec_id AS nid, ROUND(SUM(qt.term), 6) AS adc
+            FROM assign a JOIN qt ON qt.j = a.j AND qt.c = a.c
+            WHERE a.vec_id <> qt.qid
+            GROUP BY qt.qid, a.vec_id),
+    cand AS (SELECT qid, nid FROM (
+               SELECT qid, nid,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+               FROM adc) WHERE rn <= {rerank}),
+    r AS (SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                 ROUND(list_cosine_similarity(qv.ev, nv.ev), 6) AS cosine_sim
+          FROM cand c JOIN v qv ON qv.vec_id = c.qid
+                      JOIN v nv ON nv.vec_id = c.nid),
+    t AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM r)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM t WHERE rn <= {k}
+    """
+
+
+@register("embedding_ann_pq", oracle=_pq_oracle)  # lazy: fit runs at oracle_sql() time
+def q_embedding_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (round 6, ``similarity.pq_ann_topk``) —
+    the BYTES lever of the ANN family: dim-64 vectors compress to m=16
+    one-byte codes (16x; m=8 gives 32x at lower recall), the candidate
+    scan reads codes not vectors, and the exact cosine rerank touches
+    only the top-100 ADC candidates. Measured on this fixture
+    (isotropic embeddings, the hashing-ANN worst case): recall@10 =
+    0.98 at (m=16, ksub=16, rerank=100); the sweep in PLANS.md has the
+    m=8 points. Complements IVF/LSH (which prune WHICH vectors are
+    scanned — at 100 TB compose them: IVF cells over PQ codes).
+    Codebooks fit on the id-ordered sample (twinning order); the DuckDB
+    oracle re-runs the identical fit and replays assignment + ADC +
+    rerank in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        m=16,
+        ksub=16,
+        rerank=100,
+        sample_by="id",
+    )
+
+
 @register("ivf_index_query", oracle=_ivf_oracle)  # same lazy twin as the inline path
 def q_ivf_index_query(spark, sf_dir):
     """ANN top-k from the PERSISTED IVF index (round 5,

@@ -664,3 +664,50 @@ def test_binary_near_dup_planted_semantics(spark):
     boiler = [r for r in out2 if r["id_a"] >= 100]
     assert len(boiler) == 12 * 11 // 2
     assert all(r["jaccard"] == round(1 / 3, 6) for r in boiler)
+
+
+def test_pq_ann_recall_and_compression_contract(spark, sf_dir):
+    """PQ ANN: every query answered; returned sims are exact cosines
+    (rerank recomputes on raw vectors — checked against brute force on
+    the shared pairs); recall at the registry operating point (m=16,
+    ksub=16, rerank=100) clears the sweep's measured floor; a planted
+    exact duplicate survives quantization + rerank at the top."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, queries, k=10).collect()
+    pq = S.pq_ann_topk(emb, queries, k=10, m=16, ksub=16, rerank=100).collect()
+    brute_map = {(r.query_id, r.neighbor_id): r.cosine_sim for r in brute}
+    pq_map = {(r.query_id, r.neighbor_id): r.cosine_sim for r in pq}
+    assert {q for q, _ in pq_map} == {q for q, _ in brute_map}
+    shared = set(pq_map) & set(brute_map)
+    assert shared and all(pq_map[p] == brute_map[p] for p in shared)  # exact sims
+    brute_sets, pq_sets = {}, {}
+    for (q, n), _ in brute_map.items():
+        brute_sets.setdefault(q, set()).add(n)
+    for (q, n), _ in pq_map.items():
+        pq_sets.setdefault(q, set()).add(n)
+    recalls = [len(pq_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in brute_sets]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls  # measured 0.98; generous floor
+
+    # planted exact duplicate: identical vector -> identical codes ->
+    # ADC 0 -> candidate -> rerank cosine 1.0 at rank 1
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(64)]
+    vecs.append((500, vecs[3][1]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = S.pq_ann_topk(
+        df, df.filter(F.col("vec_id") == 3), k=3, m=4, ksub=8, rerank=16
+    ).collect()
+    assert top[0].neighbor_id == 500 and top[0].cosine_sim == 1.0
+    assert all(r.neighbor_id != 3 for r in top)  # self excluded
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    import numpy as np
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="not divisible"):
+        S.pq_fit(np.zeros((10, 10)), m=3, ksub=4)
