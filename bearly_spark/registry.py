@@ -5594,21 +5594,33 @@ PREFIX_ORDER = [
     "window_running_total",
     "rank_ties_orders",
     "topk_orders_per_customer",
-    # set ops (set + multiset)
+    # set ops (set_except_all_quantities left the prefix in r6 to seat
+    # the table-maintenance family; the multiset variants stay
+    # oracle-checked in the full gate)
     "set_intersect_custkeys",
-    "set_except_all_quantities",
-    # scalar function packs
-    "string_funcs_part",
+    # table maintenance (r6): copy-on-write MERGE end-to-end — scratch
+    # build, file-pruned rewrite, atomic swap, read-back aggregate
+    # (scd2_customer_history is the same family and rides the full gate)
+    "merge_upsert_orders",
+    # scalar function packs (string_funcs_part left the prefix in r6 —
+    # three reps keep the family; it stays in the full gate)
     "date_funcs_orders",
     "json_extract_events",
     "variant_events_props",
+    # multimodal dedup (r6): block-hash near-dup over binary payloads —
+    # the binary-column counterpart of the MinHash family
+    "binary_near_dup_documents",
     # subqueries / decorrelation / classic TPC-H shapes
+    # (q19_disjunctive_revenue left the prefix in r6 — five shape reps
+    # keep the family; it stays in the full gate)
     "lateral_topk_orders",
     "subquery_above_avg_orders",
     "q4_order_priority_check",
     "q18_large_volume_orders",
     "q6_forecast_revenue",
-    "q19_disjunctive_revenue",
+    # ANN compression (r6): PQ codes scan + exact rerank — the bytes
+    # lever complementing embedding_ann_lsh's pruning lever below
+    "embedding_ann_pq",
     # streaming batch twins
     "events_tumbling_hourly",
     "events_sessionization",

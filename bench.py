@@ -87,6 +87,13 @@ HEADLINE = [
     # - the decontamination shape; regression here means the shared
     # tf/df stream stopped being shared)
     "bm25_multi_search_documents",
+    # round 6: the table-maintenance and compression families — the
+    # copy-on-write MERGE (timed end-to-end: scratch build + file-pruned
+    # rewrite + read-back aggregate), block-hash multimodal dedup, and
+    # PQ ANN (codes scan + exact rerank)
+    "merge_upsert_orders",
+    "binary_near_dup_documents",
+    "embedding_ann_pq",
 ]
 
 
