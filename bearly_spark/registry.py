@@ -2581,6 +2581,133 @@ def _pq_oracle() -> str:
     """
 
 
+def _ivfpq_oracle() -> str:
+    """Exact DuckDB twin of ``ivfpq_index_query`` (round 6): BOTH frozen
+    models — the coarse k-means centroids and the per-subspace PQ
+    codebooks — are re-fit on the same id-ordered sample and inlined as
+    SQL literals; candidate eligibility is coarse-cell membership in
+    the query's n_probe nearest cells (the directory pruning, stated
+    relationally), ranking is ROUND(SUM(term), 6) ADC, and the top
+    ``rerank`` per query get the exact cosine rerank."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bearly_spark.operators.similarity import _kmeans_fit, pq_fit
+
+    n_cells, n_probe, m, ksub, rerank, k = 64, 16, 16, 16, 100, 10
+    sf_dir = os.environ.get("BEARLY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) ORDER BY vec_id",
+        [f"{sf_dir}/embeddings.parquet"],
+    ).fetchall()
+    con.close()
+    mat = np.asarray([r[0] for r in rows[:100_000]], dtype=np.float64)
+    C = _kmeans_fit(mat, n_cells, seed=42)
+    cb = pq_fit(mat, m, ksub, seed=42)
+    cc2 = (C**2).sum(axis=1)
+    cb2 = (cb**2).sum(axis=2)
+    dsub = cb.shape[2]
+    cent_vals = ", ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            j, ", ".join(repr(float(x)) for x in C[j]), float(cc2[j])
+        )
+        for j in range(n_cells)
+    )
+    cb_vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            j, c, ", ".join(repr(float(x)) for x in cb[j, c]), float(cb2[j, c])
+        )
+        for j in range(m)
+        for c in range(ksub)
+    )
+    sub = f"ev[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    qsub = f"q.ev[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    return f"""
+    WITH cent(cell, cv, c2) AS (VALUES {cent_vals}),
+    cb(j, c, cv, c2) AS (VALUES {cb_vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    cad AS (SELECT v.vec_id, cent.cell,
+                   cent.c2 - 2.0 * list_dot_product(v.ev, cent.cv) AS d
+            FROM v, cent),
+    cassign AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                  FROM cad) WHERE rn = 1),
+    pad AS (SELECT v.vec_id, cb.j, cb.c,
+                   cb.c2 - 2.0 * list_dot_product(v.{sub}, cb.cv) AS d
+            FROM v, cb),
+    passign AS (SELECT vec_id, j, c FROM (
+                  SELECT vec_id, j, c,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+                  FROM pad) WHERE rn = 1),
+    q AS (SELECT vec_id, ev FROM v WHERE vec_id < 5),
+    qd AS (SELECT q.vec_id, cent.cell,
+                  cent.c2 - 2.0 * list_dot_product(q.ev, cent.cv) AS d
+           FROM q, cent),
+    probes AS (SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                 FROM qd) WHERE rn <= {n_probe}),
+    qt AS (SELECT q.vec_id AS qid, cb.j, cb.c,
+                  cb.c2 - 2.0 * list_dot_product({qsub}, cb.cv)
+                        + list_dot_product({qsub}, {qsub}) AS term
+           FROM q, cb),
+    adc AS (SELECT qt.qid, a.vec_id AS nid, ROUND(SUM(qt.term), 6) AS adc
+            FROM passign a
+            JOIN cassign ca ON ca.vec_id = a.vec_id
+            JOIN probes p ON p.cell = ca.cell
+            JOIN qt ON qt.j = a.j AND qt.c = a.c AND qt.qid = p.q_id
+            WHERE a.vec_id <> qt.qid
+            GROUP BY qt.qid, a.vec_id),
+    cand AS (SELECT qid, nid FROM (
+               SELECT qid, nid,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+               FROM adc) WHERE rn <= {rerank}),
+    r AS (SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                 ROUND(list_cosine_similarity(qv.ev, nv.ev), 6) AS cosine_sim
+          FROM cand c JOIN v qv ON qv.vec_id = c.qid
+                      JOIN v nv ON nv.vec_id = c.nid),
+    t AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM r)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM t WHERE rn <= {k}
+    """
+
+
+@register("ivfpq_index_query", oracle=_ivfpq_oracle)  # lazy: both fits run at oracle time
+def q_ivfpq_index_query(spark, sf_dir):
+    """ANN from the persisted IVF-PQ index (round 6,
+    ``streaming.ivf_index.build_ivfpq_index``/``ivfpq_index_query``) —
+    the canonical 100 TB composition: IVF cell directories prune WHICH
+    vectors are scanned (partition pruning, ~n_probe/n_cells of the
+    index), PQ codes shrink WHAT each scanned vector costs (16 bytes vs
+    256 — the cells/ dataset holds codes only), and the exact cosine
+    rerank touches raw vectors solely through the id-sorted,
+    bloom-filtered vecs/ sidecar via chunked pushed IN filters
+    (``dedup_index``'s point-lookup pattern). Frozen-model at-ingest
+    upserts + crash-safe compaction are tested in
+    tests/test_streaming.py; the index builds once under ``.scratch/``
+    and is reused across runs."""
+    from bearly_spark.streaming.ivf_index import build_ivfpq_index, ivfpq_index_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = _scratch_index(
+        sf_dir,
+        "ivfpq-index-v1",
+        "embeddings",
+        lambda d: build_ivfpq_index(
+            emb, d, n_cells=64, m=16, ksub=16, sample_by="id"
+        ),
+    )
+    return ivfpq_index_query(
+        spark, index_dir, emb.filter(F.col("vec_id") < 5), k=10, n_probe=16, rerank=100
+    )
+
+
 @register("embedding_ann_pq", oracle=_pq_oracle)  # lazy: fit runs at oracle_sql() time
 def q_embedding_ann_pq(spark, sf_dir):
     """Product-quantization ANN (round 6, ``similarity.pq_ann_topk``) —

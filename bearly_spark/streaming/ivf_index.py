@@ -284,3 +284,362 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int:
     for d in batch_dirs:
         shutil.rmtree(d)
     return len(batch_dirs)
+
+
+# ------------------------------------------------------- IVF-PQ (round 6)
+#
+# The classic 100 TB ANN composition (Faiss-style IVF-PQ, flat-encoded):
+# IVF prunes WHICH vectors a query scans (cell directories, partition
+# pruning), PQ shrinks WHAT a scanned vector costs (m one-byte codes vs
+# dim·4 raw bytes — 16x at the registry point). The persisted layout
+# separates the two access patterns the way the dedup index separates
+# bands/ from sets/:
+#
+# - ``cells/``  (batch, cell) -> (id, codes): the scan path — SMALL
+#   (Θ(N·m) bytes); a probe reads ~n_probe/n_cells of it via directory
+#   pruning and ranks candidates by asymmetric distance (ADC) against
+#   the query's exact sub-vectors;
+# - ``vecs/``   (batch) -> (id, vec): the raw vectors, touched ONLY for
+#   the exact rerank of ≤ queries×rerank candidate ids — id-sorted with
+#   an id bloom filter, so the rerank read is a pruned point-lookup scan
+#   (``dedup_index``'s sets/ pattern), not a corpus pass;
+# - ``centroids/`` + ``codebooks/``: the frozen model (coarse cells +
+#   per-subspace PQ codebooks), fit once on a bounded sample; upserts
+#   encode against it (idempotent per batch), drift is a documented
+#   rebuild trigger exactly as for the plain IVF index.
+#
+# This flat-encoded variant quantizes the RAW vector; residual encoding
+# (quantize x − centroid_cell, the Faiss default) reuses this exact
+# layout with one extra subtraction at encode/score time and buys
+# finer-grained codes at production scale — noted as the follow-on
+# lever, not implemented here.
+
+
+def _read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_dir}/codebooks").orderBy("j", "c").collect()
+    m = max(r.j for r in rows) + 1
+    ksub = max(r.c for r in rows) + 1
+    dsub = len(rows[0].cv)
+    cb = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cb[r.j, r.c] = r.cv
+    return cb
+
+
+_VEC_WRITE_OPTS = {"parquet.bloom.filter.enabled#id": "true"}
+
+
+def _write_pq_parts(
+    df: DataFrame,
+    C: np.ndarray,
+    cb: np.ndarray,
+    batch_id: int,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    from bearly_spark.operators.similarity import make_pq_encode_udf
+
+    n_cells = len(C)
+    cell_udf = make_cell_assign_udf(C)
+    enc = make_pq_encode_udf(cb)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+    ).localCheckpoint(eager=True)  # one UDF pass feeds both writers
+    (
+        base.select("id", "codes", "cell")
+        .repartition(max(1, min(n_cells, 64)), "cell")
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(f"{index_dir}/cells")
+    )
+    w = (
+        base.select("id", "vec")
+        .repartitionByRange(max(1, math.ceil(base.count() / _ROWS_PER_FILE)), "id")
+        .sortWithinPartitions("id")
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    for k, v in _VEC_WRITE_OPTS.items():
+        w = w.option(k, v)
+    w.partitionBy("batch").parquet(f"{index_dir}/vecs")
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    m: int = 16,
+    ksub: int = 16,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    sample_by: str = "hash",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit coarse centroids AND per-subspace PQ codebooks on one bounded
+    sample (same sizing/sampling rules as ``build_ivf_index``; the PQ
+    fit seeds per subspace), then encode + write the full corpus under
+    ``batch=-1``. Returns (centroids, codebooks)."""
+    from bearly_spark.operators.similarity import pq_fit
+
+    if n_cells is None:
+        n = corpus.agg(F.approx_count_distinct(id_col)).collect()[0][0]
+        n_cells = int(min(4096, max(4, round(math.sqrt(max(n, 1))))))
+    order = (
+        F.col(id_col).cast("long")
+        if sample_by == "id"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"), order.alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    C = _kmeans_fit(smat, n_cells, seed)
+    cb = pq_fit(smat, m, ksub, seed)
+
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(j), [float(x) for x in C[j]]) for j in range(n_cells)],
+            "cell int, c array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    (
+        spark.createDataFrame(
+            [
+                (int(j), int(c), [float(x) for x in cb[j, c]])
+                for j in range(cb.shape[0])
+                for c in range(cb.shape[1])
+            ],
+            "j int, c int, cv array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codebooks")
+    )
+    _write_pq_parts(corpus, C, cb, BASE_BATCH_ID, index_dir, id_col, vec_col)
+    return C, cb
+
+
+def upsert_ivfpq_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Idempotently index one micro-batch against the FROZEN model
+    (centroids + codebooks read from the index; no refit). A replay
+    rewrites exactly its own ``batch=<id>`` slices of cells/ and
+    vecs/."""
+    spark = batch_df.sparkSession
+    C = _read_centroids(spark, index_dir)
+    cb = _read_codebooks(spark, index_dir)
+    _write_pq_parts(batch_df, C, cb, batch_id, index_dir, id_col, vec_col)
+
+
+def ivfpq_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int | None = None,
+    rerank: int = 100,
+    scan_prune_max_keys: int = 2048,
+) -> DataFrame:
+    """Top-k ANN from the persisted IVF-PQ index: directory-pruned codes
+    scan → per-query ADC ranking → exact cosine rerank against the
+    id-pruned vecs/ sidecar.
+
+    Scale shape, stage by stage:
+    - probe selection is driver-side against the tiny frozen model
+      (stable argsort — ties to the lowest cell, the twin's ORDER BY);
+    - the cells/ scan reads ~n_probe/n_cells of Θ(N·m) CODE bytes
+      (partition pruning × 16x compression — the two levers composed);
+    - ADC terms come from per-query LUTs broadcast in the kernel
+      closure (the asymmetric trick: query side exact); each partition
+      emits its local top-``rerank`` per query under the GLOBAL
+      (rounded-ADC, id) key, the ``pq_ann_topk`` TakeOrdered shape;
+    - the rerank reads ≤ queries×rerank raw vectors through
+      ``vecs/``'s id-sorted, bloom-filtered layout via chunked pushed
+      IN filters (``dedup_index._pruned_scan``) when the id set fits
+      ``scan_prune_max_keys``, else one full sidecar scan (a huge
+      candidate set amortizes it).
+
+    Index duplicates (replay windows, mid-compaction) collapse at the
+    (q_id, id) level before scoring. Returns
+    (query_id, neighbor_id, cosine_sim, rn), rn ≤ k."""
+    import pandas as pd
+
+    from bearly_spark.streaming.dedup_index import _pruned_scan
+
+    C = _read_centroids(spark, index_dir)
+    cb = _read_codebooks(spark, index_dir)
+    if n_probe is None:
+        n_probe = max(4, len(C) // 16)
+    mm, ksub, dsub = cb.shape
+    c2 = (C**2).sum(axis=1)
+    cb2 = (cb**2).sum(axis=2)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows, luts = [], {}
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = c2 - 2.0 * (C @ qv)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((qid, int(cell)))
+        lut = np.empty((mm, ksub), dtype=np.float64)
+        for j in range(mm):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            lut[j] = cb2[j] - 2.0 * (cb[j] @ qj) + (qj @ qj)
+        luts[qid] = lut
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    probed_cells = sorted({c for _, c in probe_rows})
+
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored_in = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .dropDuplicates(["q_id", "id"])
+        .select("q_id", "id", "codes")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.asarray([np.asarray(c) for c in pdf["codes"]], dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            qs = pdf["q_id"].to_numpy()
+            frames = []
+            for qid in np.unique(qs):
+                msk = qs == qid
+                adc = luts[int(qid)][np.arange(mm)[None, :], cmat[msk]].sum(axis=1)
+                adc_r = np.round(adc, 6)
+                take = min(rerank, msk.sum())
+                sel = np.lexsort((ids[msk], adc_r))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {"q_id": qid, "id": ids[msk][sel], "adc": adc_r[sel]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    from pyspark.sql import Window
+
+    scored = scored_in.mapInPandas(score, schema="q_id long, id long, adc double")
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .select("q_id", "id")
+        .localCheckpoint(eager=True)  # consumed by the id collect AND the rerank
+    )
+
+    vecs = spark.read.parquet(f"{index_dir}/vecs").select("id", "vec")
+    cand_ids = [
+        r[0]
+        for r in cand.select("id").distinct().limit(scan_prune_max_keys + 1).collect()
+    ]
+    if 0 < len(cand_ids) <= scan_prune_max_keys:
+        vecs = _pruned_scan(vecs, "id", cand_ids)
+    vecs = vecs.dropDuplicates(["id"])  # replay/compaction duplicate tolerance
+
+    cos_udf = make_cosine_udf()
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(vecs, "id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("cosine_sim", F.round(cos_udf(F.col("q_vec"), F.col("vec")), 6))
+        .select(
+            F.col("q_id").alias("query_id"), F.col("id").alias("neighbor_id"), "cosine_sim"
+        )
+        .withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold both datasets' batch partitions into one new base each
+    (cells/ repartitioned by cell, vecs/ id-range-sorted with its bloom
+    layout), write → atomic rename → delete, duplicates through the
+    crash window collapsing in the query path as usual. Returns the
+    number of cells/ batch dirs folded."""
+    root = Path(index_dir)
+    cells_root = root / "cells"
+    if not cells_root.is_dir():
+        return 0
+    batch_dirs = [
+        d for d in cells_root.iterdir() if d.is_dir() and d.name.startswith("batch=")
+    ]
+    if len(batch_dirs) <= 1:
+        return 0
+    batch_ids = [int(d.name.split("=", 1)[1]) for d in batch_dirs]
+    new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
+
+    cells_df = (
+        spark.read.parquet(str(cells_root))
+        .select("id", "codes", "cell")
+        .dropDuplicates(["id", "cell"])
+        .localCheckpoint(eager=True)
+    )
+    vecs_df = (
+        spark.read.parquet(str(root / "vecs"))
+        .select("id", "vec")
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
+    n_cells = max(cells_df.select("cell").distinct().count(), 1)
+    n_cell_files = max(min(n_cells, 64), math.ceil(cells_df.count() / _ROWS_PER_FILE))
+    n_vec_files = max(1, math.ceil(vecs_df.count() / _ROWS_PER_FILE))
+    for name, df, part_cols, opts in (
+        ("cells", cells_df.repartition(n_cell_files, "cell"), ["cell"], {}),
+        (
+            "vecs",
+            (
+                vecs_df.coalesce(1)
+                if n_vec_files <= 1
+                else vecs_df.repartitionByRange(n_vec_files, "id")
+            ).sortWithinPartitions("id"),
+            [],
+            _VEC_WRITE_OPTS,
+        ),
+    ):
+        ds_root = root / name
+        tmp = ds_root / ".compacting"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        old = [d for d in ds_root.iterdir() if d.is_dir() and d.name.startswith("batch=")]
+        writer = df.write.mode("overwrite")
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(str(tmp))
+        tmp.rename(ds_root / f"batch={new_base}")
+        for d in old:
+            shutil.rmtree(d)
+    return len(batch_dirs)

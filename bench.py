@@ -94,6 +94,9 @@ HEADLINE = [
     "merge_upsert_orders",
     "binary_near_dup_documents",
     "embedding_ann_pq",
+    # round 6: the composed index — dir-pruned codes scan + id-pruned
+    # raw-vector rerank (index built once under .scratch, reused)
+    "ivfpq_index_query",
 ]
 
 

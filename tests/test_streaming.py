@@ -1058,3 +1058,88 @@ def test_cdc_apply_stream_equals_sequential_merges(spark, sf_dir, tmp_path_facto
     apply_cdc_batch(spark, batched, b1, ["o_orderkey"])
     again_rows = sorted(tuple(r) for r in spark.read.parquet(batched).collect())
     assert again_rows == want_rows
+
+
+def test_ivfpq_index_lifecycle_and_pruned_rerank(spark, sf_dir, tmp_path_factory):
+    """Persisted IVF-PQ index (round 6): (a) exact sims (rerank on raw
+    vectors) with recall above the composed-pruning floor; (b) the codes
+    scan is partition-pruned on cell AND the rerank vector lookup is a
+    pushed-IN pruned scan of the vecs/ sidecar; (c) frozen-model upsert
+    retrieves new ids, replays idempotently; compaction folds both
+    datasets without changing answers."""
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    import bearly_spark.streaming.ivf_index as IVF
+    from bearly_spark.operators.similarity import brute_force_topk
+    from bearly_spark.sources.tables import load_table
+
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rn) for r in rows
+    )
+
+    IVF.build_ivfpq_index(emb, idx, n_cells=24, m=16, ksub=16, sample_by="id")
+    via = IVF.ivfpq_index_query(spark, idx, queries, k=10, n_probe=6, rerank=100)
+    got = via.collect()
+
+    # (a) sims are exact cosines: compare against brute force on shared pairs
+    brute = brute_force_topk(emb, queries, k=10).collect()
+    bmap = {(r.query_id, r.neighbor_id): r.cosine_sim for r in brute}
+    gmap = {(r.query_id, r.neighbor_id): r.cosine_sim for r in got}
+    shared = set(bmap) & set(gmap)
+    assert shared and all(bmap[p] == gmap[p] for p in shared)
+    recalls = [
+        len({n for q2, n in gmap if q2 == q} & {n for q2, n in bmap if q2 == q}) / 10
+        for q in {q for q, _ in bmap}
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls  # composed pruning floor
+
+    # (b) both pruning levers. The returned plan starts from the
+    # candidate localCheckpoint, so the codes scan is asserted on the
+    # same scan shape the query builds internally; the rerank's pruned
+    # vecs lookup IS in the returned plan (pushed id IN-set).
+    cells_scan = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("cell").isin([0, 1, 2])
+    )
+    cplan = cells_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in cplan and "cell" in cplan  # dir pruning
+    plan = via._jdf.queryExecution().executedPlan().toString()
+    assert "id#" in plan and "INSET" in plan  # vecs scan: pushed id set
+
+    # (c) frozen-model upsert + replay idempotency + compaction
+    n = emb.count()
+    shifted = emb.select((F.col("vec_id") + n).alias("vec_id"), "embedding")
+    IVF.upsert_ivfpq_batch(shifted, 0, idx)
+    cells_once = spark.read.parquet(f"{idx}/cells").count()
+    vecs_once = spark.read.parquet(f"{idx}/vecs").count()
+    after = key(
+        IVF.ivfpq_index_query(spark, idx, queries, k=10, n_probe=6, rerank=100).collect()
+    )
+    got_pairs = {(q, c) for q, c, _, _ in after}
+    for qid in (0, 1, 2):  # exact copy shares cell AND codes -> ADC 0 -> retrieved
+        assert (qid, qid + n) in got_pairs
+    IVF.upsert_ivfpq_batch(shifted, 0, idx)  # at-least-once replay
+    assert spark.read.parquet(f"{idx}/cells").count() == cells_once
+    assert spark.read.parquet(f"{idx}/vecs").count() == vecs_once
+    assert (
+        key(IVF.ivfpq_index_query(spark, idx, queries, k=10, n_probe=6, rerank=100).collect())
+        == after
+    )
+
+    assert IVF.compact_ivfpq_index(spark, idx) == 2
+    for ds in ("cells", "vecs"):
+        dirs = [
+            d
+            for d in pathlib.Path(idx, ds).iterdir()
+            if d.is_dir() and d.name.startswith("batch=")
+        ]
+        assert len(dirs) == 1, ds
+    assert (
+        key(IVF.ivfpq_index_query(spark, idx, queries, k=10, n_probe=6, rerank=100).collect())
+        == after
+    )
+    assert IVF.compact_ivfpq_index(spark, idx) == 0
