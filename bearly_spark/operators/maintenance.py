@@ -199,6 +199,73 @@ def _cow_rewrite(
     }
 
 
+def snapshot_table(path: str) -> int:
+    """Version snapshot of a parquet table as a HARD-LINKED tree under
+    ``<parent>/.history-<name>/v<k>`` — O(files) metadata ops, zero data
+    bytes copied, which is what makes per-revision snapshots affordable
+    at 100 TB (the same property the MERGE staging dir exploits).
+    Because every mutation in this module writes NEW files and swaps
+    (never modifies bytes in place), a linked snapshot stays immutable
+    through any number of later merges. Returns the version number."""
+    root = Path(path).resolve()
+    hist = root.parent / f".history-{root.name}"
+    versions = (
+        [int(d.name[1:]) for d in hist.iterdir() if d.name.startswith("v")]
+        if hist.is_dir()
+        else []
+    )
+    v = max(versions, default=0) + 1
+    dst_root = hist / f"v{v}"
+    for f in sorted(root.rglob("*")):
+        if f.is_dir() or any(p.startswith(".") for p in f.relative_to(root).parts):
+            continue
+        dst = dst_root / f.relative_to(root)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        os.link(f, dst)
+    dst_root.mkdir(parents=True, exist_ok=True)  # even for an empty table
+    return v
+
+
+def list_table_versions(path: str) -> list[int]:
+    root = Path(path).resolve()
+    hist = root.parent / f".history-{root.name}"
+    if not hist.is_dir():
+        return []
+    return sorted(int(d.name[1:]) for d in hist.iterdir() if d.name.startswith("v"))
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> None:
+    """Roll the table back to snapshot ``version`` — a hard-linked copy
+    of the snapshot tree swapped in atomically (the snapshot itself
+    stays in the history, so a restore can be restored from). Readers
+    see exactly one complete state throughout, as with every swap in
+    this module."""
+    root = Path(path).resolve()
+    src = root.parent / f".history-{root.name}" / f"v{version}"
+    if not src.is_dir():
+        raise ValueError(f"no snapshot v{version} for {path}")
+    staging = root.parent / f".restoring-{root.name}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    staging.mkdir()
+    for f in sorted(src.rglob("*")):
+        if f.is_dir():
+            continue
+        dst = staging / f.relative_to(src)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        os.link(f, dst)
+    old = root.parent / f".old-{root.name}"
+    if exchange_dirs(staging, root):
+        shutil.rmtree(staging)
+    else:
+        if old.exists():
+            shutil.rmtree(old)
+        root.rename(old)
+        staging.rename(root)
+        shutil.rmtree(old)
+    spark.catalog.refreshByPath(str(root))
+
+
 def scd2_apply(
     history: DataFrame,
     changes: DataFrame,
@@ -235,6 +302,30 @@ def scd2_apply(
     attribute comparison (``<=>``) treats NULL→value and value→NULL as
     real changes.
     """
+    eff_keys, closed, fresh = _scd2_parts(
+        history, changes, keys, attrs, change_ts_col, valid_from_col, valid_to_col
+    )
+    out_cols = keys + attrs + [valid_from_col, valid_to_col]
+    untouched = history.join(
+        F.broadcast(eff_keys.select(*keys).withColumn("_hit", F.lit(1))),
+        keys,
+        "left",
+    ).filter(F.col("_hit").isNull() | F.col(valid_to_col).isNotNull()).select(*out_cols)
+    return untouched.unionByName(closed).unionByName(fresh)
+
+
+def _scd2_parts(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    change_ts_col: str,
+    valid_from_col: str,
+    valid_to_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The delta of one SCD2 apply: (effective change keys, closed
+    current rows, fresh version rows) — shared by the full-output
+    :func:`scd2_apply` and the merge-backed :func:`scd2_apply_table`."""
     out_cols = keys + attrs + [valid_from_col, valid_to_col]
     from pyspark.sql import Window
 
@@ -269,15 +360,39 @@ def scd2_apply(
         .withColumn(valid_to_col, F.col("_close_ts"))
         .select(*out_cols)
     )
-    untouched = history.join(
-        F.broadcast(eff_keys.select(*keys).withColumn("_hit", F.lit(1))),
-        keys,
-        "left",
-    ).filter(F.col("_hit").isNull() | F.col(valid_to_col).isNotNull()).select(*out_cols)
     fresh = effective.select(
         *keys,
         *attrs,
         F.col(change_ts_col).alias(valid_from_col),
         F.lit(None).cast(history.schema[valid_to_col].dataType).alias(valid_to_col),
     )
-    return untouched.unionByName(closed).unionByName(fresh)
+    return eff_keys, closed, fresh
+
+
+def scd2_apply_table(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    change_ts_col: str = "change_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> dict:
+    """INCREMENTAL SCD2 on a persisted history table: instead of
+    rewriting the whole history (``scd2_apply`` returns the full new
+    frame), the apply reduces to a MERGE of just the delta —
+    closed-current rows REPLACE their stored versions and fresh rows
+    INSERT, keyed on ``keys + [valid_from]`` (unique per version by
+    construction: one version per key per change timestamp). With a
+    key-clustered layout, one change batch rewrites only the files
+    holding the affected CURRENT versions — Θ(delta), the property that
+    lets a 100 TB dimension history absorb daily change feeds. Same
+    semantics as :func:`scd2_apply` (equivalence-tested), same atomic
+    snapshot swap as every merge. Returns the merge stats dict."""
+    history = spark.read.parquet(path)
+    _, closed, fresh = _scd2_parts(
+        history, changes, keys, attrs, change_ts_col, valid_from_col, valid_to_col
+    )
+    delta = closed.unionByName(fresh)
+    return merge_into(spark, path, delta, keys + [valid_from_col])

@@ -556,3 +556,81 @@ def test_merge_into_edge_semantics(spark, sf_dir, tmp_path_factory):
     assert not old.exists()
     got = sorted(tuple(r) for r in spark.read.parquet(str(root)).collect())
     assert got == [(1, "new"), (2, "b2")]
+
+
+def test_snapshot_restore_roundtrip_zero_copy(spark, sf_dir, tmp_path_factory):
+    """Hard-link snapshots: zero data copy (same inodes), immutable
+    through later merges (CoW never modifies bytes in place), and
+    restore swaps the old state back atomically — restorable again."""
+    from bearly_spark.operators.maintenance import (
+        list_table_versions,
+        merge_into,
+        restore_table,
+        snapshot_table,
+    )
+
+    root = tmp_path_factory.mktemp("snap") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    od.repartitionByRange(4, "o_orderkey").write.parquet(str(root))
+    rows_v1 = sorted(tuple(r) for r in spark.read.parquet(str(root)).collect())
+
+    v = snapshot_table(str(root))
+    assert v == 1 and list_table_versions(str(root)) == [1]
+    snap_dir = root.parent / f".history-{root.name}" / "v1"
+    live = {p.name: p.stat().st_ino for p in root.glob("*.parquet")}
+    snap = {p.name: p.stat().st_ino for p in snap_dir.glob("*.parquet")}
+    assert live == snap  # linked, not copied
+
+    dels = od.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    merge_into(spark, str(root), dels, ["o_orderkey"], when_matched="delete")
+    assert spark.read.parquet(str(root)).count() < len(rows_v1)
+    # snapshot unchanged by the merge
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(str(snap_dir)).collect()
+    ) == rows_v1
+
+    v2 = snapshot_table(str(root))
+    assert v2 == 2
+    restore_table(spark, str(root), 1)
+    assert sorted(tuple(r) for r in spark.read.parquet(str(root)).collect()) == rows_v1
+    restore_table(spark, str(root), 2)  # roll forward again
+    assert spark.read.parquet(str(root)).filter(F.col("o_orderkey") % 3 == 0).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        restore_table(spark, str(root), 99)
+
+
+def test_scd2_apply_table_equals_full_rewrite(spark, sf_dir, tmp_path_factory):
+    """Merge-backed incremental SCD2 == the full-frame scd2_apply, while
+    rewriting only the files holding affected current versions."""
+    from bearly_spark.operators.maintenance import scd2_apply, scd2_apply_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    root = tmp_path_factory.mktemp("scd2t") / "hist"
+    hist.repartitionByRange(8, "c_custkey").write.parquet(str(root))
+
+    keys, attrs = ["c_custkey"], ["c_nationkey", "c_mktsegment"]
+    chg = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 5) % 25).alias("c_nationkey"),
+        "c_mktsegment",
+        F.to_date(F.lit("1999-09-09")).alias("change_ts"),
+    )
+    stats = scd2_apply_table(spark, str(root), chg, keys, attrs)
+    assert stats["files_rewritten"] > 0
+    got = sorted(tuple(r) for r in spark.read.parquet(str(root)).collect())
+    want = sorted(tuple(r) for r in scd2_apply(hist, chg, keys, attrs).collect())
+    assert got == want
+    # idempotent: the same batch re-applied changes nothing (all
+    # changes now match current state)
+    scd2_apply_table(spark, str(root), chg, keys, attrs)
+    assert sorted(tuple(r) for r in spark.read.parquet(str(root)).collect()) == got
