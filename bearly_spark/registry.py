@@ -2678,6 +2678,142 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def _ivfpq_residual_oracle() -> str:
+    """Exact DuckDB twin of ``ivfpq_residual_query``: like
+    ``_ivfpq_oracle`` but the PQ codebooks are fit on the sample's CELL
+    RESIDUALS, corpus codes quantize ``ev − centroid(cell(ev))``
+    (elementwise ``list_transform`` subtraction — the same float64 ops
+    numpy does), and each query's ADC terms are computed per PROBED
+    CELL from its residual w.r.t. that cell."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bearly_spark.operators.similarity import _kmeans_fit, pq_fit
+    from bearly_spark.streaming.ivf_index import _assign_cells_np
+
+    n_cells, n_probe, m, ksub, rerank, k = 64, 16, 16, 16, 100, 10
+    sf_dir = os.environ.get("BEARLY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) ORDER BY vec_id",
+        [f"{sf_dir}/embeddings.parquet"],
+    ).fetchall()
+    con.close()
+    mat = np.asarray([r[0] for r in rows[:100_000]], dtype=np.float64)
+    C = _kmeans_fit(mat, n_cells, seed=42)
+    cb = pq_fit(mat - C[_assign_cells_np(C, mat)], m, ksub, seed=42)
+    cc2 = (C**2).sum(axis=1)
+    cb2 = (cb**2).sum(axis=2)
+    dim = mat.shape[1]
+    dsub = cb.shape[2]
+    cent_vals = ", ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            j, ", ".join(repr(float(x)) for x in C[j]), float(cc2[j])
+        )
+        for j in range(n_cells)
+    )
+    cb_vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            j, c, ", ".join(repr(float(x)) for x in cb[j, c]), float(cb2[j, c])
+        )
+        for j in range(m)
+        for c in range(ksub)
+    )
+    rsub = f"res.rv[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    qrsub = f"qres.rv[(cb.j*{dsub}+1):((cb.j+1)*{dsub})]"
+    return f"""
+    WITH cent(cell, cv, c2) AS (VALUES {cent_vals}),
+    cb(j, c, cv, c2) AS (VALUES {cb_vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    cad AS (SELECT v.vec_id, cent.cell,
+                   cent.c2 - 2.0 * list_dot_product(v.ev, cent.cv) AS d
+            FROM v, cent),
+    cassign AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                  FROM cad) WHERE rn = 1),
+    res AS (SELECT v.vec_id, ca.cell,
+                   list_transform(range(1, {dim + 1}), i -> v.ev[i] - cent.cv[i]) AS rv
+            FROM v JOIN cassign ca ON ca.vec_id = v.vec_id
+                   JOIN cent ON cent.cell = ca.cell),
+    pad AS (SELECT res.vec_id, cb.j, cb.c,
+                   cb.c2 - 2.0 * list_dot_product({rsub}, cb.cv) AS d
+            FROM res, cb),
+    passign AS (SELECT vec_id, j, c FROM (
+                  SELECT vec_id, j, c,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+                  FROM pad) WHERE rn = 1),
+    q AS (SELECT vec_id, ev FROM v WHERE vec_id < 5),
+    qd AS (SELECT q.vec_id, cent.cell,
+                  cent.c2 - 2.0 * list_dot_product(q.ev, cent.cv) AS d
+           FROM q, cent),
+    probes AS (SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                 FROM qd) WHERE rn <= {n_probe}),
+    qres AS (SELECT q.vec_id AS qid, p.cell,
+                    list_transform(range(1, {dim + 1}), i -> q.ev[i] - cent.cv[i]) AS rv
+             FROM q JOIN probes p ON p.q_id = q.vec_id
+                    JOIN cent ON cent.cell = p.cell),
+    qt AS (SELECT qres.qid, qres.cell, cb.j, cb.c,
+                  cb.c2 - 2.0 * list_dot_product({qrsub}, cb.cv)
+                        + list_dot_product({qrsub}, {qrsub}) AS term
+           FROM qres, cb),
+    adc AS (SELECT qt.qid, a.vec_id AS nid, ROUND(SUM(qt.term), 6) AS adc
+            FROM passign a
+            JOIN cassign ca ON ca.vec_id = a.vec_id
+            JOIN qt ON qt.cell = ca.cell AND qt.j = a.j AND qt.c = a.c
+            WHERE a.vec_id <> qt.qid
+            GROUP BY qt.qid, a.vec_id),
+    cand AS (SELECT qid, nid FROM (
+               SELECT qid, nid,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+               FROM adc) WHERE rn <= {rerank}),
+    r AS (SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                 ROUND(list_cosine_similarity(qv.ev, nv.ev), 6) AS cosine_sim
+          FROM cand c JOIN v qv ON qv.vec_id = c.qid
+                      JOIN v nv ON nv.vec_id = c.nid),
+    t AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM r)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM t WHERE rn <= {k}
+    """
+
+
+@register("ivfpq_residual_query", oracle=_ivfpq_residual_oracle)  # lazy fits
+def q_ivfpq_residual_query(spark, sf_dir):
+    """Residual-encoded IVF-PQ (round 6) — the Faiss-default variant:
+    PQ quantizes each vector's RESIDUAL against its cell centroid, so
+    the same 16-byte code budget quantizes the (smaller, centered)
+    within-cell displacement instead of the raw vector. Measured where
+    it matters: on a clustered corpus recall@10 rises 0.84 → 1.00 over
+    flat encoding at the same operating point (pinned in
+    tests/test_streaming.py); on THIS isotropic fixture both encodings
+    read 0.74 — centroids sit near the origin, so there is nothing for
+    the finer quantization to win, and the entry's value here is
+    hash-exact verification of the residual arithmetic end-to-end
+    (per-(query, cell) ADC term tables included). Same layout,
+    upsert, and pruning story as ``ivfpq_index_query``; ``meta/``
+    records the encoding so upserts/queries can't mix variants."""
+    from bearly_spark.streaming.ivf_index import build_ivfpq_index, ivfpq_index_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = _scratch_index(
+        sf_dir,
+        "ivfpq-res-index-v1",
+        "embeddings",
+        lambda d: build_ivfpq_index(
+            emb, d, n_cells=64, m=16, ksub=16, sample_by="id", encoding="residual"
+        ),
+    )
+    return ivfpq_index_query(
+        spark, index_dir, emb.filter(F.col("vec_id") < 5), k=10, n_probe=16, rerank=100
+    )
+
+
 @register("ivfpq_index_query", oracle=_ivfpq_oracle)  # lazy: both fits run at oracle time
 def q_ivfpq_index_query(spark, sf_dir):
     """ANN from the persisted IVF-PQ index (round 6,

@@ -43,6 +43,7 @@ import shutil
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -308,11 +309,29 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int:
 #   encode against it (idempotent per batch), drift is a documented
 #   rebuild trigger exactly as for the plain IVF index.
 #
-# This flat-encoded variant quantizes the RAW vector; residual encoding
-# (quantize x − centroid_cell, the Faiss default) reuses this exact
-# layout with one extra subtraction at encode/score time and buys
-# finer-grained codes at production scale — noted as the follow-on
-# lever, not implemented here.
+# Two encodings share the layout (``meta/`` records which one an index
+# uses, so upserts and queries can't mix them):
+# - ``flat``: PQ quantizes the RAW vector — one model for all cells,
+#   simplest twin;
+# - ``residual`` (the Faiss IVF-PQ default): PQ quantizes x − centroid
+#   of x's cell. Residuals are smaller and better centered than raw
+#   vectors, so the same code budget quantizes finer — measured
+#   (tests/test_streaming.py pins the clustered case): on a 32-center
+#   clustered corpus recall@10 goes 0.84 (flat) → 1.00 (residual) at
+#   the same operating point, which is the shape real embedding
+#   corpora have; on the ISOTROPIC driver fixture both read 0.74 —
+#   with centroids near the origin the residual ≈ the raw vector, so
+#   there is nothing for the finer quantization to win. Cost: the
+#   query-side LUT becomes per (query, probed cell) — n_probe small
+#   LUT builds per query instead of one, still Θ(model) driver work,
+#   and the scan/rerank shapes are unchanged.
+
+
+def _assign_cells_np(C: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Driver-side twin of ``make_cell_assign_udf``'s arithmetic (same
+    argmin(c² − 2x·C) form, first-hit ties) for fitting residuals."""
+    c2 = (C**2).sum(axis=1)
+    return (c2[None, :] - 2.0 * (mat @ C.T)).argmin(axis=1)
 
 
 def _read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
@@ -329,6 +348,44 @@ def _read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
 _VEC_WRITE_OPTS = {"parquet.bloom.filter.enabled#id": "true"}
 
 
+def _read_encoding(spark: SparkSession, index_dir: str) -> str:
+    """The index's PQ encoding ('flat' | 'residual') from ``meta/``;
+    indexes written before the marker existed default to 'flat'."""
+    import os
+
+    if not os.path.isdir(f"{index_dir}/meta"):
+        return "flat"
+    return spark.read.parquet(f"{index_dir}/meta").collect()[0]["encoding"]
+
+
+def make_ivfpq_encode_udf(C: np.ndarray, cb: np.ndarray, residual: bool):
+    """vector -> (cell, codes) in ONE Arrow pass: coarse argmin cell
+    assignment, then per-subspace PQ codes of the raw vector (flat) or
+    of vector − cell centroid (residual). Ties to the lowest index on
+    both levels — the SQL twins' ORDER BY rule."""
+    Cc = C.copy()
+    cbc = cb.copy()
+    m, ksub, dsub = cbc.shape
+    cc2 = (Cc**2).sum(axis=1)
+    cb2 = (cbc**2).sum(axis=2)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        cells = (cc2[None, :] - 2.0 * (mat @ Cc.T)).argmin(axis=1)
+        base = mat - Cc[cells] if residual else mat
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = base[:, j * dsub : (j + 1) * dsub]
+            d = cb2[j][None, :] - 2.0 * (sub @ cbc[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    return _enc
+
+
 def _write_pq_parts(
     df: DataFrame,
     C: np.ndarray,
@@ -337,17 +394,16 @@ def _write_pq_parts(
     index_dir: str,
     id_col: str,
     vec_col: str,
+    residual: bool = False,
 ) -> None:
-    from bearly_spark.operators.similarity import make_pq_encode_udf
-
     n_cells = len(C)
-    cell_udf = make_cell_assign_udf(C)
-    enc = make_pq_encode_udf(cb)
+    enc = make_ivfpq_encode_udf(C, cb, residual)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        cell_udf(F.col(vec_col)).alias("cell"),
-        enc(F.col(vec_col)).alias("codes"),
+        enc(F.col(vec_col)).alias("_e"),
+    ).select(
+        "id", "vec", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes")
     ).localCheckpoint(eager=True)  # one UDF pass feeds both writers
     (
         base.select("id", "codes", "cell")
@@ -382,13 +438,21 @@ def build_ivfpq_index(
     sample_size: int = 100_000,
     seed: int = 42,
     sample_by: str = "hash",
+    encoding: str = "flat",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit coarse centroids AND per-subspace PQ codebooks on one bounded
     sample (same sizing/sampling rules as ``build_ivf_index``; the PQ
     fit seeds per subspace), then encode + write the full corpus under
-    ``batch=-1``. Returns (centroids, codebooks)."""
+    ``batch=-1``. ``encoding="residual"`` fits the codebooks on the
+    sample's CELL RESIDUALS (x − assigned centroid) and encodes/scores
+    residuals throughout — the Faiss default, finer codes for the same
+    budget (module docstring has the measured recall delta). The choice
+    is recorded in ``meta/`` so upserts/queries follow it automatically.
+    Returns (centroids, codebooks)."""
     from bearly_spark.operators.similarity import pq_fit
 
+    if encoding not in ("flat", "residual"):
+        raise ValueError(f"encoding must be 'flat' or 'residual': {encoding}")
     if n_cells is None:
         n = corpus.agg(F.approx_count_distinct(id_col)).collect()[0][0]
         n_cells = int(min(4096, max(4, round(math.sqrt(max(n, 1))))))
@@ -406,7 +470,8 @@ def build_ivfpq_index(
     )
     smat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
     C = _kmeans_fit(smat, n_cells, seed)
-    cb = pq_fit(smat, m, ksub, seed)
+    fit_mat = smat - C[_assign_cells_np(C, smat)] if encoding == "residual" else smat
+    cb = pq_fit(fit_mat, m, ksub, seed)
 
     spark = corpus.sparkSession
     (
@@ -431,7 +496,16 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/codebooks")
     )
-    _write_pq_parts(corpus, C, cb, BASE_BATCH_ID, index_dir, id_col, vec_col)
+    (
+        spark.createDataFrame([(encoding,)], "encoding string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/meta")
+    )
+    _write_pq_parts(
+        corpus, C, cb, BASE_BATCH_ID, index_dir, id_col, vec_col,
+        residual=(encoding == "residual"),
+    )
     return C, cb
 
 
@@ -443,13 +517,16 @@ def upsert_ivfpq_batch(
     vec_col: str = "embedding",
 ) -> None:
     """Idempotently index one micro-batch against the FROZEN model
-    (centroids + codebooks read from the index; no refit). A replay
-    rewrites exactly its own ``batch=<id>`` slices of cells/ and
-    vecs/."""
+    (centroids + codebooks + encoding read from the index; no refit).
+    A replay rewrites exactly its own ``batch=<id>`` slices of cells/
+    and vecs/."""
     spark = batch_df.sparkSession
     C = _read_centroids(spark, index_dir)
     cb = _read_codebooks(spark, index_dir)
-    _write_pq_parts(batch_df, C, cb, batch_id, index_dir, id_col, vec_col)
+    _write_pq_parts(
+        batch_df, C, cb, batch_id, index_dir, id_col, vec_col,
+        residual=(_read_encoding(spark, index_dir) == "residual"),
+    )
 
 
 def ivfpq_index_query(
@@ -491,11 +568,19 @@ def ivfpq_index_query(
 
     C = _read_centroids(spark, index_dir)
     cb = _read_codebooks(spark, index_dir)
+    residual = _read_encoding(spark, index_dir) == "residual"
     if n_probe is None:
         n_probe = max(4, len(C) // 16)
     mm, ksub, dsub = cb.shape
     c2 = (C**2).sum(axis=1)
     cb2 = (cb**2).sum(axis=2)
+
+    def _lut(qv: np.ndarray) -> np.ndarray:
+        lut = np.empty((mm, ksub), dtype=np.float64)
+        for j in range(mm):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            lut[j] = cb2[j] - 2.0 * (cb[j] @ qj) + (qj @ qj)
+        return lut
 
     qrows = queries.select(id_col, vec_col).collect()
     probe_rows, luts = [], {}
@@ -503,13 +588,16 @@ def ivfpq_index_query(
         qid = int(r[0])
         qv = np.asarray(r[1], dtype=np.float64)
         d = c2 - 2.0 * (C @ qv)
-        for cell in np.argsort(d, kind="stable")[:n_probe]:
-            probe_rows.append((qid, int(cell)))
-        lut = np.empty((mm, ksub), dtype=np.float64)
-        for j in range(mm):
-            qj = qv[j * dsub : (j + 1) * dsub]
-            lut[j] = cb2[j] - 2.0 * (cb[j] @ qj) + (qj @ qj)
-        luts[qid] = lut
+        probed = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+        probe_rows.extend((qid, c) for c in probed)
+        if residual:
+            # the asymmetric trick per CELL: the query residual w.r.t.
+            # each probed cell gets its own term table — n_probe small
+            # LUT builds per query, still Θ(model) driver work
+            for c in probed:
+                luts[(qid, c)] = _lut(qv - C[c])
+        else:
+            luts[qid] = _lut(qv)
     probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
     probed_cells = sorted({c for _, c in probe_rows})
 
@@ -520,7 +608,7 @@ def ivfpq_index_query(
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("q_id") != F.col("id"))
         .dropDuplicates(["q_id", "id"])
-        .select("q_id", "id", "codes")
+        .select("q_id", "id", "cell", "codes")
     )
 
     def score(batches):
@@ -530,10 +618,21 @@ def ivfpq_index_query(
             cmat = np.asarray([np.asarray(c) for c in pdf["codes"]], dtype=np.int64)
             ids = pdf["id"].to_numpy()
             qs = pdf["q_id"].to_numpy()
+            cls = pdf["cell"].to_numpy()
             frames = []
             for qid in np.unique(qs):
                 msk = qs == qid
-                adc = luts[int(qid)][np.arange(mm)[None, :], cmat[msk]].sum(axis=1)
+                if residual:
+                    adc = np.empty(int(msk.sum()), dtype=np.float64)
+                    sub_cells = cls[msk]
+                    sub_codes = cmat[msk]
+                    for c in np.unique(sub_cells):
+                        cm = sub_cells == c
+                        adc[cm] = luts[(int(qid), int(c))][
+                            np.arange(mm)[None, :], sub_codes[cm]
+                        ].sum(axis=1)
+                else:
+                    adc = luts[int(qid)][np.arange(mm)[None, :], cmat[msk]].sum(axis=1)
                 adc_r = np.round(adc, 6)
                 take = min(rerank, msk.sum())
                 sel = np.lexsort((ids[msk], adc_r))[:take]

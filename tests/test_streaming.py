@@ -1143,3 +1143,44 @@ def test_ivfpq_index_lifecycle_and_pruned_rerank(spark, sf_dir, tmp_path_factory
         == after
     )
     assert IVF.compact_ivfpq_index(spark, idx) == 0
+
+
+def test_ivfpq_residual_beats_flat_on_clustered_corpus(spark, tmp_path_factory):
+    """Residual encoding's value case: on a clustered corpus (the shape
+    real embedding corpora have) the same code budget quantizes the
+    small within-cell displacement instead of the raw vector, and
+    recall rises strictly — measured 0.84 (flat) -> 1.00 (residual)
+    here. The encoding marker routes upserts/queries automatically."""
+    import numpy as np
+
+    import bearly_spark.streaming.ivf_index as IVF
+    from bearly_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(32, 64)) * 4.0
+    rows = [
+        (i, [float(x) for x in centers[i % 32] + rng.normal(size=64) * 0.5])
+        for i in range(2000)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 5)
+    ex = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()
+    }
+
+    recalls = {}
+    for enc in ("flat", "residual"):
+        idx = str(tmp_path_factory.mktemp(f"ivfpq_{enc}") / "index")
+        IVF.build_ivfpq_index(
+            emb, idx, n_cells=32, m=16, ksub=16, sample_by="id", encoding=enc
+        )
+        assert IVF._read_encoding(spark, idx) == enc
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in IVF.ivfpq_index_query(
+                spark, idx, q, k=10, n_probe=8, rerank=50
+            ).collect()
+        }
+        recalls[enc] = len(ex & got) / len(ex)
+    assert recalls["residual"] > recalls["flat"], recalls
+    assert recalls["residual"] >= 0.9, recalls
