@@ -1682,6 +1682,30 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+@register("bm25_index_search_documents", oracle=_bm25_oracle(_BM25_QUERY))
+def q_bm25_index_search(spark, sf_dir):
+    """BM25 from the PERSISTED inverted index (round 6,
+    ``streaming.bm25_index``) — the search-service form: postings
+    (term-sorted + term blooms) and docstats maintained incrementally
+    at ingest, so a query reads its terms' posting lists via chunked
+    pushed IN filters instead of re-tokenizing the corpus — Θ(query
+    postings), not Θ(corpus). Scoring is the same expression tree as
+    ``text.bm25_topk`` (identical determinism contract), so this entry
+    shares that query's exact DuckDB twin and the two paths are
+    equivalence-tested row-for-row. Index built once under
+    ``.scratch/``, reused across runs."""
+    from bearly_spark.streaming.bm25_index import bm25_query_index, upsert_bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = _scratch_index(
+        sf_dir,
+        "bm25-index-v1",
+        "documents",
+        lambda d: upsert_bm25_batch(docs, 0, d),
+    )
+    return bm25_query_index(spark, index_dir, _BM25_QUERY, k=10)
+
+
 #: (query_id, query) fixture for the multi-query BM25 entry: overlapping
 #: vocabulary across queries exercises the shared tf/df computation.
 _BM25_QUERIES = [

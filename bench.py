@@ -97,6 +97,9 @@ HEADLINE = [
     # round 6: the composed index — dir-pruned codes scan + id-pruned
     # raw-vector rerank (index built once under .scratch, reused)
     "ivfpq_index_query",
+    # round 6: BM25 from the persisted inverted index — the measured
+    # contrast with bm25_search_documents' inline corpus pass
+    "bm25_index_search_documents",
 ]
 
 

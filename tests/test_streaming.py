@@ -1184,3 +1184,68 @@ def test_ivfpq_residual_beats_flat_on_clustered_corpus(spark, tmp_path_factory):
         recalls[enc] = len(ex & got) / len(ex)
     assert recalls["residual"] > recalls["flat"], recalls
     assert recalls["residual"] >= 0.9, recalls
+
+
+def test_bm25_index_stream_equals_inline_and_compacts(spark, sf_dir, tmp_path_factory):
+    """Persisted BM25 inverted index: stream-built (two micro-batches)
+    index answers EXACTLY like the inline text.bm25_topk over the same
+    corpus; the postings scan is pruned to the query's terms (pushed
+    IN-set); replays are idempotent; compaction folds batches without
+    changing answers."""
+    import pathlib
+    import shutil
+
+    import bearly_spark.streaming.bm25_index as BI
+    from bearly_spark.operators.text import bm25_topk
+    from bearly_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("bm25idx")
+    idx = str(base / "index")
+    docs = load_table(spark, sf_dir, "documents")
+    query = "spark shuffle partition data"
+    key = lambda rows: [(r.doc_id, r.score, r.rank) for r in rows]
+
+    # split the corpus into two stream files -> two micro-batches
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    src = base / "src"
+    src.mkdir()
+    half.coalesce(1).write.parquet(str(src / "a"))
+    other.coalesce(1).write.parquet(str(src / "b"))
+    for f in list(src.rglob("*.parquet")):
+        shutil.move(str(f), str(src / f"{f.parent.name}.parquet"))
+    shutil.rmtree(src / "a"), shutil.rmtree(src / "b")
+
+    q = BI.streaming_bm25_index(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        idx,
+        str(base / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = BI.bm25_query_index(spark, idx, query, k=10)
+    want = bm25_topk(docs, "doc_id", "text", query, k=10).collect()
+    assert key(got.collect()) == key(want)
+
+    # pruned postings scan: the pushed term IN reaches the parquet scan
+    # (small term sets push as In(term, [...]); big ones show as INSET)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(term" in plan or "term#" in plan and "INSET" in plan
+
+    # replay idempotency: re-upsert batch 1 (dynamic overwrite of its slice)
+    rows_before = spark.read.parquet(f"{idx}/postings").count()
+    BI.upsert_bm25_batch(other, 1, idx)
+    assert spark.read.parquet(f"{idx}/postings").count() == rows_before
+    assert key(BI.bm25_query_index(spark, idx, query, k=10).collect()) == key(want)
+
+    # compaction: 2 batch dirs -> 1 base, answers unchanged
+    assert BI.compact_bm25_index(spark, idx) == 2
+    for ds in ("postings", "docstats"):
+        dirs = [
+            d
+            for d in pathlib.Path(idx, ds).iterdir()
+            if d.is_dir() and d.name.startswith("batch=")
+        ]
+        assert len(dirs) == 1, ds
+    assert key(BI.bm25_query_index(spark, idx, query, k=10).collect()) == key(want)
+    assert BI.compact_bm25_index(spark, idx) == 0
