@@ -3902,6 +3902,127 @@ def q_binary_near_dup(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
+    """Twin of ``pagerank_supplier_part``: the power iteration UNROLLED
+    as one CTE per iteration. The determinism contract (12dp DECIMAL
+    contribution sums, 10dp damped update, base written as
+    ``(1.0 - 0.85) / n`` so both engines fold the same IEEE ops) makes
+    every intermediate rank vector bit-identical to Spark's."""
+    prev = "r0"
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""it{i} AS (SELECT e.dst AS node,
+               ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * CAST(SUM(CAST(ROUND(r.pr / d.deg, 12)
+                                            AS DECIMAL(28,12))) AS DOUBLE),
+                     10) AS pr
+        FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)"""
+        )
+        prev = f"it{i}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    {its_sql},
+    t AS (SELECT node, pr AS page_rank,
+                 CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INTEGER) AS rk
+          FROM {prev})
+    SELECT node, page_rank, rk FROM t WHERE rk <= {k}
+    """
+
+
+@register("pagerank_supplier_part", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """PageRank (round 6, ``operators/graph.py``) — the centrality face
+    of graph analytics next to connected components' clustering face:
+    3 power iterations over the symmetrized supplier–part bipartite
+    graph derived from lineitem (the link-authority signal corpus
+    curation applies to web-document graphs). One node-keyed join +
+    partial-aggregated groupBy per iteration, lineage truncated per
+    round; the iterative FLOAT algorithm is hash-twinnable because
+    contributions sum as 12dp DECIMALs and the damped update rounds to
+    10dp — both engines walk bit-identical rank vectors through every
+    unrolled iteration of the oracle."""
+    from bearly_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.col("rank").desc(), F.col("node")))
+    return (
+        pr.select("node", F.col("rank").alias("page_rank"), rk.cast("int").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'custkey_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_nonnegative',
+           CAST(COUNT(*) FILTER (WHERE NOT (o_totalprice >= 0)
+                                 OR o_totalprice IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_open_or_final',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')
+                                 OR o_orderstatus IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey))
+    UNION ALL
+    SELECT 'custkey_in_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
+    """,
+)
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectations report (round 6,
+    ``operators/quality.py``): five declarative rules over orders —
+    nullability, a range check, a value domain (deliberately failing:
+    'P' rows count), key uniqueness, and referential integrity against
+    customer — compiled to ONE aggregate pass for the row rules plus
+    one groupBy (unique) and one anti-join (FK). The per-batch
+    validation gate a 100 TB pipeline runs before a revision ships;
+    counts (not booleans) so drift is visible and the DuckDB twin can
+    state every rule as a FILTERed count."""
+    from bearly_spark.operators.quality import expectations_report
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        od,
+        row_rules={
+            "custkey_not_null": F.col("o_custkey").isNull(),
+            "totalprice_nonnegative": ~(F.col("o_totalprice") >= 0),
+            "status_open_or_final": ~F.col("o_orderstatus").isin("O", "F"),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        foreign_keys={"custkey_in_customer": (["o_custkey"], cu, ["c_custkey"])},
+    )
+
+
 @register(
     "merge_upsert_orders",
     oracle="""

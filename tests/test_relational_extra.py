@@ -442,3 +442,58 @@ def test_scd2_apply_edge_semantics(spark):
     assert out.filter(F.col("valid_to").isNull()).count() == 5
     again = scd2_apply(out, changes, ["k"], ["attr"])
     assert sorted(tuple(r) for r in again.collect()) == got
+
+
+def test_expectations_report_edge_semantics(spark):
+    """DQ expectations: NULL predicate results count as violations
+    (unevaluable expectation = failed); unique counts surplus rows
+    only; FK ignores null child keys; composite FK keys work; empty
+    rule set yields an empty report."""
+    from bearly_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, None, "a"), (2, -3.0, None), (3, 5.0, "z")],
+        "k long, v double, fk string",
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "d string")
+    rep = {
+        r["rule"]: r["violations"]
+        for r in expectations_report(
+            df,
+            row_rules={"v_nonneg": ~(F.col("v") >= 0)},  # NULL v -> violation
+            unique_keys={"k_unique": ["k"]},
+            foreign_keys={"fk_in_dim": (["fk"], dim, ["d"])},
+        ).collect()
+    }
+    assert rep == {"v_nonneg": 2, "k_unique": 1, "fk_in_dim": 1}
+
+    assert expectations_report(df, row_rules={}).count() == 0
+
+    dim2 = spark.createDataFrame([(1, "a")], "x long, y string")
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "a")], "x long, y string"
+    )
+    rep2 = expectations_report(
+        child, row_rules={}, foreign_keys={"comp": (["x", "y"], dim2, ["x", "y"])}
+    ).collect()
+    assert [(r["rule"], r["violations"]) for r in rep2] == [("comp", 1)]
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """PageRank on a symmetrized star (hub 0 — leaves 1..4): the hub
+    must strictly dominate, leaves tie exactly; ranks sum to ~1; a
+    second run is identical (determinism contract)."""
+    from bearly_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        star + [(b, a) for a, b in star], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    leaves = {got[i] for i in range(1, 5)}
+    assert len(leaves) == 1  # exact tie
+    assert got[0] > next(iter(leaves))
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert again == got
