@@ -6010,33 +6010,39 @@ PREFIX_ORDER = [
     # build, file-pruned rewrite, atomic swap, read-back aggregate
     # (scd2_customer_history is the same family and rides the full gate)
     "merge_upsert_orders",
-    # scalar function packs (string_funcs_part left the prefix in r6 —
-    # three reps keep the family; it stays in the full gate)
+    # scalar function packs (string_funcs_part and json_extract_events
+    # left the prefix in r6 — two reps keep the family; both stay in
+    # the full gate)
     "date_funcs_orders",
-    "json_extract_events",
     "variant_events_props",
+    # data-quality expectations (r6): the per-batch validation gate
+    "dq_expectations_orders",
     # multimodal dedup (r6): block-hash near-dup over binary payloads —
     # the binary-column counterpart of the MinHash family
     "binary_near_dup_documents",
     # subqueries / decorrelation / classic TPC-H shapes
     # (q19_disjunctive_revenue left the prefix in r6 — five shape reps
     # keep the family; it stays in the full gate)
+    # (subquery_above_avg_orders left the prefix in r6 — lateral + q4
+    # keep the decorrelation family; it stays in the full gate)
     "lateral_topk_orders",
-    "subquery_above_avg_orders",
     "q4_order_priority_check",
     "q18_large_volume_orders",
     "q6_forecast_revenue",
     # ANN compression (r6): PQ codes scan + exact rerank — the bytes
-    # lever complementing embedding_ann_lsh's pruning lever below
+    # lever complementing embedding_ann_lsh's pruning lever below —
+    # and the persisted IVF-PQ index composing both levers
     "embedding_ann_pq",
+    "ivfpq_index_query",
     # streaming batch twins
     "events_tumbling_hourly",
     "events_sessionization",
     # python extension points
+    # (cogroup_user_behavior left the prefix in r6 — three reps keep
+    # the python-extension family; it stays in the full gate)
     "pandas_udf_charge",
     "udaf_weighted_avg_price",
     "udtf_tokenize_docs",
-    "cogroup_user_behavior",
     # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
     # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
     # token hash made its full pipeline DuckDB-recomputable — taking the
@@ -6054,6 +6060,8 @@ PREFIX_ORDER = [
     # family rep, taking the slot of embedding_topk_cosine, which remains
     # the ANN exactness oracle in the full gate)
     "bm25_search_documents",
+    # persisted-inverted-index retrieval (r6): same twin, index path
+    "bm25_index_search_documents",
     "embedding_ann_lsh",
     "text_stats_documents",
     "multimodal_decode_features",
