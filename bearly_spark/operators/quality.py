@@ -98,3 +98,40 @@ def expectations_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def streaming_expectations(
+    docs,
+    report_dir: str,
+    checkpoint_dir: str,
+    row_rules: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+):
+    """The per-batch face of the validation gate: every micro-batch's
+    expectations report lands under ``report_dir/batch=<id>`` —
+    idempotent via dynamic partition overwrite (the index family's
+    replay contract), so the report table is an append-only audit log
+    of data quality per ingest batch. Uniqueness here is WITHIN-batch
+    (cross-batch uniqueness is a table-level invariant — run
+    :func:`expectations_report` over the table, or enforce it
+    structurally with ``maintenance.merge_into`` upserts).
+
+    Returns the started ``StreamingQuery`` (availableNow trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rep = expectations_report(batch_df, row_rules, unique_keys)
+        (
+            rep.withColumn("batch", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(report_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

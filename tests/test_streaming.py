@@ -1249,3 +1249,72 @@ def test_bm25_index_stream_equals_inline_and_compacts(spark, sf_dir, tmp_path_fa
         assert len(dirs) == 1, ds
     assert key(BI.bm25_query_index(spark, idx, query, k=10).collect()) == key(want)
     assert BI.compact_bm25_index(spark, idx) == 0
+
+
+def test_streaming_expectations_per_batch_reports(spark, sf_dir, tmp_path_factory):
+    """Per-micro-batch DQ reports: two batches land as two report
+    partitions whose counts equal the batch-level expectations_report;
+    a replayed batch overwrites its own slice (no double-counting)."""
+    from bearly_spark.operators.quality import (
+        expectations_report,
+        streaming_expectations,
+    )
+    from bearly_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("sdq")
+    od = load_table(spark, sf_dir, "orders").limit(200)
+    a = od.filter(F.col("o_orderkey") % 2 == 0)
+    b = od.filter(F.col("o_orderkey") % 2 == 1)
+    src = base / "src"
+    src.mkdir()
+    a.coalesce(1).write.parquet(str(src / "x"))
+    import shutil
+
+    for sub, nm in (("x", "a.parquet"),):
+        f = next((src / sub).glob("*.parquet"))
+        shutil.move(str(f), str(src / nm))
+        shutil.rmtree(src / sub)
+
+    rules = {"status_open_or_final": ~F.col("o_orderstatus").isin("O", "F")}
+    uniq = {"orderkey_unique": ["o_orderkey"]}
+    reports, ck = str(base / "reports"), str(base / "ck")
+    q = streaming_expectations(
+        spark.readStream.schema(od.schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        reports,
+        ck,
+        rules,
+        uniq,
+    )
+    q.awaitTermination(300)
+    b.coalesce(1).write.parquet(str(base / "y"))
+    f = next((base / "y").glob("*.parquet"))
+    shutil.move(str(f), str(src / "b.parquet"))
+    q = streaming_expectations(
+        spark.readStream.schema(od.schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        reports,
+        ck,
+        rules,
+        uniq,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(reports)
+    assert got.select("batch").distinct().count() == 2
+    want_a = {
+        r["rule"]: r["violations"]
+        for r in expectations_report(a, rules, uniq).collect()
+    }
+    got_a = {
+        r["rule"]: r["violations"]
+        for r in got.filter(F.col("batch") == 0).collect()
+    }
+    assert got_a == want_a
+    total_rows = got.count()
+    # replay batch 1's report write: same slice overwritten, not appended
+    rep = expectations_report(b, rules, uniq).withColumn("batch", F.lit(1))
+    (
+        rep.coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(reports)
+    )
+    assert spark.read.parquet(reports).count() == total_rows
