@@ -46,9 +46,17 @@ def pagerank(
     undirected graph pass the symmetrized edges. Returns (node, rank)
     for every node that appears as a source (with ≥ 1 out-edge —
     see the module docstring's dangling-node contract)."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Pin the edge list hash-partitioned on src ONCE: every iteration
+    # joins on src, so the (large) edge side never re-shuffles — only
+    # the Θ(nodes) rank vector moves per iteration. deg derives from
+    # the same partitioning (its groupBy needs no exchange).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = deg.count()  # also pins the degree table for the loop
+    n = deg.count()  # also pins both tables for the loop
     base = (1.0 - damping) / n
 
     # exact double 1/n, NOT pre-rounded: the twin computes 1.0/n in SQL
