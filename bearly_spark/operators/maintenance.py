@@ -396,3 +396,19 @@ def scd2_apply_table(
     )
     delta = closed.unionByName(fresh)
     return merge_into(spark, path, delta, keys + [valid_from_col])
+
+
+def expire_snapshots(path: str, keep_last: int = 7) -> list[int]:
+    """Snapshot retention (the VACUUM face of :func:`snapshot_table`):
+    drop all but the newest ``keep_last`` versions. Deleting a
+    hard-linked tree only decrements link counts — bytes are reclaimed
+    exactly when the LAST reference (live table or another snapshot)
+    goes, so retention is safe to run any time. Returns the expired
+    version numbers."""
+    root = Path(path).resolve()
+    hist = root.parent / f".history-{root.name}"
+    versions = list_table_versions(path)
+    expired = versions[: max(0, len(versions) - keep_last)]
+    for v in expired:
+        shutil.rmtree(hist / f"v{v}")
+    return expired

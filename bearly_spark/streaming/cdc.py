@@ -103,3 +103,41 @@ def cdc_apply_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_apply_stream(
+    changes: DataFrame,
+    history_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    attrs: list[str],
+    change_ts_col: str = "change_ts",
+) -> StreamingQuery:
+    """SCD2 maintenance AT INGEST: each micro-batch of change records is
+    folded into the persisted history table through the merge-backed
+    incremental apply (``maintenance.scd2_apply_table``) — Θ(delta) per
+    batch, atomic snapshot swaps. Replay-safe for the same reason the
+    CDC upsert is: re-applying a batch finds every change either
+    matching current state (no-op filtered) or stale
+    (``change_ts <= valid_from``), so the second apply changes nothing.
+    Batches apply in stream order, recording one version per key per
+    batch-latest change — the SCD2 contract for a change FEED."""
+    from bearly_spark.operators.maintenance import scd2_apply_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            scd2_apply_table(
+                batch_df.sparkSession,
+                history_path,
+                batch_df,
+                keys,
+                attrs,
+                change_ts_col,
+            )
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

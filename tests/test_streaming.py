@@ -1318,3 +1318,80 @@ def test_streaming_expectations_per_batch_reports(spark, sf_dir, tmp_path_factor
         .partitionBy("batch").parquet(reports)
     )
     assert spark.read.parquet(reports).count() == total_rows
+
+
+def test_scd2_apply_stream_and_snapshot_retention(spark, sf_dir, tmp_path_factory):
+    """SCD2 at ingest: two change batches streamed into a persisted
+    history equal the sequential batch applies; snapshot retention
+    drops old versions while the kept ones stay readable."""
+    import shutil
+
+    from bearly_spark.operators.maintenance import (
+        expire_snapshots,
+        list_table_versions,
+        scd2_apply,
+        snapshot_table,
+    )
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.cdc import scd2_apply_stream
+
+    base = tmp_path_factory.mktemp("scd2s")
+    cust = load_table(spark, sf_dir, "customer").limit(300)
+    hist = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    path = str(base / "hist")
+    hist.repartitionByRange(4, "c_custkey").write.parquet(path)
+
+    keys, attrs = ["c_custkey"], ["c_nationkey"]
+    chg1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+        F.to_date(F.lit("1995-01-01")).alias("change_ts"),
+    )
+    chg2 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 2) % 25).alias("c_nationkey"),
+        F.to_date(F.lit("1998-01-01")).alias("change_ts"),
+    )
+    src = base / "src"
+    src.mkdir()
+    chg1.coalesce(1).write.parquet(str(base / "c1"))
+    shutil.move(str(next((base / "c1").glob("*.parquet"))), str(src / "a.parquet"))
+    q = scd2_apply_stream(
+        spark.readStream.schema(chg1.schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        path,
+        str(base / "ck"),
+        keys,
+        attrs,
+    )
+    q.awaitTermination(300)
+    snapshot_table(path)
+    chg2.coalesce(1).write.parquet(str(base / "c2"))
+    shutil.move(str(next((base / "c2").glob("*.parquet"))), str(src / "b.parquet"))
+    q = scd2_apply_stream(
+        spark.readStream.schema(chg1.schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        path,
+        str(base / "ck"),
+        keys,
+        attrs,
+    )
+    q.awaitTermination(300)
+    snapshot_table(path)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    want = sorted(
+        tuple(r)
+        for r in scd2_apply(scd2_apply(hist, chg1, keys, attrs), chg2, keys, attrs).collect()
+    )
+    assert got == want
+
+    snapshot_table(path)  # v3
+    assert list_table_versions(path) == [1, 2, 3]
+    assert expire_snapshots(path, keep_last=1) == [1, 2]
+    assert list_table_versions(path) == [3]
+    hist_dir = (base / ".history-hist") / "v3"
+    assert spark.read.parquet(str(hist_dir)).count() == len(got)
