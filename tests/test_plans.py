@@ -36,6 +36,8 @@ CARTESIAN_ALLOWED = {
     "bm25_search_documents",
     "bm25_multi_search_documents",
     "decontaminate_bm25_documents",
+    # the persisted-index path attaches the same two 1-row scalars
+    "bm25_index_search_documents",
     # bigram LM attaches the 1-row vocab-size scalar the same way
     "bigram_quality_documents",
 }
