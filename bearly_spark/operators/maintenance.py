@@ -412,3 +412,67 @@ def expire_snapshots(path: str, keep_last: int = 7) -> list[int]:
     for v in expired:
         shutil.rmtree(hist / f"v{v}")
     return expired
+
+
+def scd2_asof(
+    history: DataFrame,
+    as_of,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """The READ side of SCD2: the dimension exactly as it stood at
+    ``as_of`` — rows whose validity interval covers the instant
+    (``valid_from <= as_of < valid_to``, open-ended current rows
+    included). This is what makes the history table useful for
+    REPRODUCING a training snapshot: join facts against
+    ``scd2_asof(history, snapshot_ts)`` and every attribute reads as it
+    did then. Map-only filter — prunes at the scan when the history is
+    stored partitioned/clustered by validity."""
+    ts = F.lit(as_of)
+    return history.filter(
+        (F.col(valid_from_col) <= ts)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > ts))
+    )
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> dict:
+    """Materialized-view maintenance: refresh a persisted rollup table
+    (``keys + [count_col] + sum_<c> partials``) from a DELTA of base
+    rows WITHOUT rescanning the base table. Works because the stored
+    aggregates are MERGEABLE partials (counts and sums; derive avg as
+    sum/count at read time): the delta's partials merge into the
+    stored groups by addition, new groups insert — and the whole
+    update is one :func:`merge_into` touching only the files holding
+    affected groups, Θ(delta groups) not Θ(base).
+
+    The 100 TB rollup-refresh pattern: a day's ingest updates a
+    continuous aggregate by merging day-partials, exactly like the
+    streaming rollup (``events_rollup_hourly_daily``) but as a batch
+    table operation with the CoW merge's atomicity. Returns the merge
+    stats dict."""
+    dp = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+    stored = spark.read.parquet(rollup_path)
+    scols = [count_col] + [f"sum_{c}" for c in sum_cols]
+    # only the AFFECTED stored groups participate: semi-filter the (big)
+    # rollup by the delta's keys first — broadcast the small side — then
+    # both join inputs are delta-sized
+    affected = stored.join(F.broadcast(dp.select(*keys)), keys, "left_semi")
+    joined = dp.alias("d").join(F.broadcast(affected.alias("s")), keys, "left")
+    merged_groups = joined.select(
+        *keys,
+        *[
+            (F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.col(f"d.{c}")).alias(c)
+            for c in scols
+        ],
+    )
+    return merge_into(spark, rollup_path, merged_groups, keys)

@@ -34,6 +34,7 @@ _simhash_oracle — the 64-permutation signature is rebuilt in SQL with
 
 from __future__ import annotations
 
+import datetime
 import math
 from collections.abc import Callable
 
@@ -4151,6 +4152,90 @@ def q_scd2_customer(spark, sf_dir):
     )
     h = MT.scd2_apply(hist, chg1, keys, attrs)
     return MT.scd2_apply(h, chg2, keys, attrs)
+
+
+@register(
+    "scd2_asof_customer",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25
+                ELSE c_nationkey END AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def q_scd2_asof(spark, sf_dir):
+    """The READ side of SCD2 (round 6, ``maintenance.scd2_asof``): the
+    customer dimension AS OF 1996-01-01 — after the nation
+    reassignment (1995-06-01) but before the segment migration
+    (1997-03-01) — reconstructed from the same two-apply history as
+    ``scd2_customer_history``. One map-only interval filter; the
+    oracle states the expected as-of state in closed form. This is the
+    reproducibility primitive: join facts against the as-of dimension
+    and every attribute reads as it did at snapshot time."""
+    cust = load_table(spark, sf_dir, "customer")
+    hist = QUERIES["scd2_customer_history"](spark, sf_dir)
+    return MT.scd2_asof(hist, datetime.date(1996, 1, 1)).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+
+
+@register(
+    "incremental_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance (round 6,
+    ``maintenance.incremental_rollup``): a persisted rollup of orders by
+    (status, priority) — mergeable partials: count + DECIMAL(18,6)
+    price sum — built from two thirds of the table, then refreshed from
+    the remaining third as a DELTA: delta partials merge into affected
+    stored groups by addition (semi-filtered, broadcast-joined) and the
+    update is one copy-on-write MERGE touching only the files holding
+    affected groups — Θ(delta), never a base rescan. The refreshed
+    table must equal the one-shot rollup over ALL orders, which is
+    exactly what the oracle states. DECIMAL partials make the merge
+    order-independent, so the hash compare is exact."""
+    import shutil
+    from pathlib import Path
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    work_root = Path(f"{_SCRATCH}/{_sf_tag(sf_dir)}/rollup_orders")
+    shutil.rmtree(work_root, ignore_errors=True)
+    work = str(work_root / "table")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_o_totalprice"),
+        )
+        .repartition(4, *[F.col(k) for k in keys])
+        .write.parquet(work)
+    )
+    MT.incremental_rollup(
+        spark,
+        work,
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        keys,
+        ["o_totalprice"],
+    )
+    return spark.read.parquet(work).select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_o_totalprice").cast("double").alias("total_price"),
+    )
 
 
 @register(

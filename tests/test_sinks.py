@@ -634,3 +634,52 @@ def test_scd2_apply_table_equals_full_rewrite(spark, sf_dir, tmp_path_factory):
     # changes now match current state)
     scd2_apply_table(spark, str(root), chg, keys, attrs)
     assert sorted(tuple(r) for r in spark.read.parquet(str(root)).collect()) == got
+
+
+def test_incremental_rollup_matches_full_and_is_delta_bounded(
+    spark, sf_dir, tmp_path_factory
+):
+    """MV maintenance: refreshing a persisted rollup from a delta equals
+    the one-shot rollup over base∪delta; the merge rewrites only files
+    holding affected groups; a delta touching ONE group leaves the
+    other group-files linked in place."""
+    from bearly_spark.operators.maintenance import incremental_rollup
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    root = tmp_path_factory.mktemp("mv") / "rollup"
+    base = od.filter(F.col("o_orderkey") % 4 != 0)
+    (
+        base.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("sum_p"))
+        .repartition(3, "o_orderstatus")
+        .write.parquet(str(root))
+    )
+    delta = od.filter(F.col("o_orderkey") % 4 == 0)
+    stats = incremental_rollup(spark, str(root), delta, ["o_orderstatus"], ["p"])
+    assert stats["files_rewritten"] <= stats["files_total"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(root))
+        .select("o_orderstatus", "n", F.col("sum_p").cast("double"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in od.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").cast("double").alias("s"))
+        .collect()
+    )
+    assert got == want
+
+    # single-group delta: only that group's file(s) rewrite
+    before = _inode_map(root)
+    one = od.filter(F.col("o_orderstatus") == "F").limit(10)
+    stats2 = incremental_rollup(spark, str(root), one, ["o_orderstatus"], ["p"])
+    assert stats2["files_rewritten"] < stats2["files_total"]
+    after = _inode_map(root)
+    carried = set(before) & set(after)
+    assert carried and all(before[p] == after[p] for p in carried)
