@@ -412,3 +412,67 @@ def bigram_logprob_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logprob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows
+    of ``max_tokens`` advancing by ``max_tokens - overlap`` — the
+    standard preprocessing for embedding models and training samples
+    with bounded context (``pack_sequences`` solves the DUAL problem of
+    concatenating short docs; this splits long ones). The final window
+    is the remainder (shorter, never empty); a document at or under the
+    budget yields exactly one chunk of itself; null/empty-token docs
+    yield nothing.
+
+    Pure JVM expressions end to end: tokenize once, explode a stride
+    ``sequence`` of window starts, ``slice`` + ``array_join`` per
+    window — map-only (Θ(tokens × 1/(1-overlap/max)) output rows, no
+    shuffle at all), which is what a 100 TB chunking pass must be.
+
+    Returns (id, chunk_id, n_chunks, chunk_tokens, chunk_text) with
+    chunk_id 0-based in document order."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens: {overlap}, {max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.transform(word_tokens(F.col(text_col)), F.lower)
+    n = F.size(toks)
+    # window starts 0, stride, 2*stride, ... while start + overlap < n —
+    # i.e. the last window begins at the largest multiple of stride
+    # still holding unseen tokens: ceil((n - overlap)/stride) windows
+    # GREATEST(1, ...): a non-empty doc at or under `overlap` tokens
+    # still yields its one (short) chunk — and Spark's `sequence` would
+    # otherwise count DOWN for a 0 upper bound
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"), n_chunks.alias("n_chunks"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+            F.col("_t"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "n_chunks",
+            F.slice(
+                F.col("_t"), F.col("chunk_id") * stride + 1, F.lit(max_tokens)
+            ).alias("_w"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "n_chunks",
+            F.size("_w").alias("chunk_tokens"),
+            F.array_join("_w", " ").alias("chunk_text"),
+        )
+    )

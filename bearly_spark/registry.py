@@ -3971,6 +3971,41 @@ def q_pagerank(spark, sf_dir):
 
 
 @register(
+    "chunk_documents_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             [lower(x) for x in string_split_regex(text, '\s+') if x <> ''] AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT doc_id, toks,
+                 CAST(GREATEST(1, ceil((len(toks) - 16) / 48.0)) AS INT) AS n_chunks
+          FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_id, n_chunks,
+                 toks[(u.i*48 + 1):(u.i*48 + 64)] AS w
+          FROM s, UNNEST(range(n_chunks)) AS u(i))
+    SELECT doc_id, chunk_id, n_chunks,
+           CAST(len(w) AS INT) AS chunk_tokens,
+           array_to_string(w, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (round 6, ``text.chunk_documents``):
+    64-token windows with 16-token overlap — the preprocessing dual of
+    ``pack_sequences`` (that op concatenates short docs; this splits
+    long ones for embedding models / bounded-context training). Pure
+    JVM map-only expressions (tokenize once, explode stride starts,
+    slice + array_join) — zero shuffles, which is what a 100 TB
+    chunking pass must be. Edge rules pinned by the twin: remainder
+    windows are short-never-empty, at-or-under-budget docs yield one
+    chunk of themselves."""
+    return T.chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,

@@ -711,3 +711,34 @@ def test_pq_fit_rejects_indivisible_dim(spark):
 
     with _pytest.raises(AssertionError, match="not divisible"):
         S.pq_fit(np.zeros((10, 10)), m=3, ksub=4)
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Chunking edges: exact-budget doc -> one chunk; budget+1 -> two
+    windows sharing `overlap` tokens; short doc -> one short chunk;
+    null/whitespace docs -> nothing; coverage: every token appears in
+    some window, consecutive windows overlap exactly."""
+    from bearly_spark.operators.text import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(8)), (2, mk(9)), (3, mk(3)), (4, None), (5, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d for d in by_doc} == {1, 2, 3}
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_tokens == 8
+    two = sorted(by_doc[2], key=lambda r: r.chunk_id)
+    assert [r.chunk_tokens for r in two] == [8, 3]
+    w0, w1 = two[0].chunk_text.split(), two[1].chunk_text.split()
+    assert w0[-2:] == w1[:2]  # exact 2-token overlap
+    assert w0 + w1[2:] == [f"t{i}" for i in range(9)]  # full coverage, in order
+    assert by_doc[3][0].chunk_tokens == 3 and by_doc[3][0].n_chunks == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
