@@ -683,3 +683,45 @@ def test_incremental_rollup_matches_full_and_is_delta_bounded(
     after = _inode_map(root)
     carried = set(before) & set(after)
     assert carried and all(before[p] == after[p] for p in carried)
+
+
+def test_merge_into_partitioned_target_and_delete_all(spark, sf_dir, tmp_path_factory):
+    """Hive-partitioned targets keep their layout through a merge
+    (partition dirs preserved, values correct); deleting EVERY row
+    leaves a readable empty table that accepts a follow-up insert-only
+    merge (no wedged file-less dir)."""
+    from pathlib import Path
+
+    from bearly_spark.operators.maintenance import merge_into
+
+    root = tmp_path_factory.mktemp("merge_part") / "orders"
+    od = load_table(spark, sf_dir, "orders")
+    od.write.partitionBy("o_orderstatus").parquet(str(root))
+
+    upd = od.filter(F.col("o_orderkey") % 33 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    merge_into(spark, str(root), upd, ["o_orderkey"], partition_cols=["o_orderstatus"])
+    back = spark.read.parquet(str(root)).select(*od.columns)
+    exp = (
+        od.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*od.columns)
+        .unionByName(upd.select(*od.columns))
+    )
+    assert back.exceptAll(exp).count() == 0 and exp.exceptAll(back).count() == 0
+    dirs = {d.name for d in Path(root).iterdir() if d.is_dir()}
+    assert {"o_orderstatus=O", "o_orderstatus=F", "o_orderstatus=P"} <= dirs
+
+    flat = tmp_path_factory.mktemp("merge_all") / "t"
+    od.limit(50).coalesce(2).write.parquet(str(flat))
+    merge_into(
+        spark,
+        str(flat),
+        spark.read.parquet(str(flat)).select("o_orderkey"),
+        ["o_orderkey"],
+        when_matched="delete",
+    )
+    assert spark.read.parquet(str(flat)).count() == 0
+    stats = merge_into(spark, str(flat), od.limit(3), ["o_orderkey"])
+    assert stats["rows_written"] == 3
+    assert spark.read.parquet(str(flat)).count() == 3
