@@ -425,7 +425,9 @@ def chunk_documents(
     of ``max_tokens`` advancing by ``max_tokens - overlap`` — the
     standard preprocessing for embedding models and training samples
     with bounded context (``pack_sequences`` solves the DUAL problem of
-    concatenating short docs; this splits long ones). The final window
+    concatenating short docs; this splits long ones). Tokens are
+    LOWERCASED (the corpus-ops convention shared with BM25/minhash —
+    chunk text feeds retrieval/embedding, not display). The final window
     is the remainder (shorter, never empty); a document at or under the
     budget yields exactly one chunk of itself; null/empty-token docs
     yield nothing.
