@@ -1516,12 +1516,14 @@ def q_lang_distribution(spark, sf_dir):
     )
 
 
-def _hashed_embed_oracle(dim: int = 64) -> str:
+def _hashed_embed_oracle(dim: int = 64, src: str = "documents") -> str:
     """Exact DuckDB twin of ``text.hashed_tf_embedding``: md5 is the one
     hash both engines implement identically, so the bucket assignment
     (first 6 hex chars of md5(lower(token)) as int, mod dim) reproduces
     exactly; counts are integers, the sum-of-squares is exact, and the
-    L2-normalized values match bit-for-bit before the 6dp round."""
+    L2-normalized values match bit-for-bit before the 6dp round.
+    ``src`` is any relation exposing (doc_id, text) — the chunk-level
+    retrieval twin passes the chunking CTE as a subquery."""
     hex_fold = " + ".join(
         f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1) * {16 ** (6 - i)}"
         for i in range(1, 7)
@@ -1530,7 +1532,7 @@ def _hashed_embed_oracle(dim: int = 64) -> str:
     WITH tk AS (
         SELECT doc_id,
                lower(unnest([x for x in string_split_regex(text, '\\s+') if x <> ''])) AS tok
-        FROM documents),
+        FROM {src}),
     b AS (SELECT doc_id, ({hex_fold}) % {dim} AS bucket
           FROM (SELECT doc_id, substring(md5(tok), 1, 6) AS h FROM tk)),
     c AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
@@ -1538,7 +1540,7 @@ def _hashed_embed_oracle(dim: int = 64) -> str:
     d AS (SELECT dd.doc_id,
                  [CAST(COALESCE(list_sum([p.c for p in COALESCE(s.pairs, []) if p.b = i]), 0) AS DOUBLE)
                   for i in range(0, {dim})] AS dense
-          FROM documents dd LEFT JOIN s ON s.doc_id = dd.doc_id),
+          FROM {src} dd LEFT JOIN s ON s.doc_id = dd.doc_id),
     n AS (SELECT doc_id, dense, sqrt(list_sum([v * v for v in dense])) AS nrm FROM d)
     SELECT doc_id,
            [ROUND(v / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END), 6) for v in dense]
@@ -1588,6 +1590,69 @@ def q_hashed_embedding_topk(spark, sf_dir):
     )
     return S.brute_force_topk(
         emb, emb.filter(F.col("doc_id") < 3), id_col="doc_id", vec_col="embedding", k=5
+    )
+
+
+#: (doc_id, text) relation of 64/16 context-window chunks with a packed
+#: chunk key — the source the chunk-level retrieval twin feeds into the
+#: shared hashed-embedding SQL. Mirrors ``chunk_documents_windows``'s
+#: twin; the key packs as doc_id*100 + chunk_id (fixture docs are ≤ ~110
+#: tokens → at most 3 chunks, far under the 100 slot width).
+_CHUNK_SRC_SQL = r"""(
+    WITH t0 AS (
+      SELECT doc_id,
+             [lower(x) for x in string_split_regex(text, '\s+') if x <> ''] AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s0 AS (SELECT doc_id, toks,
+                  CAST(GREATEST(1, ceil((len(toks) - 16) / 48.0)) AS INT) AS n_chunks
+           FROM t0 WHERE len(toks) > 0)
+    SELECT doc_id * 100 + CAST(u.i AS INT) AS doc_id,
+           array_to_string(toks[(u.i*48 + 1):(u.i*48 + 64)], ' ') AS text
+    FROM s0, UNNEST(range(n_chunks)) AS u(i)
+)"""
+
+
+@register(
+    "chunk_embedding_topk",
+    oracle=f"""
+    WITH emb AS ({_hashed_embed_oracle(src=_CHUNK_SRC_SQL)}),
+    q AS (SELECT doc_id AS query_id, embedding AS qv FROM emb WHERE doc_id < 300),
+    c AS (SELECT doc_id AS neighbor_id, embedding AS cv FROM emb),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 5
+    """,
+)
+def q_chunk_embedding_topk(spark, sf_dir):
+    """The full RAG-ingest pipeline in one oracle-checked query (round
+    6): documents → 64/16 context-window chunks → feature-hashed TF
+    embeddings per chunk → exact cosine top-5 chunk retrieval (queries
+    = the first three docs' chunks). Composes ``text.chunk_documents`` +
+    ``text.hashed_tf_embedding`` + ``similarity.brute_force_topk``;
+    the DuckDB twin re-derives the chunks AND their embeddings from
+    raw text and ranks them independently — the strongest end-to-end
+    check in the retrieval family. All three stages are the tested
+    scale shapes (map-only chunking, wordcount-shaped featurizer,
+    partition-local top-k)."""
+    chunks = T.chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    ).select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk_text"),
+    )
+    emb = T.hashed_tf_embedding(chunks, "chunk_key", "chunk_text", dim=64)
+    return S.brute_force_topk(
+        emb,
+        emb.filter(F.col("chunk_key") < 300),
+        id_col="chunk_key",
+        vec_col="embedding",
+        k=5,
     )
 
 
