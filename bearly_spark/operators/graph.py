@@ -64,6 +64,7 @@ def pagerank(
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"))
     for _ in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -75,12 +76,21 @@ def pagerank(
                 .alias("w"),
             )
         )
+        agg = contrib.groupBy("node").agg(F.sum("w").cast("double").alias("_s"))
+        # left-join back onto the FULL node set: a node with out-edges
+        # but no in-edges (possible on non-symmetric graphs) must keep
+        # its base rank and stay in the vector — grouping only the
+        # contribution stream would silently drop it AND its out-edges
+        # from every later iteration (review catch, round 6)
         ranks = (
-            contrib.groupBy("node")
-            .agg(
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.sum("w").cast("double"), 10
-                ).alias("rank")
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                    10,
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

@@ -378,6 +378,7 @@ def scd2_apply_table(
     change_ts_col: str = "change_ts",
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """INCREMENTAL SCD2 on a persisted history table: instead of
     rewriting the whole history (``scd2_apply`` returns the full new
@@ -395,7 +396,9 @@ def scd2_apply_table(
         history, changes, keys, attrs, change_ts_col, valid_from_col, valid_to_col
     )
     delta = closed.unionByName(fresh)
-    return merge_into(spark, path, delta, keys + [valid_from_col])
+    return merge_into(
+        spark, path, delta, keys + [valid_from_col], partition_cols=partition_cols
+    )
 
 
 def expire_snapshots(path: str, keep_last: int = 7) -> list[int]:
@@ -442,6 +445,7 @@ def incremental_rollup(
     keys: list[str],
     sum_cols: list[str],
     count_col: str = "n",
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Materialized-view maintenance: refresh a persisted rollup table
     (``keys + [count_col] + sum_<c> partials``) from a DELTA of base
@@ -468,11 +472,20 @@ def incremental_rollup(
     # both join inputs are delta-sized
     affected = stored.join(F.broadcast(dp.select(*keys)), keys, "left_semi")
     joined = dp.alias("d").join(F.broadcast(affected.alias("s")), keys, "left")
+    # cast every merged aggregate BACK to its stored type: decimal
+    # addition widens (p,s) -> (p+1,s), and without the cast each
+    # refresh would bump the rewritten files' parquet decimal width
+    # while the hard-linked untouched files keep the old one — a
+    # mixed-width table that fails to read (and precision creep toward
+    # the decimal(38) cap)
+    stored_types = {c: stored.schema[c].dataType for c in scols}
     merged_groups = joined.select(
         *keys,
         *[
-            (F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.col(f"d.{c}")).alias(c)
+            (F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.col(f"d.{c}"))
+            .cast(stored_types[c])
+            .alias(c)
             for c in scols
         ],
     )
-    return merge_into(spark, rollup_path, merged_groups, keys)
+    return merge_into(spark, rollup_path, merged_groups, keys, partition_cols=partition_cols)

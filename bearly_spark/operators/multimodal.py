@@ -223,7 +223,12 @@ def binary_near_dup_pairs(
     """
     from bearly_spark.operators.dedup import _observe_bucket_drops
 
-    ckey = F.md5(F.coalesce(F.col(payload_col), F.lit(b"\x00null")))
+    # NULL payloads group under a NULL key (groupBy collects NULLs into
+    # one group) — structurally distinct from every real byte string, so
+    # no in-band sentinel value can ever collide with actual content
+    # (review catch, round 6: md5(coalesce(p, b'\\x00null')) merged NULL
+    # payloads with a real b'\\x00null' payload into one "exact" group)
+    ckey = F.md5(F.col(payload_col))
     fpk = df.select(F.col(id_col), F.col(payload_col)).withColumn("_ckey", ckey)
     groups = (
         fpk.groupBy("_ckey")

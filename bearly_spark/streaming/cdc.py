@@ -67,6 +67,7 @@ def apply_cdc_batch(
     keys: list[str],
     op_col: str = "op",
     ts_col: str = "ts",
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Apply one change batch to the table in ONE copy-on-write pass:
     every key mentioned in the batch is dropped from the table, and the
@@ -75,7 +76,7 @@ def apply_cdc_batch(
     latest = collapse_cdc_batch(batch_df, keys, op_col, ts_col)
     all_keys = latest.select(*keys).dropDuplicates()
     ups = latest.filter(F.col(op_col) == "u").drop(op_col, ts_col)
-    return _cow_rewrite(spark, table_path, keys, all_keys, ups)
+    return _cow_rewrite(spark, table_path, keys, all_keys, ups, partition_cols)
 
 
 def cdc_apply_stream(
@@ -85,6 +86,7 @@ def cdc_apply_stream(
     keys: list[str],
     op_col: str = "op",
     ts_col: str = "ts",
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream: per micro-batch, collapse the batch's
     change records and fold them into the parquet table at
@@ -94,7 +96,13 @@ def cdc_apply_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             apply_cdc_batch(
-                batch_df.sparkSession, table_path, batch_df, keys, op_col, ts_col
+                batch_df.sparkSession,
+                table_path,
+                batch_df,
+                keys,
+                op_col,
+                ts_col,
+                partition_cols,
             )
 
     return (
@@ -112,6 +120,7 @@ def scd2_apply_stream(
     keys: list[str],
     attrs: list[str],
     change_ts_col: str = "change_ts",
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """SCD2 maintenance AT INGEST: each micro-batch of change records is
     folded into the persisted history table through the merge-backed
@@ -133,6 +142,7 @@ def scd2_apply_stream(
                 keys,
                 attrs,
                 change_ts_col,
+                partition_cols=partition_cols,
             )
 
     return (

@@ -636,6 +636,7 @@ def test_binary_near_dup_planted_semantics(spark):
         (5, None),  # null payload
         (6, b""),  # empty payload
         (7, b""),  # empty: exact group with 6
+        (8, b"\x00null"),  # the old in-band sentinel value as REAL bytes
     ]
     # boilerplate: one shared 8-byte block in >max_posting otherwise-unique payloads
     rows += [(100 + i, b"SAMEBLK!" + bytes([i]) * 8) for i in range(12)]
@@ -651,6 +652,9 @@ def test_binary_near_dup_planted_semantics(spark):
     assert got[(6, 7)] == 1.0  # empty payloads: exact group still pairs
     assert not any(3 in p for p in got)  # shifted copy shares no block
     assert not any(5 in p for p in got)  # null payload never pairs
+    # a payload whose BYTES equal the old null sentinel must not pair
+    # with the null row (review catch: in-band sentinels collide)
+    assert not any(8 in p for p in got)
     # the SAMEBLK! posting (12 > max_posting=8) must NOT fan out
     assert not any(a >= 100 or b >= 100 for a, b in got)
 

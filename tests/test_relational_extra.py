@@ -497,3 +497,22 @@ def test_pagerank_star_graph_semantics(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     assert again == got
+
+
+def test_pagerank_keeps_source_only_nodes(spark):
+    """Non-symmetric graph: a node with out-edges but no in-edges must
+    stay in the rank vector at base rank and keep contributing to its
+    targets through every iteration (review catch, round 6: grouping
+    only the contribution stream dropped it after iteration 1)."""
+    from bearly_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(got) == {1, 2, 3}
+    base = round((1.0 - 0.85) / 3, 10)
+    assert got[3] == base  # no in-edges: exactly the damping base
+    # node 1 receives from BOTH 2 and 3 every iteration -> strictly
+    # more rank than 2, which receives only from 1
+    assert got[1] > got[2] > got[3]

@@ -683,6 +683,14 @@ def test_incremental_rollup_matches_full_and_is_delta_bounded(
     after = _inode_map(root)
     carried = set(before) & set(after)
     assert carried and all(before[p] == after[p] for p in carried)
+    # the mixed old/new file set must still read as ONE schema: the
+    # refresh casts merged sums back to the stored decimal type (review
+    # catch: decimal addition widens (p,s)->(p+1,s) per refresh, which
+    # would leave rewritten files at a different parquet decimal width
+    # than the hard-linked ones)
+    reread = spark.read.parquet(str(root))
+    assert dict(reread.dtypes)["sum_p"] == "decimal(28,6)"
+    assert reread.count() == 3
 
 
 def test_merge_into_partitioned_target_and_delete_all(spark, sf_dir, tmp_path_factory):

@@ -80,11 +80,6 @@ def main():
         t0 = time.time()
         stats = merge_into(spark, str(work), src, ["o_orderkey"])
         t = time.time() - t0
-        rewritten_bytes = total_bytes - sum(
-            p.stat().st_size
-            for p in Path(work).rglob("*.parquet")
-            if not p.name.startswith(("_", "."))
-        )  # approximation not used; report file fraction instead
         print(
             f"{name}: {nd} delta rows -> files {stats['files_rewritten']}/"
             f"{stats['files_total']} "
