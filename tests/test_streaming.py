@@ -1395,3 +1395,33 @@ def test_scd2_apply_stream_and_snapshot_retention(spark, sf_dir, tmp_path_factor
     assert list_table_versions(path) == [3]
     hist_dir = (base / ".history-hist") / "v3"
     assert spark.read.parquet(str(hist_dir)).count() == len(got)
+
+
+def test_cdc_batch_respects_partitioned_target(spark, sf_dir, tmp_path_factory):
+    """partition_cols threads through the CDC apply: a hive-partitioned
+    target keeps its layout (no flat files at the root) and stays
+    readable after a batch of upserts + deletes."""
+    from pathlib import Path
+
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.cdc import apply_cdc_batch
+
+    root = tmp_path_factory.mktemp("cdc_part") / "orders"
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    od.write.partitionBy("o_orderstatus").parquet(str(root))
+    keys = [r[0] for r in od.limit(4).collect()]
+    batch = spark.createDataFrame(
+        [(keys[0], "O", 9.0, "u", 1), (keys[1], None, None, "d", 1)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, op string, ts long",
+    )
+    apply_cdc_batch(
+        spark, str(root), batch, ["o_orderkey"], partition_cols=["o_orderstatus"]
+    )
+    # no data files directly at the root — layout preserved
+    assert not [f for f in Path(root).glob("*.parquet")]
+    back = spark.read.parquet(str(root))
+    assert back.filter(F.col("o_orderkey") == keys[1]).count() == 0
+    row = back.filter(F.col("o_orderkey") == keys[0]).collect()
+    assert [(r["o_orderstatus"], r["o_totalprice"]) for r in row] == [("O", 9.0)]
