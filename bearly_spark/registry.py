@@ -4071,6 +4071,50 @@ def q_chunk_documents(spark, sf_dir):
 
 
 @register(
+    "histogram_prices_orders",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CASE WHEN o_totalprice >= b.hi THEN 20
+                ELSE CAST(floor(((o_totalprice - b.lo) / (b.hi - b.lo)) * 20.0)
+                          AS INT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def q_histogram_prices(spark, sf_dir):
+    """Exact equi-width histogram (round 6): 20 buckets over the data's
+    own [min, max] — the distribution-profiling primitive behind skew
+    diagnosis and quality dashboards, fully mergeable (one tiny bounds
+    agg collected as layout literals + one partial-aggregated groupBy).
+    The bucket arithmetic is written as the SAME double expression in
+    both engines (DuckDB has no width_bucket; Spark's would also hide
+    its boundary rules) — max lands in the top bucket, everything else
+    at floor(((x-lo)/(hi-lo))·20)+1 — so the twin is bit-exact. The
+    approximate counterpart for streaming percentiles remains
+    ``approx_percentile_lineitem``."""
+    od = load_table(spark, sf_dir, "orders")
+    b = od.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    lo, hi = F.lit(b["lo"]), F.lit(b["hi"])
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x >= hi, F.lit(20)).otherwise(
+            F.floor(((x - lo) / (hi - lo)) * F.lit(20.0)).cast("int") + F.lit(1)
+        )
+    ).alias("bucket")
+    return od.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,
