@@ -489,3 +489,57 @@ def incremental_rollup(
         ],
     )
     return merge_into(spark, rollup_path, merged_groups, keys, partition_cols=partition_cols)
+
+
+def table_diff(
+    before: DataFrame, after: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Keyed reconciliation of two table states: one row per key whose
+    state differs, tagged ``added`` / ``removed`` / ``changed`` — the
+    audit view over :func:`snapshot_table` versions (what did that
+    merge/CDC batch actually do?) and the general two-snapshot
+    regression diff.
+
+    Row identity is an md5 over every non-key column (null-safe: a
+    distinguishable sentinel per null, column order fixed), so the
+    comparison shuffles only (keys, one hash) per side — Θ(rows) slim
+    rows, never the full payload — and a full-outer join on the keys
+    classifies each key once. Duplicate keys per side collapse to one
+    representative hash set via sorted collect (diff semantics stay
+    set-like; parquet tables carry no key constraint).
+
+    Returns ``keys + [change]`` with change ∈ {added, removed,
+    changed}; identical keys are absent (the common case — the output
+    is Θ(difference), the property that makes diffing 100 TB snapshots
+    useful)."""
+    val_cols = [c for c in before.columns if c not in keys]
+    if [c for c in after.columns if c not in keys] != val_cols:
+        raise ValueError("before/after schemas differ")
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in val_cols
+                ],
+            )
+        )
+        return (
+            df.select(*keys, h.alias("_h"))
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("_h")).alias(tag))
+        )
+
+    joined = hashed(before, "_hb").join(hashed(after, "_ha"), keys, "full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("_hb").isNull(), F.lit("added"))
+            .when(F.col("_ha").isNull(), F.lit("removed"))
+            .when(F.col("_hb") != F.col("_ha"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

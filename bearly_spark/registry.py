@@ -4071,6 +4071,49 @@ def q_chunk_documents(spark, sf_dir):
 
 
 @register(
+    "table_diff_orders",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+    SELECT o_orderkey, 'changed' AS change FROM orders
+    WHERE o_orderkey % 37 = 0 AND o_orderkey % 43 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 43 = 0
+    UNION ALL
+    SELECT o_orderkey + (SELECT m FROM mx) + 1, 'added' FROM orders
+    WHERE o_orderkey % 41 = 0
+    """,
+)
+def q_table_diff(spark, sf_dir):
+    """Keyed snapshot diff (round 6, ``maintenance.table_diff``): what
+    a revision actually did — the before state vs an after state
+    carrying updates (every 37th key), inserts (shifted keys) and
+    deletes (every 43rd key), classified added/removed/changed in one
+    slim full-outer join over (key, row-hash) pairs. The audit view
+    over ``snapshot_table`` versions; output is Θ(difference), never
+    Θ(table), which is what makes diffing production snapshots
+    affordable. The oracle states the change set in closed form
+    (37∧43 keys end as 'removed' — the delete wins the final state)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    upd = (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    ins = orders.filter(F.col("o_orderkey") % 41 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(mx + 1)
+    )
+    after = (
+        orders.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*orders.columns)
+        .unionByName(upd.select(*orders.columns))
+        .unionByName(ins.select(*orders.columns))
+        .filter(~((F.col("o_orderkey") % 43 == 0) & (F.col("o_orderkey") <= mx)))
+    )
+    return MT.table_diff(orders, after, ["o_orderkey"])
+
+
+@register(
     "histogram_prices_orders",
     oracle="""
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)

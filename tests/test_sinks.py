@@ -733,3 +733,29 @@ def test_merge_into_partitioned_target_and_delete_all(spark, sf_dir, tmp_path_fa
     stats = merge_into(spark, str(flat), od.limit(3), ["o_orderkey"])
     assert stats["rows_written"] == 3
     assert spark.read.parquet(str(flat)).count() == 3
+
+
+def test_table_diff_edge_semantics(spark):
+    """table_diff edges: identical keys absent from the output;
+    null-vs-value column changes detected (null-safe hashing);
+    duplicate keys per side compare as hash SETS (a reordered
+    duplicate pair is NOT a change, a changed copy is); schema
+    mismatch raises."""
+    import pytest as _pytest
+
+    from bearly_spark.operators.maintenance import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, "x"), (5, "y")],
+        "k long, v string",
+    )
+    after = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (6, "n"), (5, "y"), (5, "x")],
+        "k long, v string",
+    )
+    got = {(r["k"], r["change"]) for r in table_diff(before, after, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (6, "added")}
+    # 1 identical and 5 (same pair, reordered) are absent
+
+    with _pytest.raises(ValueError, match="schemas differ"):
+        table_diff(before, after.withColumnRenamed("v", "w"), ["k"])
