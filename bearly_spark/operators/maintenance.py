@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 import shutil
 from pathlib import Path
+from functools import reduce
 from urllib.parse import urlparse
 
 import pyspark.sql.functions as F
@@ -500,39 +501,42 @@ def table_diff(
     merge/CDC batch actually do?) and the general two-snapshot
     regression diff.
 
-    Row identity is an md5 over every non-key column (null-safe: a
-    distinguishable sentinel per null, column order fixed), so the
+    Row identity is an md5 over the JSON encoding of every non-key
+    column (``to_json(struct(...))`` — field names delimit values, so
+    no concatenation of payloads can collide with a different payload
+    split, and null vs any real value is distinguishable), so the
     comparison shuffles only (keys, one hash) per side — Θ(rows) slim
-    rows, never the full payload — and a full-outer join on the keys
-    classifies each key once. Duplicate keys per side collapse to one
-    representative hash set via sorted collect (diff semantics stay
-    set-like; parquet tables carry no key constraint).
+    rows, never the full payload — and a null-safe full-outer join on
+    the keys classifies each key once (a NULL key is a key like any
+    other: identical on both sides → absent from the diff). Duplicate
+    keys per side collapse to one sorted hash MULTISET, so a
+    duplicate-count-only difference is still reported as ``changed``
+    (a reconciliation tool must not call [x, x] vs [x] unchanged).
 
     Returns ``keys + [change]`` with change ∈ {added, removed,
     changed}; identical keys are absent (the common case — the output
     is Θ(difference), the property that makes diffing 100 TB snapshots
     useful)."""
     val_cols = [c for c in before.columns if c not in keys]
-    if [c for c in after.columns if c not in keys] != val_cols:
+    before_sig = [(c, before.schema[c].dataType) for c in before.columns]
+    after_sig = [(c, after.schema[c].dataType) for c in after.columns]
+    if before_sig != after_sig:
         raise ValueError("before/after schemas differ")
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x01",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                    for c in val_cols
-                ],
-            )
-        )
+        h = F.md5(F.to_json(F.struct(*[F.col(c) for c in val_cols])))
         return (
             df.select(*keys, h.alias("_h"))
             .groupBy(*keys)
             .agg(F.array_sort(F.collect_list("_h")).alias(tag))
         )
 
-    joined = hashed(before, "_hb").join(hashed(after, "_ha"), keys, "full_outer")
+    hb, ha = hashed(before, "_hb").alias("b"), hashed(after, "_ha").alias("a")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}")) for k in keys],
+    )
+    joined = hb.join(ha, cond, "full_outer")
     return (
         joined.withColumn(
             "change",
@@ -541,5 +545,8 @@ def table_diff(
             .when(F.col("_hb") != F.col("_ha"), F.lit("changed")),
         )
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[F.coalesce(F.col(f"b.{k}"), F.col(f"a.{k}")).alias(k) for k in keys],
+            "change",
+        )
     )

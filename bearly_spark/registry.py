@@ -4105,7 +4105,6 @@ def q_table_diff(spark, sf_dir):
     )
     after = (
         orders.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
-        .select(*orders.columns)
         .unionByName(upd.select(*orders.columns))
         .unionByName(ins.select(*orders.columns))
         .filter(~((F.col("o_orderkey") % 43 == 0) & (F.col("o_orderkey") <= mx)))

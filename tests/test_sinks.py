@@ -738,9 +738,11 @@ def test_merge_into_partitioned_target_and_delete_all(spark, sf_dir, tmp_path_fa
 def test_table_diff_edge_semantics(spark):
     """table_diff edges: identical keys absent from the output;
     null-vs-value column changes detected (null-safe hashing);
-    duplicate keys per side compare as hash SETS (a reordered
-    duplicate pair is NOT a change, a changed copy is); schema
-    mismatch raises."""
+    duplicate keys per side compare as sorted hash MULTISETS (a
+    reordered duplicate pair is NOT a change; a dup-count-only
+    difference IS); schema mismatch (names OR types) raises;
+    NULL keys join null-safely; multi-column payload splits and
+    null-sentinel lookalikes cannot collide (JSON row encoding)."""
     import pytest as _pytest
 
     from bearly_spark.operators.maintenance import table_diff
@@ -759,3 +761,39 @@ def test_table_diff_edge_semantics(spark):
 
     with _pytest.raises(ValueError, match="schemas differ"):
         table_diff(before, after.withColumnRenamed("v", "w"), ["k"])
+    # same names, different TYPE: also a schema mismatch (a string-cast
+    # hash would otherwise call int 1 vs string '1' unchanged)
+    with _pytest.raises(ValueError, match="schemas differ"):
+        table_diff(before, after.withColumn("v", F.col("v").cast("binary")), ["k"])
+
+    # dup-count-only difference is a change (multiset, not set semantics)
+    b2 = spark.createDataFrame([(5, "x"), (5, "x")], "k long, v string")
+    a2 = spark.createDataFrame([(5, "x")], "k long, v string")
+    assert [(r["k"], r["change"]) for r in table_diff(b2, a2, ["k"]).collect()] == [
+        (5, "changed")
+    ]
+
+    # NULL key: identical on both sides -> absent; changed -> reported once
+    b3 = spark.createDataFrame([(None, "a"), (7, "q")], "k long, v string")
+    a3 = spark.createDataFrame([(None, "a"), (7, "Q")], "k long, v string")
+    assert {(r["k"], r["change"]) for r in table_diff(b3, a3, ["k"]).collect()} == {
+        (7, "changed")
+    }
+    a4 = spark.createDataFrame([(None, "Z"), (7, "q")], "k long, v string")
+    assert {(r["k"], r["change"]) for r in table_diff(b3, a4, ["k"]).collect()} == {
+        (None, "changed")
+    }
+
+    # adversarial payloads that defeat delimiter-concatenation hashing:
+    # a value containing the old \x01 delimiter split differently across
+    # two columns, and a literal '\x00null' string vs a real NULL
+    b5 = spark.createDataFrame(
+        [(1, "x\x01y", "z"), (2, None, "w")], "k long, a string, b string"
+    )
+    a5 = spark.createDataFrame(
+        [(1, "x", "y\x01z"), (2, "\x00null", "w")], "k long, a string, b string"
+    )
+    assert {(r["k"], r["change"]) for r in table_diff(b5, a5, ["k"]).collect()} == {
+        (1, "changed"),
+        (2, "changed"),
+    }

@@ -42,8 +42,8 @@ def main():
     shutil.rmtree(base, ignore_errors=True)
 
     # fixed batch: clustered low-key upserts + deletes
-    keys_u = [r[0] for r in od.orderBy("o_orderkey").limit(500).collect()]
-    keys_d = [r[0] for r in od.orderBy("o_orderkey").limit(600).collect()[500:]]
+    top = [r[0] for r in od.orderBy("o_orderkey").limit(600).collect()]
+    keys_u, keys_d = top[:500], top[500:]
     batch = spark.createDataFrame(
         [(k, "U", 1.0, "u", 1) for k in keys_u]
         + [(k, None, None, "d", 1) for k in keys_d],
