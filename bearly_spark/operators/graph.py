@@ -95,3 +95,88 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    third classic graph primitive beside components (clustering face)
+    and PageRank (centrality face): triangle participation drives local
+    clustering coefficients, spam/link-farm detection and community
+    strength scoring over co-occurrence graphs.
+
+    Input rows are undirected and may be dirty: duplicates, self-loops
+    and both orientations are tolerated (canonicalized to ``u < v``
+    DISTINCT, self-loops dropped). Returns ``(node, n_triangles)`` for
+    every node in ≥ 1 triangle.
+
+    Scale design — degree-ordered orientation (the standard
+    O(m^1.5)-wedge bound, vs Θ(Σ deg²) for naive id-ordered wedge
+    enumeration, which a high-degree hub makes quadratic):
+
+    - each canonical edge is oriented from its LOWER (degree, id)
+      endpoint to its higher one, so every node's out-degree is
+      O(√m) regardless of its real degree;
+    - wedges are generated by self-joining the oriented list on the
+      common SOURCE (one hash shuffle on node id; the orientation key
+      rides along as a struct so no second lookup is needed), and each
+      wedge (b, c) is closed by one hash semi-pair join against the
+      oriented edge (b → c) itself;
+    - each triangle materializes exactly once (at its lowest-order
+      vertex), then explodes into its three member nodes for the final
+      wordcount-shaped groupBy.
+
+    The DuckDB twin enumerates with plain id-ordering (u < v < w) —
+    same result set by symmetry, simpler SQL, and its worst case only
+    bites at scales the oracle never runs at.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (deg, id) as a comparable struct
+    keyed = (
+        canon.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
+        F.col("e1.kdst") < F.col("e2.kdst")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        (F.col("e1.dst") == F.col("b")) & (F.col("e2.dst") == F.col("c")),
+        "inner",
+    ).select(
+        F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")).alias("nodes")
+    )
+    return (
+        tri.select(F.explode("nodes").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -4157,6 +4157,140 @@ def q_histogram_prices(spark, sf_dir):
 
 
 @register(
+    "histogram_depth_orders",
+    oracle="""
+    WITH c AS (SELECT ROUND(quantile_cont(o_totalprice, 0.125), 4) AS c1,
+                      ROUND(quantile_cont(o_totalprice, 0.250), 4) AS c2,
+                      ROUND(quantile_cont(o_totalprice, 0.375), 4) AS c3,
+                      ROUND(quantile_cont(o_totalprice, 0.500), 4) AS c4,
+                      ROUND(quantile_cont(o_totalprice, 0.625), 4) AS c5,
+                      ROUND(quantile_cont(o_totalprice, 0.750), 4) AS c6,
+                      ROUND(quantile_cont(o_totalprice, 0.875), 4) AS c7
+               FROM orders)
+    SELECT 1 + (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c4 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c5 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c6 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c7 THEN 1 ELSE 0 END) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_v,
+           ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders, c GROUP BY bucket
+    """,
+)
+def q_histogram_depth(spark, sf_dir):
+    """Equi-DEPTH histogram (``aggregate.equi_depth_histogram``): bucket
+    boundaries are the exact octile cutpoints (quantile_cont definition,
+    via the spill-safe rank-window percentile path), so each bucket
+    holds ~1/8 of the rows regardless of skew — the data-profiling /
+    optimizer-statistics dual of the equi-width
+    ``histogram_prices_orders``. Cutpoints are rounded to 4dp BEFORE
+    assignment so both engines bucket against bit-identical
+    boundaries."""
+    from bearly_spark.operators.aggregate import equi_depth_histogram
+
+    od = load_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(od, "o_totalprice", buckets=8)
+
+
+@register(
+    "triangle_count_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    n AS (SELECT a AS part FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+    SELECT part, COUNT(*) AS n_triangles FROM n GROUP BY part
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (``graph.triangle_counts``) over the
+    part co-order graph (two parts linked when some order contains
+    both — the market-basket projection). Third classic graph
+    primitive beside components and PageRank; the Spark side uses
+    degree-ordered orientation (every node's out-degree O(sqrt(m)), so
+    wedge generation is O(m^1.5) even with hub nodes) while the twin
+    enumerates id-ordered — identical result set by symmetry."""
+    from bearly_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).dropDuplicates()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .dropDuplicates()
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "part")
+
+
+@register(
+    "interpolate_events",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+    w AS (SELECT event_id, user_id, tn, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+            FIRST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+          FROM s)
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (CAST(tn - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE)) END,
+                 6) AS value_i
+    FROM w
+    """,
+)
+def q_interpolate_events(spark, sf_dir):
+    """Linear interpolation of NULL gaps in a per-user time series
+    (``windows.interpolate_linear``) — the repair face of time-series
+    work (``calendar_fill_orders`` inserts missing ROWS; this fills
+    missing VALUES): every 7th event's value is nulled to simulate
+    dropouts, then rebuilt from the nearest non-null neighbors weighted
+    on the epoch-nanos axis. Leading/trailing gaps stay NULL (no
+    extrapolation). One shuffle on user_id + one per-key window sort."""
+    from bearly_spark.operators.windows import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("tn"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(
+        base,
+        ["user_id"],
+        [F.asc("tn"), F.asc("event_id")],
+        F.col("tn"),
+        F.col("v"),
+        "value_i",
+        decimals=6,
+    )
+    return out.select("event_id", "user_id", "value_i")
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,

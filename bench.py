@@ -100,6 +100,15 @@ HEADLINE = [
     # round 6: BM25 from the persisted inverted index — the measured
     # contrast with bm25_search_documents' inline corpus pass
     "bm25_index_search_documents",
+    # round 6 (late): distribution profiling (octile cutpoints + bucket
+    # assignment in one broadcast pass) and per-key time-series repair
+    # (two ignore-nulls window frames over one sort).
+    # triangle_count_parts stays registered + oracle-checked but
+    # un-benched: its sf0.1 output is 1.9M materialized triangles
+    # (~17s of deliberate combinatorial expansion, the same reason
+    # jaccard_pairs_sample is not benched).
+    "histogram_depth_orders",
+    "interpolate_events",
 ]
 
 

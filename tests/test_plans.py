@@ -40,6 +40,9 @@ CARTESIAN_ALLOWED = {
     "bm25_index_search_documents",
     # bigram LM attaches the 1-row vocab-size scalar the same way
     "bigram_quality_documents",
+    # equi-depth histogram attaches the 1-row octile-cutpoint frame as a
+    # broadcast cross join — deliberate scan x 1 BNLJ, constant cost
+    "histogram_depth_orders",
 }
 
 

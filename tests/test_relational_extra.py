@@ -516,3 +516,71 @@ def test_pagerank_keeps_source_only_nodes(spark):
     # node 1 receives from BOTH 2 and 3 every iteration -> strictly
     # more rank than 2, which receives only from 1
     assert got[1] > got[2] > got[3]
+
+
+def test_triangle_counts_semantics(spark):
+    """Dirty input tolerated (dups, self-loops, both orientations);
+    K4 gives every node 3 triangles; a pendant node and a hub with no
+    closing edges (star) give none; empty graph -> empty output."""
+    from bearly_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4}, dirty: reversed dup, self-loop, exact dup;
+        # pendant 5; plus a 3-leaf star at 10 (wedges but no triangles)
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (3, 3), (1, 2), (10, 11), (10, 12), (10, 13)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(empty).count() == 0
+
+
+def test_interpolate_linear_edge_semantics(spark):
+    """Leading/trailing gaps stay NULL (no extrapolation); interior
+    gaps interpolate on the time axis (not row index); non-null rows
+    pass through; an all-null key yields all NULLs."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.windows import interpolate_linear
+
+    rows = [
+        # key a: t=0 null (leading), t=10 v=1.0, t=20 null, t=40 v=4.0,
+        # t=50 null (trailing) -> t=20 interpolates to 1 + 3*(10/30) = 2.0
+        ("a", 0, None), ("a", 10, 1.0), ("a", 20, None), ("a", 40, 4.0), ("a", 50, None),
+        ("b", 0, None), ("b", 5, None),  # all-null key
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = interpolate_linear(
+        df, ["k"], [F.asc("t")], F.col("t"), F.col("v"), "vi"
+    )
+    got = {(r["k"], r["t"]): r["vi"] for r in out.collect()}
+    assert got[("a", 0)] is None and got[("a", 50)] is None
+    assert got[("a", 10)] == 1.0 and got[("a", 40)] == 4.0
+    assert got[("a", 20)] == 2.0
+    assert got[("b", 0)] is None and got[("b", 5)] is None
+
+
+def test_equi_depth_histogram_depth_and_ties(spark):
+    """Distinct values spread ~evenly across buckets; heavy duplicate
+    values collapse into ONE bucket (ties never split)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.aggregate import equi_depth_histogram
+
+    # 80 distinct values 1..80 -> 8 buckets of ~10 rows each
+    df = spark.range(1, 81).select(F.col("id").cast("double").alias("x"))
+    got = {r["bucket"]: r["n"] for r in equi_depth_histogram(df, "x", 8).collect()}
+    assert len(got) == 8 and sum(got.values()) == 80
+    assert all(6 <= n <= 14 for n in got.values()), got
+
+    # 100 copies of one value + 10 distinct: the duplicate mass lands in
+    # exactly one bucket
+    dup = spark.range(100).select(F.lit(5.0).alias("x")).unionAll(
+        spark.range(90, 100).select(F.col("id").cast("double").alias("x"))
+    )
+    rows = equi_depth_histogram(dup, "x", 4).collect()
+    heavy = [r for r in rows if r["min_v"] <= 5.0 <= r["max_v"]]
+    assert len(heavy) == 1 and heavy[0]["n"] == 100
