@@ -4291,6 +4291,130 @@ def q_interpolate_events(spark, sf_dir):
 
 
 @register(
+    "event_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_ns(ts), event_id) AS next_type
+               FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    — the path-analysis face of product analytics beside the funnel
+    (`funnel_conversion_events`) and sessionization: P(next event type |
+    current) from each user's time-ordered stream. One shuffle on
+    user_id for the LEAD window, then a |types|²-row groupBy; the
+    probability normalization runs over the tiny transition matrix
+    itself. At 100 TB this is per-key window + wordcount — scales like
+    sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = _W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@register(
+    "rfm_segments_customer",
+    oracle="""
+    WITH agg AS (SELECT o_custkey,
+                        CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1992-01-01'
+                             AS BIGINT) AS r_days,
+                        COUNT(*) AS f, ROUND(SUM(o_totalprice), 2) AS m
+                 FROM orders GROUP BY o_custkey),
+    c AS (SELECT ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.25), 4) AS r1,
+                 ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.50), 4) AS r2,
+                 ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.75), 4) AS r3,
+                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.25), 4) AS f1,
+                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.50), 4) AS f2,
+                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.75), 4) AS f3,
+                 ROUND(quantile_cont(m, 0.25), 4) AS m1,
+                 ROUND(quantile_cont(m, 0.50), 4) AS m2,
+                 ROUND(quantile_cont(m, 0.75), 4) AS m3
+          FROM agg)
+    SELECT o_custkey,
+           1 + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
+             + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END)
+             + (CASE WHEN r_days > r3 THEN 1 ELSE 0 END) AS r_score,
+           1 + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+             + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+             + (CASE WHEN f > f3 THEN 1 ELSE 0 END) AS f_score,
+           1 + (CASE WHEN m > m1 THEN 1 ELSE 0 END)
+             + (CASE WHEN m > m2 THEN 1 ELSE 0 END)
+             + (CASE WHEN m > m3 THEN 1 ELSE 0 END) AS m_score
+    FROM agg, c
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics scoring: per-customer last-order
+    recency, order count and total spend, each quartile-scored 1-4
+    against the population via the same cutpoint rule as the equi-depth
+    histogram (exact quantile_cont cutpoints rounded to 4dp before
+    assignment; ties stick to the lower score). One groupBy over
+    orders, one rank-window cutpoint pass per metric over the (small)
+    per-customer aggregate, then a broadcast 1-row cutpoint frame into
+    a map-only score expression — Θ(customers) end to end."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    od = load_table(spark, sf_dir, "orders")
+    agg = od.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("f"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    qs, names = [0.25, 0.50, 0.75], None
+    cuts = None
+    for col in ("r_days", "f", "m"):
+        src = agg.select(F.col(col).cast("double").alias(col)) if col != "m" else agg
+        c = exact_percentiles(src, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)])
+        cuts = c if cuts is None else cuts.crossJoin(c)
+
+    def score(col):
+        v = F.col(col) if col == "m" else F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + F.when(v > F.col(f"_{col}1"), 1).otherwise(0)
+            + F.when(v > F.col(f"_{col}2"), 1).otherwise(0)
+            + F.when(v > F.col(f"_{col}3"), 1).otherwise(0)
+        )
+
+    return agg.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        score("r_days").alias("r_score"),
+        score("f").alias("f_score"),
+        score("m").alias("m_score"),
+    )
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,
@@ -6402,11 +6526,14 @@ PREFIX_ORDER = [
     "bitmap_distinct_orders",
     "stats_agg_lineitem",
     "minmax_by_orders",
-    # windows / top-k (window_ignore_nulls_orders left the prefix in r3
-    # to hold the list at 50 — the family keeps three representatives)
+    # windows / top-k (window_ignore_nulls_orders left in r3,
+    # rank_ties_orders left in r6-late — running-total + window-group-
+    # limit keep the family; both stay in the full gate)
     "window_running_total",
-    "rank_ties_orders",
     "topk_orders_per_customer",
+    # time-series repair (r6 late): per-key linear interpolation of
+    # NULL gaps — two ignore-nulls frames over one sort
+    "interpolate_events",
     # set ops (set_except_all_quantities left the prefix in r6 to seat
     # the table-maintenance family; the multiset variants stay
     # oracle-checked in the full gate)
@@ -6430,10 +6557,15 @@ PREFIX_ORDER = [
     # keep the family; it stays in the full gate)
     # (subquery_above_avg_orders left the prefix in r6 — lateral + q4
     # keep the decorrelation family; it stays in the full gate)
+    # (q6_forecast_revenue left the prefix in r6-late — q1 keeps the
+    # scan-agg shape; it stays in the full gate)
     "lateral_topk_orders",
     "q4_order_priority_check",
     "q18_large_volume_orders",
-    "q6_forecast_revenue",
+    # graph analytics (r6 late): degree-oriented triangle counting over
+    # the part co-order projection — the graph-family driver rep
+    # (pagerank_supplier_part is the same family, full gate)
+    "triangle_count_parts",
     # ANN compression (r6): PQ codes scan + exact rerank — the bytes
     # lever complementing embedding_ann_lsh's pruning lever below —
     # and the persisted IVF-PQ index composing both levers
@@ -6445,9 +6577,12 @@ PREFIX_ORDER = [
     # python extension points
     # (cogroup_user_behavior left the prefix in r6 — three reps keep
     # the python-extension family; it stays in the full gate)
+    # (udaf_weighted_avg_price left the prefix in r6-late — two reps
+    # keep the python-extension family; it stays in the full gate)
     "pandas_udf_charge",
-    "udaf_weighted_avg_price",
     "udtf_tokenize_docs",
+    # product analytics (r6 late): per-user Markov transition matrix
+    "event_transitions",
     # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
     # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
     # token hash made its full pipeline DuckDB-recomputable — taking the

@@ -109,6 +109,11 @@ HEADLINE = [
     # jaccard_pairs_sample is not benched).
     "histogram_depth_orders",
     "interpolate_events",
+    # round 6 (late): product/customer analytics — per-user Markov
+    # transition matrix (LEAD window + wordcount) and RFM quartile
+    # scoring (three cutpoint passes + broadcast score expression)
+    "event_transitions",
+    "rfm_segments_customer",
 ]
 
 

@@ -43,6 +43,8 @@ CARTESIAN_ALLOWED = {
     # equi-depth histogram attaches the 1-row octile-cutpoint frame as a
     # broadcast cross join — deliberate scan x 1 BNLJ, constant cost
     "histogram_depth_orders",
+    # RFM composes three 1-row quartile-cutpoint frames the same way
+    "rfm_segments_customer",
 }
 
 
