@@ -180,3 +180,48 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def local_clustering(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge
+    list: ``2·triangles / (deg·(deg−1))`` — how close each node's
+    neighborhood is to a clique (community-strength / link-farm signal;
+    the per-node normalization of :func:`triangle_counts`). Returns
+    ``(node, n_triangles, deg, coeff)`` for EVERY node with ≥ 1 edge
+    (nodes in no triangle report 0.0; deg-1 nodes report 0.0 by the
+    deg ≥ 2 guard). Same canonicalization and scale shape as
+    triangle_counts (one extra wordcount-shaped degree pass + one
+    node-keyed left join); coeff rounded to 6dp for engine parity."""
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(canon, "u", "v")
+    d = F.col("deg").cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            "deg",
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)) / (d * (d - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("coeff"),
+        )
+    )

@@ -439,6 +439,53 @@ def scd2_asof(
     )
 
 
+def scd2_temporal_join(
+    fact: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Fact-to-versioned-dimension TEMPORAL join — every fact row joins
+    the dimension version that was valid AT ITS OWN timestamp
+    (``valid_from <= fact_ts < valid_to``, open-ended current versions
+    included). :func:`scd2_asof` reads the whole dimension at ONE
+    instant; this is the per-row generalization — the standard
+    warehouse pattern for attributing facts to the contemporaneous
+    attribute state (which license/segment/region did this row see when
+    it happened), i.e. the reproducibility join for training-data
+    lineage.
+
+    Plan shape: an EQUI-join on the dimension keys (hash join — the
+    interval predicates ride along as a residual filter on the matched
+    pairs, so there is no range-join blowup) returning all fact columns
+    plus the history's attribute columns (validity bounds dropped).
+    SCD2 invariants guarantee at most one matching version per
+    (key, instant), so the join never duplicates facts. At 100 TB both
+    sides shuffle on the key — or the history broadcasts when small,
+    which Catalyst/AQE decides from stats."""
+    f = fact.alias("f")
+    h = history.alias("h")
+    ts = F.col(f"f.{fact_ts_col}")
+    cond = reduce(
+        lambda x, y: x & y, [F.col(f"f.{k}") == F.col(f"h.{k}") for k in keys]
+    )
+    cond = (
+        cond
+        & (ts >= F.col(f"h.{valid_from_col}"))
+        & (F.col(f"h.{valid_to_col}").isNull() | (ts < F.col(f"h.{valid_to_col}")))
+    )
+    attr_cols = [
+        c for c in history.columns if c not in keys + [valid_from_col, valid_to_col]
+    ]
+    return f.join(h, cond, how).select(
+        *[F.col(f"f.{c}") for c in fact.columns],
+        *[F.col(f"h.{c}") for c in attr_cols],
+    )
+
+
 def incremental_rollup(
     spark: SparkSession,
     rollup_path: str,

@@ -939,3 +939,108 @@ def pq_ann_topk(
         .withColumn("rn", F.row_number().over(w_cos))
         .filter(F.col("rn") <= k)
     )
+
+
+def max_cosine_vs_set(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic decontamination kernel: for every corpus vector, the
+    max cosine against a (small, broadcastable) eval/benchmark set —
+    the embedding-based member of the decontamination triad beside the
+    exact n-gram overlap (``decontaminate_documents``) and BM25 lexical
+    overlap (``decontaminate_bm25_documents``) paths. Catches the
+    paraphrased/reworded leakage the lexical methods miss.
+
+    Output: ``(id, max_cos, eval_id, contaminated)`` — one row per
+    corpus vector (max_cos rounded to 6dp; eval_id = the LOWEST eval id
+    attaining the max, so ties are deterministic; contaminated =
+    max_cos >= threshold compared on the rounded value, so both engines
+    flag identically).
+
+    Scale shape: the eval matrix rides into the Arrow kernel closure
+    (broadcast by construction — eval suites are thousands of rows, not
+    corpus-scale), each partition computes one BLAS matmul per batch and
+    emits exactly one slim row per corpus vector — MAP-ONLY end to end:
+    no shuffle, no window, Θ(corpus) output. The same shape as
+    ``brute_force_topk`` but with per-CORPUS-row (not per-query)
+    reduction, which is what the decontamination direction needs.
+    """
+    qrows = eval_set.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    thr = float(threshold)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            mat = _vec_matrix(pdf.iloc[:, 1])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat @ qmat.T) / (norms[:, None] * qnorm[None, :]), 6)
+            mx = sims.max(axis=1)
+            # lowest eval id among the argmax ties
+            tie = np.where(sims == mx[:, None], qids[None, :], np.iinfo(np.int64).max)
+            eid = tie.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "max_cos": mx,
+                    "eval_id": eid,
+                    "contaminated": mx >= thr,
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "id long, max_cos double, eval_id long, contaminated boolean"
+    )
+
+
+def streaming_decontaminate(
+    vectors,
+    eval_set: DataFrame,
+    report_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+):
+    """Decontamination AT INGEST: every arriving micro-batch of vectors
+    is scored against the (static, broadcastable) eval set with
+    :func:`max_cosine_vs_set` and the per-vector verdicts land under
+    ``report_dir/batch=<id>`` — idempotent via dynamic partition
+    overwrite (the index family's replay contract), so the report table
+    is an append-only audit log of contamination per ingest batch and a
+    replayed batch rewrites its own partition instead of duplicating.
+
+    The eval matrix is collected ONCE at stream start and rides in the
+    kernel closure for every batch — no per-batch join, no shuffle; the
+    per-batch cost is one BLAS matmul per partition, Θ(batch) output.
+    Union of all batch reports == the batch-mode kernel over the union
+    of batches (tested), because the score of a vector depends only on
+    itself and the frozen eval set.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rep = max_cosine_vs_set(batch_df, eval_set, id_col, vec_col, threshold)
+        (
+            rep.withColumn("batch", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(report_dir)
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4234,6 +4234,51 @@ def q_triangle_count(spark, sf_dir):
 
 
 @register(
+    "local_clustering_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+    t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    tc AS (SELECT node, COUNT(*) AS n_triangles FROM (
+             SELECT a AS node FROM t UNION ALL SELECT b FROM t
+             UNION ALL SELECT c FROM t) GROUP BY node)
+    SELECT d.node AS part,
+           COALESCE(tc.n_triangles, 0) AS n_triangles, d.deg,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN 2.0 * COALESCE(tc.n_triangles, 0)
+                           / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM deg d LEFT JOIN tc ON d.node = tc.node
+    """,
+)
+def q_local_clustering(spark, sf_dir):
+    """Local clustering coefficient per part (``graph.local_clustering``)
+    over the same co-order projection as `triangle_count_parts`:
+    2T/(deg·(deg−1)) — neighborhood-clique-ness, the normalized form of
+    triangle participation (community strength / link-farm signal).
+    Every node with ≥ 1 edge reports (0.0 when deg < 2 or no
+    triangles); coeff rounded to 6dp for engine parity."""
+    from bearly_spark.operators.graph import local_clustering
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).dropDuplicates()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .dropDuplicates()
+    )
+    return local_clustering(edges).withColumnRenamed("node", "part")
+
+
+@register(
     "interpolate_events",
     oracle="""
     WITH s AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
@@ -4411,6 +4456,112 @@ def q_rfm_segments(spark, sf_dir):
         score("r_days").alias("r_score"),
         score("f").alias("f_score"),
         score("m").alias("m_score"),
+    )
+
+
+@register(
+    "temporal_join_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN o.o_custkey % 13 = 0
+                     AND CAST(o.o_orderdate AS DATE) >= DATE '1997-03-01'
+                THEN (c.c_nationkey + 3) % 25
+                WHEN o.o_custkey % 11 = 0
+                     AND CAST(o.o_orderdate AS DATE) >= DATE '1995-06-01'
+                THEN (c.c_nationkey + 7) % 25
+                ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN o.o_custkey % 13 = 0
+                     AND CAST(o.o_orderdate AS DATE) >= DATE '1997-03-01'
+                THEN 'SEG2' ELSE c.c_mktsegment END AS c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_temporal_join(spark, sf_dir):
+    """Fact-to-versioned-dimension TEMPORAL join
+    (``maintenance.scd2_temporal_join``): every order joins the
+    customer version valid AT ITS OWN order date against the same
+    3-version SCD2 history `scd2_customer_history` builds (nation
+    reassignment 1995-06-01 for every 11th key, segment migration
+    1997-03-01 for every 13th) — the per-row generalization of
+    `scd2_asof_customer`'s single-instant read, and the
+    reproducibility join for training-data lineage. Equi-join on the
+    key with the validity interval as a residual predicate (no
+    range-join blowup); SCD2 invariants mean exactly one version
+    matches per row. The oracle states the contemporaneous attributes
+    in closed form."""
+    cust = load_table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    keys, attrs = ["c_custkey"], ["c_nationkey", "c_mktsegment"]
+    chg1 = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"),
+        "c_mktsegment",
+        F.to_date(F.lit("1995-06-01")).alias("change_ts"),
+    )
+    chg2 = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 3) % 25).alias("c_nationkey"),
+        F.lit("SEG2").alias("c_mktsegment"),
+        F.to_date(F.lit("1997-03-01")).alias("change_ts"),
+    )
+    h = MT.scd2_apply(hist, chg1, keys, attrs)
+    h = MT.scd2_apply(h, chg2, keys, attrs)
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    out = MT.scd2_temporal_join(fact, h, keys, "o_date")
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
+@register(
+    "decontaminate_embedding",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+                FROM embeddings WHERE vec_id % 17 = 0),
+    tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+           FROM embeddings WHERE vec_id % 17 <> 0),
+    s AS (SELECT vec_id, eid,
+                 ROUND(list_cosine_similarity(tv, evv), 6) AS cs
+          FROM tr, ev),
+    m AS (SELECT vec_id, MAX(cs) AS mx FROM s GROUP BY vec_id)
+    SELECT s.vec_id AS id, s.cs AS max_cos, MIN(s.eid) AS eval_id,
+           CASE WHEN s.cs >= 0.4 THEN TRUE ELSE FALSE END AS contaminated
+    FROM s JOIN m ON s.vec_id = m.vec_id AND s.cs = m.mx
+    GROUP BY s.vec_id, s.cs
+    """,
+)
+def q_decontaminate_embedding(spark, sf_dir):
+    """Embedding-based (semantic) decontamination
+    (``similarity.max_cosine_vs_set``): every train vector scored by
+    its max cosine against the eval split (vec_id % 17 == 0, 30 rows —
+    the benchmark suite stand-in), flagged at the repo's demo
+    threshold 0.4 (the synthetic embeddings' max cross-pair cosine is
+    ~0.5; production uses 0.95+). Completes the decontamination triad:
+    exact n-gram (`decontaminate_documents`), lexical BM25
+    (`decontaminate_bm25_documents`), and this — the one that catches
+    paraphrased leakage. Map-only: eval matrix in the kernel closure,
+    one BLAS matmul per batch, zero shuffles."""
+    from bearly_spark.operators.similarity import max_cosine_vs_set
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return max_cosine_vs_set(
+        emb.filter(F.col("vec_id") % 17 != 0),
+        emb.filter(F.col("vec_id") % 17 == 0),
+        threshold=0.4,
     )
 
 

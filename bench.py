@@ -114,6 +114,11 @@ HEADLINE = [
     # scoring (three cutpoint passes + broadcast score expression)
     "event_transitions",
     "rfm_segments_customer",
+    # round 6 (late): the temporal fact-to-SCD2 join (equi-join with
+    # residual validity predicate — the lineage/reproducibility join)
+    # and semantic decontamination (map-only broadcast-eval cosine)
+    "temporal_join_orders_customer",
+    "decontaminate_embedding",
 ]
 
 

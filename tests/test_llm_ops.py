@@ -746,3 +746,27 @@ def test_chunk_documents_window_semantics(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_max_cosine_vs_set_planted_and_ties(spark):
+    """A corpus vector identical to an eval vector scores max_cos 1.0
+    and is flagged; the eval_id tie-break picks the LOWEST eval id when
+    two eval vectors attain the same rounded max; zero vectors are
+    norm-guarded (cos 0.0, unflagged)."""
+    from bearly_spark.operators.similarity import max_cosine_vs_set
+
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [1.0, 0.0]), (30, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]),   # parallel to BOTH 10 and 20 -> tie, eval_id=10
+         (2, [0.0, 0.5]),   # matches 30
+         (3, [0.0, 0.0])],  # zero vector
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["id"]: r for r in max_cosine_vs_set(corpus, ev, threshold=0.95).collect()}
+    assert rows[1]["max_cos"] == 1.0 and rows[1]["eval_id"] == 10
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["max_cos"] == 1.0 and rows[2]["eval_id"] == 30
+    assert rows[3]["max_cos"] == 0.0 and rows[3]["contaminated"] is False

@@ -584,3 +584,63 @@ def test_equi_depth_histogram_depth_and_ties(spark):
     rows = equi_depth_histogram(dup, "x", 4).collect()
     heavy = [r for r in rows if r["min_v"] <= 5.0 <= r["max_v"]]
     assert len(heavy) == 1 and heavy[0]["n"] == 100
+
+
+def test_scd2_temporal_join_boundaries(spark):
+    """Fact ts exactly at valid_from joins the NEW version (closed
+    lower bound); ts just before joins the old (open upper bound);
+    open-ended current version catches late facts; inner drops
+    unmatched keys, left keeps them with NULL attrs; fact columns
+    pass through."""
+    from bearly_spark.operators.maintenance import scd2_temporal_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2021-01-01"),
+            (1, "v2", "2021-01-01", None),
+            (2, "w1", "2020-01-01", None),
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to"
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, "2020-12-31"),  # last day of v1
+            (101, 1, "2021-01-01"),  # boundary -> v2
+            (102, 1, "2025-06-01"),  # open-ended current
+            (103, 3, "2020-06-01"),  # no dim key
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS DATE) ts")
+
+    got = {
+        r["fid"]: r["attr"]
+        for r in scd2_temporal_join(fact, hist, ["k"], "ts").collect()
+    }
+    assert got == {100: "v1", 101: "v2", 102: "v2"}
+
+    left = {
+        r["fid"]: r["attr"]
+        for r in scd2_temporal_join(fact, hist, ["k"], "ts", how="left").collect()
+    }
+    assert left == {100: "v1", 101: "v2", 102: "v2", 103: None}
+
+
+def test_local_clustering_coefficients(spark):
+    """K3 nodes score 1.0; a hub whose neighbors are unconnected scores
+    by 2T/(deg(deg-1)); pendant (deg 1) nodes report 0.0 and stay in
+    the output."""
+    from bearly_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["n_triangles"], r["deg"], r["coeff"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[1] == (1, 2, 1.0) and got[2] == (1, 2, 1.0)
+    assert got[3] == (1, 3, round(2 / 6, 6))
+    assert got[4] == (0, 1, 0.0)

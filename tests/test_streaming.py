@@ -1425,3 +1425,72 @@ def test_cdc_batch_respects_partitioned_target(spark, sf_dir, tmp_path_factory):
     assert back.filter(F.col("o_orderkey") == keys[1]).count() == 0
     row = back.filter(F.col("o_orderkey") == keys[0]).collect()
     assert [(r["o_orderstatus"], r["o_totalprice"]) for r in row] == [("O", 9.0)]
+
+
+def test_streaming_decontaminate_equals_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """Decontamination at ingest: two micro-batches of vectors produce
+    per-batch report partitions whose UNION equals the batch-mode
+    kernel over the union (frozen eval set => per-vector score is
+    batch-independent); a replayed stream overwrites its own slices
+    instead of duplicating."""
+    import shutil
+
+    from bearly_spark.operators.similarity import (
+        max_cosine_vs_set,
+        streaming_decontaminate,
+    )
+    from bearly_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("sdecon")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 17 == 0)
+    tr = emb.filter(F.col("vec_id") % 17 != 0)
+    a = tr.filter(F.col("vec_id") % 2 == 0)
+    b = tr.filter(F.col("vec_id") % 2 == 1)
+    src = base / "src"
+    src.mkdir()
+    for df, nm in ((a, "a"), (b, "b")):
+        df.coalesce(1).write.parquet(str(base / nm))
+        f = next((base / nm).glob("*.parquet"))
+        shutil.move(str(f), str(src / f"{nm}.parquet"))
+        shutil.rmtree(base / nm)
+
+    reports, ck = str(base / "reports"), str(base / "ck")
+    q = streaming_decontaminate(
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        ev,
+        reports,
+        ck,
+        threshold=0.4,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(reports)
+    assert got.select("batch").distinct().count() == 2
+    want = max_cosine_vs_set(tr, ev, threshold=0.4)
+    assert sorted(
+        got.select("id", "max_cos", "eval_id", "contaminated").collect()
+    ) == sorted(want.collect())
+    n_before = got.count()
+
+    # replay from a fresh checkpoint: same report table, no duplicates
+    q = streaming_decontaminate(
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        ev,
+        reports,
+        str(base / "ck2"),
+        threshold=0.4,
+    )
+    q.awaitTermination(300)
+    spark.catalog.refreshByPath(reports)
+    again = spark.read.parquet(reports)
+    assert again.count() == n_before
+    assert sorted(
+        again.select("id", "max_cos", "eval_id", "contaminated").collect()
+    ) == sorted(want.collect())
