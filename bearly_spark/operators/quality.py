@@ -135,3 +135,125 @@ def streaming_expectations(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_report(
+    before: DataFrame,
+    after: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    decimals: int = 4,
+) -> DataFrame:
+    """Distribution-drift report between two table states of a numeric
+    column — the monitoring face of the DQ family (did this ingest
+    batch / new crawl shift the price/length/score distribution?):
+    bucket the AFTER data against the BEFORE distribution's quantile
+    cutpoints and compare per-bucket mass.
+
+    Buckets are the BEFORE frame's exact ``k/B`` quantiles (the
+    equi-depth histogram's rounded-cutpoint + ties-stick-low rule, so
+    both engines bucket identically); per bucket the report carries the
+    before/after shares and two standard drift statistics whose
+    arithmetic is ln-free and therefore exactly engine-twinnable:
+
+    - ``chi2_term`` = (q−p)²/p  (Pearson chi-square contribution;
+      sum over buckets ≈ the drift test statistic /
+      population-stability signal),
+    - ``tvd_term`` = |q−p|/2   (total-variation-distance contribution).
+
+    Shares are rounded to 6dp BEFORE the statistics so the float trees
+    match bit-for-bit across engines. (PSI's ln(p/q) is deliberately
+    not emitted: libm ln may differ in the last ulp between engines;
+    chi-square and TVD carry the same signal deterministically.)
+
+    Scale shape: one rank-window cutpoint pass over BEFORE, then both
+    scans are map-only bucket assignments into B-row aggregates —
+    2 passes total, Θ(rows) with B-row output."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    qs = [k / buckets for k in range(1, buckets)]
+    names = [f"_c{k}" for k in range(1, buckets)]
+    cuts = exact_percentiles(before, [], value_col, qs, names=names, decimals=decimals)
+    v = F.col(value_col)
+    bucket = None
+    for n in names:
+        term = F.when(v > F.col(n), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    bucket = (F.lit(1) + bucket).alias("bucket")
+
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        counted = (
+            df.crossJoin(F.broadcast(cuts))
+            .groupBy(bucket)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counted.agg(F.sum("_n").alias("_t"))
+        return counted.crossJoin(F.broadcast(total)).select(
+            "bucket",
+            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+        )
+
+    p = shares(before, "p_before")
+    q = shares(after, "q_after")
+    joined = p.join(q, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
+        F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+    )
+    dp = F.col("q_after") - F.col("p_before")
+    return joined.select(
+        "bucket",
+        "p_before",
+        "q_after",
+        F.round(
+            F.when(F.col("p_before") > 0, dp * dp / F.col("p_before")).otherwise(
+                F.lit(None)
+            ),
+            6,
+        ).alias("chi2_term"),
+        F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+    )
+
+
+def iqr_outlier_report(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier counts per group: values outside
+    ``[q1 − k·IQR, q3 + k·IQR]`` (k=1.5 is the classic whisker rule) —
+    the anomaly-detection face of the DQ family, counts-not-booleans
+    like ``expectations_report`` so drift in outlier mass is visible
+    round over round.
+
+    Quartiles come from the spill-safe rank-window percentile path
+    (4dp-rounded, engine-twinnable); fences are fixed-shape double
+    arithmetic on those rounded quartiles, and the flag compares the
+    raw value against the fence — both engines see identical fences, so
+    identical flags. Output per group: ``n``, ``n_low``, ``n_high``,
+    ``lo_fence``, ``hi_fence``. Two passes: one per-group quartile
+    sort, one broadcast-join + map-only count."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    qr = exact_percentiles(
+        df, group_cols, value_col, (0.25, 0.75), names=["_q1", "_q3"]
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    fenced = qr.select(
+        *group_cols,
+        F.round(F.col("_q1") - k * iqr, 6).alias("lo_fence"),
+        F.round(F.col("_q3") + k * iqr, 6).alias("hi_fence"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(fenced), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(v < F.col("lo_fence"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(v > F.col("hi_fence"), 1).otherwise(0)).alias("n_high"),
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+        )
+    )

@@ -4566,6 +4566,101 @@ def q_decontaminate_embedding(spark, sf_dir):
 
 
 @register(
+    "drift_report_orders",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                           ELSE o_totalprice END AS v FROM orders),
+    c AS (SELECT ROUND(quantile_cont(o_totalprice, 0.1), 4) AS c1,
+                 ROUND(quantile_cont(o_totalprice, 0.2), 4) AS c2,
+                 ROUND(quantile_cont(o_totalprice, 0.3), 4) AS c3,
+                 ROUND(quantile_cont(o_totalprice, 0.4), 4) AS c4,
+                 ROUND(quantile_cont(o_totalprice, 0.5), 4) AS c5,
+                 ROUND(quantile_cont(o_totalprice, 0.6), 4) AS c6,
+                 ROUND(quantile_cont(o_totalprice, 0.7), 4) AS c7,
+                 ROUND(quantile_cont(o_totalprice, 0.8), 4) AS c8,
+                 ROUND(quantile_cont(o_totalprice, 0.9), 4) AS c9
+          FROM orders),
+    pb AS (SELECT 1 + (o_totalprice > c1)::INT + (o_totalprice > c2)::INT
+                    + (o_totalprice > c3)::INT + (o_totalprice > c4)::INT
+                    + (o_totalprice > c5)::INT + (o_totalprice > c6)::INT
+                    + (o_totalprice > c7)::INT + (o_totalprice > c8)::INT
+                    + (o_totalprice > c9)::INT AS bucket, COUNT(*) AS n
+           FROM orders, c GROUP BY bucket),
+    qb AS (SELECT 1 + (v > c1)::INT + (v > c2)::INT + (v > c3)::INT
+                    + (v > c4)::INT + (v > c5)::INT + (v > c6)::INT
+                    + (v > c7)::INT + (v > c8)::INT + (v > c9)::INT AS bucket,
+                  COUNT(*) AS n
+           FROM a, c GROUP BY bucket),
+    ps AS (SELECT bucket, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb), 6)
+                  AS p_before FROM pb),
+    qsh AS (SELECT bucket, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb), 6)
+                   AS q_after FROM qb),
+    j AS (SELECT COALESCE(ps.bucket, qsh.bucket) AS bucket,
+                 COALESCE(p_before, 0.0) AS p_before,
+                 COALESCE(q_after, 0.0) AS q_after
+          FROM ps FULL OUTER JOIN qsh ON ps.bucket = qsh.bucket)
+    SELECT bucket, p_before, q_after,
+           ROUND(CASE WHEN p_before > 0
+                      THEN (q_after - p_before) * (q_after - p_before) / p_before
+                      END, 6) AS chi2_term,
+           ROUND(ABS(q_after - p_before) / 2.0, 6) AS tvd_term
+    FROM j
+    """,
+)
+def q_drift_report(spark, sf_dir):
+    """Distribution-drift monitoring (``quality.drift_report``): the
+    order-price distribution BEFORE vs a deterministically shifted
+    AFTER state (every 3rd key's price ×1.1 — a 10% shift on a third
+    of the mass), bucketed against the BEFORE decile cutpoints, with
+    ln-free per-bucket drift statistics (chi-square and TVD
+    contributions — PSI's ln is deliberately not emitted: libm ln can
+    differ in the last ulp between engines). The ML-ops
+    drift-detection face of the DQ family."""
+    from bearly_spark.operators.quality import drift_report
+
+    od = load_table(spark, sf_dir, "orders")
+    before = od.select(F.col("o_totalprice").alias("v"))
+    after = od.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("v")
+    )
+    return drift_report(before, after, "v", buckets=10)
+
+
+@register(
+    "outliers_iqr_lineitem",
+    oracle="""
+    WITH q AS (SELECT l_returnflag,
+                      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+                      ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+               FROM lineitem GROUP BY l_returnflag),
+    f AS (SELECT l_returnflag, ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+                 ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence FROM q)
+    SELECT li.l_returnflag, COUNT(*) AS n,
+           SUM(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END) AS n_low,
+           SUM(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) AS n_high,
+           MIN(lo_fence) AS lo_fence, MIN(hi_fence) AS hi_fence
+    FROM lineitem li JOIN f ON li.l_returnflag = f.l_returnflag
+    GROUP BY li.l_returnflag
+    """,
+)
+def q_outliers_iqr(spark, sf_dir):
+    """Tukey-fence (1.5×IQR) outlier counts per return-flag group
+    (``quality.iqr_outlier_report``) — the anomaly-detection face of
+    the DQ family, counts-not-booleans so outlier-mass drift is
+    visible. Quartiles via the twin-proven rank-window percentile
+    path; fences are fixed-shape arithmetic on the rounded quartiles
+    so both engines flag identically."""
+    from bearly_spark.operators.quality import iqr_outlier_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return iqr_outlier_report(li, ["l_returnflag"], "l_extendedprice", k=1.5)
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,

@@ -119,6 +119,10 @@ HEADLINE = [
     # and semantic decontamination (map-only broadcast-eval cosine)
     "temporal_join_orders_customer",
     "decontaminate_embedding",
+    # round 6 (late): the monitoring faces — distribution drift
+    # (chi-square/TVD against before-deciles) and Tukey-fence outliers
+    "drift_report_orders",
+    "outliers_iqr_lineitem",
 ]
 
 

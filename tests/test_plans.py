@@ -45,6 +45,9 @@ CARTESIAN_ALLOWED = {
     "histogram_depth_orders",
     # RFM composes three 1-row quartile-cutpoint frames the same way
     "rfm_segments_customer",
+    # drift report attaches the 1-row decile-cutpoint frame and the
+    # 1-row total to both scans the same way
+    "drift_report_orders",
 }
 
 

@@ -644,3 +644,40 @@ def test_local_clustering_coefficients(spark):
     assert got[1] == (1, 2, 1.0) and got[2] == (1, 2, 1.0)
     assert got[3] == (1, 3, round(2 / 6, 6))
     assert got[4] == (0, 1, 0.0)
+
+
+def test_drift_report_identical_and_shifted(spark):
+    """Identical distributions report zero drift in every bucket;
+    a planted shift produces positive chi2/tvd mass; a bucket with
+    after-mass but zero before-mass carries NULL chi2 (undefined)
+    and nonzero tvd."""
+    from bearly_spark.operators.quality import drift_report
+
+    base = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+    same = drift_report(base, base, "v", buckets=4).collect()
+    assert all(r["chi2_term"] == 0.0 and r["tvd_term"] == 0.0 for r in same)
+    assert sum(r["p_before"] for r in same) == 1.0
+
+    shifted = spark.range(1, 101).selectExpr("CAST(id * 3 AS DOUBLE) AS v")
+    drift = drift_report(base, shifted, "v", buckets=4).collect()
+    assert sum(r["tvd_term"] for r in drift) > 0.3
+    # everything above the before-max lands in the top bucket: chi2
+    # defined everywhere here (before has mass in all 4)
+    assert all(r["chi2_term"] is not None for r in drift)
+
+
+def test_iqr_outlier_report_planted_and_constant(spark):
+    """A planted far point is counted on the right side of the fence;
+    a constant-valued group has IQR 0 and zero outliers."""
+    from bearly_spark.operators.quality import iqr_outlier_report
+
+    rows = [("a", float(x)) for x in range(1, 101)] + [
+        ("a", 10000.0),  # planted high outlier
+        ("a", -10000.0),  # planted low outlier
+    ] + [("b", 7.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in iqr_outlier_report(df, ["g"], "v").collect()}
+    assert got["a"]["n_high"] == 1 and got["a"]["n_low"] == 1
+    assert got["a"]["n"] == 102
+    assert got["b"]["n_low"] == 0 and got["b"]["n_high"] == 0
+    assert got["b"]["lo_fence"] == 7.0 and got["b"]["hi_fence"] == 7.0
