@@ -107,9 +107,18 @@ def exact_percentiles(
     Parallelism is bounded by group cardinality (inherent to exact
     per-group quantiles); at 100 TB with few groups prefer
     ``approx_percentile`` (t-digest, mergeable partial aggregates).
+
+    NULLs in ``value_col`` are EXCLUDED before ranking — the
+    quantile_cont contract (DuckDB/ANSI aggregate null semantics).
+    Without the filter, nulls-first ordering would occupy the lowest
+    ranks and shift or NULL every quantile (review catch, round 6).
+    One documented deviation: a group whose values are ALL null is
+    absent from the output (quantile_cont would keep the group with a
+    NULL quantile); no fixture column hits this.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(value_col).isNotNull())
     names = list(names or [f"p{int(q * 100)}" for q in quantiles])
     w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*group_cols)
@@ -132,6 +141,21 @@ def exact_percentiles(
         val = F.col(f"_lo_{name}") + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
         out_cols.append(F.round(val, decimals).alias(name))
     return agged.select(*out_cols)
+
+
+def bucket_assign(value: Column, cut_names: Sequence[str]) -> Column:
+    """THE cutpoint-bucket rule shared by the equi-depth histogram, the
+    drift report and RFM scoring: ``1 + #(cutpoints < value)`` — ties
+    stick to the lower bucket. One definition so the rounding/tie
+    contract can never silently diverge between the operators that
+    promise identical bucketing across engines. ``value`` must be
+    non-null (callers filter or guarantee it; a NULL value would
+    silently land in bucket 1)."""
+    return functools.reduce(
+        lambda acc, n: acc + F.when(value > F.col(n), 1).otherwise(0),
+        cut_names,
+        F.lit(1),
+    )
 
 
 def equi_depth_histogram(
@@ -158,16 +182,18 @@ def equi_depth_histogram(
     same two-pass shape as the equi-width form, dominated by the
     quantile sort (at 100 TB swap in approx_percentile cutpoints, same
     assignment logic).
+
+    NULL values are EXCLUDED (consistent with the cutpoints, which
+    quantile_cont derives over non-null values only; without the
+    filter every NULL row would silently land in bucket 1 — review
+    catch, round 6).
     """
     qs = [k / buckets for k in range(1, buckets)]
     names = [f"_c{k}" for k in range(1, buckets)]
+    df = df.filter(F.col(value_col).isNotNull())
     cuts = exact_percentiles(df, [], value_col, qs, names=names, decimals=decimals)
     v = F.col(value_col)
-    bucket = functools.reduce(
-        lambda acc, n: acc + F.when(v > F.col(n), 1).otherwise(0),
-        names,
-        F.lit(1),
-    ).alias("bucket")
+    bucket = bucket_assign(v, names).alias("bucket")
     return (
         df.crossJoin(F.broadcast(cuts))
         .groupBy(bucket)

@@ -131,7 +131,21 @@ def triangle_counts(
     same result set by symmetry, simpler SQL, and its worst case only
     bites at scales the oracle never runs at.
     """
-    canon = (
+    canon = _canonical_edges(edges, src_col, dst_col)
+    deg = _degrees(canon)
+    tri = _triangles(canon, deg)
+    return (
+        tri.select(F.explode("nodes").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge canonicalization shared by the triangle kernel
+    and :func:`local_clustering`: ``u < v`` DISTINCT, self-loops
+    dropped — dirty input (dups / reversed / loops) tolerated."""
+    return (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
@@ -139,12 +153,22 @@ def triangle_counts(
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
     )
-    deg = (
+
+
+def _degrees(canon: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical edge list — one wordcount pass."""
+    return (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _triangles(canon: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over precomputed canonical
+    edges + degrees (each triangle exactly once, as a 3-node array) —
+    callers share canon/deg so neither pass runs twice."""
     # orientation key: (deg, id) as a comparable struct
     keyed = (
         canon.join(deg.withColumnRenamed("node", "u"), "u")
@@ -168,17 +192,12 @@ def triangle_counts(
     wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
         F.col("e1.kdst") < F.col("e2.kdst")
     )
-    tri = wedges.join(
+    return wedges.join(
         oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
         (F.col("e1.dst") == F.col("b")) & (F.col("e2.dst") == F.col("c")),
         "inner",
     ).select(
         F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")).alias("nodes")
-    )
-    return (
-        tri.select(F.explode("nodes").alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 
@@ -194,21 +213,14 @@ def local_clustering(
     deg ≥ 2 guard). Same canonicalization and scale shape as
     triangle_counts (one extra wordcount-shaped degree pass + one
     node-keyed left join); coeff rounded to 6dp for engine parity."""
-    canon = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
-    )
-    deg = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
+    canon = _canonical_edges(edges, src_col, dst_col)
+    deg = _degrees(canon)
+    tri = (
+        _triangles(canon, deg)
+        .select(F.explode("nodes").alias("node"))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    tri = triangle_counts(canon, "u", "v")
     d = F.col("deg").cast("double")
     return (
         deg.join(tri, "node", "left")

@@ -168,18 +168,21 @@ def drift_report(
 
     Scale shape: one rank-window cutpoint pass over BEFORE, then both
     scans are map-only bucket assignments into B-row aggregates —
-    2 passes total, Θ(rows) with B-row output."""
-    from bearly_spark.operators.aggregate import exact_percentiles
+    2 passes total, Θ(rows) with B-row output.
+
+    NULL values are EXCLUDED from both sides (consistent with the
+    quantile_cont cutpoints; shares are over non-null mass — a batch
+    whose only change is added NULLs reports zero drift by design,
+    monitor null RATE with ``expectations_report``)."""
+    from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
 
     qs = [k / buckets for k in range(1, buckets)]
     names = [f"_c{k}" for k in range(1, buckets)]
+    before = before.filter(F.col(value_col).isNotNull())
+    after = after.filter(F.col(value_col).isNotNull())
     cuts = exact_percentiles(before, [], value_col, qs, names=names, decimals=decimals)
     v = F.col(value_col)
-    bucket = None
-    for n in names:
-        term = F.when(v > F.col(n), 1).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    bucket = (F.lit(1) + bucket).alias("bucket")
+    bucket = bucket_assign(v, names).alias("bucket")
 
     def shares(df: DataFrame, out: str) -> DataFrame:
         counted = (
@@ -233,9 +236,16 @@ def iqr_outlier_report(
     raw value against the fence — both engines see identical fences, so
     identical flags. Output per group: ``n``, ``n_low``, ``n_high``,
     ``lo_fence``, ``hi_fence``. Two passes: one per-group quartile
-    sort, one broadcast-join + map-only count."""
+    sort, one broadcast-join + map-only count.
+
+    NULL values are EXCLUDED (neither counted in ``n`` nor flagged —
+    the quantile_cont contract; without the filter a NULL-bearing
+    column yields NULL quartiles and a silent all-clear report —
+    review catch, round 6). Monitor null rates with
+    ``expectations_report``."""
     from bearly_spark.operators.aggregate import exact_percentiles
 
+    df = df.filter(F.col(value_col).isNotNull())
     qr = exact_percentiles(
         df, group_cols, value_col, (0.25, 0.75), names=["_q1", "_q3"]
     )

@@ -969,7 +969,26 @@ def max_cosine_vs_set(
     ``brute_force_topk`` but with per-CORPUS-row (not per-query)
     reduction, which is what the decontamination direction needs.
     """
+    kernel = _cosine_vs_set_kernel(eval_set, id_col, vec_col, threshold)
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, _COS_VS_SET_SCHEMA
+    )
+
+
+_COS_VS_SET_SCHEMA = "id long, max_cos double, eval_id long, contaminated boolean"
+
+
+def _cosine_vs_set_kernel(eval_set, id_col, vec_col, threshold):
+    """Collect the eval matrix ONCE and return the Arrow batch kernel
+    closed over it — shared by the batch entry point (one call) and
+    :func:`streaming_decontaminate` (built at stream start, reused for
+    every micro-batch, so the frozen-eval-set contract is structural,
+    not per-batch luck). Raises loudly on an empty eval set: a filter
+    that matches nothing would otherwise surface as an opaque numpy
+    axis error mid-job (review catch, round 6)."""
     qrows = eval_set.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("eval_set is empty: nothing to decontaminate against")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -996,9 +1015,7 @@ def max_cosine_vs_set(
                 }
             )
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score, "id long, max_cos double, eval_id long, contaminated boolean"
-    )
+    return score
 
 
 def streaming_decontaminate(
@@ -1018,17 +1035,23 @@ def streaming_decontaminate(
     is an append-only audit log of contamination per ingest batch and a
     replayed batch rewrites its own partition instead of duplicating.
 
-    The eval matrix is collected ONCE at stream start and rides in the
-    kernel closure for every batch — no per-batch join, no shuffle; the
-    per-batch cost is one BLAS matmul per partition, Θ(batch) output.
+    The eval matrix is collected ONCE at stream start (the kernel is
+    prebuilt before ``foreachBatch`` and closed over — structurally
+    impossible to re-collect per batch) — no per-batch join, no
+    shuffle; the per-batch cost is one BLAS matmul per partition,
+    Θ(batch) output.
     Union of all batch reports == the batch-mode kernel over the union
     of batches (tested), because the score of a vector depends only on
     itself and the frozen eval set.
 
     Returns the started ``StreamingQuery`` (availableNow trigger)."""
 
+    kernel = _cosine_vs_set_kernel(eval_set, id_col, vec_col, threshold)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        rep = max_cosine_vs_set(batch_df, eval_set, id_col, vec_col, threshold)
+        rep = batch_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            kernel, _COS_VS_SET_SCHEMA
+        )
         (
             rep.withColumn("batch", F.lit(int(batch_id)))
             .coalesce(1)

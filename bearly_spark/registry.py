@@ -4423,7 +4423,7 @@ def q_rfm_segments(spark, sf_dir):
     orders, one rank-window cutpoint pass per metric over the (small)
     per-customer aggregate, then a broadcast 1-row cutpoint frame into
     a map-only score expression — Θ(customers) end to end."""
-    from bearly_spark.operators.aggregate import exact_percentiles
+    from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
 
     od = load_table(spark, sf_dir, "orders")
     agg = od.groupBy("o_custkey").agg(
@@ -4444,12 +4444,7 @@ def q_rfm_segments(spark, sf_dir):
 
     def score(col):
         v = F.col(col) if col == "m" else F.col(col).cast("double")
-        return (
-            F.lit(1)
-            + F.when(v > F.col(f"_{col}1"), 1).otherwise(0)
-            + F.when(v > F.col(f"_{col}2"), 1).otherwise(0)
-            + F.when(v > F.col(f"_{col}3"), 1).otherwise(0)
-        )
+        return bucket_assign(v, [f"_{col}{k}" for k in (1, 2, 3)])
 
     return agg.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",

@@ -681,3 +681,59 @@ def test_iqr_outlier_report_planted_and_constant(spark):
     assert got["a"]["n"] == 102
     assert got["b"]["n_low"] == 0 and got["b"]["n_high"] == 0
     assert got["b"]["lo_fence"] == 7.0 and got["b"]["hi_fence"] == 7.0
+
+
+def test_null_exclusion_across_percentile_family(spark):
+    """NULLs in the monitored column are excluded everywhere the
+    rank-window percentile path feeds (review catch, round 6):
+    exact_percentiles matches quantile_cont (nulls ignored), the
+    equi-depth histogram buckets only non-null mass, the IQR report
+    still catches a planted outlier with NULLs present, and a batch
+    that only adds NULLs reports zero drift."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.aggregate import (
+        equi_depth_histogram,
+        exact_percentiles,
+    )
+    from bearly_spark.operators.quality import drift_report, iqr_outlier_report
+
+    vals = [(float(x),) for x in range(1, 101)]
+    with_nulls = spark.createDataFrame(
+        vals + [(None,)] * 60, "v double"
+    )
+    clean = spark.createDataFrame(vals, "v double")
+
+    p_n = exact_percentiles(with_nulls, [], "v", (0.5,), names=["p50"]).collect()[0]
+    p_c = exact_percentiles(clean, [], "v", (0.5,), names=["p50"]).collect()[0]
+    assert p_n["p50"] == p_c["p50"] == 50.5
+
+    hist = equi_depth_histogram(with_nulls, "v", 4).collect()
+    assert sum(r["n"] for r in hist) == 100  # NULL rows not bucketed
+
+    outl = spark.createDataFrame(
+        [("a", float(x)) for x in range(1, 101)]
+        + [("a", 10000.0)] + [("a", None)] * 60,
+        "g string, v double",
+    )
+    rep = iqr_outlier_report(outl, ["g"], "v").collect()[0]
+    assert rep["n_high"] == 1 and rep["n"] == 101  # fence real, NULLs excluded
+
+    drift = drift_report(clean, with_nulls, "v", buckets=4).collect()
+    assert all(r["tvd_term"] == 0.0 for r in drift)  # only-NULLs-added: no drift
+
+
+def test_max_cosine_vs_set_empty_eval_raises(spark):
+    """An eval filter matching nothing raises a clear ValueError at
+    kernel build (batch AND stream start) instead of an opaque numpy
+    axis error mid-job."""
+    import pytest as _pytest
+
+    from bearly_spark.operators.similarity import max_cosine_vs_set
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="eval_set is empty"):
+        max_cosine_vs_set(corpus, empty)
