@@ -597,3 +597,32 @@ def table_diff(
             "change",
         )
     )
+
+
+def table_checksum(df: DataFrame, canonical: Column) -> DataFrame:
+    """Order-independent table fingerprint — the cheap "did anything
+    change at all?" complement to :func:`table_diff` (which tells you
+    WHAT changed): one row ``(n_rows, checksum)`` where checksum is the
+    sum mod 2^64 of a 64-bit hash per row. Verifying a 100 TB replica
+    needs no sort, no shuffle-by-key and no second copy of the data —
+    each side computes its scan-shaped partial sums and compares two
+    numbers.
+
+    ``canonical`` must be a deterministic STRING expression over the
+    row (the caller fixes column order, numeric formatting and null
+    handling — cast floats to decimals first; engines render raw
+    doubles differently). The row hash is the first 16 md5 hex digits
+    as an unsigned 64-bit value (the MinHash family's md5-derived hash
+    contract), summed exactly in DECIMAL(38) and reduced mod 2^64 —
+    addition commutes, so partitioning/order never matters, and the
+    hash is engine-reproducible (exact DuckDB twin).
+
+    A checksum EQUALITY is probabilistic evidence (64-bit collisions
+    need ~2^32 differing tables); an INEQUALITY is proof of difference
+    — the right asymmetry for replica verification."""
+    h = F.conv(F.substring(F.md5(canonical), 1, 16), 16, 10).cast("decimal(38,0)")
+    m64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("_h") % m64).cast("decimal(20,0)").alias("checksum"),
+    )

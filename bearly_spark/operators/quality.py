@@ -267,3 +267,147 @@ def iqr_outlier_report(
             F.first("hi_fence").alias("hi_fence"),
         )
     )
+
+
+def drift_report_categorical(
+    before: DataFrame, after: DataFrame, cat_col: str
+) -> DataFrame:
+    """Categorical counterpart of :func:`drift_report`: per-category
+    before/after shares plus the same ln-free drift statistics
+    (chi-square and TVD contributions). No cutpoints needed — the
+    categories ARE the buckets; a category present on one side only
+    gets share 0.0 on the other (chi2 NULL when before-share is 0,
+    which is the honest "new category appeared" signal). NULL
+    categories form their own bucket (a null-rate shift IS categorical
+    drift). Two wordcount-shaped passes, Θ(categories) output."""
+
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        counted = df.groupBy(F.col(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        total = counted.agg(F.sum("_n").alias("_t"))
+        return counted.crossJoin(F.broadcast(total)).select(
+            "category",
+            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+        )
+
+    p = shares(before, "p_before")
+    q = shares(after, "q_after")
+    joined = p.join(q, p["category"].eqNullSafe(q["category"]), "full_outer").select(
+        F.coalesce(p["category"], q["category"]).alias("category"),
+        F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
+        F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+    )
+    dp = F.col("q_after") - F.col("p_before")
+    return joined.select(
+        "category",
+        "p_before",
+        "q_after",
+        F.round(
+            F.when(F.col("p_before") > 0, dp * dp / F.col("p_before")).otherwise(
+                F.lit(None)
+            ),
+            6,
+        ).alias("chi2_term"),
+        F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+    )
+
+
+def streaming_drift(
+    data,
+    baseline: DataFrame,
+    value_col: str,
+    report_dir: str,
+    checkpoint_dir: str,
+    buckets: int = 10,
+):
+    """Drift monitoring AT INGEST: each arriving micro-batch's value
+    distribution is compared against a FROZEN baseline (cutpoints and
+    shares computed ONCE at stream start from ``baseline`` and closed
+    over — per-batch work is one map-only bucket assignment plus a
+    B-row aggregate), and the per-batch drift report lands under
+    ``report_dir/batch=<id>`` — idempotent via dynamic partition
+    overwrite, so replays rewrite their own slice. The ML-ops
+    production shape: train-time distribution frozen, serving/ingest
+    batches scored against it continuously.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger)."""
+    from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
+
+    qs = [k / buckets for k in range(1, buckets)]
+    names = [f"_c{k}" for k in range(1, buckets)]
+    base_nn = baseline.filter(F.col(value_col).isNotNull())
+    cut_row = exact_percentiles(base_nn, [], value_col, qs, names=names).collect()[0]
+    spark = baseline.sparkSession
+    cuts = spark.createDataFrame([cut_row])
+    v = F.col(value_col)
+    bucket = bucket_assign(v, names).alias("bucket")
+    p_counted = base_nn.crossJoin(F.broadcast(cuts)).groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    p_total = p_counted.agg(F.sum("_n").alias("_t"))
+    # shares rounded with F.round (half-up) — the SAME rounding
+    # drift_report uses, so the frozen baseline is bit-identical to a
+    # batch-mode report over the same frame (Python round() is
+    # half-even and could disagree on exact .5 boundaries)
+    p_rows = (
+        p_counted.crossJoin(F.broadcast(p_total))
+        .select(
+            "bucket",
+            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias("p_before"),
+        )
+        .collect()
+    )
+    p_base = spark.createDataFrame(
+        [(r["bucket"], r["p_before"]) for r in p_rows],
+        "bucket int, p_before double",
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bdf = batch_df.filter(F.col(value_col).isNotNull())
+        counted = (
+            bdf.crossJoin(F.broadcast(cuts)).groupBy(bucket).agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+        )
+        total = counted.agg(F.sum("_n").alias("_t"))
+        q = counted.crossJoin(F.broadcast(total)).select(
+            "bucket",
+            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias("q_after"),
+        )
+        dp = F.col("q_after") - F.col("p_before")
+        rep = (
+            p_base.join(q, "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
+                F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+            )
+            .select(
+                "bucket",
+                "p_before",
+                "q_after",
+                F.round(
+                    F.when(
+                        F.col("p_before") > 0, dp * dp / F.col("p_before")
+                    ).otherwise(F.lit(None)),
+                    6,
+                ).alias("chi2_term"),
+                F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+            )
+        )
+        (
+            rep.withColumn("batch", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(report_dir)
+        )
+
+    return (
+        data.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4656,6 +4656,87 @@ def q_outliers_iqr(spark, sf_dir):
 
 
 @register(
+    "table_checksum_orders",
+    oracle="""
+    WITH c AS (SELECT CONCAT(o_orderkey, '|', o_custkey, '|', o_orderstatus,
+                             '|', CAST(o_totalprice AS DECIMAL(18,2)), '|',
+                             CAST(o_orderdate AS DATE), '|', o_orderpriority)
+                      AS canon FROM orders),
+    h AS (SELECT ('0x' || substr(md5(canon), 1, 16))::UBIGINT AS hv FROM c)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(hv::HUGEINT) % 18446744073709551616::HUGEINT
+                AS DECIMAL(20,0)) AS checksum
+    FROM h
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table fingerprint
+    (``maintenance.table_checksum``): sum mod 2^64 of a 64-bit
+    md5-derived hash per row over an explicit canonical string (column
+    order fixed, price cast to DECIMAL(18,2) and date to DATE so both
+    engines render identical text — raw doubles format differently).
+    The cheap replica-verification primitive: no sort, no key shuffle,
+    scan-shaped partial sums; `table_diff` then tells you WHAT changed
+    when checksums disagree."""
+    from bearly_spark.operators.maintenance import table_checksum
+
+    od = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    return table_checksum(od, canon)
+
+
+@register(
+    "drift_categorical_orders",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN '1-URGENT'
+                           ELSE o_orderpriority END AS category FROM orders),
+    pb AS (SELECT o_orderpriority AS category, COUNT(*) AS n FROM orders GROUP BY 1),
+    qb AS (SELECT category, COUNT(*) AS n FROM a GROUP BY 1),
+    ps AS (SELECT category, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb), 6)
+                  AS p_before FROM pb),
+    qsh AS (SELECT category, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb), 6)
+                   AS q_after FROM qb),
+    j AS (SELECT COALESCE(ps.category, qsh.category) AS category,
+                 COALESCE(p_before, 0.0) AS p_before,
+                 COALESCE(q_after, 0.0) AS q_after
+          FROM ps FULL OUTER JOIN qsh ON ps.category IS NOT DISTINCT FROM qsh.category)
+    SELECT category, p_before, q_after,
+           ROUND(CASE WHEN p_before > 0
+                      THEN (q_after - p_before) * (q_after - p_before) / p_before
+                      END, 6) AS chi2_term,
+           ROUND(ABS(q_after - p_before) / 2.0, 6) AS tvd_term
+    FROM j
+    """,
+)
+def q_drift_categorical(spark, sf_dir):
+    """Categorical drift (``quality.drift_report_categorical``): the
+    order-priority distribution before vs an after state where every
+    5th key is escalated to 1-URGENT — per-category shares + the same
+    ln-free chi-square/TVD contributions as the numeric drift report.
+    Categories are the buckets; one-side-only categories get 0.0 on
+    the other side (chi2 NULL when the before-share is 0 — the honest
+    "new category appeared" signal)."""
+    from bearly_spark.operators.quality import drift_report_categorical
+
+    od = load_table(spark, sf_dir, "orders")
+    before = od.select(F.col("o_orderpriority").alias("cat"))
+    after = od.select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("cat")
+    )
+    return drift_report_categorical(before, after, "cat")
+
+
+@register(
     "dq_expectations_orders",
     oracle="""
     SELECT 'custkey_not_null' AS rule,

@@ -123,6 +123,10 @@ HEADLINE = [
     # (chi-square/TVD against before-deciles) and Tukey-fence outliers
     "drift_report_orders",
     "outliers_iqr_lineitem",
+    # round 6 (late): replica-verification checksum (scan-shaped
+    # commutative sum, no shuffle-by-key) and categorical drift
+    "table_checksum_orders",
+    "drift_categorical_orders",
 ]
 
 

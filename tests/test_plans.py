@@ -48,6 +48,8 @@ CARTESIAN_ALLOWED = {
     # drift report attaches the 1-row decile-cutpoint frame and the
     # 1-row total to both scans the same way
     "drift_report_orders",
+    # categorical drift attaches each side's 1-row total the same way
+    "drift_categorical_orders",
 }
 
 

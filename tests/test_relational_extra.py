@@ -737,3 +737,45 @@ def test_max_cosine_vs_set_empty_eval_raises(spark):
     empty = corpus.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="eval_set is empty"):
         max_cosine_vs_set(corpus, empty)
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    """Same rows in any partitioning/order give the same checksum; one
+    changed row changes it; n_rows rides along."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.maintenance import table_checksum
+
+    df = spark.range(1, 1001).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    canon = F.concat_ws("|", F.col("id"), F.col("v"))
+    a = table_checksum(df, canon).collect()[0]
+    b = table_checksum(df.repartition(17).sortWithinPartitions(F.desc("id")), canon).collect()[0]
+    assert a["checksum"] == b["checksum"] and a["n_rows"] == b["n_rows"] == 1000
+
+    changed = df.withColumn(
+        "v", F.when(F.col("id") == 500, F.lit(999)).otherwise(F.col("v"))
+    )
+    c = table_checksum(changed, canon).collect()[0]
+    assert c["checksum"] != a["checksum"] and c["n_rows"] == 1000
+
+
+def test_drift_categorical_semantics(spark):
+    """Identical distributions: zero drift everywhere; a vanished
+    category keeps chi2 (p>0) while a NEW category reports NULL chi2
+    and positive tvd; NULL categories form their own bucket."""
+    from bearly_spark.operators.quality import drift_report_categorical
+
+    b = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [(None,)], "c string"
+    )
+    same = drift_report_categorical(b, b, "c").collect()
+    assert all(r["chi2_term"] == 0.0 and r["tvd_term"] == 0.0 for r in same)
+    assert {r["category"] for r in same} == {"x", "y", None}
+
+    a = spark.createDataFrame([("x",)] * 5 + [("z",)] * 5, "c string")
+    drift = {r["category"]: r for r in drift_report_categorical(b, a, "c").collect()}
+    assert drift["z"]["chi2_term"] is None and drift["z"]["tvd_term"] > 0
+    assert drift["y"]["q_after"] == 0.0 and drift["y"]["chi2_term"] is not None
+    assert drift[None]["q_after"] == 0.0

@@ -1494,3 +1494,71 @@ def test_streaming_decontaminate_equals_batch_and_replays(
     assert sorted(
         again.select("id", "max_cos", "eval_id", "contaminated").collect()
     ) == sorted(want.collect())
+
+
+def test_streaming_drift_frozen_baseline_and_replay(spark, sf_dir, tmp_path_factory):
+    """Per-batch drift vs a FROZEN baseline: each micro-batch's report
+    partition equals the batch-mode drift_report of (baseline, that
+    batch); a replay from a fresh checkpoint rewrites its own slices
+    without duplication."""
+    import shutil
+
+    from bearly_spark.operators.quality import drift_report, streaming_drift
+    from bearly_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("sdrift")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    baseline = od
+    b0 = od.filter(F.col("k") % 2 == 0)
+    b1 = od.filter(F.col("k") % 2 == 1).withColumn("v", F.col("v") * 1.5)
+    src = base / "src"
+    src.mkdir()
+    for df, nm in ((b0, "a"), (b1, "b")):
+        df.coalesce(1).write.parquet(str(base / nm))
+        f = next((base / nm).glob("*.parquet"))
+        shutil.move(str(f), str(src / f"{nm}.parquet"))
+        shutil.rmtree(base / nm)
+
+    reports, ck = str(base / "reports"), str(base / "ck")
+    q = streaming_drift(
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        baseline,
+        "v",
+        reports,
+        ck,
+        buckets=4,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(reports)
+    batches = sorted(r[0] for r in got.select("batch").distinct().collect())
+    assert len(batches) == 2
+    # each batch report == batch-mode drift_report(baseline, that file's rows)
+    per_batch = {}
+    for bid in batches:
+        rows = got.filter(F.col("batch") == bid).drop("batch").collect()
+        per_batch[frozenset((r["bucket"], r["q_after"]) for r in rows)] = rows
+    for part in (b0, b1):
+        want = drift_report(baseline, part, "v", buckets=4).collect()
+        key = frozenset((r["bucket"], r["q_after"]) for r in want)
+        assert key in per_batch
+        assert sorted(map(tuple, per_batch[key])) == sorted(map(tuple, want))
+    n_before = got.count()
+
+    q = streaming_drift(
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        baseline,
+        "v",
+        reports,
+        str(base / "ck2"),
+        buckets=4,
+    )
+    q.awaitTermination(300)
+    spark.catalog.refreshByPath(reports)
+    assert spark.read.parquet(reports).count() == n_before
