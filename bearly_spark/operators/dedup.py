@@ -1121,3 +1121,138 @@ def connected_components_star(
         )
     finally:
         e.unpersist()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    min_len: int = 60,
+) -> DataFrame:
+    """EXACT substring dedup, the span-report half: find every maximal
+    run of text that also occurs elsewhere in the corpus (any doc,
+    including elsewhere in the SAME doc), as character spans — the
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) operation, which removes the repeated SUBSTRING rather
+    than whole near-dup documents (boilerplate, licenses, templated
+    headers survive document-level MinHash because the surrounding text
+    differs).
+
+    Algorithm (no suffix array needed on an engine with a shuffle):
+    every k-char gram at every position → a gram is *duplicated* iff it
+    occurs >1 time corpus-wide (count-only window over the gram — a hot
+    gram costs one partition sort, never a pairwise expansion) → the
+    surviving (doc, pos) rows merge into maximal spans by
+    gaps-and-islands (pos − row_number is constant on a consecutive
+    run); a duplicated substring of length M yields M−k+1 consecutive
+    positions, so merged spans are exact. Spans shorter than
+    ``min_len`` (≥ k) are dropped — the noise floor.
+
+    Scale shape: Θ(total chars) gram rows is the honest cost of
+    EXACT spans (Lee et al. pay the same to build the suffix array);
+    the shuffle key is the k-byte gram itself. For discovery-only at
+    100 TB, the winnowing fingerprints (``winnow_overlap_pairs``) are
+    the sampled fast path; this operator is the span-exact finisher.
+
+    Positions are 1-based, ``span_end`` inclusive — SQL substr
+    convention, so the DuckDB twin is literal."""
+    from pyspark.sql import Window
+
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    grams = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - k + 1)).alias("pos"),
+            F.col(text_col),
+        )
+        .select(id_col, "pos", F.substring(F.col(text_col), F.col("pos"), F.lit(k)).alias("gram"))
+    )
+    dup = (
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("n") > 1)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of exact substring dedup: cut every reported
+    span out of its document and stitch the remainder back together.
+    ``spans`` must be non-overlapping per doc (guaranteed by
+    :func:`duplicate_spans`' island merge). Docs with no spans pass
+    through intact; output adds ``n_spans_removed`` / ``chars_removed``.
+
+    Per doc the kept text is the ordered concat of the gaps BETWEEN
+    spans plus the tail after the last span — computed with one
+    lag-window over the span rows and one ordered array fold, all JVM
+    built-ins; the documents table itself is touched by exactly one
+    left join on the id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    gaps = (
+        spans.join(df.select(id_col, text_col), id_col)
+        .withColumn("prev_end", F.lag("span_end", 1, 0).over(w))
+        .select(
+            F.col(id_col),
+            F.col("span_start"),
+            F.col("span_len"),
+            F.substring(
+                F.col(text_col),
+                F.col("prev_end") + 1,
+                F.col("span_start") - F.col("prev_end") - 1,
+            ).alias("gap"),
+            F.max("span_end").over(Window.partitionBy(id_col)).alias("max_end"),
+        )
+    )
+    agg = gaps.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_start", "gap"))),
+                lambda s: s["gap"],
+            ),
+            "",
+        ).alias("_head"),
+        F.first("max_end").alias("_max_end"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+        F.sum("span_len").alias("chars_removed"),
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("_head").isNull(), F.col(text_col)
+            )
+            .otherwise(
+                F.concat(
+                    F.col("_head"),
+                    F.substring(
+                        F.col(text_col), F.col("_max_end") + 1, F.length(text_col)
+                    ),
+                )
+            )
+            .alias("cleaned"),
+            F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+            F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+        )
+    )

@@ -3125,6 +3125,76 @@ def q_winnow_clusters(spark, sf_dir):
     )
 
 
+_SUBSTR_SPANS_SQL = """
+    WITH g AS (
+      SELECT doc_id, p AS pos, substr(text, p, 30) AS gram
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - 29)) AS t(p)
+      WHERE length(text) >= 30
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM d),
+    spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 29 AS span_end,
+                     MAX(pos) + 30 - MIN(pos) AS span_len
+              FROM isl GROUP BY doc_id, island)
+    """
+
+
+@register(
+    "substring_dup_spans_documents",
+    oracle=_SUBSTR_SPANS_SQL
+    + "SELECT doc_id, span_start, span_end, span_len FROM spans WHERE span_len >= 60",
+)
+def q_substring_dup_spans(spark, sf_dir):
+    """EXACT substring dedup, span-report half
+    (``dedup.duplicate_spans``): every maximal run >= 60 chars that
+    also occurs elsewhere in the corpus, as 1-based inclusive character
+    spans — the Lee-et-al-2022 operation that document-level MinHash
+    misses (boilerplate inside otherwise-distinct docs). k=30 grams,
+    duplicated iff corpus count > 1, gaps-and-islands merge."""
+    return D.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=30, min_len=60
+    )
+
+
+@register(
+    "substring_dedup_clean_documents",
+    oracle=_SUBSTR_SPANS_SQL
+    + """,
+    keep AS (SELECT * FROM spans WHERE span_len >= 60),
+    gaps AS (
+      SELECT doc_id, span_start, span_len,
+             substr(text, prev_end + 1, span_start - prev_end - 1) AS gap,
+             MAX(span_end) OVER (PARTITION BY doc_id) AS max_end
+      FROM (SELECT s.*, d2.text,
+                   LAG(span_end, 1, 0) OVER (PARTITION BY s.doc_id
+                                             ORDER BY span_start) AS prev_end
+            FROM keep s JOIN documents d2 USING (doc_id))
+    ),
+    agg AS (SELECT doc_id, string_agg(gap, '' ORDER BY span_start) AS head,
+                   MAX(max_end) AS max_end, COUNT(*) AS n_spans_removed,
+                   SUM(span_len) AS chars_removed
+            FROM gaps GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN a.head IS NULL THEN d.text
+                ELSE a.head || substr(d.text, a.max_end + 1) END AS cleaned,
+           COALESCE(n_spans_removed, 0) AS n_spans_removed,
+           COALESCE(chars_removed, 0) AS chars_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_substring_dedup_clean(spark, sf_dir):
+    """The removal half (``dedup.remove_duplicate_spans``): cut every
+    reported duplicated span out and stitch the remainder — docs with
+    no spans pass through intact; counters ride along. The twin
+    replays the gap/lag/string_agg stitch verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(docs, "doc_id", "text", k=30, min_len=60)
+    return D.remove_duplicate_spans(docs, spans, "doc_id", "text")
+
+
 @register("dedup_clusters_minhash", oracle=_minhash_clusters_oracle())
 def q_minhash_clusters(spark, sf_dir):
     """Group-mode MinHash output (``dedup.minhash_dup_clusters``):

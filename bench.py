@@ -127,6 +127,9 @@ HEADLINE = [
     # commutative sum, no shuffle-by-key) and categorical drift
     "table_checksum_orders",
     "drift_categorical_orders",
+    # round 7: exact substring dedup (Lee et al. 2022) — duplicated-span
+    # detection + removal end-to-end
+    "substring_dedup_clean_documents",
 ]
 
 

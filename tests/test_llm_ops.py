@@ -770,3 +770,71 @@ def test_max_cosine_vs_set_planted_and_ties(spark):
     assert rows[1]["contaminated"] is True
     assert rows[2]["max_cos"] == 1.0 and rows[2]["eval_id"] == 30
     assert rows[3]["max_cos"] == 0.0 and rows[3]["contaminated"] is False
+
+
+def test_duplicate_spans_planted_and_clean(spark):
+    """Planted boilerplate inside otherwise-unique docs: the shared
+    passage (and ONLY it) is reported as one maximal span per doc with
+    exact 1-based inclusive offsets; within-doc repetition is caught
+    too; unique docs report nothing; removal stitches the remainder."""
+    import random
+
+    rng = random.Random(7)
+
+    def uniq(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED BY THE LICENSE HOLDER X"  # 60 chars
+    assert len(boiler) == 60
+    a_pre, b_pre = uniq(50), uniq(35)
+    rep = uniq(70)
+    rows = [
+        (0, a_pre + boiler + uniq(40)),
+        (1, b_pre + boiler + uniq(55)),
+        (2, rep + uniq(20) + rep),          # within-doc repeat
+        (3, uniq(200)),                      # unique — no spans
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in D.duplicate_spans(docs, k=20, min_len=40).collect()
+    }
+    assert spans[0] == (51, 110, 60) and spans[1] == (36, 95, 60)
+    assert spans[2] == (1, 160, 160) or spans[2][2] >= 70  # both copies flagged
+    assert 3 not in spans
+
+    sp = D.duplicate_spans(docs, k=20, min_len=40)
+    cleaned = {r["doc_id"]: r for r in D.remove_duplicate_spans(docs, sp).collect()}
+    assert boiler not in cleaned[0]["cleaned"] and cleaned[0]["cleaned"].startswith(a_pre)
+    assert cleaned[0]["chars_removed"] == 60 and cleaned[0]["n_spans_removed"] == 1
+    assert cleaned[3]["cleaned"] == rows[3][1] and cleaned[3]["n_spans_removed"] == 0
+
+
+def test_duplicate_spans_island_merge_exact(spark):
+    """Two shared passages separated by >k unique chars in the same doc
+    merge into TWO spans, not one; a duplicated run of length M yields
+    a span of exactly M."""
+    import random
+
+    rng = random.Random(11)
+
+    def uniq(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    p1, p2 = uniq(45), uniq(50)
+    rows = [
+        (0, p1 + uniq(60) + p2),
+        (1, uniq(30) + p1 + uniq(80) + p2 + uniq(10)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in D.duplicate_spans(docs, k=20, min_len=40).collect()
+    )
+    assert got == [(0, 1, 45), (0, 106, 50), (1, 31, 45), (1, 156, 50)]
+
+
+def test_duplicate_spans_min_len_validation(spark):
+    docs = spark.createDataFrame([(0, "x" * 100)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_len"):
+        D.duplicate_spans(docs, k=30, min_len=20)
