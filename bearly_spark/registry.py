@@ -4453,6 +4453,78 @@ def q_event_transitions(spark, sf_dir):
 
 
 @register(
+    "basket_rules_lineitem",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pairs AS (SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS pair_count
+              FROM b l JOIN b r ON l.basket = r.basket AND l.item < r.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    rules AS (SELECT item_a AS antecedent, item_b AS consequent, pair_count FROM pairs
+              UNION ALL
+              SELECT item_b, item_a, pair_count FROM pairs),
+    ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY 1),
+    t AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b)
+    SELECT antecedent, consequent, pair_count,
+           ROUND(CAST(pair_count AS DOUBLE) / n_baskets, 6) AS support,
+           ROUND(CAST(pair_count AS DOUBLE) / ca.cnt, 6) AS confidence,
+           ROUND((CAST(pair_count AS DOUBLE) / ca.cnt)
+                 / (CAST(cb.cnt AS DOUBLE) / n_baskets), 6) AS lift
+    FROM rules JOIN ic ca ON rules.antecedent = ca.item
+               JOIN ic cb ON rules.consequent = cb.item, t
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules (``mining.association_rules``):
+    orders are baskets, part BRANDS the items (joined via a broadcast
+    part dim) — support / confidence / lift per directed rule with ≥5
+    co-occurrences. Pairwise Apriori core: one distinct pass, one
+    basket-keyed self-join bounded by Σ basket_size², counts broadcast;
+    ratio SHAPE fixed (lift = confidence ÷ consequent-support) so the
+    IEEE doubles reproduce exactly in the twin."""
+    from bearly_spark.operators.mining import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pt["p_partkey"],
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return association_rules(baskets, "basket", "item", min_pair_count=5)
+
+
+@register(
+    "sequence_pattern_events",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      string_agg(event_type, ',' ORDER BY epoch_ns(ts), event_id,
+                                 event_type) AS sequence
+               FROM events GROUP BY user_id)
+    SELECT user_id, sequence,
+           length(regexp_extract_all(sequence, 'view,(click,)*purchase'))
+               AS n_matches,
+           length(regexp_extract_all(sequence, 'view,(click,)*purchase')) > 0
+               AS matched
+    FROM s
+    """,
+)
+def q_sequence_pattern(spark, sf_dir):
+    """Event-sequence pattern matching (``mining.sequence_pattern``,
+    the MATCH_RECOGNIZE-lite face): each user's stream ordered by
+    (ts, event_id) becomes one symbol string; `view,(click,)*purchase`
+    counts view→purchase conversions with any click run between —
+    non-overlapping leftmost counting, identical in Java regex and
+    DuckDB's RE2. One shuffle on user_id, one regex per KEY."""
+    from bearly_spark.operators.mining import sequence_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_pattern(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        "view,(click,)*purchase",
+    )
+
+
+@register(
     "rfm_segments_customer",
     oracle="""
     WITH agg AS (SELECT o_custkey,

@@ -130,6 +130,10 @@ HEADLINE = [
     # round 7: exact substring dedup (Lee et al. 2022) — duplicated-span
     # detection + removal end-to-end
     "substring_dedup_clean_documents",
+    # round 7: pattern mining — market-basket association rules and
+    # CEP-lite sequence matching
+    "basket_rules_lineitem",
+    "sequence_pattern_events",
 ]
 
 

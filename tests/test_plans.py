@@ -50,6 +50,8 @@ CARTESIAN_ALLOWED = {
     "drift_report_orders",
     # categorical drift attaches each side's 1-row total the same way
     "drift_categorical_orders",
+    # association rules attach the 1-row basket total the same way
+    "basket_rules_lineitem",
 }
 
 
