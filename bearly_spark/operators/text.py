@@ -478,3 +478,72 @@ def chunk_documents(
             F.array_join("_w", " ").alias("chunk_text"),
         )
     )
+
+
+def build_vocabulary(
+    df: DataFrame, text_col: str = "text", top_v: int = 1000
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: the ``top_v`` most frequent lowercased
+    whitespace tokens with deterministic ties (count DESC, token ASC —
+    a tie-broken total order, so the vocab is reproducible run-to-run
+    and engine-to-engine). Output (token, cnt, rank), rank 1-based.
+
+    Scale shape: one wordcount-shaped shuffle (map-side combine on the
+    token) then a global top-V — TakeOrdered over |distinct tokens|
+    rows, never the corpus. V is vocabulary-sized (thousands), so the
+    result broadcasts into downstream consumers like :func:`oov_rate`.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(word_tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_v)
+        .select(
+            "token",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame
+    (one ``token`` column, e.g. :func:`build_vocabulary` output) — the
+    coverage check run before committing to a tokenizer vocab, and a
+    quality/novelty signal per doc. Output (id, n_tokens, n_oov,
+    oov_rate 6dp); docs with no tokens report NULL rate (not 0 — "no
+    evidence" is not "fully covered").
+
+    The vocab is broadcast (vocabulary-sized by construction); the
+    corpus pays one explode + one broadcast left join + one groupBy on
+    the id — no corpus-keyed shuffle beyond the id regroup."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(word_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("token").distinct().withColumn("_in", F.lit(1))),
+        "token",
+        "left",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isNotNull() & F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("token").isNotNull() & F.col("_in").isNull(), 1).otherwise(0))
+            / F.nullif(F.count("token"), F.lit(0)),
+            6,
+        ).alias("oov_rate"),
+    )

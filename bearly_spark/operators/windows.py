@@ -129,3 +129,92 @@ def interpolate_linear(
         out_col,
         F.round(F.when(value.isNotNull(), value).otherwise(interp), decimals),
     ).drop("_pv", "_pt", "_nv", "_nt")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n: int = 7,
+    z_thresh: float = 2.5,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection over an ordered series:
+    each row's value is scored against the mean/std of the PREVIOUS
+    ``n`` rows (the trailing baseline — the row never scores against
+    itself). Rows without a full lookback window report NULL z.
+
+    ``value_col`` must already be exact (DECIMAL) — the window sums are
+    then exact and order-independent, and the z arithmetic is a FIXED
+    tree of IEEE double ops on those exact sums (single division /
+    sqrt / subtraction each), so any engine reproduces the same 6dp
+    z bit-for-bit. A zero-variance baseline reports NULL z (no scale,
+    no verdict — not ±inf). Output adds (prev_n, z, is_anomaly).
+
+    Scale shape: one shuffle on the partition keys + per-partition
+    sort; the frame is rows-based so state is O(n) per row. A single
+    unpartitioned series funnels into one task — partition by entity
+    (per-metric, per-tenant) for fleet-scale monitoring."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(-n, -1)
+    )
+    v = F.col(value_col)
+    cnt = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    m = s.cast("double") / cnt
+    var = (ss.cast("double") - cnt * m * m) / (cnt - 1)
+    z = F.round((v.cast("double") - m) / F.sqrt(var), 6)
+    z_ok = F.when((cnt == n) & (var > 0), z)
+    return df.select(
+        *partition_by,
+        order_col,
+        value_col,
+        cnt.alias("prev_n"),
+        z_ok.alias("z"),
+        F.when(z_ok.isNotNull(), F.abs(z_ok) > z_thresh).alias("is_anomaly"),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / rolling-WAU / stickiness per day: distinct users that day,
+    distinct users over the trailing ``window_days`` window, and their
+    ratio (the DAU/WAU engagement metric). Rolling DISTINCT cannot be a
+    window frame (distincts don't merge) — instead each (day, user) row
+    CONTRIBUTES to the windows of days d..d+w−1 (one ×w explode of the
+    day-level distinct table, not the raw events), then one
+    count-distinct per target day. Days with no activity don't appear.
+
+    Scale shape: the raw stream collapses to (day, user) first —
+    everything after is day-granular; the explode is w× that, shuffled
+    once on the target day. Exact-integer ratio rounded at 6dp."""
+    du = df.select(F.col(day_col).alias("day"), F.col(user_col).alias("u")).distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("u").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("o"),
+            "day",
+            "u",
+        )
+        .select(F.date_add("day", F.col("o")).alias("day"), "u")
+        .groupBy("day")
+        .agg(F.count_distinct("u").alias(f"wau{window_days}"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            f"wau{window_days}",
+            F.round(
+                F.col("dau").cast("double") / F.col(f"wau{window_days}"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -50,7 +50,7 @@ from bearly_spark.operators import text as T
 from bearly_spark.operators import windows as W
 from bearly_spark.operators.aggregate import grouped_agg, sum_int64
 from bearly_spark.producers import produce_array, produce_stream
-from bearly_spark.sources.tables import load_table
+from bearly_spark.sources.tables import events_with_timestamp, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 #: name -> DuckDB SQL twin, or a zero-arg callable producing one (lazy
@@ -3125,6 +3125,57 @@ def q_winnow_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "vocabulary_documents",
+    oracle="""
+    WITH tok AS (SELECT unnest([lower(x) for x in
+                                string_split_regex(coalesce(text, ''), '\\s+')
+                                if x <> '']) AS token
+                 FROM documents),
+    vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+    SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM vc ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def q_vocabulary(spark, sf_dir):
+    """Tokenizer-prep vocabulary (``text.build_vocabulary``): top-50
+    lowercased whitespace tokens with deterministic ties (count DESC,
+    token ASC). Wordcount shuffle + TakeOrdered over distinct tokens —
+    the result is broadcast-sized by construction."""
+    return T.build_vocabulary(
+        load_table(spark, sf_dir, "documents"), "text", top_v=50
+    )
+
+
+@register(
+    "vocab_oov_documents",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest([lower(x) for x in
+                                        string_split_regex(coalesce(text, ''), '\\s+')
+                                        if x <> '']) AS token
+                 FROM documents),
+    vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+              ORDER BY cnt DESC, token LIMIT 20),
+    per AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           ROUND(CAST(n_oov AS DOUBLE) / NULLIF(n_tokens, 0), 6) AS oov_rate
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_vocab_oov(spark, sf_dir):
+    """Per-document out-of-vocabulary rate (``text.oov_rate``) against
+    the top-20 corpus vocabulary — the coverage check before committing
+    to a tokenizer vocab. Vocab broadcast; corpus pays one explode +
+    broadcast left join + id regroup. Token-less docs report NULL rate
+    (no evidence ≠ fully covered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T.build_vocabulary(docs, "text", top_v=20)
+    return T.oov_rate(docs, vocab, "doc_id", "text")
+
+
 _SUBSTR_SPANS_SQL = """
     WITH g AS (
       SELECT doc_id, p AS pos, substr(text, p, 30) AS gram
@@ -4522,6 +4573,84 @@ def q_sequence_pattern(spark, sf_dir):
         ev, "user_id", ["ts", "event_id"], "event_type",
         "view,(click,)*purchase",
     )
+
+
+@register(
+    "anomaly_zscore_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                 AS revenue
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT day, revenue,
+             COUNT(revenue) OVER win AS prev_n,
+             SUM(revenue) OVER win AS s,
+             SUM(revenue * revenue) OVER win AS ss
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    sc AS (
+      SELECT day, revenue, prev_n,
+             CAST(s AS DOUBLE) / prev_n AS m,
+             (CAST(ss AS DOUBLE) - prev_n * (CAST(s AS DOUBLE) / prev_n)
+                                          * (CAST(s AS DOUBLE) / prev_n))
+                 / (prev_n - 1) AS var
+      FROM w)
+    SELECT day, revenue, prev_n,
+           CASE WHEN prev_n = 7 AND var > 0
+                THEN ROUND((CAST(revenue AS DOUBLE) - m) / sqrt(var), 6) END AS z,
+           CASE WHEN prev_n = 7 AND var > 0
+                THEN abs(ROUND((CAST(revenue AS DOUBLE) - m) / sqrt(var), 6)) > 2.5
+                END AS is_anomaly
+    FROM sc
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-7-day z-score anomaly detection
+    (``windows.rolling_zscore``) over the daily revenue series: each
+    day scored against the previous week's mean/std. Daily sums are
+    exact DECIMAL (order-independent), the z arithmetic a fixed IEEE
+    tree on those sums, so the twin reproduces every 6dp z exactly;
+    zero-variance baselines report NULL, not ±inf."""
+    from bearly_spark.operators.windows import rolling_zscore
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    return rolling_zscore(daily, "day", "revenue", n=7, z_thresh=2.5)
+
+
+@register(
+    "active_users_events",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+    wau AS (SELECT day + CAST(o AS INTEGER) AS day, user_id
+            FROM du, LATERAL unnest(generate_series(0, 6)) AS t(o)),
+    w AS (SELECT day, COUNT(DISTINCT user_id) AS wau7 FROM wau GROUP BY 1)
+    SELECT dau.day, dau, wau7,
+           ROUND(CAST(dau AS DOUBLE) / wau7, 6) AS stickiness
+    FROM dau JOIN w ON dau.day = w.day
+    """,
+)
+def q_active_users(spark, sf_dir):
+    """DAU / rolling-7-day-WAU / stickiness per day
+    (``windows.rolling_active_users``): rolling DISTINCT via the
+    contribute-forward explode of the day-level (day, user) table —
+    distincts don't merge across window frames, so each day-user row
+    feeds the 7 windows it belongs to, then one count-distinct per
+    target day. The engagement dashboard primitive at stream scale."""
+    from bearly_spark.operators.windows import rolling_active_users
+
+    ev = events_with_timestamp(spark, sf_dir)
+    days = ev.select(
+        F.to_date("ts_ts").alias("day"), "user_id"
+    )
+    return rolling_active_users(days, "user_id", "day", window_days=7)
 
 
 @register(

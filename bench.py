@@ -134,6 +134,11 @@ HEADLINE = [
     # CEP-lite sequence matching
     "basket_rules_lineitem",
     "sequence_pattern_events",
+    # round 7: tokenizer-prep vocabulary coverage, trailing z-score
+    # anomalies, rolling distinct actives
+    "vocab_oov_documents",
+    "anomaly_zscore_orders",
+    "active_users_events",
 ]
 
 

@@ -838,3 +838,33 @@ def test_duplicate_spans_min_len_validation(spark):
     docs = spark.createDataFrame([(0, "x" * 100)], ["doc_id", "text"])
     with pytest.raises(ValueError, match="min_len"):
         D.duplicate_spans(docs, k=30, min_len=20)
+
+
+def test_vocabulary_and_oov_semantics(spark):
+    """Deterministic tie-break (count DESC, token ASC), top_v cut,
+    lowercasing; OOV: exact rates, empty/NULL docs report NULL rate."""
+    from bearly_spark.operators.text import build_vocabulary, oov_rate
+
+    rows = [
+        (0, "aa bb aa CC"),
+        (1, "bb cc dd"),
+        (2, None),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = build_vocabulary(docs, "text", top_v=3).collect()
+    # counts: aa=2 bb=2 cc=2 dd=1 -> ties broken alphabetically
+    assert [(v["token"], v["cnt"], v["rank"]) for v in vocab] == [
+        ("aa", 2, 1), ("bb", 2, 2), ("cc", 2, 3)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in oov_rate(
+            docs, spark.createDataFrame([("aa",), ("bb",)], ["token"])
+        ).collect()
+    }
+    assert got[0]["n_tokens"] == 4 and got[0]["n_oov"] == 1  # CC -> cc oov
+    assert got[0]["oov_rate"] == 0.25
+    assert got[1]["n_oov"] == 2 and got[1]["oov_rate"] == round(2 / 3, 6)
+    assert got[2]["n_tokens"] == 0 and got[2]["oov_rate"] is None
+    assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] is None

@@ -779,3 +779,56 @@ def test_drift_categorical_semantics(spark):
     assert drift["z"]["chi2_term"] is None and drift["z"]["tvd_term"] > 0
     assert drift["y"]["q_after"] == 0.0 and drift["y"]["chi2_term"] is not None
     assert drift[None]["q_after"] == 0.0
+
+
+def test_rolling_zscore_planted(spark):
+    """Flat baseline then a spike: spike flagged, first n rows NULL
+    (no full lookback), zero-variance baseline reports NULL not inf."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.windows import rolling_zscore
+
+    # days 1..8 alternate 10/12 (variance > 0); day 9 spikes to 100
+    vals = [10, 12, 10, 12, 10, 12, 10, 12, 100]
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(vals)], "day int, v int"
+    ).select("day", F.col("v").cast("decimal(18,2)").alias("v"))
+    got = {r["day"]: r for r in rolling_zscore(df, "day", "v", n=4, z_thresh=2.0).collect()}
+    assert all(got[d]["z"] is None for d in (1, 2, 3, 4))
+    assert got[5]["z"] is not None and not got[5]["is_anomaly"]
+    assert got[9]["is_anomaly"]
+    import statistics
+
+    base = vals[4:8]
+    want = (100 - statistics.mean(base)) / statistics.stdev(base)
+    assert abs(float(got[9]["z"]) - want) < 1e-4
+
+    flat = spark.createDataFrame(
+        [(i, 5) for i in range(1, 8)], "day int, v int"
+    ).select("day", F.col("v").cast("decimal(18,2)").alias("v"))
+    fz = rolling_zscore(flat, "day", "v", n=4).collect()
+    assert all(r["z"] is None for r in fz)  # zero variance -> no verdict
+
+
+def test_rolling_active_users_planted(spark):
+    """3-day window: WAU(d) counts distinct users over {d-2, d-1, d};
+    stickiness = dau/wau; silent days absent."""
+    import datetime as dt
+
+    from bearly_spark.operators.windows import rolling_active_users
+
+    d = dt.date
+    rows = [
+        (d(2024, 1, 1), 1), (d(2024, 1, 1), 2),
+        (d(2024, 1, 2), 2), (d(2024, 1, 2), 3),
+        # Jan 3 silent
+        (d(2024, 1, 4), 1),
+    ]
+    df = spark.createDataFrame(rows, "day date, user_id int")
+    got = {str(r["day"]): r for r in rolling_active_users(df, "user_id", "day", 3).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-04"}
+    assert got["2024-01-01"]["dau"] == 2 and got["2024-01-01"]["wau3"] == 2
+    assert got["2024-01-02"]["dau"] == 2 and got["2024-01-02"]["wau3"] == 3
+    # Jan 4 window = {Jan 2..4}: users {2,3,1}
+    assert got["2024-01-04"]["dau"] == 1 and got["2024-01-04"]["wau3"] == 3
+    assert got["2024-01-04"]["stickiness"] == round(1 / 3, 6)
