@@ -1256,3 +1256,82 @@ def remove_duplicate_spans(
             F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
         )
     )
+
+
+def entity_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple[str, float, str]],
+    match_threshold: float = 0.8,
+    possible_threshold: float = 0.6,
+) -> DataFrame:
+    """Entity resolution (record linkage) by blocked pairwise scoring:
+    candidate pairs from an equi-join on ``block_cols`` (the classic
+    blocking step — pairs never cross a block, so cost is
+    Σ block_size², not n²), scored as a weighted sum of per-field
+    similarities and tiered Fellegi-Sunter-style into
+    ``match`` / ``possible``. Pairs below ``possible_threshold`` are
+    not emitted.
+
+    ``fields`` is ``[(col, weight, kind), ...]`` with kinds:
+      - ``levenshtein``: 1 − edit_distance/max(len, len, 1)
+      - ``exact``: equality → 1.0 / 0.0
+      - ``prefix:<k>``: first k chars equal → 1.0 / 0.0
+      - ``numeric:<scale>``: max(0, 1 − |Δ|/scale)
+    NULL on either side scores that field 0. Every similarity is a
+    fixed tree of single IEEE ops over exact ints, and the weighted
+    sum adds in ``fields`` order — engines reproduce the 6dp score
+    bit-for-bit. Output: (id_a, id_b, sim_<col>..., score, tier).
+
+    Scale shape: one shuffle on the block key; skewed blocks are the
+    known hazard (cap or sub-block on an extra key when a block
+    explodes — same discipline as the LSH bucket caps)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    joined = a.join(b, cond)
+
+    sims: list[tuple[str, Column, float]] = []
+    for col, weight, kind in fields:
+        xa, xb = F.col(f"a.{col}"), F.col(f"b.{col}")
+        if kind == "levenshtein":
+            sim = F.lit(1.0) - F.levenshtein(xa, xb).cast("double") / F.greatest(
+                F.length(xa), F.length(xb), F.lit(1)
+            )
+        elif kind == "exact":
+            sim = F.when(xa == xb, 1.0).otherwise(0.0)
+        elif kind.startswith("prefix:"):
+            k = int(kind.split(":", 1)[1])
+            sim = F.when(
+                F.substring(xa, 1, k) == F.substring(xb, 1, k), 1.0
+            ).otherwise(0.0)
+        elif kind.startswith("numeric:"):
+            scale = float(kind.split(":", 1)[1])
+            sim = F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.abs(xa - xb).cast("double") / F.lit(scale),
+            )
+        else:
+            raise ValueError(f"unknown similarity kind {kind!r}")
+        sims.append((col, F.coalesce(sim, F.lit(0.0)), weight))
+
+    score = None
+    for _, sim, weight in sims:
+        term = F.lit(weight) * sim
+        score = term if score is None else score + term
+    score = F.round(score, 6)
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[sim.alias(f"sim_{col}") for col, sim, _ in sims],
+            score.alias("score"),
+        )
+        .where(F.col("score") >= possible_threshold)
+        .withColumn(
+            "tier",
+            F.when(F.col("score") >= match_threshold, "match").otherwise("possible"),
+        )
+    )

@@ -3246,6 +3246,64 @@ def q_substring_dedup_clean(spark, sf_dir):
     return D.remove_duplicate_spans(docs, spans, "doc_id", "text")
 
 
+def _cluster_split_oracle() -> str:
+    """Twin of ``cluster_aware_split_documents``: the minhash-cluster
+    walk (same CTEs as ``_minhash_clusters_oracle``), every doc
+    coalesced to a singleton cluster (its own id), split assigned by
+    the first sha256 byte of the CLUSTER id — so near-dups can never
+    straddle train/test."""
+    body = _minhash_graph_ctes()
+    return f"""
+    WITH RECURSIVE {body},
+    e AS (SELECT ga AS u, gb AS v FROM reppairs
+          UNION SELECT gb AS u, ga AS v FROM reppairs),
+    walk(u, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, w2.label FROM walk w2 JOIN e ON w2.u = e.u),
+    comp AS (SELECT u AS gid, MIN(label) AS component FROM walk GROUP BY u),
+    solo AS (SELECT s.gid, s.gid AS component FROM g0 s
+             WHERE s.gsize >= 2 AND s.text IS NOT NULL
+               AND s.gid NOT IN (SELECT gid FROM comp)),
+    allc AS (SELECT gid, component FROM comp
+             UNION ALL SELECT gid, component FROM solo),
+    clusters AS (SELECT m.doc_id, a.component AS cluster
+                 FROM m JOIN allc a ON a.gid = m.gid),
+    labeled AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+    SELECT doc_id, cluster,
+           CASE WHEN CAST(('0x' || substr(sha256(CAST(cluster AS VARCHAR)), 1, 2))
+                     AS INTEGER) < 204 THEN 'train' ELSE 'test' END AS split
+    FROM labeled
+    """
+
+
+@register("cluster_aware_split_documents", oracle=_cluster_split_oracle())
+def q_cluster_aware_split(spark, sf_dir):
+    """Leakage-safe train/test split: hash-split by near-dup CLUSTER,
+    not by document — a plain per-doc hash split (`dataset_split_
+    documents`) puts one copy of a near-duplicate pair in train and
+    the other in test, leaking training text into eval. Here every doc
+    gets its minhash cluster label (singleton = own id), and the
+    ~80/20 split keys on the first sha256 byte of the CLUSTER id, so a
+    whole near-dup family lands on one side. Composition of
+    ``dedup.minhash_dup_clusters`` + the hash-split rule — no new
+    shuffle beyond the cluster stage itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.minhash_dup_clusters(docs, "doc_id", "text", threshold=0.8)
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
+    byte0 = F.conv(
+        F.substring(F.sha2(F.col("cluster").cast("string"), 256), 1, 2), 16, 10
+    ).cast("int")
+    return labeled.select(
+        "doc_id",
+        "cluster",
+        F.when(byte0 < 204, "train").otherwise("test").alias("split"),
+    )
+
+
 @register("dedup_clusters_minhash", oracle=_minhash_clusters_oracle())
 def q_minhash_clusters(spark, sf_dir):
     """Group-mode MinHash output (``dedup.minhash_dup_clusters``):
@@ -4572,6 +4630,46 @@ def q_sequence_pattern(spark, sf_dir):
     return sequence_pattern(
         ev, "user_id", ["ts", "event_id"], "event_type",
         "view,(click,)*purchase",
+    )
+
+
+@register(
+    "entity_match_parts",
+    oracle="""
+    WITH p AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             COALESCE(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / GREATEST(length(a.p_name), length(b.p_name), 1), 0.0) AS sim_p_name,
+             COALESCE(CASE WHEN a.p_brand = b.p_brand THEN 1.0 ELSE 0.0 END, 0.0)
+                 AS sim_p_brand,
+             COALESCE(GREATEST(0.0, 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
+                   / 50.0), 0.0) AS sim_p_size
+      FROM part a JOIN part b
+        ON a.p_type IS NOT DISTINCT FROM b.p_type AND a.p_partkey < b.p_partkey)
+    SELECT id_a, id_b, sim_p_name, sim_p_brand, sim_p_size, score,
+           CASE WHEN score >= 0.8 THEN 'match' ELSE 'possible' END AS tier
+    FROM (SELECT *, ROUND(0.5 * sim_p_name + 0.3 * sim_p_brand
+                          + 0.2 * sim_p_size, 6) AS score FROM p)
+    WHERE score >= 0.6
+    """,
+)
+def q_entity_match(spark, sf_dir):
+    """Entity resolution (``dedup.entity_match_pairs``): blocked
+    pairwise record linkage over parts — block on p_type, weighted
+    name-Levenshtein + brand-exact + size-proximity score, tiered
+    match/possible (Fellegi-Sunter shape). Each similarity is a fixed
+    single-op IEEE tree over exact ints and the weighted sum adds in
+    field order, so the twin reproduces every 6dp score."""
+    pt = load_table(spark, sf_dir, "part")
+    return D.entity_match_pairs(
+        pt,
+        "p_partkey",
+        ["p_type"],
+        [("p_name", 0.5, "levenshtein"),
+         ("p_brand", 0.3, "exact"),
+         ("p_size", 0.2, "numeric:50")],
+        match_threshold=0.8,
+        possible_threshold=0.6,
     )
 
 

@@ -139,6 +139,10 @@ HEADLINE = [
     "vocab_oov_documents",
     "anomaly_zscore_orders",
     "active_users_events",
+    # round 7: blocked entity resolution and the leakage-safe
+    # cluster-aware split
+    "entity_match_parts",
+    "cluster_aware_split_documents",
 ]
 
 

@@ -868,3 +868,60 @@ def test_vocabulary_and_oov_semantics(spark):
     assert got[1]["n_oov"] == 2 and got[1]["oov_rate"] == round(2 / 3, 6)
     assert got[2]["n_tokens"] == 0 and got[2]["oov_rate"] is None
     assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] is None
+
+
+def test_entity_match_pairs_planted(spark):
+    """Hand-computed weighted scores; blocking excludes cross-block
+    pairs; NULL field scores 0; tier thresholds; bad kind raises."""
+    rows = [
+        (1, "acme corp", "B1", 10, "T1"),
+        (2, "acme corp", "B1", 12, "T1"),   # near-perfect match to 1
+        (3, "acme corq", "B2", 10, "T1"),   # 1 edit, diff brand
+        (4, "zzzzzzzzz", "B1", 10, "T2"),   # other block
+        (5, None, "B1", 10, "T1"),          # NULL name
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "brand", "size", "type"])
+    fields = [("name", 0.5, "levenshtein"), ("brand", 0.3, "exact"),
+              ("size", 0.2, "numeric:10")]
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in D.entity_match_pairs(
+            df, "id", ["type"], fields, match_threshold=0.9,
+            possible_threshold=0.5,
+        ).collect()
+    }
+    assert (1, 4) not in got and (2, 4) not in got  # cross-block
+    p12 = got[(1, 2)]
+    assert p12["score"] == round(0.5 * 1.0 + 0.3 * 1.0 + 0.2 * 0.8, 6)
+    assert p12["tier"] == "match"
+    p13 = got[(1, 3)]
+    assert p13["score"] == round(0.5 * (1 - 1 / 9) + 0.2 * 1.0, 6)
+    assert p13["tier"] == "possible"
+    # NULL name -> sim 0 exactly: score = 0.3 + 0.2*1.0 = 0.5
+    p15 = got[(1, 5)]
+    assert p15["sim_name"] == 0.0 and p15["score"] == 0.5
+    assert p15["tier"] == "possible"
+
+    with pytest.raises(ValueError, match="unknown similarity kind"):
+        D.entity_match_pairs(df, "id", ["type"], [("name", 1.0, "soundex")])
+
+
+def test_cluster_aware_split_no_straddle(spark, sf_dir):
+    """Every near-dup cluster lands wholly in one split (the leakage
+    invariant a per-doc hash split violates), and the registry query's
+    label set matches minhash_dup_clusters."""
+    from bearly_spark.registry import QUERIES
+
+    out = QUERIES["cluster_aware_split_documents"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len({r["cluster"] for r in rows if r["cluster"] == c}) for c in by_cluster)
+    # multi-doc clusters exist on this fixture, so the invariant bites
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in rows)
+    assert max(sizes.values()) >= 2
