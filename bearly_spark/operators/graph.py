@@ -237,3 +237,61 @@ def local_clustering(
             ).alias("coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: labels
+    start as node ids; each round every node adopts the most frequent
+    label among its NEIGHBORS, ties broken by the smaller label — a
+    fully deterministic variant of Raghavan et al.'s LPA (the
+    textbook algorithm's random tie-breaks and asynchronous sweeps
+    don't reproduce; this one is exact-twinnable round for round).
+    A FIXED round count (not convergence detection) keeps the
+    result a pure function of the input — synchronous LPA can
+    oscillate on bipartite structure, so "run R rounds" IS the
+    defined semantics, matching practice (GraphFrames' LPA does the
+    same). Returns (node, community) for every node with ≥ 1 edge.
+
+    Scale shape: per round one hash-join of the symmetric edge list
+    (pinned partitioned on the neighbor key, so it never re-shuffles)
+    against the Θ(nodes) label vector + one (node,label) count + one
+    per-node arg-max window; labels localCheckpoint each round
+    (same lineage discipline as ``connected_components``)."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("v")
+        .persist()
+    )
+    sym.count()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    try:
+        for _ in range(rounds):
+            nb = (
+                sym.join(labels, sym["v"] == labels["node"])
+                .select(F.col("u").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        sym.unpersist()

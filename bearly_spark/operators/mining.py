@@ -145,3 +145,46 @@ def sequence_pattern(
     return out.select(
         key_col, "sequence", n
     ).withColumn("matched", F.col("n_matches") > 0)
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING touch event (any of ``touch_types``) in the
+    same key's ordered stream — the marketing-analytics primitive
+    beside the funnel. Conversions with no prior touch report NULL
+    (organic — an honest bucket, not dropped).
+
+    One window per key: the touch columns carry forward with
+    ``last(..., ignorenulls=True)`` over rows-preceding frames, so the
+    whole thing is a single shuffle on the key + per-partition sort —
+    no self-join, O(1) state per row. Returns one row per conversion:
+    (key, conversion order cols, touch_type, touch_<first order col>).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(touch_types)
+    touch_type = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    touch_ord = F.last(
+        F.when(is_touch, F.col(order_cols[0])), ignorenulls=True
+    ).over(w)
+    return (
+        df.select(
+            key_col,
+            *order_cols,
+            type_col,
+            touch_type.alias("touch_type"),
+            touch_ord.alias(f"touch_{order_cols[0]}"),
+        )
+        .where(F.col(type_col) == conversion_type)
+        .drop(type_col)
+    )

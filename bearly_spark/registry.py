@@ -4674,6 +4674,39 @@ def q_entity_match(spark, sf_dir):
 
 
 @register(
+    "attribution_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN epoch_ns(ts) END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts, event_id, touch_type, touch_ts
+    FROM s WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (``mining.last_touch_attribution``):
+    every purchase credited to the most recent preceding view/click in
+    the user's stream; purchases with no prior touch report NULL
+    (organic). One window per user — single key shuffle, no self-join,
+    O(1) state per row."""
+    from bearly_spark.operators.mining import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        ["view", "click"], "purchase",
+    )
+
+
+@register(
     "anomaly_zscore_orders",
     oracle="""
     WITH daily AS (
@@ -4749,6 +4782,59 @@ def q_active_users(spark, sf_dir):
         F.to_date("ts_ts").alias("day"), "user_id"
     )
     return rolling_active_users(days, "user_id", "day", window_days=7)
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Twin of ``label_communities_parts``: the deterministic
+    synchronous LPA unrolled round-by-round (same pattern as the
+    PageRank twin's unrolled power iterations) over the part co-order
+    projection. Per round: neighbor-label counts, then per-node argmax
+    with the (count DESC, label ASC) tie-break."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "e0 AS (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"n{r} AS (SELECT e.u AS node, l.label, COUNT(*) AS c\n"
+            f"         FROM e JOIN l{r - 1} l ON l.node = e.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT node, label FROM\n"
+            f"         (SELECT node, label, ROW_NUMBER() OVER\n"
+            f"            (PARTITION BY node ORDER BY c DESC, label) AS rn FROM n{r})\n"
+            f"         WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{rounds}"
+    )
+
+
+@register("label_communities_parts", oracle=_lpa_oracle())
+def q_label_communities(spark, sf_dir):
+    """Community detection (``graph.label_propagation``) over the part
+    co-order graph: 4 rounds of deterministic synchronous LPA
+    (most-frequent neighbor label, min-label ties) — the fourth classic
+    graph primitive beside components, PageRank and triangles. Fixed
+    round count IS the semantics (sync LPA can oscillate), which is
+    what makes the twin exact round-for-round."""
+    from bearly_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, "src", "dst", rounds=4)
 
 
 @register(

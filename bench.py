@@ -143,6 +143,9 @@ HEADLINE = [
     # cluster-aware split
     "entity_match_parts",
     "cluster_aware_split_documents",
+    # round 7: LPA communities and last-touch attribution
+    "label_communities_parts",
+    "attribution_events",
 ]
 
 

@@ -68,3 +68,35 @@ def test_sequence_pattern_counting_and_order(spark):
     assert got[1]["sequence"] == "view,click,click,purchase,view,purchase"
     assert got[2]["sequence"] == "purchase,view" and not got[2]["matched"]
     assert got[3]["n_matches"] == 0
+
+
+def test_last_touch_attribution_planted(spark):
+    """Purchase credits the most recent preceding touch; organic
+    purchases (no prior touch) report NULL; later touches don't leak
+    backward; ordering by (ts, id)."""
+    from bearly_spark.operators.mining import last_touch_attribution
+
+    rows = [
+        (1, 1, 1, "view"),
+        (1, 2, 2, "click"),
+        (1, 3, 3, "purchase"),   # credited to click@2
+        (1, 4, 4, "purchase"),   # still click@2 (no new touch)
+        (2, 1, 5, "purchase"),   # organic
+        (2, 2, 6, "view"),       # after the purchase — must not leak back
+        (3, 1, 7, "error"),
+        (3, 2, 8, "view"),
+        (3, 3, 9, "purchase"),   # view@2 (error is not a touch)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["event_id"]: r
+        for r in last_touch_attribution(
+            df, "user_id", ["ts", "event_id"], "event_type",
+            ["view", "click"], "purchase",
+        ).collect()
+    }
+    assert set(got) == {3, 4, 5, 9}
+    assert got[3]["touch_type"] == "click" and got[3]["touch_ts"] == 2
+    assert got[4]["touch_type"] == "click" and got[4]["touch_ts"] == 2
+    assert got[5]["touch_type"] is None and got[5]["touch_ts"] is None
+    assert got[9]["touch_type"] == "view" and got[9]["touch_ts"] == 2

@@ -832,3 +832,27 @@ def test_rolling_active_users_planted(spark):
     # Jan 4 window = {Jan 2..4}: users {2,3,1}
     assert got["2024-01-04"]["dau"] == 1 and got["2024-01-04"]["wau3"] == 3
     assert got["2024-01-04"]["stickiness"] == round(1 / 3, 6)
+
+
+def test_label_propagation_barbell_and_ties(spark):
+    """Two 4-cliques bridged by one edge resolve to two communities
+    (each clique converges to its min id); deterministic min-label
+    tie-break on a symmetric pair."""
+    from bearly_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + [(4, 10)], "src long, dst long"
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+    pair = spark.createDataFrame([(7, 9)], "src long, dst long")
+    got2 = {r["node"]: r["community"] for r in label_propagation(pair, rounds=2).collect()}
+    # round 1: 7 adopts 9's label, 9 adopts 7's; round 2 swaps back —
+    # fixed-round semantics are deterministic either way
+    assert set(got2) == {7, 9} and got2[7] in (7, 9)
+    again = {r["node"]: r["community"] for r in label_propagation(pair, rounds=2).collect()}
+    assert got2 == again
