@@ -1562,3 +1562,76 @@ def test_streaming_drift_frozen_baseline_and_replay(spark, sf_dir, tmp_path_fact
     q.awaitTermination(300)
     spark.catalog.refreshByPath(reports)
     assert spark.read.parquet(reports).count() == n_before
+
+
+def test_streaming_attribution_equals_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """Time-ordered micro-batches: the union of per-batch attributions
+    equals the batch-mode operator over the whole stream (cross-batch
+    state carries the latest touch); replay from a fresh checkpoint
+    rewrites identical slices."""
+    import shutil
+
+    from bearly_spark.operators.mining import last_touch_attribution
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.attribution import streaming_attribution
+
+    base = tmp_path_factory.mktemp("sattrib")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    src = base / "src"
+    src.mkdir()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(base / f"p{i}"))
+        f = next((base / f"p{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"{i:03d}.parquet"))
+        shutil.rmtree(base / f"p{i}")
+
+    out = str(base / "out")
+    q = streaming_attribution(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out,
+        str(base / "ck"),
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(f"{out}/attrib")
+        .select("user_id", "ts", "event_id", "touch_type", "touch_ts")
+        .collect()
+    )
+    want = last_touch_attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        ["view", "click"], "purchase",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+
+    # replay: fresh checkpoint, same source — identical output, no dupes
+    q = streaming_attribution(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out,
+        str(base / "ck2"),
+    )
+    q.awaitTermination(300)
+    spark.catalog.refreshByPath(f"{out}/attrib")
+    again = (
+        spark.read.parquet(f"{out}/attrib")
+        .select("user_id", "ts", "event_id", "touch_type", "touch_ts")
+        .collect()
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
