@@ -108,6 +108,18 @@ def association_rules(
             F.round(
                 conf / (F.col("cnt_b").cast("double") / F.col("n_baskets")), 6
             ).alias("lift"),
+            # cosine = pair / (sqrt(a)·sqrt(b)) — the item-item
+            # collaborative-filtering similarity; sqrt per factor (not
+            # sqrt of the product) keeps every intermediate within
+            # double-exact range for any count
+            F.round(
+                F.col("pair_count").cast("double")
+                / (
+                    F.sqrt(F.col("cnt_a").cast("double"))
+                    * F.sqrt(F.col("cnt_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
 

@@ -411,3 +411,33 @@ def streaming_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Percentile winsorization (feature prep / robust-stats clipping):
+    values below the ``lo_q`` quantile or above the ``hi_q`` quantile
+    are clamped to those cutpoints; output adds (``<col>_winsorized``,
+    ``was_clipped``). NULL values pass through unclipped (NULL is
+    missing, not extreme).
+
+    The cutpoints come from the twin-proven exact-percentile path
+    (rank window, 4dp) and attach as a 1-row broadcast — the data side
+    is then map-only: LEAST/GREATEST on doubles, no second shuffle.
+    At 100 TB swap the exact cutpoints for ``approx_percentile`` if the
+    global sort dominates; the clip stage is unchanged."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    cuts = exact_percentiles(nn, [], value_col, [lo_q, hi_q], names=["_lo", "_hi"])
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return df.crossJoin(F.broadcast(cuts)).select(
+        *df.columns,
+        F.when(v.isNotNull(), clipped).alias(f"{value_col}_winsorized"),
+        F.when(v.isNotNull(), clipped != v).alias("was_clipped"),
+    )

@@ -4578,7 +4578,10 @@ def q_event_transitions(spark, sf_dir):
            ROUND(CAST(pair_count AS DOUBLE) / n_baskets, 6) AS support,
            ROUND(CAST(pair_count AS DOUBLE) / ca.cnt, 6) AS confidence,
            ROUND((CAST(pair_count AS DOUBLE) / ca.cnt)
-                 / (CAST(cb.cnt AS DOUBLE) / n_baskets), 6) AS lift
+                 / (CAST(cb.cnt AS DOUBLE) / n_baskets), 6) AS lift,
+           ROUND(CAST(pair_count AS DOUBLE)
+                 / (sqrt(CAST(ca.cnt AS DOUBLE)) * sqrt(CAST(cb.cnt AS DOUBLE))),
+                 6) AS cosine
     FROM rules JOIN ic ca ON rules.antecedent = ca.item
                JOIN ic cb ON rules.consequent = cb.item, t
     """,
@@ -5189,6 +5192,32 @@ def q_drift_categorical(spark, sf_dir):
         .alias("cat")
     )
     return drift_report_categorical(before, after, "cat")
+
+
+@register(
+    "winsorize_lineitem",
+    oracle="""
+    WITH c AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+                      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           LEAST(GREATEST(l_extendedprice, lo), hi) AS l_extendedprice_winsorized,
+           LEAST(GREATEST(l_extendedprice, lo), hi) <> l_extendedprice
+               AS was_clipped
+    FROM lineitem, c
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Percentile winsorization (``quality.winsorize``): prices clamped
+    to the exact [p01, p99] cutpoints (twin-proven rank-window
+    percentiles, 4dp) attached as a 1-row broadcast — the clip itself
+    is map-only LEAST/GREATEST, no second shuffle."""
+    from bearly_spark.operators.quality import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", 0.01, 0.99)
 
 
 @register(

@@ -146,6 +146,8 @@ HEADLINE = [
     # round 7: LPA communities and last-touch attribution
     "label_communities_parts",
     "attribution_events",
+    # round 7: percentile winsorization (feature-prep clipping)
+    "winsorize_lineitem",
 ]
 
 

@@ -31,6 +31,10 @@ def test_association_rules_hand_computed(spark):
     assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
     ca = got[("c", "a")]
     assert ca["confidence"] == 1.0 and ca["lift"] == round(1 / (3 / 4), 6)
+    import math
+
+    assert ab["cosine"] == round(2 / (math.sqrt(3) * math.sqrt(3)), 6)
+    assert ca["cosine"] == round(2 / (math.sqrt(2) * math.sqrt(3)), 6)
 
 
 def test_cooccurrence_presence_based_and_null_items(spark):

@@ -52,6 +52,8 @@ CARTESIAN_ALLOWED = {
     "drift_categorical_orders",
     # association rules attach the 1-row basket total the same way
     "basket_rules_lineitem",
+    # winsorize attaches the 1-row [p01,p99] cutpoint frame the same way
+    "winsorize_lineitem",
 }
 
 

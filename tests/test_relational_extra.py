@@ -856,3 +856,22 @@ def test_label_propagation_barbell_and_ties(spark):
     assert set(got2) == {7, 9} and got2[7] in (7, 9)
     again = {r["node"]: r["community"] for r in label_propagation(pair, rounds=2).collect()}
     assert got2 == again
+
+
+def test_winsorize_semantics(spark):
+    """Values clamp to the [p01, p99] cutpoints; NULLs pass through
+    unclipped with NULL flag; interior values untouched."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.quality import winsorize
+
+    vals = [float(x) for x in range(1, 101)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)], "id int, v double"
+    )
+    got = {r["id"]: r for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    # quantile_cont over 1..100: p05 = 5.95, p95 = 95.05 (4dp)
+    assert got[0]["v_winsorized"] == 5.95 and got[0]["was_clipped"]
+    assert got[99]["v_winsorized"] == 95.05 and got[99]["was_clipped"]
+    assert got[49]["v_winsorized"] == 50.0 and not got[49]["was_clipped"]
+    assert got[999]["v_winsorized"] is None and got[999]["was_clipped"] is None
