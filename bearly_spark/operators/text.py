@@ -547,3 +547,63 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: for each document the
+    ``top_k`` lowercased whitespace tokens ranked by
+    ``(tf/doc_len) * (n_docs/df)`` — a deliberately ln-free IDF (the
+    plain rarity ratio) so every score is a fixed IEEE expression over
+    exact integer counts and twins bit-for-bit (the classic
+    ``log(N/df)`` form only reweights monotonically per token, so the
+    per-document ranking it induces differs only when two tokens tie,
+    which the deterministic token tie-break already pins).
+
+    Output (id, token, tfidf 6dp, rank 1..top_k); ranking is by the
+    ROUNDED score (desc, token asc) so both engines rank identical
+    values. Docs with no tokens are absent (no keywords to report).
+
+    Scale shape: one (id, token) wordcount shuffle with map-side
+    combine; doc lengths fall out of the same partitioning via a
+    same-key window (no second shuffle); document frequencies are a
+    token-keyed rollup of the DISTINCT (id, token) pairs already in
+    hand — vocabulary-sized, joined back shuffle-on-token; the 1-row
+    corpus doc count attaches as a broadcast. The final per-doc top-k
+    is a WindowGroupLimit rank, never a global sort."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(word_tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tfc"))
+    )
+    # doc length over the same id partitioning — no extra shuffle
+    tf = tf.withColumn("dlen", F.sum("tfc").over(Window.partitionBy(id_col)))
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = tf.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                (F.col("tfc").cast("double") / F.col("dlen").cast("double"))
+                * (F.col("n_docs").cast("double") / F.col("dfc").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "token", "tfidf", "rank")
+    )

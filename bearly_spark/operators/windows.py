@@ -218,3 +218,42 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: per key, group CONSECUTIVE integer periods
+    (e.g. month indices) into streaks and report
+    (key, n_active_periods, n_streaks, longest_streak, current_streak)
+    where ``current_streak`` is the length of the streak containing the
+    key's latest period. The classic retention/engagement primitive
+    ("how many consecutive months has this customer ordered?").
+
+    Uses the textbook island id ``period - row_number()`` — constant
+    within a run of consecutive periods, distinct across gaps — so the
+    whole computation is one (key, period) distinct shuffle followed by
+    one key regroup that the row_number window, the island rollup, the
+    latest-flag window and the final aggregation all share."""
+    from pyspark.sql import Window
+
+    p = df.select(
+        F.col(key_col).alias("key"), F.col(period_col).cast("long").alias("period")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("period")
+    isl = p.withColumn("island", F.col("period") - F.row_number().over(w))
+    per_island = isl.groupBy("key", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.max("period").alias("last_period")
+    )
+    wk = Window.partitionBy("key")
+    flagged = per_island.withColumn(
+        "is_latest", F.col("last_period") == F.max("last_period").over(wk)
+    )
+    return flagged.groupBy("key").agg(
+        F.sum("len").alias("n_active_periods"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max(F.when(F.col("is_latest"), F.col("len"))).alias("current_streak"),
+    )

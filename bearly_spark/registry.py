@@ -7290,6 +7290,83 @@ def q_skew_report(spark, sf_dir):
     return R.key_skew_report(load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
 
 
+@register(
+    "tfidf_keywords_documents",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest([lower(x) for x in
+                                        string_split_regex(coalesce(text, ''), '\\s+')
+                                        if x <> '']) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tfc FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tfc) AS dlen FROM tf GROUP BY 1),
+    dfc AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM dl),
+    s AS (SELECT tf.doc_id, tf.token,
+                 ROUND((CAST(tfc AS DOUBLE) / CAST(dlen AS DOUBLE))
+                       * (CAST(n_docs AS DOUBLE) / CAST(dfc AS DOUBLE)), 6)
+                     AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN dfc USING (token), n)
+    SELECT doc_id, token, tfidf, rank FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS rank
+       FROM s)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (``text.tfidf_keywords``):
+    top-3 tokens per doc by the ln-free ``(tf/len)·(N/df)`` score — the
+    rarity RATIO instead of its log, so every score is exact IEEE
+    arithmetic over integer counts and the twin matches bit-for-bit
+    (log only reweights monotonically per token; the induced per-doc
+    ranking differs solely on ties, which the token tie-break pins).
+    Ranking is on the ROUNDED score in both engines."""
+    return T.tfidf_keywords(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=3
+    )
+
+
+@register(
+    "order_streaks_customer",
+    oracle="""
+    WITH p AS (SELECT DISTINCT o_custkey AS key,
+                      CAST(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                           + date_part('month', CAST(o_orderdate AS DATE)) - 1
+                           AS BIGINT) AS period
+               FROM orders),
+    i AS (SELECT key, period,
+                 period - ROW_NUMBER() OVER (PARTITION BY key ORDER BY period)
+                     AS island
+          FROM p),
+    pi AS (SELECT key, island, COUNT(*) AS len, MAX(period) AS last_period
+           FROM i GROUP BY 1, 2),
+    fl AS (SELECT *, last_period = MAX(last_period) OVER (PARTITION BY key)
+                         AS is_latest
+           FROM pi)
+    SELECT key, CAST(SUM(len) AS BIGINT) AS n_active_periods,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           MAX(CASE WHEN is_latest THEN len END) AS current_streak
+    FROM fl GROUP BY key
+    """,
+)
+def q_order_streaks(spark, sf_dir):
+    """Gaps-and-islands activity streaks (``windows.activity_streaks``):
+    per customer, consecutive order-MONTHS grouped into islands via the
+    textbook ``period - row_number()`` constant; reports total active
+    months, streak count, longest streak and the streak touching the
+    latest month — the retention primitive behind "N consecutive months
+    active" dashboards."""
+    from bearly_spark.operators.windows import activity_streaks
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1)
+        .alias("period"),
+    )
+    return activity_streaks(od, "o_custkey", "period")
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -148,6 +148,9 @@ HEADLINE = [
     "attribution_events",
     # round 7: percentile winsorization (feature-prep clipping)
     "winsorize_lineitem",
+    # round 7: TF-IDF keywords and gaps-and-islands streaks
+    "tfidf_keywords_documents",
+    "order_streaks_customer",
 ]
 
 

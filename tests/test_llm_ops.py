@@ -925,3 +925,45 @@ def test_cluster_aware_split_no_straddle(spark, sf_dir):
 
     sizes = Counter(r["cluster"] for r in rows)
     assert max(sizes.values()) >= 2
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """Scores = (tf/len)·(N/df) with rounded-score ranking and token
+    tie-breaks; docs with NULL/empty text are absent."""
+    from bearly_spark.operators.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c"), (4, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["token"]): r
+        for r in tfidf_keywords(df, "doc_id", "text", top_k=3).collect()
+    }
+    assert set(got) == {(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "c")}
+    # d1: a=(2/3)(3/2)=1.0, b=(1/3)(3/1)=1.0 — tie, token asc
+    assert got[(1, "a")]["tfidf"] == 1.0 and got[(1, "a")]["rank"] == 1
+    assert got[(1, "b")]["tfidf"] == 1.0 and got[(1, "b")]["rank"] == 2
+    # d2: both (1/2)(3/2)=0.75 — a first
+    assert got[(2, "a")]["rank"] == 1 and got[(2, "c")]["rank"] == 2
+    assert got[(2, "c")]["tfidf"] == 0.75
+    # d3: c=(2/2)(3/2)=1.5
+    assert got[(3, "c")]["tfidf"] == 1.5 and got[(3, "c")]["rank"] == 1
+
+
+def test_activity_streaks_hand_computed(spark):
+    """Islands split on gaps; current streak is the one holding the
+    latest period; duplicate periods collapse."""
+    from bearly_spark.operators.windows import activity_streaks
+
+    df = spark.createDataFrame(
+        [("k", p) for p in [1, 2, 3, 5, 6, 10, 10]] + [("j", 7)],
+        "key string, period int",
+    )
+    got = {r["key"]: r for r in activity_streaks(df, "key", "period").collect()}
+    k = got["k"]
+    assert k["n_active_periods"] == 6 and k["n_streaks"] == 3
+    assert k["longest_streak"] == 3 and k["current_streak"] == 1
+    j = got["j"]
+    assert (j["n_active_periods"], j["n_streaks"], j["longest_streak"],
+            j["current_streak"]) == (1, 1, 1, 1)

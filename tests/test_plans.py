@@ -54,6 +54,8 @@ CARTESIAN_ALLOWED = {
     "basket_rules_lineitem",
     # winsorize attaches the 1-row [p01,p99] cutpoint frame the same way
     "winsorize_lineitem",
+    # tfidf attaches the 1-row corpus doc count the same way
+    "tfidf_keywords_documents",
 }
 
 
