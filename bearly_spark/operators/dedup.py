@@ -1335,3 +1335,80 @@ def entity_match_pairs(
             F.when(F.col("score") >= match_threshold, "match").otherwise("possible"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT near-dup detection:
+    ``containment(A in B) = |A∩B| / |A|`` over distinct lowercase
+    tokens. Catches the pairs Jaccard structurally misses — a short
+    document wholly embedded in a much longer one scores near 1.0 here
+    but near |A|/|B| on Jaccard (quote-plus-commentary, boilerplate
+    wrappers, chunk-of-superset leaks). Returns
+    (id_a, id_b, overlap, containment_a, containment_b) with
+    id_a < id_b where the LARGER direction ≥ ``threshold`` (6dp, the
+    rounded value is what's thresholded so both engines cut
+    identically).
+
+    Scale shape: candidate DISCOVERY is a capped inverted index —
+    tokens with document frequency > ``max_df`` don't generate
+    candidates (a pair sharing ONLY corpus-stopword tokens is not
+    found: the same documented recall trade as the other capped
+    inverted-index ops, and such pairs are overwhelmingly false
+    positives for containment); VERIFICATION computes the exact
+    containment on the candidates' FULL token sets, so emitted scores
+    are exact, uncapped values. Work is Θ(posting-list pairs) for
+    discovery + Θ(candidates) for verify — never all-pairs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(word_tokens(F.col(text_col)), F.lower)).alias(
+            "ts"
+        ),
+    ).filter(F.size("ts") > 0)
+    inv = toks.select("id", F.explode("ts").alias("token"))
+    rare = (
+        inv.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("token")
+    )
+    posts = inv.join(rare, "token")
+    cand = (
+        posts.alias("a")
+        .join(posts.alias("b"), "token")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    v = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("overlap"),
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            F.round(F.col("overlap").cast("double") / F.col("na"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("overlap").cast("double") / F.col("nb"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return v.filter(
+        F.greatest("containment_a", "containment_b") >= F.lit(threshold)
+    )

@@ -295,3 +295,59 @@ def label_propagation(
         return labels.select("node", F.col("label").alias("community"))
     finally:
         sym.unpersist()
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Multi-source BFS shortest-path levels: hop distance from a seed
+    set (a one-column ``node`` frame) over the undirected edge list,
+    expanded a FIXED number of rounds — "friends-of-friends within R
+    hops", the reachability primitive behind influence radii and
+    related-item expansion. Returns (node, dist) for every node reached
+    within ``rounds`` hops, dist 0 for the seeds; unreached nodes are
+    absent. A fixed round count (not emptiness detection) keeps the
+    result a pure function of the input and the plan static.
+
+    Scale shape: the symmetric edge list is pinned partitioned on the
+    neighbor key and reused every round (it never re-shuffles); each
+    round is one edges⋈frontier hash join + a distinct + an anti-join
+    against the Θ(reached) visited vector, which localCheckpoints per
+    round (the ``connected_components`` lineage discipline). Work per
+    round is Θ(edges touching the frontier), never corpus-quadratic."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("v")
+        .persist()
+    )
+    sym.count()
+    try:
+        visited = (
+            seeds.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited.select("node")
+        for r in range(1, rounds + 1):
+            nxt = (
+                sym.join(frontier.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(r))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+        return visited
+    finally:
+        sym.unpersist()

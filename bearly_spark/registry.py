@@ -7367,6 +7367,99 @@ def q_order_streaks(spark, sf_dir):
     return activity_streaks(od, "o_custkey", "period")
 
 
+def _bfs_oracle(rounds: int = 3) -> str:
+    """Twin of ``bfs_part_coorder``: fixed-round multi-source BFS
+    unrolled level by level (the LPA/PageRank unrolling pattern) over
+    the part co-order projection, seeded at the minimum node id."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "e0 AS (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0)",
+        "v0 AS (SELECT MIN(u) AS node, 0 AS dist FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"f{r} AS (SELECT DISTINCT e.u AS node FROM e\n"
+            f"         JOIN v{r - 1} pv ON e.v = pv.node\n"
+            f"         WHERE e.u NOT IN (SELECT node FROM v{r - 1}))"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT node, dist FROM v{r - 1}\n"
+            f"         UNION ALL SELECT node, {r} AS dist FROM f{r})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM v{rounds}"
+
+
+@register("bfs_part_coorder", oracle=_bfs_oracle())
+def q_bfs_levels(spark, sf_dir):
+    """Multi-source BFS hop levels (``graph.bfs_levels``) over the part
+    co-order graph from the minimum part id: every part within 3 hops
+    with its shortest-path distance — the reachability/influence-radius
+    primitive beside components, PageRank, triangles and LPA. Fixed
+    round count keeps the result a pure input function and the twin an
+    exact level-by-level unroll."""
+    from bearly_spark.operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    seeds = edges.select(
+        F.least(F.min("src"), F.min("dst")).alias("node")
+    )
+    return bfs_levels(edges, seeds, "src", "dst", rounds=3)
+
+
+@register(
+    "containment_pairs_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id AS id,
+                         list_distinct([lower(x) for x in
+                                        string_split_regex(coalesce(text, ''), '\\s+')
+                                        if x <> '']) AS ts
+                  FROM documents),
+    nz AS (SELECT * FROM toks WHERE len(ts) > 0),
+    inv AS (SELECT id, unnest(ts) AS token FROM nz),
+    rare AS (SELECT token FROM inv GROUP BY token HAVING COUNT(*) <= 100),
+    posts AS (SELECT id, token FROM inv JOIN rare USING (token)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM posts a JOIN posts b USING (token)
+             WHERE a.id < b.id),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(ta.ts, tb.ts)) AS overlap,
+                 len(ta.ts) AS na, len(tb.ts) AS nb
+          FROM cand JOIN nz ta ON ta.id = cand.id_a
+                    JOIN nz tb ON tb.id = cand.id_b)
+    SELECT id_a, id_b, overlap,
+           ROUND(CAST(overlap AS DOUBLE) / na, 6) AS containment_a,
+           ROUND(CAST(overlap AS DOUBLE) / nb, 6) AS containment_b
+    FROM v
+    WHERE GREATEST(ROUND(CAST(overlap AS DOUBLE) / na, 6),
+                   ROUND(CAST(overlap AS DOUBLE) / nb, 6)) >= 0.8
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric token-containment near-dup pairs
+    (``dedup.containment_pairs``): |A∩B|/|A| ≥ 0.8 in the larger
+    direction — catches short-doc-inside-long-doc pairs that Jaccard
+    structurally scores low (quote+commentary, boilerplate wrappers,
+    chunk-of-superset leaks). Capped inverted-index discovery
+    (df ≤ 100), exact verify on full token sets."""
+    from bearly_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.8, max_df=100,
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -151,6 +151,9 @@ HEADLINE = [
     # round 7: TF-IDF keywords and gaps-and-islands streaks
     "tfidf_keywords_documents",
     "order_streaks_customer",
+    # round 7: BFS hop levels and token-containment near-dup
+    "bfs_part_coorder",
+    "containment_pairs_documents",
 ]
 
 

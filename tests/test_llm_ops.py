@@ -967,3 +967,33 @@ def test_activity_streaks_hand_computed(spark):
     j = got["j"]
     assert (j["n_active_periods"], j["n_streaks"], j["longest_streak"],
             j["current_streak"]) == (1, 1, 1, 1)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc wholly inside a long one scores containment 1.0 in
+    the short direction (where Jaccard would be |A|/|B|); pairs sharing
+    only high-df tokens are not discovered (capped inverted index)."""
+    from bearly_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "unrelated words entirely different"),
+    ]
+    out = containment_pairs(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        "doc_id", "text", threshold=0.8, max_df=100,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["overlap"] == 3 and r["containment_a"] == 1.0 and r["containment_b"] == 0.3
+
+    # df cap: 'common' appears in all 4 docs; with max_df=3 it can't
+    # generate candidates, so the only-shared-token pair vanishes
+    rows2 = [(i, "common filler%d" % i) for i in range(4)]
+    out2 = containment_pairs(
+        spark.createDataFrame(rows2, "doc_id int, text string"),
+        "doc_id", "text", threshold=0.5, max_df=3,
+    ).collect()
+    assert out2 == []

@@ -875,3 +875,20 @@ def test_winsorize_semantics(spark):
     assert got[99]["v_winsorized"] == 95.05 and got[99]["was_clipped"]
     assert got[49]["v_winsorized"] == 50.0 and not got[49]["was_clipped"]
     assert got[999]["v_winsorized"] is None and got[999]["was_clipped"] is None
+
+
+def test_bfs_levels_path_and_unreached(spark):
+    """Hop distances along a path graph; nodes beyond the round budget
+    or disconnected are absent; seed reports dist 0."""
+    from bearly_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # two seeds: distances are min over sources
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node int")
+    got2 = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds2, rounds=3).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
