@@ -257,3 +257,48 @@ def activity_streaks(
         F.max("len").alias("longest_streak"),
         F.max(F.when(F.col("is_latest"), F.col("len"))).alias("current_streak"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 14,
+) -> DataFrame:
+    """Adjusted exponentially-weighted moving average per key over a
+    trailing ``span``-row frame: the pandas ``ewm(adjust=True)``
+    semantics, restricted to the last ``span`` observations so state is
+    bounded (weights beyond the frame are ≤ (1-α)^span ≈ negligible,
+    and a bounded frame is what scales: Θ(span) per row, no unbounded
+    history). Appends ``<col>_ewma`` (6dp). NULL values are dropped
+    first (an absent observation, not a zero).
+
+    Determinism: the frame array is folded oldest→newest with the
+    Horner recurrence ``s ← s·(1-α)+x, w ← w·(1-α)+1`` and
+    ``ewma = s/w`` — ONE fixed IEEE evaluation order that the DuckDB
+    twin replays exactly via ``list_reduce`` (a weight-sum formulation
+    would leave summation order unspecified and drift in ulps). All
+    JVM-side: collect_list over the rows frame + a higher-order
+    ``aggregate``, no UDF; one shuffle on the key."""
+    from pyspark.sql import Window
+
+    decay = F.lit(1.0 - alpha)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(order_col)
+        .rowsBetween(-(span - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("w")),
+        lambda acc, x: F.struct(
+            (acc["s"] * decay + x).alias("s"), (acc["w"] * decay + F.lit(1.0)).alias("w")
+        ),
+        lambda acc: acc["s"] / acc["w"],
+    )
+    return df.filter(F.col(value_col).isNotNull()).select(
+        *df.columns, F.round(folded, 6).alias(f"{value_col}_ewma")
+    )

@@ -7460,6 +7460,48 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "ewma_revenue_priority",
+    oracle="""
+    WITH d AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                           AS DECIMAL(18,2)) AS revenue
+               FROM orders GROUP BY 1, 2),
+    a AS (SELECT priority, day, revenue,
+                 list(CAST(revenue AS DOUBLE)) OVER
+                     (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+          FROM d)
+    SELECT priority, day, revenue, ROUND(r[1] / r[2], 6) AS revenue_ewma
+    FROM (SELECT priority, day, revenue,
+                 list_reduce(list_transform(arr, x -> [x, 1.0]),
+                             (acc, e) -> [acc[1] * 0.7 + e[1],
+                                          acc[2] * 0.7 + e[2]]) AS r
+          FROM a)
+    """,
+)
+def q_ewma_revenue(spark, sf_dir):
+    """Adjusted EWMA smoothing (``windows.ewma``, α=0.3, span 14) of
+    the daily revenue series per order priority — the trend-smoothing
+    primitive behind monitoring dashboards. Daily sums are exact
+    DECIMAL; the frame array folds oldest→newest with the Horner
+    recurrence ``s←s·0.7+x, w←w·0.7+1`` (ONE fixed IEEE evaluation
+    order), which the twin replays exactly via ``list_reduce`` — a
+    weight-sum formulation would leave summation order unspecified."""
+    from bearly_spark.operators.windows import ewma
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    return ewma(daily, ["priority"], "day", "revenue", alpha=0.3, span=14)
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -154,6 +154,8 @@ HEADLINE = [
     # round 7: BFS hop levels and token-containment near-dup
     "bfs_part_coorder",
     "containment_pairs_documents",
+    # round 7: EWMA trend smoothing
+    "ewma_revenue_priority",
 ]
 
 

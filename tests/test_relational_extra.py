@@ -892,3 +892,19 @@ def test_bfs_levels_path_and_unreached(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node int")
     got2 = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds2, rounds=3).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_ewma_hand_computed(spark):
+    """Horner-fold adjusted EWMA: with α=0.5 over [1,2,4], full history
+    gives [1, 5/3, 3]; a span-2 frame forgets the first point at t2
+    (→ 10/3); NULL observations are dropped, not zero-filled."""
+    from bearly_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 4.0), ("k", 4, None)],
+        "key string, t int, v double",
+    )
+    full = {r["t"]: r["v_ewma"] for r in ewma(df, ["key"], "t", "v", 0.5, span=3).collect()}
+    assert full == {1: 1.0, 2: round(5 / 3, 6), 3: 3.0}
+    short = {r["t"]: r["v_ewma"] for r in ewma(df, ["key"], "t", "v", 0.5, span=2).collect()}
+    assert short == {1: 1.0, 2: round(5 / 3, 6), 3: round(10 / 3, 6)}
