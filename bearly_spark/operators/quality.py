@@ -441,3 +441,72 @@ def winsorize(
         F.when(v.isNotNull(), clipped).alias(f"{value_col}_winsorized"),
         F.when(v.isNotNull(), clipped != v).alias("was_clipped"),
     )
+
+
+def _uniform52(id_col: str) -> "F.Column":
+    """Deterministic uniform in [0,1): the first 13 md5 hex chars of the
+    id (52 bits — every value EXACTLY representable in a double, so the
+    u64→double rounding question never arises) divided by 2^52. The
+    engine-independent coin every sampling op here shares; DuckDB
+    recomputes it verbatim as
+    ``('0x' || substr(md5(id), 1, 13))::UBIGINT / 2^52``."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+    return u.cast("long").cast("double") / F.lit(float(1 << 52))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic WEIGHTED (Poisson) sampling: each row is kept iff
+    ``u(id) < min(1, rate·weight)`` with :func:`_uniform52` as the coin
+    — the dataset-mixing primitive ("sample documents proportional to
+    quality/recency/domain weight") that, unlike ``rand()`` or
+    TABLESAMPLE, selects the SAME rows on every run, engine and
+    partitioning (reproducible training mixtures, diffable samples).
+    Appends ``p_keep`` (6dp). Rows with NULL/negative weight are never
+    kept (no weight, no ticket); expected sample mass is
+    Σ min(1, rate·wᵢ). Map-only: predicate + hash per row, no shuffle,
+    fully pushed past column pruning at any scale.
+
+    ``p_keep`` is the RAW IEEE product, deliberately un-rounded: both
+    engines multiply identical doubles so the bits already agree,
+    whereas decimal re-rounding is where they diverge (Spark rounds
+    the shortest decimal repr via BigDecimal.valueOf — "0.2550435" →
+    half-up 0.255044 — while DuckDB rounds the binary value, which
+    sits below that midpoint → 0.255043)."""
+    w = F.col(weight_col).cast("double")
+    # least() IGNORES nulls (least(1.0, NULL) = 1.0), which would turn
+    # "no weight" into "always keep" — gate the null through explicitly
+    p = F.when(w.isNotNull(), F.least(F.lit(1.0), F.lit(float(rate)) * w))
+    return df.withColumn("p_keep", p).filter(_uniform52(id_col) < p)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Per-key cap (domain balancing): keep at most ``max_rows`` rows
+    per key, chosen DETERMINISTICALLY by the :func:`_uniform52` hash
+    order (id tie-break) — "no source may contribute more than N
+    documents", the standard guard against one crawl domain dominating
+    a training mixture. Hash order (not "first N" in storage order)
+    makes the kept subset a uniform-without-replacement draw per key
+    that is stable across runs and engines.
+
+    One shuffle on the key + per-partition sort with a rank STOP at
+    ``max_rows`` (WindowGroupLimit — Spark prunes each group's sort at
+    the cap, so a pathological million-row key costs its top-N scan,
+    not a full materialized rank)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(_uniform52(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )

@@ -7502,6 +7502,60 @@ def q_ewma_revenue(spark, sf_dir):
     return ewma(daily, ["priority"], "day", "revenue", alpha=0.3, span=14)
 
 
+@register(
+    "weighted_sample_documents",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, lang, source, {_QUALITY_SQL} AS quality
+               FROM documents)
+    SELECT doc_id, lang, source, quality,
+           LEAST(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE) * quality) AS p_keep
+    FROM q
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+               AS DOUBLE) / 4503599627370496.0
+          < LEAST(1.0, 0.5 * quality)
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling
+    (``quality.weighted_sample``): each document kept iff its 52-bit
+    md5 coin < ``0.5 · quality`` — the reproducible dataset-mixing draw
+    (same rows every run/engine/partitioning, unlike rand()). Weight is
+    the 6dp composite quality score, so both engines multiply identical
+    doubles. Map-only predicate, no shuffle."""
+    from bearly_spark.operators.quality import weighted_sample
+
+    d = T.with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "quality"
+    )
+    return weighted_sample(d, "doc_id", "quality", rate=0.5)
+
+
+@register(
+    "cap_per_source_documents",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                             ::UBIGINT AS DOUBLE) / 4503599627370496.0,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (``quality.cap_per_key``): at most 10
+    docs per ``source``, chosen by the deterministic 52-bit md5 hash
+    order — a uniform-without-replacement draw per domain that is
+    stable across runs, the standard guard against one crawl domain
+    dominating a training mixture. WindowGroupLimit rank-stop plan."""
+    from bearly_spark.operators.quality import cap_per_key
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cap_per_key(d, "source", "doc_id", max_rows=10)
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -156,6 +156,9 @@ HEADLINE = [
     "containment_pairs_documents",
     # round 7: EWMA trend smoothing
     "ewma_revenue_priority",
+    # round 7: dataset curation sampling — weighted draw + domain cap
+    "weighted_sample_documents",
+    "cap_per_source_documents",
 ]
 
 

@@ -997,3 +997,32 @@ def test_containment_pairs_asymmetric(spark):
         "doc_id", "text", threshold=0.5, max_df=3,
     ).collect()
     assert out2 == []
+
+
+def test_weighted_sample_and_cap_per_key(spark):
+    """weighted_sample: p=0 never keeps, p=1 always keeps, NULL weight
+    never keeps, p_keep is the raw product clamped at 1. cap_per_key:
+    cap bites per key, output is a stable subset of the input."""
+    from bearly_spark.operators.quality import cap_per_key, weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 2.0), (3, None), (4, 5.0)], "id int, w double"
+    )
+    got = {r["id"]: r for r in weighted_sample(df, "id", "w", rate=1.0).collect()}
+    assert 1 not in got and 3 not in got
+    assert set(got) == {2, 4} and got[2]["p_keep"] == 1.0 and got[4]["p_keep"] == 1.0
+
+    rows = [(k, i) for k in ("a", "b") for i in range(20)]
+    capped = cap_per_key(
+        spark.createDataFrame(rows, "key string, id int"), "key", "id", 5
+    ).collect()
+    from collections import Counter
+
+    c = Counter(r["key"] for r in capped)
+    assert c == {"a": 5, "b": 5}
+    again = cap_per_key(
+        spark.createDataFrame(rows, "key string, id int"), "key", "id", 5
+    ).collect()
+    assert sorted((r["key"], r["id"]) for r in capped) == sorted(
+        (r["key"], r["id"]) for r in again
+    )
