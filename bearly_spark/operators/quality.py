@@ -510,3 +510,41 @@ def cap_per_key(
         .filter(F.col("_rn") <= max_rows)
         .drop("_rn")
     )
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Z-score standardization (feature prep): appends ``<col>_z`` =
+    ``(x − mean) / std`` per listed column, the sibling of
+    :func:`winsorize` in the feature-scaling family. NULL values yield
+    NULL z.
+
+    Determinism contract (the ``rolling_zscore`` pattern): the stats
+    pass sums each column and its square as exact DECIMAL — order-
+    independent, so any partitioning/engine produces identical sums —
+    then mean and sample variance are ONE fixed IEEE tree over those
+    exact scalars: ``m = s/n``, ``var = (ss − n·m·m)/(n−1)``. The 1-row
+    stats frame attaches as a broadcast; the z itself is map-only.
+    Constant columns (var ≤ 0) yield NULL z (no scale, no verdict)."""
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.sum(v).alias(f"_s_{c}"),
+            F.sum(v * v).alias(f"_ss_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    keep = list(df.columns)
+    zcols = []
+    for c in cols:
+        n = F.col(f"_n_{c}").cast("double")
+        m = F.col(f"_s_{c}").cast("double") / n
+        var = (F.col(f"_ss_{c}").cast("double") - n * m * m) / (n - F.lit(1.0))
+        z = F.round((F.col(c).cast("double") - m) / F.sqrt(var), decimals)
+        zcols.append(F.when(var > 0, z).alias(f"{c}_z"))
+    return out.select(*keep, *zcols)

@@ -607,3 +607,58 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select(id_col, "token", "tfidf", "rank")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation extraction by PMI lift: adjacent token
+    pairs ranked by ``p(w1,w2) / (p(w1)·p(w2))`` — how much more often
+    the pair occurs than independence predicts ("new york", "machine
+    learning"). The ln-free RATIO (pointwise mutual information is its
+    log, a monotone reweighting) keeps every score a fixed IEEE tree
+    over exact integer counts, so the twin matches bit-for-bit; pairs
+    below ``min_count`` occurrences are dropped (PMI's classic
+    low-count explosion). Returns the global top-``top_n`` by
+    (rounded lift DESC, w1, w2) with counts.
+
+    Scale shape: one array-side bigram build (Θ(tokens)/row, no
+    positional self-join) + three wordcount-shaped shuffles (pair
+    counts, unigram counts joined twice, both sides vocabulary-sized
+    after aggregation) + two 1-row broadcast totals; final top-n is
+    TakeOrdered over the min_count-surviving pairs, never a global
+    sort of the corpus."""
+    t = F.transform(word_tokens(F.col(text_col)), F.lower)
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.slice(t, 1, F.size(t) - 1),
+            lambda w, i: F.struct(w.alias("w1"), F.get(t, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    uni = df.select(F.explode(t).alias("w"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    nb = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_unigrams"))
+    lift = (
+        F.col("c2").cast("double") / F.col("n_bigrams").cast("double")
+    ) / (
+        (F.col("cu1").cast("double") / F.col("n_unigrams").cast("double"))
+        * (F.col("cu2").cast("double") / F.col("n_unigrams").cast("double"))
+    )
+    scored = (
+        c2.filter(F.col("c2") >= min_count)
+        .join(c1.select(F.col("w").alias("w1"), F.col("c1").alias("cu1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1", "w2", F.col("c2").alias("pair_count"), F.round(lift, 6).alias("lift")
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(top_n)

@@ -7556,6 +7556,90 @@ def q_cap_per_source(spark, sf_dir):
     return cap_per_key(d, "source", "doc_id", max_rows=10)
 
 
+@register(
+    "collocations_documents",
+    oracle="""
+    WITH toks AS (SELECT [lower(x) for x in
+                          string_split_regex(coalesce(text, ''), '\\s+')
+                          if x <> ''] AS ts
+                  FROM documents),
+    big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+            WHERE len(ts) >= 2),
+    uni AS (SELECT unnest(ts) AS w FROM toks),
+    pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM big GROUP BY 1, 2),
+    uc AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+    nb AS (SELECT COUNT(*) AS n_bigrams FROM big),
+    nu AS (SELECT COUNT(*) AS n_unigrams FROM uni)
+    SELECT w1, w2, pair_count,
+           ROUND((CAST(pair_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                 / ((CAST(a.c1 AS DOUBLE) / CAST(n_unigrams AS DOUBLE))
+                    * (CAST(b.c1 AS DOUBLE) / CAST(n_unigrams AS DOUBLE))),
+                 6) AS lift
+    FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w, nb, nu
+    WHERE pair_count >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_collocations(spark, sf_dir):
+    """Collocation extraction (``text.collocations``): top-50 adjacent
+    token pairs by the ln-free PMI lift ``p(w1,w2)/(p(w1)·p(w2))``
+    (≥ 5 occurrences) — "how much more than chance do these tokens
+    co-occur", the phrase-mining primitive feeding tokenizer merges
+    and keyphrase lists. All wordcount-shaped shuffles; totals ride
+    1-row broadcasts; ranking on the ROUNDED lift in both engines."""
+    return T.collocations(
+        load_table(spark, sf_dir, "documents"), "text", min_count=5, top_n=50
+    )
+
+
+@register(
+    "standardize_lineitem",
+    oracle="""
+    WITH st AS (SELECT
+        COUNT(l_quantity) AS nq,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS ssq,
+        COUNT(l_extendedprice) AS np,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS ssp
+      FROM lineitem),
+    d AS (SELECT CAST(nq AS DOUBLE) AS nqd, CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE) AS mq,
+                 CAST(ssq AS DOUBLE) AS ssqd,
+                 CAST(np AS DOUBLE) AS npd, CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS mp,
+                 CAST(ssp AS DOUBLE) AS sspd
+          FROM st),
+    v AS (SELECT mq, mp,
+                 (ssqd - nqd * mq * mq) / (nqd - 1.0) AS vq,
+                 (sspd - npd * mp * mp) / (npd - 1.0) AS vp
+          FROM d)
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CASE WHEN vq > 0
+                THEN ROUND((CAST(l_quantity AS DOUBLE) - mq) / sqrt(vq), 6)
+           END AS l_quantity_z,
+           CASE WHEN vp > 0
+                THEN ROUND((CAST(l_extendedprice AS DOUBLE) - mp) / sqrt(vp), 6)
+           END AS l_extendedprice_z
+    FROM lineitem, v
+    """,
+)
+def q_standardize(spark, sf_dir):
+    """Z-score standardization (``quality.standardize``) of two lineitem
+    measures in one stats pass — the feature-scaling sibling of
+    ``winsorize_lineitem``. Column sums and sums-of-squares are exact
+    DECIMAL (order-independent), mean/variance ONE fixed IEEE tree over
+    those scalars (the ``rolling_zscore`` determinism contract), the
+    1-row stats frame a broadcast, the z map-only."""
+    from bearly_spark.operators.quality import standardize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return standardize(li, ["l_quantity", "l_extendedprice"])
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -159,6 +159,9 @@ HEADLINE = [
     # round 7: dataset curation sampling — weighted draw + domain cap
     "weighted_sample_documents",
     "cap_per_source_documents",
+    # round 7: PMI collocations and z-score standardization
+    "collocations_documents",
+    "standardize_lineitem",
 ]
 
 

@@ -1026,3 +1026,38 @@ def test_weighted_sample_and_cap_per_key(spark):
     assert sorted((r["key"], r["id"]) for r in capped) == sorted(
         (r["key"], r["id"]) for r in again
     )
+
+
+def test_collocations_pmi_and_min_count(spark):
+    """Lift = p(pair)/(p(w1)p(w2)); pairs below min_count drop; ties
+    order by (lift desc, w1, w2)."""
+    from bearly_spark.operators.text import collocations
+
+    # "x y" always adjacent (3x); "a b" once (below min_count=2... use 2)
+    df = spark.createDataFrame(
+        [(1, "x y q"), (2, "x y r"), (3, "x y"), (4, "a b")], "id int, text string"
+    )
+    got = {(r["w1"], r["w2"]): r for r in
+           collocations(df, "text", min_count=2, top_n=10).collect()}
+    assert ("a", "b") not in got
+    r = got[("x", "y")]
+    # bigrams: (x,y)x3,(y,q),(y,r),(a,b) -> Nb=6; unigrams: 10 total,
+    # c(x)=3, c(y)=3 -> lift = (3/6)/((3/10)(3/10))
+    assert r["pair_count"] == 3
+    assert r["lift"] == round((3 / 6) / ((3 / 10) * (3 / 10)), 6)
+
+
+def test_standardize_semantics(spark):
+    """z = (x-mean)/std with sample std; NULL passes through as NULL z;
+    constant columns report NULL z (no scale)."""
+    from bearly_spark.operators.quality import standardize
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 7.0), (2, 2.0, 7.0), (3, 3.0, 7.0), (4, None, 7.0)],
+        "id int, a double, c double",
+    )
+    got = {r["id"]: r for r in standardize(df, ["a", "c"]).collect()}
+    # mean(a)=2, var=1 -> z = x-2
+    assert got[1]["a_z"] == -1.0 and got[2]["a_z"] == 0.0 and got[3]["a_z"] == 1.0
+    assert got[4]["a_z"] is None
+    assert all(got[i]["c_z"] is None for i in (1, 2, 3, 4))

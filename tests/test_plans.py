@@ -56,6 +56,10 @@ CARTESIAN_ALLOWED = {
     "winsorize_lineitem",
     # tfidf attaches the 1-row corpus doc count the same way
     "tfidf_keywords_documents",
+    # collocations attach the two 1-row totals; standardize the 1-row
+    # stats frame — same deliberate stream x 1 BNLJ
+    "collocations_documents",
+    "standardize_lineitem",
 }
 
 
