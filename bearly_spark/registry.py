@@ -4374,6 +4374,30 @@ def q_histogram_depth(spark, sf_dir):
     return equi_depth_histogram(od, "o_totalprice", buckets=8)
 
 
+def _coorder_edges(spark, sf_dir):
+    """Part co-order edge list (two parts linked when some order
+    contains both — the market-basket projection) shared by the graph
+    family. The (order, part) projection is repartitioned with an
+    EXPLICIT partition count on the join key: without it AQE coalesces
+    the ~MB-scale shuffle to 1-2 tasks and the pair-expansion self-join
+    (the expensive part: output >> input) serializes; a user-specified
+    count survives AQE (sf0.1: edge build 7.4s -> ~2s)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = spark.sparkContext.defaultParallelism
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .repartition(n_parts, "o")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+
+
+
 @register(
     "triangle_count_parts",
     oracle="""
@@ -4399,16 +4423,7 @@ def q_triangle_count(spark, sf_dir):
     enumerates id-ordered — identical result set by symmetry."""
     from bearly_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).dropDuplicates()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .dropDuplicates()
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return triangle_counts(edges).withColumnRenamed("node", "part")
 
 
@@ -4444,16 +4459,7 @@ def q_local_clustering(spark, sf_dir):
     triangles); coeff rounded to 6dp for engine parity."""
     from bearly_spark.operators.graph import local_clustering
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).dropDuplicates()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .dropDuplicates()
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return local_clustering(edges).withColumnRenamed("node", "part")
 
 
@@ -4827,16 +4833,7 @@ def q_label_communities(spark, sf_dir):
     what makes the twin exact round-for-round."""
     from bearly_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .distinct()
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return label_propagation(edges, "src", "dst", rounds=4)
 
 
@@ -7401,16 +7398,7 @@ def q_bfs_levels(spark, sf_dir):
     exact level-by-level unroll."""
     from bearly_spark.operators.graph import bfs_levels
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .distinct()
-    )
+    edges = _coorder_edges(spark, sf_dir)
     seeds = edges.select(
         F.least(F.min("src"), F.min("dst")).alias("node")
     )
@@ -7681,7 +7669,7 @@ PREFIX_ORDER = [
     "percentiles_lineitem",
     "bitmap_distinct_orders",
     "stats_agg_lineitem",
-    "minmax_by_orders",
+    "winsorize_lineitem",  # r7 swap
     # windows / top-k (window_ignore_nulls_orders left in r3,
     # rank_ties_orders left in r6-late — running-total + window-group-
     # limit keep the family; both stay in the full gate)
@@ -7689,7 +7677,7 @@ PREFIX_ORDER = [
     "topk_orders_per_customer",
     # time-series repair (r6 late): per-key linear interpolation of
     # NULL gaps — two ignore-nulls frames over one sort
-    "interpolate_events",
+    "ewma_revenue_priority",  # r7 swap
     # set ops (set_except_all_quantities left the prefix in r6 to seat
     # the table-maintenance family; the multiset variants stay
     # oracle-checked in the full gate)
@@ -7721,7 +7709,7 @@ PREFIX_ORDER = [
     # graph analytics (r6 late): degree-oriented triangle counting over
     # the part co-order projection — the graph-family driver rep
     # (pagerank_supplier_part is the same family, full gate)
-    "triangle_count_parts",
+    "bfs_part_coorder",  # r7 swap
     # ANN compression (r6): PQ codes scan + exact rerank — the bytes
     # lever complementing embedding_ann_lsh's pruning lever below —
     # and the persisted IVF-PQ index composing both levers
@@ -7747,9 +7735,9 @@ PREFIX_ORDER = [
     "dedup_exact_documents",
     "dedup_simhash",
     "dedup_minhash_lsh",
-    "levenshtein_near_dup",
+    "weighted_sample_documents",  # r7 swap
     "dedup_components_jaccard",
-    "fingerprint_winnow_pairs",
+    "containment_pairs_documents",  # r7 swap
     # LLM-pipeline: similarity / retrieval / text / multimodal / dataset
     # ops (embedding_ann_lsh joined r3 — oracle-checked via inlined
     # planes; bm25_search_documents joined r4 as the lexical-retrieval
@@ -7761,7 +7749,7 @@ PREFIX_ORDER = [
     "embedding_ann_lsh",
     "text_stats_documents",
     "multimodal_decode_features",
-    "dataset_split_documents",
+    "collocations_documents",  # r7 swap
     "pipeline_clean_corpus",
 ]
 
