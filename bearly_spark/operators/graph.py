@@ -386,7 +386,11 @@ def bfs_levels(
                 .withColumn("dist", F.lit(r))
                 .localCheckpoint(eager=True)
             )
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # visited needs no checkpoint of its own: it is a union of
+            # already-checkpointed frontiers, so its lineage is flat and
+            # bounded by the fixed round count — checkpointing it too
+            # would pay one extra eager job per round for nothing
+            visited = visited.unionByName(nxt)
             frontier = nxt.select("node")
         return visited
     finally:

@@ -548,3 +548,65 @@ def standardize(
         z = F.round((F.col(c).cast("double") - m) / F.sqrt(var), decimals)
         zcols.append(F.when(var > 0, z).alias(f"{c}_z"))
     return out.select(*keep, *zcols)
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE aggregate
+    pass — the EDA/feature-selection primitive. Returns
+    (col_a, col_b, n, corr) for each unordered pair (col_a < col_b in
+    ``cols`` order). Rows with a NULL in ANY listed column are dropped
+    first (listwise deletion — the standard correlation-matrix
+    semantics, and the only one where every pair shares one n).
+
+    Determinism (the :func:`standardize` contract, pairwise-extended):
+    Σx, Σx² and every Σxy are exact DECIMAL — order-independent under
+    any partitioning — and each r is ONE fixed IEEE tree over those
+    scalars: ``r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))``.
+    Zero-variance columns yield NULL r. The stats land in a 1-row frame;
+    the per-pair rows are an array-explode of that single row (driver
+    never loops)."""
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        v = F.col(c).cast("decimal(18,2)")
+        aggs.append(F.sum(v).alias(f"_s_{c}"))
+        aggs.append(F.sum(v * v).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            va = F.col(a).cast("decimal(18,2)")
+            vb = F.col(b).cast("decimal(18,2)")
+            aggs.append(F.sum(va * vb).alias(f"_sp_{a}_{b}"))
+    stats = base.agg(*aggs)
+
+    def _r(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        ssa, ssb = F.col(f"_ss_{a}").cast("double"), F.col(f"_ss_{b}").cast("double")
+        sp = F.col(f"_sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        da = n * ssa - sa * sa
+        db = n * ssb - sb * sb
+        r = F.round(num / (F.sqrt(da) * F.sqrt(db)), decimals)
+        return F.when((da > 0) & (db > 0), r)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("_n").alias("n"),
+                _r(a, b).alias("corr"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return stats.select(F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )

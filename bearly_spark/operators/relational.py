@@ -277,3 +277,46 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
         .select("key_value", "n_rows", "share", "rank")
     )
+
+
+def topn_with_others(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-group top-N categories with an OTHERS rollup — the reporting
+    primitive behind every "top 3 + other" breakdown: per group, the N
+    most frequent ``cat_col`` values keep their label (ties broken
+    count DESC then category ASC, a total order both engines share) and
+    everything else folds into the literal ``'other'`` bucket, with
+    6dp within-group share. NULL categories count as a real bucket via
+    a sentinel-free NULL-safe grouping (they compete for top-N as the
+    label NULL).
+
+    Scale shape: one (group, cat) wordcount shuffle, a per-group rank
+    over the aggregated (vocabulary-sized) counts, then a re-aggregate
+    on the same group partitioning — no second corpus pass, no global
+    sort."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, cat_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("cnt"), F.asc_nulls_last(cat_col)
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_tot", F.sum("cnt").over(wg)
+    )
+    labeled = ranked.select(
+        *group_cols,
+        F.when(F.col("_rn") <= n, F.col(cat_col).cast("string"))
+        .otherwise(F.lit("other"))
+        .alias("category"),
+        "cnt",
+        "_tot",
+    )
+    return labeled.groupBy(*group_cols, "category").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.round(F.sum("cnt") / F.max("_tot"), 6).alias("share"),
+    )

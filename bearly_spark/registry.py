@@ -7628,6 +7628,90 @@ def q_standardize(spark, sf_dir):
     return standardize(li, ["l_quantity", "l_extendedprice"])
 
 
+def _corr_oracle() -> str:
+    """Twin of ``correlation_matrix_lineitem``: the one-pass DECIMAL
+    sums + fixed IEEE r tree, pair rows via UNION ALL."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        d = f"CAST({c} AS DECIMAL(18,2))"
+        sums.append(f"SUM({d}) AS s_{c}")
+        sums.append(f"SUM({d} * {d}) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+                f" AS sp_{a}_{b}"
+            )
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            expr = (
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+                f"  CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) > 0\n"
+                f"        AND (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) > 0\n"
+                f"  THEN ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
+                f"    / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))\n"
+                f"       * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)\n"
+                f"  END AS corr FROM st"
+            )
+            pair_rows.append(expr)
+    return (
+        "WITH st AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@register("correlation_matrix_lineitem", oracle=_corr_oracle())
+def q_correlation_matrix(spark, sf_dir):
+    """Pearson correlation matrix (``quality.correlation_matrix``) over
+    four lineitem measures in ONE aggregate pass — exact DECIMAL
+    Σx/Σx²/Σxy (order-independent under any partitioning), each r a
+    fixed IEEE tree over those scalars, zero-variance → NULL. The EDA /
+    feature-selection primitive."""
+    from bearly_spark.operators.quality import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "topn_types_brand",
+    oracle="""
+    WITH c AS (SELECT p_brand, p_type AS cat, COUNT(*) AS cnt
+               FROM part GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                       ORDER BY cnt DESC, cat ASC) AS rn,
+                 SUM(cnt) OVER (PARTITION BY p_brand) AS tot
+          FROM c),
+    l AS (SELECT p_brand,
+                 CASE WHEN rn <= 3 THEN cat ELSE 'other' END AS category,
+                 cnt, tot
+          FROM r)
+    SELECT p_brand, category, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS share
+    FROM l GROUP BY 1, 2
+    """,
+)
+def q_topn_with_others(spark, sf_dir):
+    """Top-N categories + OTHERS rollup (``relational.topn_with_others``):
+    per part brand, the 3 most frequent part types keep their label
+    (count DESC, category ASC ties — a shared total order) and the rest
+    fold into 'other' with 6dp within-group shares. One wordcount
+    shuffle + rank over aggregated counts + same-key re-aggregate."""
+    from bearly_spark.operators.relational import topn_with_others
+
+    pt = load_table(spark, sf_dir, "part")
+    return topn_with_others(pt, ["p_brand"], "p_type", n=3)
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -162,6 +162,9 @@ HEADLINE = [
     # round 7: PMI collocations and z-score standardization
     "collocations_documents",
     "standardize_lineitem",
+    # round 7: one-pass correlation matrix and top-N + others rollup
+    "correlation_matrix_lineitem",
+    "topn_types_brand",
 ]
 
 

@@ -908,3 +908,38 @@ def test_ewma_hand_computed(spark):
     assert full == {1: 1.0, 2: round(5 / 3, 6), 3: 3.0}
     short = {r["t"]: r["v_ewma"] for r in ewma(df, ["key"], "t", "v", 0.5, span=2).collect()}
     assert short == {1: 1.0, 2: round(5 / 3, 6), 3: round(10 / 3, 6)}
+
+
+def test_correlation_matrix_semantics(spark):
+    """Perfect positive/negative correlations hit ±1; constant columns
+    report NULL; listwise deletion drops rows with any NULL."""
+    from bearly_spark.operators.quality import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 7.0, 3.0), (2.0, 4.0, 7.0, 2.0), (3.0, 6.0, 7.0, 1.0),
+         (None, 9.0, 7.0, 9.0)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r["col_a"], r["col_b"]): r
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")]["corr"] == 1.0 and got[("a", "b")]["n"] == 3
+    assert got[("a", "d")]["corr"] == -1.0
+    assert got[("a", "c")]["corr"] is None and got[("b", "c")]["corr"] is None
+
+
+def test_topn_with_others_rollup(spark):
+    """Top-N keep labels, rest fold to 'other'; shares sum to 1 per
+    group; NULL category competes as its own bucket."""
+    from bearly_spark.operators.relational import topn_with_others
+
+    rows = (
+        [("g", "x")] * 5 + [("g", "y")] * 3 + [("g", "z")] * 2
+        + [("g", "w")] * 1 + [("g", None)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    got = {r["category"]: r for r in
+           topn_with_others(df, ["grp"], "cat", n=2).collect()}
+    # counts: x=5, NULL=4, y=3, z=2, w=1 -> top2 = x, NULL
+    assert got["x"]["n_rows"] == 5 and got[None]["n_rows"] == 4
+    assert got["other"]["n_rows"] == 6  # y + z + w
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-9
