@@ -7712,6 +7712,97 @@ def q_topn_with_others(spark, sf_dir):
     return topn_with_others(pt, ["p_brand"], "p_type", n=3)
 
 
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5(CAST({salt} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 13))::UBIGINT % {mod} AS BIGINT)"
+)
+
+
+@register(
+    "cms_frequencies_orders",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT r, {_CMS_HASH.format(salt="r", key="o_custkey", mod=1024)} AS bucket
+      FROM orders, LATERAL unnest([0, 1, 2, 3]) AS t(r)),
+    sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+    topk AS (SELECT o_custkey, COUNT(*) AS true_cnt FROM orders
+             GROUP BY 1 ORDER BY true_cnt DESC, o_custkey LIMIT 20),
+    probe AS (
+      SELECT o_custkey, true_cnt, r,
+             {_CMS_HASH.format(salt="r", key="o_custkey", mod=1024)} AS bucket
+      FROM topk, LATERAL unnest([0, 1, 2, 3]) AS t(r))
+    SELECT o_custkey, true_cnt, MIN(COALESCE(cnt, 0)) AS est
+    FROM probe LEFT JOIN sk USING (r, bucket)
+    GROUP BY o_custkey, true_cnt
+    """,
+)
+def q_cms_frequencies(spark, sf_dir):
+    """Count-min sketch frequencies (``sketches.cms_build`` /
+    ``cms_estimate``): order counts per customer summarized into a
+    4×1024 counter table (Θ(d·w) state at ANY input size — the
+    bounded-memory heavy-hitter summary), then the top-20 true keys
+    point-estimated back out (est ≥ true, the one-sided CMS
+    guarantee). The md5-derived hash family makes the whole sketch —
+    not just its answers — bit-reproducible in the twin."""
+    from bearly_spark.operators.sketches import cms_build, cms_estimate
+
+    od = load_table(spark, sf_dir, "orders")
+    sketch = cms_build(od, "o_custkey", depth=4, width=1024)
+    true_top = (
+        od.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    est = cms_estimate(
+        sketch, true_top.select("o_custkey"), "o_custkey", depth=4, width=1024
+    )
+    return true_top.join(est, true_top["o_custkey"] == est["key"]).select(
+        "o_custkey", "true_cnt", "est"
+    )
+
+
+@register(
+    "bloom_prefilter_customers",
+    oracle=f"""
+    WITH ck AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (SELECT DISTINCT
+               {_CMS_HASH.format(salt="i", key="k", mod=8192)} AS bit
+             FROM ck, LATERAL unnest([0, 1, 2, 3]) AS t(i)),
+    probe AS (SELECT c_custkey,
+                     {_CMS_HASH.format(salt="i", key="c_custkey", mod=8192)} AS bit
+              FROM customer, LATERAL unnest([0, 1, 2, 3]) AS t(i)),
+    hit AS (SELECT c_custkey, COUNT(b.bit) = 4 AS bloom_hit
+            FROM probe LEFT JOIN bits b USING (bit) GROUP BY c_custkey)
+    SELECT h.c_custkey, bloom_hit, (ck.k IS NOT NULL) AS has_orders
+    FROM hit h LEFT JOIN ck ON h.c_custkey = ck.k
+    """,
+)
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join prefilter (``sketches.bloom_build`` /
+    ``bloom_probe``): the distinct has-orders custkey set compressed to
+    ≤ 8192 set-bit rows, every customer membership-tested against the
+    broadcast bit table (no false negatives; false positives visible
+    as bloom_hit ∧ ¬has_orders). The semi-join-prefilter shape that at
+    100 TB skips the real join for the vast majority of non-members —
+    and, via the shared md5 hash family, exactly twinnable."""
+    from bearly_spark.operators.sketches import bloom_build, bloom_probe
+
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bloom = bloom_build(od, "o_custkey", m_bits=8192, k_hashes=4)
+    probed = bloom_probe(bloom, cust, "c_custkey", m_bits=8192, k_hashes=4)
+    actual = od.select(F.col("o_custkey").alias("k")).distinct()
+    return (
+        probed.join(actual, probed["key"] == actual["k"], "left")
+        .select(
+            F.col("key").alias("c_custkey"),
+            "bloom_hit",
+            F.col("k").isNotNull().alias("has_orders"),
+        )
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

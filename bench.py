@@ -165,6 +165,9 @@ HEADLINE = [
     # round 7: one-pass correlation matrix and top-N + others rollup
     "correlation_matrix_lineitem",
     "topn_types_brand",
+    # round 7: oracle-twinned probabilistic sketches (CMS + Bloom)
+    "cms_frequencies_orders",
+    "bloom_prefilter_customers",
 ]
 
 

@@ -1061,3 +1061,36 @@ def test_standardize_semantics(spark):
     assert got[1]["a_z"] == -1.0 and got[2]["a_z"] == 0.0 and got[3]["a_z"] == 1.0
     assert got[4]["a_z"] is None
     assert all(got[i]["c_z"] is None for i in (1, 2, 3, 4))
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are one-sided: est >= true always; with a
+    roomy sketch the planted heavy key estimates exactly."""
+    from bearly_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(k,) for k in ["hot"] * 50 + ["a", "b", "c"] * 5]
+    df = spark.createDataFrame(rows, "k string")
+    truth = {"hot": 50, "a": 5, "b": 5, "c": 5}
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+    # tiny sketch: collisions likely, but never an underestimate
+    tiny = cms_estimate(cms_build(df, "k", 2, 8), keys, "k", 2, 8)
+    for r in tiny.collect():
+        assert r["est"] >= truth[r["key"]]
+    # roomy sketch: exact for all
+    big = cms_estimate(cms_build(df, "k", 4, 4096), keys, "k", 4, 4096)
+    assert {r["key"]: r["est"] for r in big.collect()} == truth
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must hit; with a tiny filter non-members can
+    false-positive but never the reverse."""
+    from bearly_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k int")
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    bloom = bloom_build(members, "k", m_bits=256, k_hashes=3)
+    got = {r["key"]: r["bloom_hit"]
+           for r in bloom_probe(bloom, probes, "k", 256, 3).collect()}
+    assert all(got[i] for i in range(50))  # no false negatives
+    # sanity: the filter rejects at least something
+    assert not all(got[i] for i in range(50, 200))
