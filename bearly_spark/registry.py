@@ -7718,9 +7718,11 @@ _CMS_HASH = (
 )
 
 
-@register(
-    "cms_frequencies_orders",
-    oracle=f"""
+def _cms_freq_oracle() -> str:
+    """Shared by the inline-build and index-served CMS queries: counter
+    additivity means the union of per-batch deltas sums to exactly the
+    batch-built sketch, so both faces answer identically."""
+    return f"""
     WITH pairs AS (
       SELECT r, {_CMS_HASH.format(salt="r", key="o_custkey", mod=1024)} AS bucket
       FROM orders, LATERAL unnest([0, 1, 2, 3]) AS t(r)),
@@ -7734,8 +7736,10 @@ _CMS_HASH = (
     SELECT o_custkey, true_cnt, MIN(COALESCE(cnt, 0)) AS est
     FROM probe LEFT JOIN sk USING (r, bucket)
     GROUP BY o_custkey, true_cnt
-    """,
-)
+    """
+
+
+@register("cms_frequencies_orders", oracle=_cms_freq_oracle())
 def q_cms_frequencies(spark, sf_dir):
     """Count-min sketch frequencies (``sketches.cms_build`` /
     ``cms_estimate``): order counts per customer summarized into a
@@ -7800,6 +7804,40 @@ def q_bloom_prefilter(spark, sf_dir):
             "bloom_hit",
             F.col("k").isNotNull().alias("has_orders"),
         )
+    )
+
+
+@register("cms_index_query", oracle=_cms_freq_oracle())
+def q_cms_index_query(spark, sf_dir):
+    """CMS frequencies served from the MATERIALIZED at-ingest sketch
+    (``streaming.cms_index``): orders ingested as two batches (even /
+    odd orderkeys), each folding its Θ(d·w) delta into
+    ``sketch/batch=<id>``; the read side sums deltas — counter
+    additivity makes the streamed sketch EXACTLY the batch-built one,
+    so this shares ``cms_frequencies_orders``' oracle verbatim. The
+    index builds once under ``.scratch/`` and is reused across runs."""
+    from bearly_spark.operators.sketches import cms_estimate
+    from bearly_spark.streaming.cms_index import read_cms, upsert_cms_batch
+
+    od = load_table(spark, sf_dir, "orders")
+
+    def build(d: str) -> None:
+        upsert_cms_batch(od.filter(F.col("o_orderkey") % 2 == 0), 0, d, "o_custkey")
+        upsert_cms_batch(od.filter(F.col("o_orderkey") % 2 == 1), 1, d, "o_custkey")
+
+    index_dir = _scratch_index(sf_dir, "cms-index", "orders", build)
+    sketch = read_cms(spark, index_dir)
+    true_top = (
+        od.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    est = cms_estimate(
+        sketch, true_top.select("o_custkey"), "o_custkey", depth=4, width=1024
+    )
+    return true_top.join(est, true_top["o_custkey"] == est["key"]).select(
+        "o_custkey", "true_cnt", "est"
     )
 
 

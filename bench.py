@@ -165,9 +165,11 @@ HEADLINE = [
     # round 7: one-pass correlation matrix and top-N + others rollup
     "correlation_matrix_lineitem",
     "topn_types_brand",
-    # round 7: oracle-twinned probabilistic sketches (CMS + Bloom)
+    # round 7: oracle-twinned probabilistic sketches (CMS + Bloom),
+    # plus the at-ingest sketch index (scratch-built once, reused)
     "cms_frequencies_orders",
     "bloom_prefilter_customers",
+    "cms_index_query",
 ]
 
 

@@ -1635,3 +1635,64 @@ def test_streaming_attribution_equals_batch_and_replays(
         .collect()
     )
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
+def test_cms_ingest_stream_equals_batch_and_replay(spark, tmp_path, sf_dir):
+    """The streamed sketch (per-batch deltas summed) equals the
+    batch-built sketch exactly (counter additivity); replaying a batch
+    id overwrites its own partition (no double count); compaction
+    collapses history without changing the totals."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.sketches import cms_build
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.cms_index import (
+        compact_cms_index,
+        cms_ingest_stream,
+        read_cms,
+        upsert_cms_batch,
+    )
+
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    base = tmp_path / "cms"
+    src = base / "src"
+    src.mkdir(parents=True)
+    for i, part in enumerate(
+        (od.filter(F.col("o_custkey") % 3 == r) for r in range(3))
+    ):
+        part.coalesce(1).write.parquet(str(base / f"w{i}"))
+        f = next((base / f"w{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"{i}.parquet"))
+        shutil.rmtree(base / f"w{i}")
+
+    index_dir, ck = str(base / "idx"), str(base / "ck")
+    q = cms_ingest_stream(
+        spark.readStream.schema(od.schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        index_dir,
+        ck,
+        "o_custkey",
+    )
+    q.awaitTermination(300)
+
+    def totals(df):
+        return {(r["row"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    streamed = totals(read_cms(spark, index_dir))
+    batch = totals(cms_build(od, "o_custkey"))
+    assert streamed == batch
+
+    # replay batch 0 (same id, same data) -> identical store
+    b0 = od.filter(F.col("o_custkey") % 3 == 0)
+    upsert_cms_batch(b0, 0, index_dir, "o_custkey")
+    assert totals(read_cms(spark, index_dir)) == batch
+
+    # compact -> one partition, same totals
+    compact_cms_index(spark, index_dir)
+    from pathlib import Path
+
+    dirs = list((Path(index_dir) / "sketch").glob("batch=*"))
+    assert len(dirs) == 1
+    assert totals(read_cms(spark, index_dir)) == batch
