@@ -610,3 +610,49 @@ def correlation_matrix(
     return stats.select(F.explode(pairs).alias("p")).select(
         "p.col_a", "p.col_b", "p.n", "p.corr"
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection by the modified z-score
+    (Iglewicz–Hoaglin): ``rz = 0.6745·(x − median) / MAD`` with
+    MAD = median(|x − median|) — the breakdown-point-0.5 sibling of
+    the Tukey IQR fence (``iqr_outlier_report``) and the mean/std
+    z-score (``rolling_zscore``): a few extreme values cannot drag the
+    center OR the scale. Appends (robust_z 6dp, is_outlier at
+    |rz| > ``z_thresh``); NULL values and zero-MAD (≥ half the data
+    identical) report NULL; ``robust_z`` is the raw IEEE quotient
+    (un-rounded — see the in-code note).
+
+    Two exact-percentile cutpoint passes (the twin-proven rank-window
+    quantile_cont, 4dp) + a map-only score with both 1-row scalars
+    broadcast — the same shape as ``winsorize``, one extra pass for the
+    deviation median."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    med = exact_percentiles(nn, [], value_col, [0.5], names=["_med"])
+    v = F.col(value_col).cast("double")
+    dev = nn.crossJoin(F.broadcast(med)).select(
+        (F.abs(v - F.col("_med"))).alias("_dev")
+    )
+    mad = exact_percentiles(dev, [], "_dev", [0.5], names=["_mad"])
+    # raw IEEE quotient (the weighted_sample p_keep rule): products and
+    # quotients of decimal-derived doubles land on decimal rounding
+    # midpoints, where the engines' ROUND implementations diverge
+    rz = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
+    rz_ok = F.when(v.isNotNull() & (F.col("_mad") > 0), rz)
+    return (
+        df.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            *df.columns,
+            rz_ok.alias("robust_z"),
+            F.when(rz_ok.isNotNull(), F.abs(rz_ok) > F.lit(z_thresh)).alias(
+                "is_outlier"
+            ),
+        )
+    )

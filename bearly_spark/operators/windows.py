@@ -302,3 +302,51 @@ def ewma(
     return df.filter(F.col(value_col).isNotNull()).select(
         *df.columns, F.round(folded, 6).alias(f"{value_col}_ewma")
     )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    anchor: str = "1992-01-06",
+) -> DataFrame:
+    """Day-of-week seasonality profile of a daily series: per weekday
+    (0 = Monday, computed as days-since-a-known-Monday mod 7 — the one
+    weekday formula every engine evaluates identically, unlike the
+    1-vs-0-based dayofweek() zoo), the number of days, total value,
+    mean daily value, and the seasonal index = weekday mean / overall
+    daily mean (6dp) — the "are Mondays structurally slower" monitoring
+    primitive and the deseasonalization divisor.
+
+    Input must be day-granular with an exact (DECIMAL) value column so
+    the sums are order-independent; the index is then a fixed IEEE
+    ratio of two exact-sum averages. One Θ(days) aggregate + a 1-row
+    broadcast overall mean.
+
+    ``mean_value`` / ``seasonal_index`` are RAW IEEE quotients,
+    deliberately un-rounded: a DECIMAL total over a small integer count
+    lands exactly on decimal rounding midpoints often (10.01/8 =
+    1.25125 → 4dp midpoint), which is precisely where Spark
+    (shortest-decimal-repr half-up) and DuckDB (binary value) disagree
+    — identical divisions of identical doubles, by contrast, agree
+    bit-for-bit (the ``weighted_sample`` p_keep rule)."""
+    wd = ((F.datediff(F.col(date_col), F.lit(anchor).cast("date")) % 7) + 7) % 7
+    per = df.groupBy(wd.alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col(value_col)).alias("total"),
+    )
+    overall = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.col(value_col)).alias("_t")
+    )
+    mean_wd = F.col("total").cast("double") / F.col("n_days").cast("double")
+    mean_all = F.col("_t").cast("double") / F.col("_n").cast("double")
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            "weekday",
+            "n_days",
+            "total",
+            mean_wd.alias("mean_value"),
+            (mean_wd / mean_all).alias("seasonal_index"),
+        )
+    )

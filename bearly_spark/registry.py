@@ -7841,6 +7841,74 @@ def q_cms_index_query(spark, sf_dir):
     )
 
 
+@register(
+    "mad_outliers_lineitem",
+    oracle="""
+    WITH m AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+               FROM lineitem),
+    d AS (SELECT ROUND(quantile_cont(
+                   ABS(CAST(l_extendedprice AS DOUBLE) - med), 0.5), 4) AS mad
+          FROM lineitem, m WHERE l_extendedprice IS NOT NULL),
+    s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 CASE WHEN l_extendedprice IS NOT NULL AND mad > 0
+                      THEN 0.6745 * (CAST(l_extendedprice AS DOUBLE) - med) / mad
+                 END AS robust_z
+          FROM lineitem, m, d)
+    SELECT l_orderkey, l_linenumber, l_extendedprice, robust_z,
+           CASE WHEN robust_z IS NOT NULL THEN ABS(robust_z) > 3.5 END
+               AS is_outlier
+    FROM s
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Modified-z-score robust outliers (``quality.mad_outliers``,
+    Iglewicz–Hoaglin): |0.6745·(x−median)/MAD| > 3.5 — the
+    breakdown-0.5 member of the outlier-detection family beside the
+    Tukey IQR fence and the trailing mean/std z. Two twin-proven
+    rank-window percentile passes + a map-only raw-IEEE score."""
+    from bearly_spark.operators.quality import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return mad_outliers(li, "l_extendedprice", z_thresh=3.5)
+
+
+@register(
+    "seasonality_orders",
+    oracle="""
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(18,2)) AS revenue
+                   FROM orders GROUP BY 1),
+    per AS (SELECT CAST(((day - DATE '1992-01-06') % 7 + 7) % 7 AS INTEGER)
+                       AS weekday,
+                   COUNT(*) AS n_days, SUM(revenue) AS total
+            FROM daily GROUP BY 1),
+    o AS (SELECT COUNT(*) AS n, SUM(revenue) AS t FROM daily)
+    SELECT weekday, n_days, CAST(total AS DECIMAL(28,2)) AS total,
+           CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_value,
+           (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+               / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) AS seasonal_index
+    FROM per, o
+    """,
+)
+def q_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile (``windows.seasonality_profile``)
+    of daily order revenue: weekday = days-since-a-known-Monday mod 7
+    (the one weekday formula every engine computes identically), means
+    and seasonal index as raw IEEE quotients of exact DECIMAL sums."""
+    from bearly_spark.operators.windows import seasonality_profile
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    return seasonality_profile(daily, "day", "revenue")
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -170,6 +170,9 @@ HEADLINE = [
     "cms_frequencies_orders",
     "bloom_prefilter_customers",
     "cms_index_query",
+    # round 7: MAD robust outliers and weekday seasonality
+    "mad_outliers_lineitem",
+    "seasonality_orders",
 ]
 
 

@@ -60,6 +60,10 @@ CARTESIAN_ALLOWED = {
     # stats frame — same deliberate stream x 1 BNLJ
     "collocations_documents",
     "standardize_lineitem",
+    # MAD attaches the two 1-row cutpoint scalars; seasonality the
+    # 1-row overall mean — same shape
+    "mad_outliers_lineitem",
+    "seasonality_orders",
 }
 
 

@@ -943,3 +943,39 @@ def test_topn_with_others_rollup(spark):
     assert got["x"]["n_rows"] == 5 and got[None]["n_rows"] == 4
     assert got["other"]["n_rows"] == 6  # y + z + w
     assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_mad_outliers_robustness(spark):
+    """A planted extreme value flags while the bulk doesn't; the
+    median/MAD center cannot be dragged by the outlier itself; NULL
+    values report NULL."""
+    from bearly_spark.operators.quality import mad_outliers
+
+    vals = [float(v) for v in [10, 11, 12, 13, 14, 15, 16, 17, 18, 1000]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(99, None)], "id int, v double"
+    )
+    got = {r["id"]: r for r in mad_outliers(df, "v", 3.5).collect()}
+    assert got[9]["is_outlier"] is True          # the planted 1000
+    assert all(got[i]["is_outlier"] is False for i in range(9))
+    assert got[99]["robust_z"] is None and got[99]["is_outlier"] is None
+    # zero-MAD: constant bulk -> NULL verdicts, not division blowups
+    cdf = spark.createDataFrame([(i, 5.0) for i in range(10)], "id int, v double")
+    assert all(r["robust_z"] is None for r in mad_outliers(cdf, "v").collect())
+
+
+def test_seasonality_profile_weekday_math(spark):
+    """Weekday 0 = Monday via the anchor formula; indices average to 1
+    over a balanced two-week span."""
+    import datetime
+
+    from bearly_spark.operators.windows import seasonality_profile
+
+    start = datetime.date(2024, 1, 1)  # a Monday
+    rows = [(start + datetime.timedelta(days=i), float(100 + (i % 7))) for i in range(14)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = {r["weekday"]: r for r in seasonality_profile(df, "day", "v").collect()}
+    assert set(got) == set(range(7)) and all(got[w]["n_days"] == 2 for w in got)
+    assert got[0]["mean_value"] == 100.0  # Mondays carry i%7 == 0
+    s = sum(got[w]["seasonal_index"] for w in got)
+    assert abs(s - 7.0) < 1e-9
