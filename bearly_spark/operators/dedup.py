@@ -1297,8 +1297,7 @@ def entity_match_pairs(
     cheap Θ(n) shuffle. Skewed blocks remain the known hazard there
     (cap or sub-block on an extra key when a block explodes — the LSH
     bucket-cap discipline)."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = df.repartition(n_parts).alias("a")
+    a = _ensure_parallelism(df).alias("a")
     b = df.alias("b")
     cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -1423,3 +1422,47 @@ def containment_pairs(
     return v.filter(
         F.greatest("containment_a", "containment_b") >= F.lit(threshold)
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_cols: list[str],
+    rules: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Survivorship (golden-record merge): collapse each cluster of
+    matched records to ONE canonical row by per-field rules — the step
+    after entity resolution (block → score → cluster → MERGE) that
+    master-data pipelines ship. ``rules`` maps output column →
+    (source column, strategy):
+
+      - ``min`` / ``max``: extreme value (NULLs ignored);
+      - ``longest``: the longest non-null string, ties broken by the
+        smaller value — "most complete field wins", deterministically;
+      - ``first``: the value carried by the row with the smallest
+        ``order`` column... (not offered — pick explicitly); use
+        ``min``/``max`` on the id instead.
+
+    Every strategy compiles to a single aggregate expression (min /
+    max / min_by over a composite ordering struct), so the whole merge
+    is ONE groupBy on the cluster key — Θ(records) with mergeable
+    partials, no window, no second pass. Adds ``n_members``."""
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for out, (col, strategy) in rules.items():
+        c = F.col(col)
+        if strategy == "min":
+            aggs.append(F.min(c).alias(out))
+        elif strategy == "max":
+            aggs.append(F.max(c).alias(out))
+        elif strategy == "longest":
+            # min_by over (-length, value): longest wins, ties take the
+            # smaller value. NULL values get an explicit +inf sentinel
+            # length — min_by compares NULL struct FIELDS as smallest,
+            # which would otherwise crown the null row
+            ordk = F.struct(
+                F.coalesce(-F.length(c), F.lit(2147483647)).alias("l"),
+                c.alias("v"),
+            )
+            aggs.append(F.min_by(c, ordk).alias(out))
+        else:
+            raise ValueError(f"unknown survivorship strategy {strategy!r}")
+    return df.groupBy(*cluster_cols).agg(*aggs)

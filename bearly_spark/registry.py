@@ -7909,6 +7909,47 @@ def q_seasonality(spark, sf_dir):
     return seasonality_profile(daily, "day", "revenue")
 
 
+@register(
+    "golden_records_parts",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_size, p_name,
+             ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+                                ORDER BY length(p_name) DESC, p_name ASC) AS rn
+      FROM part WHERE p_name IS NOT NULL),
+    longest AS (SELECT p_brand, p_size, p_name AS golden_name
+                FROM ranked WHERE rn = 1),
+    agg AS (SELECT p_brand, p_size, COUNT(*) AS n_members,
+                   MIN(p_partkey) AS golden_partkey,
+                   MAX(p_retailprice) AS best_price
+            FROM part GROUP BY 1, 2)
+    SELECT agg.p_brand, agg.p_size, n_members, golden_partkey,
+           golden_name, best_price
+    FROM agg LEFT JOIN longest USING (p_brand, p_size)
+    """,
+)
+def q_golden_records(spark, sf_dir):
+    """Survivorship / golden-record merge (``dedup.golden_records``):
+    each (brand, size) cluster of part records collapses to one
+    canonical row — smallest key as the surviving id, LONGEST name
+    (most-complete-field-wins, ties to the smaller value), best price.
+    The master-data step after entity resolution: block → score →
+    cluster → MERGE. One groupBy, every rule a single aggregate
+    expression (min/max/min_by over a composite ordering struct)."""
+    from bearly_spark.operators.dedup import golden_records
+
+    pt = load_table(spark, sf_dir, "part")
+    return golden_records(
+        pt,
+        ["p_brand", "p_size"],
+        {
+            "golden_partkey": ("p_partkey", "min"),
+            "golden_name": ("p_name", "longest"),
+            "best_price": ("p_retailprice", "max"),
+        },
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -173,6 +173,8 @@ HEADLINE = [
     # round 7: MAD robust outliers and weekday seasonality
     "mad_outliers_lineitem",
     "seasonality_orders",
+    # round 7: golden-record survivorship (the ER merge step)
+    "golden_records_parts",
 ]
 
 

@@ -1094,3 +1094,32 @@ def test_bloom_no_false_negatives(spark):
     assert all(got[i] for i in range(50))  # no false negatives
     # sanity: the filter rejects at least something
     assert not all(got[i] for i in range(50, 200))
+
+
+def test_golden_records_survivorship(spark):
+    """Longest non-null wins with smaller-value ties; min/max rules;
+    NULL fields lose to any non-null."""
+    from bearly_spark.operators.dedup import golden_records
+
+    rows = [
+        (1, "c", "bob jones", 10.0),
+        (2, "c", "bob j", 30.0),
+        (3, "c", None, 20.0),
+        (4, "d", None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, cl string, name string, price double")
+    got = {r["cl"]: r for r in golden_records(
+        df, ["cl"],
+        {"gid": ("id", "min"), "gname": ("name", "longest"),
+         "gprice": ("price", "max")},
+    ).collect()}
+    c = got["c"]
+    assert (c["n_members"], c["gid"], c["gname"], c["gprice"]) == (3, 1, "bob jones", 30.0)
+    d = got["d"]
+    assert d["gname"] is None and d["gid"] == 4
+    # tie on length -> smaller value survives
+    df2 = spark.createDataFrame(
+        [(1, "c", "bbb"), (2, "c", "aaa")], "id int, cl string, name string"
+    )
+    g2 = golden_records(df2, ["cl"], {"gname": ("name", "longest")}).collect()[0]
+    assert g2["gname"] == "aaa"
