@@ -7950,6 +7950,91 @@ def q_golden_records(spark, sf_dir):
     )
 
 
+def _ppr_oracle(iterations: int = 3, k: int = 20) -> str:
+    """Twin of ``ppr_supplier_part``: personalized PageRank unrolled
+    (the ``_pagerank_oracle`` shape with the restart mass CASEd onto
+    the seed set). Rounding is ``floor(x·10ⁿ+0.5)/10ⁿ`` — identical
+    IEEE ops in both engines — because PPR's restart arithmetic lands
+    exactly on 10dp decimal midpoints where plain ROUND diverges
+    cross-engine."""
+    seed_case = (
+        "CASE WHEN n.node IN (SELECT node FROM seeds)"
+        " THEN (1.0 - 0.85) / (SELECT s FROM sc) ELSE 0.0 END"
+    )
+    prev = "r0"
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""it{i} AS (
+      SELECT n.node,
+             FLOOR(({seed_case}
+                    + 0.85 * COALESCE(c.sd, 0.0)) * 1e10 + 0.5) / 1e10 AS pr
+      FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+                 CAST(SUM(CAST(FLOOR(r.pr / d.deg * 1e12 + 0.5) / 1e12
+                               AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sd
+          FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) c ON c.node = n.node)"""
+        )
+        prev = f"it{i}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    seeds AS (SELECT DISTINCT l_suppkey * 2 AS node FROM lineitem
+              ORDER BY node LIMIT 5),
+    sc AS (SELECT COUNT(*) AS s FROM seeds),
+    r0 AS (SELECT node,
+                  CASE WHEN node IN (SELECT node FROM seeds)
+                       THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS pr
+           FROM nodes),
+    {its_sql},
+    t AS (SELECT node, pr AS rank,
+                 CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INTEGER) AS rk
+          FROM {prev})
+    SELECT node, rank, rk FROM t WHERE rk <= {k}
+    """
+
+
+@register("ppr_supplier_part", oracle=_ppr_oracle())
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (``graph.personalized_pagerank``) from the
+    5 smallest supplier nodes over the symmetrized supplier–part
+    bipartite graph: top-20 by seed-relative importance — the
+    related-items / trust-propagation primitive beside global
+    PageRank. Shares its determinism contract (12dp DECIMAL sums,
+    10dp damped updates) so the twin walks bit-identical vectors."""
+    from pyspark.sql import Window
+
+    from bearly_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.select((F.col("l_suppkey") * 2).alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    pr = personalized_pagerank(edges, seeds, iterations=3)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        pr.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 20)
+        .select("node", "rank", "rk")
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

@@ -175,6 +175,8 @@ HEADLINE = [
     "seasonality_orders",
     # round 7: golden-record survivorship (the ER merge step)
     "golden_records_parts",
+    # round 7: personalized PageRank (seed-restart centrality)
+    "ppr_supplier_part",
 ]
 
 

