@@ -656,3 +656,67 @@ def mad_outliers(
             ),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every row, ``k`` pseudo-random OTHER rows drawn by hash —
+    (anchor_id, neg_rank j, negative_id) pairs, the uniform-negative
+    baseline every contrastive/embedding pipeline starts from (hard
+    negatives are the ANN family's job). Draw j for anchor a is the
+    corpus row at position ``u52(md5(a:j)) mod N`` in ``id_col`` order,
+    bumped one slot (mod N) when it lands on the anchor itself — so
+    the sample is reproducible across runs/engines/partitionings,
+    collision-free with the anchor, and uniform over the corpus.
+
+    Scale shape: one global row_number over the corpus (Θ(n) sort —
+    at 100 TB swap in a precomputed dense id or zipWithIndex-style
+    rank; the CONTRACT is just "a stable 0..N-1 indexing"), a ×k
+    map-only explode of (anchor, position) probes, and ONE shuffle
+    join of probes against the indexed corpus on position."""
+    from pyspark.sql import Window
+
+    from bearly_spark.operators.sketches import _hash_mod
+
+    n = df.count()
+    indexed = df.select(
+        F.col(id_col).alias("_nid"),
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("_pos"),
+    )
+    # anchor position computed BEFORE the explode: a window expression
+    # sharing a projection with a generator is resolved AFTER the
+    # Generate, i.e. over the exploded rows — which silently breaks the
+    # self-collision bump (caught by the oracle: 4/1500 rows)
+    base = df.select(
+        F.col(id_col).alias("anchor_id"),
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("_apos"),
+    )
+    a = F.col("anchor_id")
+    probes = base.select(
+        "anchor_id",
+        "_apos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _hash_mod(a, j, n).alias("_rawpos"),
+                    )
+                    for j in range(1, k + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "anchor_id",
+        F.col("p.j").alias("neg_rank"),
+        F.when(F.col("p._rawpos") == F.col("_apos"), (F.col("p._rawpos") + 1) % n)
+        .otherwise(F.col("p._rawpos"))
+        .alias("_pos"),
+    )
+    return probes.join(indexed, "_pos").select(
+        "anchor_id", "neg_rank", F.col("_nid").alias("negative_id")
+    )

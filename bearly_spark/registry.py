@@ -8035,6 +8035,40 @@ def q_personalized_pagerank(spark, sf_dir):
     )
 
 
+@register(
+    "negative_samples_documents",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+    idx AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+            FROM documents),
+    probes AS (
+      SELECT d.doc_id AS anchor_id, j AS neg_rank, a.pos AS apos,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                  || CAST(d.doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                  % nn AS BIGINT) AS rawpos
+      FROM documents d JOIN idx a ON a.doc_id = d.doc_id,
+           LATERAL unnest([1, 2, 3]) AS t(j), n)
+    SELECT anchor_id, neg_rank, i.doc_id AS negative_id
+    FROM (SELECT anchor_id, neg_rank,
+                 CASE WHEN rawpos = apos THEN (rawpos + 1) % nn
+                      ELSE rawpos END AS pos
+          FROM probes, n) p
+    JOIN idx i USING (pos)
+    """,
+)
+def q_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling (``quality.negative_samples``):
+    3 hash-drawn uniform negatives per document — the reproducible
+    contrastive-training baseline (same pairs every run/engine/
+    partitioning; anchor-collisions bumped one slot). One stable
+    0..N−1 indexing + a ×k map-only probe explode + one position
+    join."""
+    from bearly_spark.operators.quality import negative_samples
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(d, "doc_id", k=3)
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

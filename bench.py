@@ -177,6 +177,8 @@ HEADLINE = [
     "golden_records_parts",
     # round 7: personalized PageRank (seed-restart centrality)
     "ppr_supplier_part",
+    # round 7: deterministic negative sampling
+    "negative_samples_documents",
 ]
 
 

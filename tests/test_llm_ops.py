@@ -1123,3 +1123,20 @@ def test_golden_records_survivorship(spark):
     )
     g2 = golden_records(df2, ["cl"], {"gname": ("name", "longest")}).collect()[0]
     assert g2["gname"] == "aaa"
+
+
+def test_negative_samples_contract(spark):
+    """Exactly k negatives per anchor, never the anchor itself, stable
+    across runs."""
+    from bearly_spark.operators.quality import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id int")
+    out = negative_samples(df, "doc_id", k=3).collect()
+    assert len(out) == 60
+    from collections import Counter
+
+    per = Counter(r["anchor_id"] for r in out)
+    assert all(per[i] == 3 for i in range(20))
+    assert all(r["negative_id"] != r["anchor_id"] for r in out)
+    again = negative_samples(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
