@@ -8109,7 +8109,7 @@ PREFIX_ORDER = [
     "grouping_sets_orders",
     "percentiles_lineitem",
     "bitmap_distinct_orders",
-    "stats_agg_lineitem",
+    "correlation_matrix_lineitem",  # r7 swap 2
     "winsorize_lineitem",  # r7 swap
     # windows / top-k (window_ignore_nulls_orders left in r3,
     # rank_ties_orders left in r6-late — running-total + window-group-
@@ -8146,7 +8146,7 @@ PREFIX_ORDER = [
     # scan-agg shape; it stays in the full gate)
     "lateral_topk_orders",
     "q4_order_priority_check",
-    "q18_large_volume_orders",
+    "cms_frequencies_orders",  # r7 swap 2
     # graph analytics (r6 late): degree-oriented triangle counting over
     # the part co-order projection — the graph-family driver rep
     # (pagerank_supplier_part is the same family, full gate)
@@ -8177,7 +8177,7 @@ PREFIX_ORDER = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "weighted_sample_documents",  # r7 swap
-    "dedup_components_jaccard",
+    "golden_records_parts",  # r7 swap 2
     "containment_pairs_documents",  # r7 swap
     # LLM-pipeline: similarity / retrieval / text / multimodal / dataset
     # ops (embedding_ann_lsh joined r3 — oracle-checked via inlined
