@@ -350,3 +350,57 @@ def seasonality_profile(
             (mean_wd / mean_all).alias("seasonal_index"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over (duration, event_observed)
+    subject rows — time-to-event analytics with CENSORING done right
+    (subjects still event-free at observation end reduce the risk set
+    without counting as events; dropping them biases every naive
+    "average time to X" metric). Output per distinct duration t,
+    ascending: (duration, n_events, n_censored, n_risk,
+    survival = Π_{t'≤t} (1 − d/n_risk)).
+
+    Determinism: the survival product folds the per-time factors in
+    ascending-duration order via the ordered collect_list +
+    higher-order ``aggregate`` Horner pattern proven by
+    :func:`ewma` — ONE fixed IEEE multiplication order the twin
+    replays with ``list_reduce`` — and is emitted RAW (un-rounded, the
+    ``weighted_sample`` midpoint rule: d/n quotients of small ints are
+    exactly where decimal re-rounding diverges).
+
+    Scale shape: one Θ(subjects) groupBy onto Θ(distinct durations)
+    rows, then a single global window over that (already tiny)
+    aggregate — the curve itself is axis-sized, never subject-sized."""
+    from pyspark.sql import Window
+
+    tt = df.groupBy(F.col(duration_col).cast("long").alias("duration")).agg(
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum(F.col(event_col).cast("int"))).cast("long").alias(
+            "n_censored"
+        ),
+        F.count(F.lit(1)).alias("_n_at"),
+    )
+    total = df.count()
+    w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    r = tt.withColumn(
+        "n_risk", F.lit(total) - F.coalesce(F.sum("_n_at").over(w_prev), F.lit(0))
+    )
+    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    s = r.withColumn("_fs", F.collect_list(factor).over(w_cum))
+    return s.select(
+        "duration",
+        "n_events",
+        "n_censored",
+        "n_risk",
+        F.aggregate(F.col("_fs"), F.lit(1.0), lambda acc, x: acc * x).alias(
+            "survival"
+        ),
+    )

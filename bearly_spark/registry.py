@@ -8069,6 +8069,78 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, "doc_id", k=3)
 
 
+@register(
+    "survival_repeat_orders",
+    oracle="""
+    WITH r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY CAST(o_orderdate AS DATE),
+                                                  o_orderkey) AS rn
+               FROM orders),
+    m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    fs AS (SELECT o_custkey, MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+                  MIN(CASE WHEN rn = 2 THEN d END) AS d2
+           FROM r WHERE rn <= 2 GROUP BY 1),
+    subj AS (SELECT CASE WHEN d2 IS NOT NULL THEN d2 - d1
+                         ELSE maxd - d1 END AS duration,
+                    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM fs, m),
+    tt AS (SELECT CAST(duration AS BIGINT) AS duration,
+                  CAST(SUM(ev) AS BIGINT) AS n_events,
+                  CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored,
+                  COUNT(*) AS n_at
+           FROM subj GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_at) AS BIGINT) AS total FROM tt),
+    r2 AS (SELECT *, COALESCE(SUM(n_at) OVER (ORDER BY duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS removed
+           FROM tt),
+    f AS (SELECT duration, n_events, n_censored,
+                 CAST(total - removed AS BIGINT) AS n_risk,
+                 1.0 - CAST(n_events AS DOUBLE)
+                       / CAST(total - removed AS DOUBLE) AS factor
+          FROM r2, n),
+    s AS (SELECT duration, n_events, n_censored, n_risk,
+                 list(factor) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+                     AS fcts
+          FROM f)
+    SELECT duration, n_events, n_censored, n_risk,
+           list_reduce(fcts, (a, b) -> a * b) AS survival
+    FROM s
+    """,
+)
+def q_survival_repeat(spark, sf_dir):
+    """Kaplan–Meier survival curve (``windows.kaplan_meier``) for
+    days-to-second-order: one-order customers enter CENSORED at the
+    corpus horizon (reducing the risk set without counting as events —
+    the bias a naive "average days to repeat" metric eats). Survival
+    is the ascending-duration Horner fold of (1 − d/n_risk) factors
+    (the ``ewma``/``list_reduce`` bit-exact product pattern), emitted
+    raw."""
+    from pyspark.sql import Window
+
+    from bearly_spark.operators.windows import kaplan_meier
+
+    od = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    r = od.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    fs = r.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, d)).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, d)).alias("d2"),
+    )
+    maxd = od.agg(F.max(d).alias("maxd"))
+    subj = fs.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("maxd", "d1"))
+        .alias("duration"),
+        F.col("d2").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "duration", "ev")
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

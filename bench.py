@@ -179,6 +179,8 @@ HEADLINE = [
     "ppr_supplier_part",
     # round 7: deterministic negative sampling
     "negative_samples_documents",
+    # round 7: Kaplan-Meier time-to-repeat survival
+    "survival_repeat_orders",
 ]
 
 

@@ -64,6 +64,8 @@ CARTESIAN_ALLOWED = {
     # 1-row overall mean — same shape
     "mad_outliers_lineitem",
     "seasonality_orders",
+    # Kaplan-Meier attaches the 1-row corpus horizon the same way
+    "survival_repeat_orders",
 }
 
 

@@ -1004,3 +1004,19 @@ def test_personalized_pagerank_seed_bias(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([(99,)], "node int"), iterations=1
         )
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Textbook KM: censoring shrinks the risk set without an event;
+    survival steps only at event times and hits 0 when the last
+    at-risk subject events."""
+    from bearly_spark.operators.windows import kaplan_meier
+
+    subj = spark.createDataFrame(
+        [(5, 1), (5, 1), (10, 0), (15, 1)], "duration int, ev int"
+    )
+    got = {r["duration"]: r for r in kaplan_meier(subj, "duration", "ev").collect()}
+    assert got[5]["n_risk"] == 4 and got[5]["n_events"] == 2
+    assert got[5]["survival"] == 0.5
+    assert got[10]["n_censored"] == 1 and got[10]["survival"] == 0.5
+    assert got[15]["n_risk"] == 1 and got[15]["survival"] == 0.0
