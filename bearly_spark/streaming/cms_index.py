@@ -105,3 +105,36 @@ def cms_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_bloom_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> None:
+    """Bloom-filter maintenance AT INGEST — the set-union sibling of
+    the CMS counter sum: each batch's set-bit table (≤ m rows) lands
+    under ``bloom/batch=<id>`` (dynamic partition overwrite →
+    replay-idempotent); the read-side DISTINCT over partitions IS the
+    batch-built filter because bit-OR, like counter addition, is
+    associative and idempotent."""
+    from bearly_spark.operators.sketches import bloom_build
+
+    delta = bloom_build(batch_df, key_col, m_bits, k_hashes).withColumn(
+        "batch", F.lit(int(batch_id))
+    )
+    (
+        delta.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{index_dir}/bloom")
+    )
+
+
+def read_bloom(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The current filter: distinct set bits across all batch deltas."""
+    return spark.read.parquet(f"{index_dir}/bloom").select("bit").distinct()

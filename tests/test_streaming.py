@@ -1696,3 +1696,34 @@ def test_cms_ingest_stream_equals_batch_and_replay(spark, tmp_path, sf_dir):
     dirs = list((Path(index_dir) / "sketch").glob("batch=*"))
     assert len(dirs) == 1
     assert totals(read_cms(spark, index_dir)) == batch
+
+
+def test_bloom_ingest_equals_batch_and_replay(spark, tmp_path, sf_dir):
+    """Union of per-batch bloom deltas equals the batch-built filter;
+    replaying a batch changes nothing; probes agree end-to-end."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.sketches import bloom_build, bloom_probe
+    from bearly_spark.sources.tables import load_table
+    from bearly_spark.streaming.cms_index import read_bloom, upsert_bloom_batch
+
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    idx = str(tmp_path / "bloomidx")
+    for r in range(3):
+        upsert_bloom_batch(od.filter(F.col("o_custkey") % 3 == r), r, idx, "o_custkey")
+    streamed = {r["bit"] for r in read_bloom(spark, idx).collect()}
+    batch = {r["bit"] for r in bloom_build(od, "o_custkey").collect()}
+    assert streamed == batch
+    upsert_bloom_batch(od.filter(F.col("o_custkey") % 3 == 0), 0, idx, "o_custkey")
+    assert {r["bit"] for r in read_bloom(spark, idx).collect()} == batch
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    via_index = {
+        (r["key"], r["bloom_hit"])
+        for r in bloom_probe(read_bloom(spark, idx), cust, "c_custkey").collect()
+    }
+    via_batch = {
+        (r["key"], r["bloom_hit"])
+        for r in bloom_probe(bloom_build(od, "o_custkey"), cust, "c_custkey").collect()
+    }
+    assert via_index == via_batch
