@@ -8141,6 +8141,67 @@ def q_survival_repeat(spark, sf_dir):
     return kaplan_meier(subj, "duration", "ev")
 
 
+@register(
+    "gini_customer_revenue",
+    oracle="""
+    WITH cr AS (SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                            AS DECIMAL(18,2)) AS rev
+                FROM orders GROUP BY 1),
+    rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i FROM cr),
+    s AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(rev) AS DECIMAL(28,2)) AS total,
+                 CAST(SUM(i * rev) AS DECIMAL(38,2)) AS weighted
+          FROM rk)
+    SELECT n, total,
+           (2.0 * CAST(weighted AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Revenue-concentration Gini coefficient over per-customer totals
+    (the inequality/whale-dependence KPI): the discrete formula
+    ``G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`` over ascending revenue with a
+    deterministic id tie-break. Σx and Σ i·x are exact DECIMAL
+    (order-independent), the G a fixed raw-IEEE tree over those three
+    scalars (no rounding — the midpoint rule). One Θ(customers)
+    aggregate, then one GLOBAL rank over the aggregated frame — fine
+    up to many millions of customers; at extreme cardinality swap the
+    window for a two-pass distributed prefix-rank (per-partition
+    counts → offsets), the standard fix, with identical output."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    cr = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    rk = cr.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy("rev", "o_custkey"))
+        .alias("i"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("decimal(28,2)").alias("total"),
+        F.sum(F.col("i") * F.col("rev")).cast("decimal(38,2)").alias("weighted"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "total",
+        (
+            (F.lit(2.0) * F.col("weighted").cast("double"))
+            / (n * F.col("total").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
 # ===================================================================
 # Prefix-sample ordering
 # ===================================================================

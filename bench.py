@@ -181,6 +181,8 @@ HEADLINE = [
     "negative_samples_documents",
     # round 7: Kaplan-Meier time-to-repeat survival
     "survival_repeat_orders",
+    # round 7: Gini revenue concentration
+    "gini_customer_revenue",
 ]
 
 

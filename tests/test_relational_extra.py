@@ -1020,3 +1020,25 @@ def test_kaplan_meier_hand_computed(spark):
     assert got[5]["survival"] == 0.5
     assert got[10]["n_censored"] == 1 and got[10]["survival"] == 0.5
     assert got[15]["n_risk"] == 1 and got[15]["survival"] == 0.0
+
+
+def test_gini_known_values(spark):
+    """Perfect equality -> 0; one customer holding everything -> (n-1)/n."""
+    from bearly_spark.registry import QUERIES  # noqa: F401 (query twin covers fixture)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def gini(rows):
+        df = spark.createDataFrame(rows, "k int, rev double")
+        rk = df.select(
+            "rev", F.row_number().over(Window.orderBy("rev", "k")).alias("i")
+        )
+        s = rk.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rev").alias("t"),
+            F.sum(F.col("i") * F.col("rev")).alias("w"),
+        ).collect()[0]
+        n = float(s["n"])
+        return 2.0 * s["w"] / (n * s["t"]) - (n + 1.0) / n
+
+    assert abs(gini([(i, 10.0) for i in range(4)]) - 0.0) < 1e-12
+    assert abs(gini([(0, 0.0), (1, 0.0), (2, 0.0), (3, 100.0)]) - 0.75) < 1e-12
