@@ -279,9 +279,17 @@ def ewma(
     Horner recurrence ``s ← s·(1-α)+x, w ← w·(1-α)+1`` and
     ``ewma = s/w`` — ONE fixed IEEE evaluation order that the DuckDB
     twin replays exactly via ``list_reduce`` (a weight-sum formulation
-    would leave summation order unspecified and drift in ulps). All
-    JVM-side: collect_list over the rows frame + a higher-order
-    ``aggregate``, no UDF; one shuffle on the key."""
+    would leave summation order unspecified and drift in ulps). The 6dp
+    rounding is the floor form ``floor(x·1e6+0.5)/1e6`` (values are
+    non-negative by the revenue contract; callers with signed series
+    should drop the rounding): plain ROUND diverges between Spark
+    (shortest-decimal half-up) and DuckDB (binary value,
+    version-dependent) when a quotient lands on a 6dp midpoint — the
+    exact failure observed on 1 of 8,623 rows in round 6 — while the
+    floor form is the same IEEE op sequence in both engines (the
+    ``personalized_pagerank`` pattern, graph.py). All JVM-side:
+    collect_list over the rows frame + a higher-order ``aggregate``,
+    no UDF; one shuffle on the key."""
     from pyspark.sql import Window
 
     decay = F.lit(1.0 - alpha)
@@ -300,7 +308,10 @@ def ewma(
         lambda acc: acc["s"] / acc["w"],
     )
     return df.filter(F.col(value_col).isNotNull()).select(
-        *df.columns, F.round(folded, 6).alias(f"{value_col}_ewma")
+        *df.columns,
+        (F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            f"{value_col}_ewma"
+        ),
     )
 
 

@@ -7460,7 +7460,8 @@ def q_containment_pairs(spark, sf_dir):
                      (PARTITION BY priority ORDER BY day
                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
           FROM d)
-    SELECT priority, day, revenue, ROUND(r[1] / r[2], 6) AS revenue_ewma
+    SELECT priority, day, revenue,
+           FLOOR(r[1] / r[2] * 1000000 + 0.5) / 1000000 AS revenue_ewma
     FROM (SELECT priority, day, revenue,
                  list_reduce(list_transform(arr, x -> [x, 1.0]),
                              (acc, e) -> [acc[1] * 0.7 + e[1],
@@ -7475,7 +7476,11 @@ def q_ewma_revenue(spark, sf_dir):
     DECIMAL; the frame array folds oldest→newest with the Horner
     recurrence ``s←s·0.7+x, w←w·0.7+1`` (ONE fixed IEEE evaluation
     order), which the twin replays exactly via ``list_reduce`` — a
-    weight-sum formulation would leave summation order unspecified."""
+    weight-sum formulation would leave summation order unspecified.
+    The 6dp rounding is the floor form ``floor(x·1e6+0.5)/1e6`` in
+    BOTH engines: plain ROUND hit a 6dp midpoint on 1 of 8,623 rows
+    in round 6 and hash-failed (Spark shortest-decimal half-up vs
+    DuckDB binary-value, version-dependent)."""
     from bearly_spark.operators.windows import ewma
 
     od = load_table(spark, sf_dir, "orders")

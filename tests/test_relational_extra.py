@@ -910,6 +910,23 @@ def test_ewma_hand_computed(spark):
     assert short == {1: 1.0, 2: round(5 / 3, 6), 3: round(10 / 3, 6)}
 
 
+def test_ewma_midpoint_rounding_pinned(spark):
+    """6dp rounding-midpoint pin (the round-6 driver failure class): a
+    single-row EWMA is the value itself, and 1.0000015 sits exactly on
+    a 6dp midpoint where Spark's plain ROUND (shortest-decimal half-up)
+    and DuckDB's (binary value, version-dependent) disagree. The floor
+    form ``floor(x*1e6+0.5)/1e6`` is the same IEEE op sequence in every
+    engine — pin that Spark emits exactly what Python/DuckDB compute."""
+    import math
+
+    from bearly_spark.operators.windows import ewma
+
+    v = 1.0000015
+    df = spark.createDataFrame([("k", 1, v)], "key string, t int, v double")
+    [row] = ewma(df, ["key"], "t", "v", 0.3, span=14).collect()
+    assert row["v_ewma"] == math.floor(v * 1e6 + 0.5) / 1e6 == 1.000002
+
+
 def test_correlation_matrix_semantics(spark):
     """Perfect positive/negative correlations hit ±1; constant columns
     report NULL; listwise deletion drops rows with any NULL."""
