@@ -16,6 +16,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import LongType
 
+from bearly_spark.operators.rounding import floor_round
+
 
 class NoSummableColumnsError(ValueError):
     """Raised when the input has no int64 columns.
@@ -139,7 +141,11 @@ def exact_percentiles(
         h = (F.col("_n") - 1) * F.lit(float(q))
         frac = h - F.floor(h)
         val = F.col(f"_lo_{name}") + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
-        out_cols.append(F.round(val, decimals).alias(name))
+        # floor-form rounding: interpolated quantiles of 2dp prices land
+        # EXACTLY on 4dp midpoints (e.g. (a+b)/2 with a,b one cent apart),
+        # where plain ROUND is engine-defined (round-7 midpoint audit);
+        # floor(x*10^d+0.5)/10^d is the same IEEE sequence in every engine.
+        out_cols.append(floor_round(val, decimals).alias(name))
     return agged.select(*out_cols)
 
 

@@ -1265,6 +1265,8 @@ def entity_match_pairs(
     fields: list[tuple[str, float, str]],
     match_threshold: float = 0.8,
     possible_threshold: float = 0.6,
+    max_block: int | None = 10_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Entity resolution (record linkage) by blocked pairwise scoring:
     candidate pairs from an equi-join on ``block_cols`` (the classic
@@ -1294,9 +1296,30 @@ def entity_match_pairs(
     evaluations onto one core — 73.6s; repartitioned, 2.4s). When both
     sides are too big to broadcast, Catalyst falls back to a
     shuffle-on-block-key join and the extra round-robin pass is one
-    cheap Θ(n) shuffle. Skewed blocks remain the known hazard there
-    (cap or sub-block on an extra key when a block explodes — the LSH
-    bucket-cap discipline)."""
+    cheap Θ(n) shuffle.
+
+    Mega-block guard (the LSH bucket-cap discipline, round-7 verdict
+    #7): a block larger than ``max_block`` contributes block² pairs —
+    one degenerate blocking key (empty string, 'UNKNOWN', a default
+    date) can single-handedly go quadratic. Records in blocks past the
+    cap are EXCLUDED from pair generation entirely (their pairs are a
+    recall trade, loudly reported, not silently slow); pass an
+    ``Observation`` and read ``dropped_buckets`` / ``dropped_ids`` /
+    ``max_bucket_size`` after the action to see cap pressure.
+    ``max_block=None`` disables the guard. The cap gate is one
+    Θ(blocks) aggregate + a semi-join — never a driver-side pass."""
+    if max_block is not None:
+        sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+        sizes = _observe_bucket_drops(
+            sizes, F.col("_bsz"), max_block, observation
+        )
+        keep = sizes.filter(F.col("_bsz") <= max_block).select(*block_cols)
+        d0, kk = df.alias("d0"), keep.alias("kk")
+        df = d0.join(
+            kk,
+            [F.col(f"d0.{c}").eqNullSafe(F.col(f"kk.{c}")) for c in block_cols],
+            "left_semi",
+        )
     a = _ensure_parallelism(df).alias("a")
     b = df.alias("b")
     cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in block_cols]

@@ -23,7 +23,10 @@ Determinism contract (what makes an ITERATIVE float algorithm
 hash-twinnable in DuckDB): per-edge contributions are rounded to 12dp
 and summed as DECIMAL(28,12) — order-independent — then the damped
 update is plain double arithmetic rounded to 10dp per iteration, so
-both engines walk bit-identical rank vectors. Every node must have at
+both engines walk bit-identical rank vectors. Both roundings use the
+floor form ``floor(x·10ⁿ+0.5)/10ⁿ`` (ranks are non-negative): rank
+quotients land within ulps of decimal midpoints on real fixtures
+(round-7 midpoint audit), where plain ROUND is engine-defined. Every node must have at
 least one out-edge (symmetric/bipartite edge lists guarantee it;
 dangling-mass redistribution is deliberately out of scope and
 documented rather than silently approximated).
@@ -50,9 +53,15 @@ def pagerank(
     # joins on src, so the (large) edge side never re-shuffles — only
     # the Θ(nodes) rank vector moves per iteration. deg derives from
     # the same partitioning (its groupBy needs no exchange).
+    # EXPLICIT partition count: count-less repartition("src") is a
+    # REPARTITION_BY_COL hint that AQE byte-coalesces to 1-2 tasks on
+    # MB-scale inputs, serializing every per-iteration contribution
+    # join (the measured LPA/BFS collapse, round 6); a user-specified
+    # count survives AQE.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition("src")
+        .repartition(n_parts, "src")
         .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
@@ -71,7 +80,10 @@ def pagerank(
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("deg"), 12)
+                (
+                    F.floor(F.col("rank") / F.col("deg") * F.lit(1e12) + F.lit(0.5))
+                    / F.lit(1e12)
+                )
                 .cast("decimal(28,12)")
                 .alias("w"),
             )
@@ -82,15 +94,14 @@ def pagerank(
         # its base rank and stay in the vector — grouping only the
         # contribution stream would silently drop it AND its out-edges
         # from every later iteration (review catch, round 6)
+        upd = F.lit(base) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
         ranks = (
             nodes.join(agg, "node", "left")
             .select(
                 "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
-                    10,
-                ).alias("rank"),
+                (F.floor(upd * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).alias(
+                    "rank"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -424,9 +435,11 @@ def personalized_pagerank(
     engines, so the twin matches bit-for-bit by construction (observed
     at sf0.01 with plain ROUND: 0.0011315211 vs 0.001131521). Nodes unreachable from the seeds report rank 0 — absence
     of relatedness is a value, not a missing row."""
+    # explicit partition count — same AQE-coalesce guard as pagerank
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition("src")
+        .repartition(n_parts, "src")
         .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()

@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from bearly_spark.operators.rounding import floor_round
+
 
 def expectations_report(
     df: DataFrame,
@@ -193,7 +195,7 @@ def drift_report(
         total = counted.agg(F.sum("_n").alias("_t"))
         return counted.crossJoin(F.broadcast(total)).select(
             "bucket",
-            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+            floor_round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
         )
 
     p = shares(before, "p_before")
@@ -204,17 +206,17 @@ def drift_report(
         F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
     )
     dp = F.col("q_after") - F.col("p_before")
+    # floor-form rounding throughout: |q-p|/2 over 6dp-rounded shares is
+    # a multiple of 5e-7, i.e. EXACTLY on a 6dp midpoint half the time
+    # (round-7 midpoint audit) — plain ROUND there is engine-defined.
     return joined.select(
         "bucket",
         "p_before",
         "q_after",
-        F.round(
-            F.when(F.col("p_before") > 0, dp * dp / F.col("p_before")).otherwise(
-                F.lit(None)
-            ),
-            6,
+        F.when(
+            F.col("p_before") > 0, floor_round(dp * dp / F.col("p_before"), 6)
         ).alias("chi2_term"),
-        F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+        floor_round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
     )
 
 
@@ -288,7 +290,7 @@ def drift_report_categorical(
         total = counted.agg(F.sum("_n").alias("_t"))
         return counted.crossJoin(F.broadcast(total)).select(
             "category",
-            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+            floor_round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
         )
 
     p = shares(before, "p_before")
@@ -299,17 +301,16 @@ def drift_report_categorical(
         F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
     )
     dp = F.col("q_after") - F.col("p_before")
+    # floor-form rounding: same midpoint exposure as drift_report (|q-p|/2
+    # over 6dp shares is a multiple of 5e-7 — exactly a 6dp midpoint).
     return joined.select(
         "category",
         "p_before",
         "q_after",
-        F.round(
-            F.when(F.col("p_before") > 0, dp * dp / F.col("p_before")).otherwise(
-                F.lit(None)
-            ),
-            6,
+        F.when(
+            F.col("p_before") > 0, floor_round(dp * dp / F.col("p_before"), 6)
         ).alias("chi2_term"),
-        F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+        floor_round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
     )
 
 
@@ -516,22 +517,33 @@ def standardize(
     df: DataFrame,
     cols: list[str],
     decimals: int = 6,
+    input_scale: int = 2,
 ) -> DataFrame:
     """Z-score standardization (feature prep): appends ``<col>_z`` =
     ``(x − mean) / std`` per listed column, the sibling of
     :func:`winsorize` in the feature-scaling family. NULL values yield
     NULL z.
 
-    Determinism contract (the ``rolling_zscore`` pattern): the stats
-    pass sums each column and its square as exact DECIMAL — order-
-    independent, so any partitioning/engine produces identical sums —
-    then mean and sample variance are ONE fixed IEEE tree over those
-    exact scalars: ``m = s/n``, ``var = (ss − n·m·m)/(n−1)``. The 1-row
-    stats frame attaches as a broadcast; the z itself is map-only.
-    Constant columns (var ≤ 0) yield NULL z (no scale, no verdict)."""
+    INPUT CONTRACT (the ``rolling_zscore`` pattern): every listed
+    column must be exactly representable at ``input_scale`` decimal
+    places with fewer than ``18 − input_scale`` integer digits —
+    currency/price columns at the default 2. Values are cast to
+    ``DECIMAL(18, input_scale)`` before summing, so inputs with MORE
+    fractional digits would be silently rounded and the z computed
+    against truncated data — widen ``input_scale`` for such columns
+    rather than passing raw high-precision doubles through the default.
+
+    Determinism contract: the stats pass sums each column and its
+    square as exact DECIMAL — order-independent, so any partitioning/
+    engine produces identical sums — then mean and sample variance are
+    ONE fixed IEEE tree over those exact scalars: ``m = s/n``,
+    ``var = (ss − n·m·m)/(n−1)``. The 1-row stats frame attaches as a
+    broadcast; the z itself is map-only. Constant columns (var ≤ 0)
+    yield NULL z (no scale, no verdict)."""
+    dec = f"decimal(18,{int(input_scale)})"
     aggs = []
     for c in cols:
-        v = F.col(c).cast("decimal(18,2)")
+        v = F.col(c).cast(dec)
         aggs += [
             F.count(F.col(c)).alias(f"_n_{c}"),
             F.sum(v).alias(f"_s_{c}"),
@@ -554,6 +566,7 @@ def correlation_matrix(
     df: DataFrame,
     cols: list[str],
     decimals: int = 6,
+    input_scale: int = 2,
 ) -> DataFrame:
     """Pearson correlation matrix over numeric columns in ONE aggregate
     pass — the EDA/feature-selection primitive. Returns
@@ -562,6 +575,13 @@ def correlation_matrix(
     first (listwise deletion — the standard correlation-matrix
     semantics, and the only one where every pair shares one n).
 
+    INPUT CONTRACT (shared with :func:`standardize`): every listed
+    column must be exactly representable at ``input_scale`` decimal
+    places with fewer than ``18 − input_scale`` integer digits; values
+    are cast to ``DECIMAL(18, input_scale)`` before summing, so
+    higher-precision inputs would be silently rounded — widen
+    ``input_scale`` for such columns.
+
     Determinism (the :func:`standardize` contract, pairwise-extended):
     Σx, Σx² and every Σxy are exact DECIMAL — order-independent under
     any partitioning — and each r is ONE fixed IEEE tree over those
@@ -569,18 +589,19 @@ def correlation_matrix(
     Zero-variance columns yield NULL r. The stats land in a 1-row frame;
     the per-pair rows are an array-explode of that single row (driver
     never loops)."""
+    dec = f"decimal(18,{int(input_scale)})"
     base = df
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        v = F.col(c).cast("decimal(18,2)")
+        v = F.col(c).cast(dec)
         aggs.append(F.sum(v).alias(f"_s_{c}"))
         aggs.append(F.sum(v * v).alias(f"_ss_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            va = F.col(a).cast("decimal(18,2)")
-            vb = F.col(b).cast("decimal(18,2)")
+            va = F.col(a).cast(dec)
+            vb = F.col(b).cast(dec)
             aggs.append(F.sum(va * vb).alias(f"_sp_{a}_{b}"))
     stats = base.agg(*aggs)
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from bearly_spark.operators.rounding import floor_round
+
 #: Tiny deterministic stopword lists used for language scoring. Shared with
 #: the DuckDB oracle SQL — do not edit one side without the other.
 STOPWORDS: dict[str, list[str]] = {
@@ -110,13 +112,18 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full per-document stat bundle (all JVM-side)."""
+    """Attach the full per-document stat bundle (all JVM-side).
+
+    The two ratio columns round with the cross-engine floor form
+    (``rounding.floor_round``): the quality score's weighted sum of
+    dyadic-ish ratios lands exactly on 6dp midpoints on real fixtures
+    (round-7 midpoint audit), where plain ROUND is engine-defined."""
     t = F.col(text_col)
     return (
         df.withColumn("n_tokens", token_count(t))
         .withColumn("n_bpe_tokens", bpe_token_count(t))
-        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
-        .withColumn("quality", F.round(quality_score(t), 6))
+        .withColumn("punct_ratio", floor_round(punct_ratio(t), 6))
+        .withColumn("quality", floor_round(quality_score(t), 6))
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
@@ -398,7 +405,13 @@ def bigram_logprob_scores(
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            F.round(
+            # floor-form rounding (rounding.floor_round): smoothed-count
+            # log quotients land within ulps of 12dp midpoints on real
+            # fixtures (round-7 midpoint audit, sf0.1), where plain
+            # ROUND is engine-defined. Log-probs are NEGATIVE, so the
+            # floor form is half-DOWN here — deterministic in both
+            # engines, which is the contract that matters.
+            floor_round(
                 F.log(
                     (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
                 ),
@@ -410,7 +423,9 @@ def bigram_logprob_scores(
     )
     return contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        floor_round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_logprob"
+        ),
     )
 
 

@@ -45,6 +45,7 @@ from bearly_spark.operators import dedup as D
 from bearly_spark.operators import maintenance as MT
 from bearly_spark.operators import multimodal as M
 from bearly_spark.operators import relational as R
+from bearly_spark.operators import rounding as _R
 from bearly_spark.operators import similarity as S
 from bearly_spark.operators import text as T
 from bearly_spark.operators import windows as W
@@ -319,7 +320,9 @@ def q_join_nation(spark, sf_dir):
 @register(
     "q3_shipping_priority",
     oracle="""
-    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -342,8 +345,22 @@ def q_q3(spark, sf_dir):
         R.join_broadcast(o, c, F.col("o_custkey") == F.col("c_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
+    # decimal(18,6) per row before SUM (the q7 pattern): a double SUM is
+    # summation-order-dependent and lands near 2dp midpoints on real
+    # fixtures (round-7 midpoint audit); the decimal aggregate is exact
+    # and order-independent, and ROUND over DECIMAL is exact half-up in
+    # both engines.
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
     return R.sort_limit(
         agg.select("l_orderkey", "revenue", "o_orderdate"),
@@ -1462,18 +1479,20 @@ def q_dedup_index_query(spark, sf_dir):
 # LLM-pipeline: text analysis
 # ===================================================================
 
-_PUNCT_SQL = (
-    "ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-    " / GREATEST(length(text), 1), 6)"
-)
+# punct_ratio / quality round with the cross-engine floor form: the
+# quality score's weighted ratio sum lands exactly on 6dp midpoints on
+# real fixtures (round-7 midpoint audit), where plain ROUND diverges
+# between Spark and DuckDB. Mirrors text.with_text_stats.
 _PUNCT_RAW_SQL = (
     "((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
     " / GREATEST(length(text), 1))"
 )
-_QUALITY_SQL = (
-    f"ROUND(0.4 * LEAST(1.0, len({_TOKS}) / 50.0)"
+_PUNCT_SQL = _R.floor_round_sql(_PUNCT_RAW_SQL, 6)
+_QUALITY_SQL = _R.floor_round_sql(
+    f"0.4 * LEAST(1.0, len({_TOKS}) / 50.0)"
     f" + 0.3 * (1.0 - {_PUNCT_RAW_SQL})"
-    f" + 0.3 * ({_STOP_HITS['en']} / GREATEST(len({_TOKS}), 1)), 6)"
+    f" + 0.3 * ({_STOP_HITS['en']} / GREATEST(len({_TOKS}), 1))",
+    6,
 )
 _FPRINT_SQL = (
     f"md5(array_to_string(list_sort(list_distinct([lower(t) for t in {_TOKS}])), ' '))"
@@ -1699,7 +1718,11 @@ def _bigram_lm_oracle(k: float = 0.5) -> str:
     """Exact DuckDB twin of ``text.bigram_logprob_scores``: bigram /
     context / vocab counts over the same tokenization, identical
     arithmetic shape, contributions rounded to 12dp and summed as
-    DECIMAL(28,12) (order-independent), mean rounded to 4dp."""
+    DECIMAL(28,12) (order-independent), mean rounded to 4dp. Both
+    roundings use the cross-engine floor form — smoothed-count log
+    quotients land within ulps of 12dp midpoints on real fixtures
+    (round-7 midpoint audit, sf0.1), where plain ROUND is
+    engine-defined."""
     return f"""
     WITH t AS (SELECT doc_id,
                       [lower(x) for x in string_split_regex(text, '\\s+') if x <> ''] AS toks
@@ -1714,11 +1737,13 @@ def _bigram_lm_oracle(k: float = 0.5) -> str:
     vocab AS (SELECT COUNT(DISTINCT w) AS v
               FROM (SELECT unnest(toks) AS w FROM t)),
     contrib AS (SELECT big.doc_id,
-                       CAST(ROUND(ln((c2.c2 + {k!r}) / (c1.c1 + {k!r} * vocab.v)), 12)
+                       CAST(FLOOR(ln((c2.c2 + {k!r}) / (c1.c1 + {k!r} * vocab.v))
+                                  * 1000000000000.0 + 0.5) / 1000000000000.0
                             AS DECIMAL(28,12)) AS lp
                 FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+           FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+               AS avg_logprob
     FROM contrib GROUP BY doc_id
     """
 
@@ -2224,9 +2249,9 @@ def q_json_scan(spark, sf_dir):
     "percentiles_lineitem",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+           FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+           FLOOR(quantile_cont(l_extendedprice, 0.50) * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -3370,7 +3395,8 @@ def q_q7(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3392,7 +3418,19 @@ def q_q10(spark, sf_dir):
         .join(li, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(na), na.n_nationkey == cu.c_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # decimal(18,6) per-row before SUM — the q7/q3 exactness pattern
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -3541,7 +3579,8 @@ def q_minmax_by(spark, sf_dir):
     "median_mode_orders",
     oracle="""
     WITH m AS (
-      SELECT o_orderpriority, ROUND(median(o_totalprice), 2) AS median_price,
+      SELECT o_orderpriority,
+             FLOOR(median(o_totalprice) * 100.0 + 0.5) / 100.0 AS median_price,
              COUNT(*) AS n_orders
       FROM orders GROUP BY o_orderpriority),
     c AS (
@@ -3557,10 +3596,13 @@ def q_minmax_by(spark, sf_dir):
 def q_median_mode(spark, sf_dir):
     """Exact median (built-in single-expression form) + deterministic mode
     (count-then-arg-min composition; ties broken by lowest value, unlike
-    the engine-arbitrary built-in MODE())."""
+    the engine-arbitrary built-in MODE()). The median rounds with the
+    floor form: an even-count median is the average of two 2dp prices,
+    which lands EXACTLY on a 2dp midpoint (round-7 midpoint audit),
+    where plain ROUND is engine-defined."""
     o = load_table(spark, sf_dir, "orders")
     med = o.groupBy("o_orderpriority").agg(
-        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        _R.floor_round(F.median("o_totalprice"), 2).alias("median_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
@@ -4150,18 +4192,23 @@ def q_binary_near_dup(spark, sf_dir):
 def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
     """Twin of ``pagerank_supplier_part``: the power iteration UNROLLED
     as one CTE per iteration. The determinism contract (12dp DECIMAL
-    contribution sums, 10dp damped update, base written as
-    ``(1.0 - 0.85) / n`` so both engines fold the same IEEE ops) makes
-    every intermediate rank vector bit-identical to Spark's."""
+    contribution sums, 10dp damped update — both in the floor form
+    ``floor(x·10ⁿ+0.5)/10ⁿ``, since plain ROUND is engine-defined at
+    the decimal midpoints rank quotients land on (round-7 midpoint
+    audit) — base written as ``(1.0 - 0.85) / n`` so both engines fold
+    the same IEEE ops) makes every intermediate rank vector
+    bit-identical to Spark's."""
     prev = "r0"
     its = []
     for i in range(1, iterations + 1):
         its.append(
             f"""it{i} AS (SELECT e.dst AS node,
-               ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                     + 0.85 * CAST(SUM(CAST(ROUND(r.pr / d.deg, 12)
-                                            AS DECIMAL(28,12))) AS DOUBLE),
-                     10) AS pr
+               FLOOR(((1.0 - 0.85) / (SELECT n FROM nn)
+                      + 0.85 * CAST(SUM(CAST(FLOOR(r.pr / d.deg
+                                                   * 1000000000000.0 + 0.5)
+                                             / 1000000000000.0
+                                             AS DECIMAL(28,12))) AS DOUBLE))
+                     * 10000000000.0 + 0.5) / 10000000000.0 AS pr
         FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
         GROUP BY e.dst)"""
         )
@@ -4338,13 +4385,13 @@ def q_histogram_prices(spark, sf_dir):
 @register(
     "histogram_depth_orders",
     oracle="""
-    WITH c AS (SELECT ROUND(quantile_cont(o_totalprice, 0.125), 4) AS c1,
-                      ROUND(quantile_cont(o_totalprice, 0.250), 4) AS c2,
-                      ROUND(quantile_cont(o_totalprice, 0.375), 4) AS c3,
-                      ROUND(quantile_cont(o_totalprice, 0.500), 4) AS c4,
-                      ROUND(quantile_cont(o_totalprice, 0.625), 4) AS c5,
-                      ROUND(quantile_cont(o_totalprice, 0.750), 4) AS c6,
-                      ROUND(quantile_cont(o_totalprice, 0.875), 4) AS c7
+    WITH c AS (SELECT FLOOR(quantile_cont(o_totalprice, 0.125) * 10000.0 + 0.5) / 10000.0 AS c1,
+                      FLOOR(quantile_cont(o_totalprice, 0.250) * 10000.0 + 0.5) / 10000.0 AS c2,
+                      FLOOR(quantile_cont(o_totalprice, 0.375) * 10000.0 + 0.5) / 10000.0 AS c3,
+                      FLOOR(quantile_cont(o_totalprice, 0.500) * 10000.0 + 0.5) / 10000.0 AS c4,
+                      FLOOR(quantile_cont(o_totalprice, 0.625) * 10000.0 + 0.5) / 10000.0 AS c5,
+                      FLOOR(quantile_cont(o_totalprice, 0.750) * 10000.0 + 0.5) / 10000.0 AS c6,
+                      FLOOR(quantile_cont(o_totalprice, 0.875) * 10000.0 + 0.5) / 10000.0 AS c7
                FROM orders)
     SELECT 1 + (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END)
              + (CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END)
@@ -4374,7 +4421,7 @@ def q_histogram_depth(spark, sf_dir):
     return equi_depth_histogram(od, "o_totalprice", buckets=8)
 
 
-def _coorder_edges(spark, sf_dir):
+def _build_coorder_edges(spark, sf_dir):
     """Part co-order edge list (two parts linked when some order
     contains both — the market-basket projection) shared by the graph
     family. The (order, part) projection is repartitioned with an
@@ -4395,6 +4442,25 @@ def _coorder_edges(spark, sf_dir):
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
     )
+
+
+def _coorder_edges(spark, sf_dir):
+    """The co-order edge list served from a ``.scratch/`` parquet built
+    ONCE per fixture (round-7 verdict #5): five graph queries
+    (triangles, pagerank, ppr, bfs, label propagation) share this edge
+    list, and each used to re-run the distinct + pair-expansion
+    self-join from lineitem — ~20% of the bench headline spent
+    rebuilding identical edges. Same mtime-keyed reuse as the
+    ANN/BM25/IVF-PQ index entries; a refreshed fixture invalidates.
+    Deterministic content (DISTINCT of a pure projection), so cached
+    vs inline is row-identical for the oracle gate."""
+    edge_dir = _scratch_index(
+        sf_dir,
+        "coorder-edges-v1",
+        "lineitem",
+        lambda d: _build_coorder_edges(spark, sf_dir).write.parquet(d),
+    )
+    return spark.read.parquet(edge_dir)
 
 
 
@@ -4645,7 +4711,11 @@ def q_sequence_pattern(spark, sf_dir):
 @register(
     "entity_match_parts",
     oracle="""
-    WITH p AS (
+    WITH bs AS (SELECT p_type, COUNT(*) AS bsz FROM part GROUP BY p_type),
+    ok AS (SELECT p.* FROM part p JOIN bs
+             ON bs.p_type IS NOT DISTINCT FROM p.p_type
+           WHERE bs.bsz <= 10000),
+    p AS (
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              COALESCE(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
                    / GREATEST(length(a.p_name), length(b.p_name), 1), 0.0) AS sim_p_name,
@@ -4653,7 +4723,7 @@ def q_sequence_pattern(spark, sf_dir):
                  AS sim_p_brand,
              COALESCE(GREATEST(0.0, 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
                    / 50.0), 0.0) AS sim_p_size
-      FROM part a JOIN part b
+      FROM ok a JOIN ok b
         ON a.p_type IS NOT DISTINCT FROM b.p_type AND a.p_partkey < b.p_partkey)
     SELECT id_a, id_b, sim_p_name, sim_p_brand, sim_p_size, score,
            CASE WHEN score >= 0.8 THEN 'match' ELSE 'possible' END AS tier
@@ -4668,7 +4738,10 @@ def q_entity_match(spark, sf_dir):
     name-Levenshtein + brand-exact + size-proximity score, tiered
     match/possible (Fellegi-Sunter shape). Each similarity is a fixed
     single-op IEEE tree over exact ints and the weighted sum adds in
-    field order, so the twin reproduces every 6dp score."""
+    field order, so the twin reproduces every 6dp score. The
+    mega-block cap (default 10k — no sf's p_type block comes near it)
+    is mirrored in the twin's block-size CTE, so the recall contract
+    stays oracle-checked at every scale."""
     pt = load_table(spark, sf_dir, "part")
     return D.entity_match_pairs(
         pt,
@@ -4727,7 +4800,12 @@ def q_attribution(spark, sf_dir):
       SELECT day, revenue,
              COUNT(revenue) OVER win AS prev_n,
              SUM(revenue) OVER win AS s,
-             SUM(revenue * revenue) OVER win AS ss
+             -- DECIMAL(19,2) widening forces int128 multiplication:
+             -- sf0.1 daily revenues (~1.6e7, 1.6e9 hundredths) square
+             -- past DuckDB's int64 DECIMAL(18) product path (round-7
+             -- midpoint-audit discovery — the unwidened form errors at
+             -- sf0.1); values are identical where both run
+             SUM(CAST(revenue AS DECIMAL(19,2)) * revenue) OVER win AS ss
       FROM daily
       WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
     sc AS (
@@ -4845,15 +4923,15 @@ def q_label_communities(spark, sf_dir):
                              AS BIGINT) AS r_days,
                         COUNT(*) AS f, ROUND(SUM(o_totalprice), 2) AS m
                  FROM orders GROUP BY o_custkey),
-    c AS (SELECT ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.25), 4) AS r1,
-                 ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.50), 4) AS r2,
-                 ROUND(quantile_cont(CAST(r_days AS DOUBLE), 0.75), 4) AS r3,
-                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.25), 4) AS f1,
-                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.50), 4) AS f2,
-                 ROUND(quantile_cont(CAST(f AS DOUBLE), 0.75), 4) AS f3,
-                 ROUND(quantile_cont(m, 0.25), 4) AS m1,
-                 ROUND(quantile_cont(m, 0.50), 4) AS m2,
-                 ROUND(quantile_cont(m, 0.75), 4) AS m3
+    c AS (SELECT FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.25) * 10000.0 + 0.5) / 10000.0 AS r1,
+                 FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS r2,
+                 FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.75) * 10000.0 + 0.5) / 10000.0 AS r3,
+                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.25) * 10000.0 + 0.5) / 10000.0 AS f1,
+                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS f2,
+                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.75) * 10000.0 + 0.5) / 10000.0 AS f3,
+                 FLOOR(quantile_cont(m, 0.25) * 10000.0 + 0.5) / 10000.0 AS m1,
+                 FLOOR(quantile_cont(m, 0.50) * 10000.0 + 0.5) / 10000.0 AS m2,
+                 FLOOR(quantile_cont(m, 0.75) * 10000.0 + 0.5) / 10000.0 AS m3
           FROM agg)
     SELECT o_custkey,
            1 + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
@@ -5020,15 +5098,15 @@ def q_decontaminate_embedding(spark, sf_dir):
     oracle="""
     WITH a AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
                            ELSE o_totalprice END AS v FROM orders),
-    c AS (SELECT ROUND(quantile_cont(o_totalprice, 0.1), 4) AS c1,
-                 ROUND(quantile_cont(o_totalprice, 0.2), 4) AS c2,
-                 ROUND(quantile_cont(o_totalprice, 0.3), 4) AS c3,
-                 ROUND(quantile_cont(o_totalprice, 0.4), 4) AS c4,
-                 ROUND(quantile_cont(o_totalprice, 0.5), 4) AS c5,
-                 ROUND(quantile_cont(o_totalprice, 0.6), 4) AS c6,
-                 ROUND(quantile_cont(o_totalprice, 0.7), 4) AS c7,
-                 ROUND(quantile_cont(o_totalprice, 0.8), 4) AS c8,
-                 ROUND(quantile_cont(o_totalprice, 0.9), 4) AS c9
+    c AS (SELECT FLOOR(quantile_cont(o_totalprice, 0.1) * 10000.0 + 0.5) / 10000.0 AS c1,
+                 FLOOR(quantile_cont(o_totalprice, 0.2) * 10000.0 + 0.5) / 10000.0 AS c2,
+                 FLOOR(quantile_cont(o_totalprice, 0.3) * 10000.0 + 0.5) / 10000.0 AS c3,
+                 FLOOR(quantile_cont(o_totalprice, 0.4) * 10000.0 + 0.5) / 10000.0 AS c4,
+                 FLOOR(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS c5,
+                 FLOOR(quantile_cont(o_totalprice, 0.6) * 10000.0 + 0.5) / 10000.0 AS c6,
+                 FLOOR(quantile_cont(o_totalprice, 0.7) * 10000.0 + 0.5) / 10000.0 AS c7,
+                 FLOOR(quantile_cont(o_totalprice, 0.8) * 10000.0 + 0.5) / 10000.0 AS c8,
+                 FLOOR(quantile_cont(o_totalprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS c9
           FROM orders),
     pb AS (SELECT 1 + (o_totalprice > c1)::INT + (o_totalprice > c2)::INT
                     + (o_totalprice > c3)::INT + (o_totalprice > c4)::INT
@@ -5041,19 +5119,23 @@ def q_decontaminate_embedding(spark, sf_dir):
                     + (v > c7)::INT + (v > c8)::INT + (v > c9)::INT AS bucket,
                   COUNT(*) AS n
            FROM a, c GROUP BY bucket),
-    ps AS (SELECT bucket, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb), 6)
-                  AS p_before FROM pb),
-    qsh AS (SELECT bucket, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb), 6)
-                   AS q_after FROM qb),
+    ps AS (SELECT bucket,
+                  FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb)
+                        * 1000000.0 + 0.5) / 1000000.0 AS p_before FROM pb),
+    qsh AS (SELECT bucket,
+                   FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb)
+                         * 1000000.0 + 0.5) / 1000000.0 AS q_after FROM qb),
     j AS (SELECT COALESCE(ps.bucket, qsh.bucket) AS bucket,
                  COALESCE(p_before, 0.0) AS p_before,
                  COALESCE(q_after, 0.0) AS q_after
           FROM ps FULL OUTER JOIN qsh ON ps.bucket = qsh.bucket)
     SELECT bucket, p_before, q_after,
-           ROUND(CASE WHEN p_before > 0
-                      THEN (q_after - p_before) * (q_after - p_before) / p_before
-                      END, 6) AS chi2_term,
-           ROUND(ABS(q_after - p_before) / 2.0, 6) AS tvd_term
+           CASE WHEN p_before > 0
+                THEN FLOOR((q_after - p_before) * (q_after - p_before) / p_before
+                           * 1000000.0 + 0.5) / 1000000.0
+                END AS chi2_term,
+           FLOOR(ABS(q_after - p_before) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+               AS tvd_term
     FROM j
     """,
 )
@@ -5084,8 +5166,8 @@ def q_drift_report(spark, sf_dir):
     "outliers_iqr_lineitem",
     oracle="""
     WITH q AS (SELECT l_returnflag,
-                      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
-                      ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+                      FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
+                      FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3
                FROM lineitem GROUP BY l_returnflag),
     f AS (SELECT l_returnflag, ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
                  ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence FROM q)
@@ -5155,19 +5237,23 @@ def q_table_checksum(spark, sf_dir):
                            ELSE o_orderpriority END AS category FROM orders),
     pb AS (SELECT o_orderpriority AS category, COUNT(*) AS n FROM orders GROUP BY 1),
     qb AS (SELECT category, COUNT(*) AS n FROM a GROUP BY 1),
-    ps AS (SELECT category, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb), 6)
-                  AS p_before FROM pb),
-    qsh AS (SELECT category, ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb), 6)
-                   AS q_after FROM qb),
+    ps AS (SELECT category,
+                  FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb)
+                        * 1000000.0 + 0.5) / 1000000.0 AS p_before FROM pb),
+    qsh AS (SELECT category,
+                   FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb)
+                         * 1000000.0 + 0.5) / 1000000.0 AS q_after FROM qb),
     j AS (SELECT COALESCE(ps.category, qsh.category) AS category,
                  COALESCE(p_before, 0.0) AS p_before,
                  COALESCE(q_after, 0.0) AS q_after
           FROM ps FULL OUTER JOIN qsh ON ps.category IS NOT DISTINCT FROM qsh.category)
     SELECT category, p_before, q_after,
-           ROUND(CASE WHEN p_before > 0
-                      THEN (q_after - p_before) * (q_after - p_before) / p_before
-                      END, 6) AS chi2_term,
-           ROUND(ABS(q_after - p_before) / 2.0, 6) AS tvd_term
+           CASE WHEN p_before > 0
+                THEN FLOOR((q_after - p_before) * (q_after - p_before) / p_before
+                           * 1000000.0 + 0.5) / 1000000.0
+                END AS chi2_term,
+           FLOOR(ABS(q_after - p_before) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+               AS tvd_term
     FROM j
     """,
 )
@@ -5194,8 +5280,8 @@ def q_drift_categorical(spark, sf_dir):
 @register(
     "winsorize_lineitem",
     oracle="""
-    WITH c AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
-                      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+    WITH c AS (SELECT FLOOR(quantile_cont(l_extendedprice, 0.01) * 10000.0 + 0.5) / 10000.0 AS lo,
+                      FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5) / 10000.0 AS hi
                FROM lineitem)
     SELECT l_orderkey, l_linenumber, l_extendedprice,
            LEAST(GREATEST(l_extendedprice, lo), hi) AS l_extendedprice_winsorized,
@@ -7849,10 +7935,10 @@ def q_cms_index_query(spark, sf_dir):
 @register(
     "mad_outliers_lineitem",
     oracle="""
-    WITH m AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+    WITH m AS (SELECT FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS med
                FROM lineitem),
-    d AS (SELECT ROUND(quantile_cont(
-                   ABS(CAST(l_extendedprice AS DOUBLE) - med), 0.5), 4) AS mad
+    d AS (SELECT FLOOR(quantile_cont(
+                   ABS(CAST(l_extendedprice AS DOUBLE) - med), 0.5) * 10000.0 + 0.5) / 10000.0 AS mad
           FROM lineitem, m WHERE l_extendedprice IS NOT NULL),
     s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
                  CASE WHEN l_extendedprice IS NOT NULL AND mad > 0
@@ -8247,24 +8333,28 @@ PREFIX_ORDER = [
     "grouping_sets_orders",
     "percentiles_lineitem",
     "bitmap_distinct_orders",
-    "correlation_matrix_lineitem",  # r7 swap 2
-    "winsorize_lineitem",  # r7 swap
-    # windows / top-k (window_ignore_nulls_orders left in r3,
-    # rank_ties_orders left in r6-late — running-total + window-group-
-    # limit keep the family; both stay in the full gate)
-    "window_running_total",
+    # stats family (r7: correlation_matrix + winsorize left the prefix
+    # driver-green; Gini — never driver-sampled — takes the stats slot,
+    # both stay in the full gate)
+    "gini_customer_revenue",  # r7 rotation
+    # windows / top-k (window_running_total left driver-green in r7;
+    # topk keeps ranking, ewma keeps frames; Kaplan–Meier survival —
+    # never driver-sampled — takes the slot)
+    "survival_repeat_orders",  # r7 rotation
     "topk_orders_per_customer",
-    # time-series repair (r6 late): per-key linear interpolation of
-    # NULL gaps — two ignore-nulls frames over one sort
-    "ewma_revenue_priority",  # r7 swap
+    # EWMA stays: round-6's one red row — its floor-form rounding fix
+    # needs a green driver row this round
+    "ewma_revenue_priority",
     # set ops (set_except_all_quantities left the prefix in r6 to seat
     # the table-maintenance family; the multiset variants stay
     # oracle-checked in the full gate)
     "set_intersect_custkeys",
-    # table maintenance (r6): copy-on-write MERGE end-to-end — scratch
-    # build, file-pruned rewrite, atomic swap, read-back aggregate
-    # (scd2_customer_history is the same family and rides the full gate)
-    "merge_upsert_orders",
+    # table maintenance (r7 rotation: merge_upsert_orders left the
+    # prefix driver-green; SCD2 history + snapshot diff — never
+    # driver-sampled — take the family's two slots; MERGE stays in the
+    # full gate)
+    "scd2_customer_history",  # r7 rotation
+    "table_diff_orders",  # r7 rotation
     # scalar function packs (string_funcs_part and json_extract_events
     # left the prefix in r6 — two reps keep the family; both stay in
     # the full gate)
@@ -8285,10 +8375,11 @@ PREFIX_ORDER = [
     "lateral_topk_orders",
     "q4_order_priority_check",
     "cms_frequencies_orders",  # r7 swap 2
-    # graph analytics (r6 late): degree-oriented triangle counting over
-    # the part co-order projection — the graph-family driver rep
-    # (pagerank_supplier_part is the same family, full gate)
-    "bfs_part_coorder",  # r7 swap
+    # graph analytics (r7 rotation: bfs_part_coorder left the prefix
+    # driver-green; label propagation — the family's heaviest rep,
+    # never driver-sampled — takes the slot; bfs/pagerank stay in the
+    # full gate)
+    "label_communities_parts",  # r7 rotation
     # ANN compression (r6): PQ codes scan + exact rerank — the bytes
     # lever complementing embedding_ann_lsh's pruning lever below —
     # and the persisted IVF-PQ index composing both levers
@@ -8312,11 +8403,18 @@ PREFIX_ORDER = [
     # slot of jaccard_pairs_sample, whose brute-force baseline stays
     # oracle-checked in the full gate)
     "dedup_exact_documents",
-    "dedup_simhash",
+    # near-dup (r7 rotation: dedup_simhash + containment_pairs left the
+    # prefix driver-green; minhash keeps the banded-LSH family; exact
+    # substring dedup and winnowing fingerprints — never driver-sampled
+    # — take the slots)
+    "substring_dup_spans_documents",  # r7 rotation
     "dedup_minhash_lsh",
-    "weighted_sample_documents",  # r7 swap
-    "golden_records_parts",  # r7 swap 2
-    "containment_pairs_documents",  # r7 swap
+    "weighted_sample_documents",
+    # entity resolution (r7 rotation: golden_records_parts left the
+    # prefix driver-green; the pair-match stage — never driver-sampled
+    # — takes the family slot)
+    "entity_match_parts",  # r7 rotation
+    "winnow_clusters_documents",  # r7 rotation
     # LLM-pipeline: similarity / retrieval / text / multimodal / dataset
     # ops (embedding_ann_lsh joined r3 — oracle-checked via inlined
     # planes; bm25_search_documents joined r4 as the lexical-retrieval

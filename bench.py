@@ -313,10 +313,15 @@ def main() -> None:
     timings = {k: min(v) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    # "samples" carries every raw per-pass measurement (pass order
-    # preserved) so cross-round drift can be attributed to shared-host
-    # noise vs code without re-running the bench (round-4 verdict #8);
-    # "queries"/"value" stay the best-of-3 headline.
+    # Stdout carries ONE compact JSON line — the driver captures a
+    # bounded tail of stdout, and round 6's line (with inline raw
+    # samples, ~8 KB+) was truncated mid-JSON, losing the round's
+    # headline entirely. Raw per-pass samples (for attributing
+    # cross-round drift to shared-host noise vs code, round-4 verdict
+    # #8) go to a side file instead.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_samples.json"), "w") as fh:
+        json.dump({"sf": sf, "samples": samples}, fh)
     print(
         json.dumps(
             {
@@ -324,7 +329,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "sf": sf,
             }
         )

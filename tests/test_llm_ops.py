@@ -906,6 +906,37 @@ def test_entity_match_pairs_planted(spark):
         D.entity_match_pairs(df, "id", ["type"], [("name", 1.0, "soundex")])
 
 
+def test_entity_match_mega_block_capped(spark):
+    """Planted mega-block (round-7 verdict #7): one degenerate blocking
+    key holding 40 records would contribute C(40,2)=780 pairs; with
+    ``max_block=10`` its records are excluded from pair generation
+    entirely (bounded output — only the healthy block's pairs emit) and
+    the Observation reports the drop loudly. max_block=None disables
+    the guard (the quadratic block comes back)."""
+    from pyspark.sql import Observation
+
+    mega = [(i, "widget", "UNKNOWN") for i in range(1, 41)]  # degenerate key
+    good = [(100, "acme corp", "T1"), (101, "acme corp", "T1")]
+    df = spark.createDataFrame(mega + good, ["id", "name", "type"])
+    fields = [("name", 1.0, "levenshtein")]
+
+    obs = Observation("er-cap")
+    pairs = D.entity_match_pairs(
+        df, "id", ["type"], fields, possible_threshold=0.5,
+        max_block=10, observation=obs,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+    got = obs.get
+    assert got["dropped_buckets"] == 1
+    assert got["dropped_ids"] == 40
+    assert got["max_bucket_size"] == 40
+
+    uncapped = D.entity_match_pairs(
+        df, "id", ["type"], fields, possible_threshold=0.5, max_block=None,
+    ).count()
+    assert uncapped == 780 + 1  # the mega-block's C(40,2) + the good pair
+
+
 def test_cluster_aware_split_no_straddle(spark, sf_dir):
     """Every near-dup cluster lands wholly in one split (the leakage
     invariant a per-doc hash split violates), and the registry query's
