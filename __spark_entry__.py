@@ -43,7 +43,8 @@ def oracle_sql() -> dict[str, str]:
     winnowing fingerprint twin re-computes the rolling hash in HUGEINT
     arithmetic. Round 5 added the IVF twin (the seeded k-means fit runs
     HERE, lazily, and its centroids are inlined as SQL literals — see
-    registry._ivf_oracle). Keys still absent are non-SQL-expressible by
+    registry.similarity_q._ivf_oracle). Keys still absent are
+    non-SQL-expressible by
     design — engine-specific sketch bytes (HLL, approx-percentile) —
     and take the driver's rows-only check; their semantics are pinned
     by planted-fixture tests in tests/ instead.

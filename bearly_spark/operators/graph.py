@@ -109,7 +109,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
     third classic graph primitive beside components (clustering face)
@@ -142,7 +145,7 @@ def triangle_counts(
     same result set by symmetry, simpler SQL, and its worst case only
     bites at scales the oracle never runs at.
     """
-    canon = _canonical_edges(edges, src_col, dst_col)
+    canon = _canonical_edges(edges, src_col, dst_col, canonical)
     deg = _degrees(canon)
     tri = _triangles(canon, deg)
     return (
@@ -152,10 +155,20 @@ def triangle_counts(
     )
 
 
-def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+def _canonical_edges(
+    edges: DataFrame, src_col: str, dst_col: str, canonical: bool = False
+) -> DataFrame:
     """Undirected edge canonicalization shared by the triangle kernel
     and :func:`local_clustering`: ``u < v`` DISTINCT, self-loops
-    dropped — dirty input (dups / reversed / loops) tolerated."""
+    dropped — dirty input (dups / reversed / loops) tolerated.
+
+    ``canonical=True`` is the caller's guarantee that the input already
+    satisfies all three invariants (each undirected edge exactly once,
+    as ``src < dst``, no self-loops — e.g. a cached co-occurrence edge
+    list built that way); it skips the dropDuplicates, which is a full
+    Θ(|E|) shuffle that would otherwise re-run per consuming query."""
+    if canonical:
+        return edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     return (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -213,7 +226,10 @@ def _triangles(canon: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def local_clustering(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Local clustering coefficient per node over an undirected edge
     list: ``2·triangles / (deg·(deg−1))`` — how close each node's
@@ -224,7 +240,7 @@ def local_clustering(
     deg ≥ 2 guard). Same canonicalization and scale shape as
     triangle_counts (one extra wordcount-shaped degree pass + one
     node-keyed left join); coeff rounded to 6dp for engine parity."""
-    canon = _canonical_edges(edges, src_col, dst_col)
+    canon = _canonical_edges(edges, src_col, dst_col, canonical)
     deg = _degrees(canon)
     tri = (
         _triangles(canon, deg)
@@ -255,6 +271,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 4,
+    canonical: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation: labels
     start as node ids; each round every node adopts the most frequent
@@ -271,10 +288,8 @@ def label_propagation(
     Scale shape: per round one hash-join of the symmetric edge list
     (pinned partitioned on the neighbor key, so it never re-shuffles)
     against the Θ(nodes) label vector + one (node,label) count + one
-    per-node arg-max window; labels localCheckpoint each round
-    (same lineage discipline as ``connected_components``)."""
-    from pyspark.sql import Window
-
+    per-node arg-max hash agg (max_by, no sort); labels localCheckpoint
+    each round (same lineage discipline as ``connected_components``)."""
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
@@ -287,10 +302,16 @@ def label_propagation(
     # canonicalize BEFORE mirroring: distinct on the |E| canonical list,
     # then a shuffle-free union with the flipped copy (disjoint by
     # construction except self-loops, excluded from the flip) — the
-    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing
-    ee = e.select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing.
+    # canonical=True (caller guarantees u<v exactly-once, no loops —
+    # e.g. the cached co-order list) skips the Θ(|E|) distinct shuffle.
+    ee = (
+        e
+        if canonical
+        else e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )
     sym = (
         ee.union(
             ee.where(F.col("u") != F.col("v")).select(
@@ -304,15 +325,14 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     try:
         for _ in range(rounds):
             # explicit node-keyed repartition: HashPartitioning(node)
-            # satisfies the (node, label) grouping AND the argmax
-            # window's distribution, so the round costs ONE pinned
-            # 32-way shuffle — without it AQE coalesces the count
-            # shuffle to a single task that sorts ~|edges| rows
-            # (measured sf0.1: rounds 3.5s -> ~1s)
+            # satisfies the (node, label) grouping AND the per-node
+            # argmax agg, so the round costs ONE pinned 32-way shuffle
+            # — without it AQE coalesces the count shuffle to a single
+            # task that sorts ~|edges| rows (measured sf0.1: rounds
+            # 3.5s -> ~1s)
             nb = (
                 sym.join(labels, sym["v"] == labels["node"])
                 .select(F.col("u").alias("node"), "label")
@@ -320,10 +340,19 @@ def label_propagation(
                 .groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
+            # argmax as a hash agg, not a sort window: max_by over the
+            # (count, -label) struct = most-frequent label, min-label
+            # ties — (c, -label) is unique per node (labels are distinct
+            # after the groupBy), so the result is fully deterministic
+            # and the per-round partition sort disappears from the plan
             labels = (
-                nb.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("node", "label")
+                nb.groupBy("node")
+                .agg(
+                    F.max_by(
+                        "label",
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                    ).alias("label")
+                )
                 .localCheckpoint(eager=True)
             )
         return labels.select("node", F.col("label").alias("community"))
@@ -337,6 +366,7 @@ def bfs_levels(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 3,
+    canonical: bool = False,
 ) -> DataFrame:
     """Multi-source BFS shortest-path levels: hop distance from a seed
     set (a one-column ``node`` frame) over the undirected edge list,
@@ -365,10 +395,16 @@ def bfs_levels(
     # canonicalize BEFORE mirroring: distinct on the |E| canonical list,
     # then a shuffle-free union with the flipped copy (disjoint by
     # construction except self-loops, excluded from the flip) — the
-    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing
-    ee = e.select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    # naive mirror-then-distinct re-shuffles 2|E| rows for nothing.
+    # canonical=True (caller guarantees u<v exactly-once, no loops —
+    # e.g. the cached co-order list) skips the Θ(|E|) distinct shuffle.
+    ee = (
+        e
+        if canonical
+        else e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )
     sym = (
         ee.union(
             ee.where(F.col("u") != F.col("v")).select(

@@ -1,0 +1,212 @@
+"""Query registry: the (queries, oracle_sql) driver contract surface.
+
+Every operator family from SURVEY §2 (and the LLM-pipeline extensions of
+§2.3) is represented by at least one named query. Each entry is a callable
+``(spark, sf_dir) -> DataFrame``; where the semantics are SQL-expressible
+the matching DuckDB oracle SQL lives in ``ORACLE`` with **identical column
+aliases** (the driver sorts columns by name before hashing values).
+
+Determinism rules applied throughout (so Spark and DuckDB hash-match):
+- every float aggregate is ROUND()ed (2dp for money sums, 4-6dp for
+  ratios/similarities) — kills last-ulp differences from summation order;
+- high-group-count money sums additionally cast each row to
+  decimal(18,6) BEFORE the SUM (exact, order-independent): with
+  thousands of output groups, double summation-order noise lands ON the
+  rounding boundary for a handful of groups (observed 15/4188 in q7);
+- every LIMIT is preceded by a total order including a unique key;
+- rankings order by (rounded value, unique id) so ties break identically;
+- event-time math is integer arithmetic on epoch seconds derived from the
+  stored int64 nanos (exact in both engines; no float epoch conversion).
+
+Queries with no oracle entry get the driver's weaker rows-only check and
+are instead pinned by planted-fixture tests in tests/. Round 4 shrank
+that set to the genuinely non-SQL-expressible: sketch bytes (HLL,
+approx-percentile) and IVF's seeded k-means fit. The hyperplane-LSH
+family and winnowing were converted in round 3 (deterministic constants
+— float64 plane matrix, rolling-hash powers — inlined into the DuckDB
+SQL; see _ann_lsh_oracle/_near_dup_oracle/_winnow_oracle); the entire
+minhash/simhash family followed in round 4 by switching their token
+hash to an md5-derived 64-bit value both engines compute and the band
+bucket key to md5 over the signature slice (see _minhash_graph_ctes/
+_simhash_oracle — the 64-permutation signature is rebuilt in SQL with
+32-bit-split mulmod arithmetic).
+"""
+
+from __future__ import annotations
+
+from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+
+# Family modules register their queries at import time. PREFIX_ORDER
+# below then reorders QUERIES so the driver's first-50 sample hits one
+# representative of every family regardless of module import order.
+from bearly_spark.registry import _shared  # noqa: F401,E402
+from bearly_spark.registry import reference_q  # noqa: F401,E402
+from bearly_spark.registry import scans_q  # noqa: F401,E402
+from bearly_spark.registry import relational_q  # noqa: F401,E402
+from bearly_spark.registry import aggregates_q  # noqa: F401,E402
+from bearly_spark.registry import windows_q  # noqa: F401,E402
+from bearly_spark.registry import sql_surface_q  # noqa: F401,E402
+from bearly_spark.registry import python_ext_q  # noqa: F401,E402
+from bearly_spark.registry import streaming_q  # noqa: F401,E402
+from bearly_spark.registry import tpch_q  # noqa: F401,E402
+from bearly_spark.registry import dedup_q  # noqa: F401,E402
+from bearly_spark.registry import similarity_q  # noqa: F401,E402
+from bearly_spark.registry import text_q  # noqa: F401,E402
+from bearly_spark.registry import curation_q  # noqa: F401,E402
+from bearly_spark.registry import multimodal_q  # noqa: F401,E402
+from bearly_spark.registry import graph_q  # noqa: F401,E402
+from bearly_spark.registry import stats_q  # noqa: F401,E402
+from bearly_spark.registry import maintenance_q  # noqa: F401,E402
+
+
+
+# ===================================================================
+# Prefix-sample ordering
+# ===================================================================
+#
+# ``PREFIX_ORDER`` is the PUBLIC, explicit family-coverage ordering: the
+# first 50 names carry one representative of EVERY operator family from
+# SURVEY §2 (reference parity, each scan format, each
+# join/agg/window/setop/scalar family, subqueries, streaming twins,
+# UDF/UDAF/UDTF/cogroup, every dedup algorithm, similarity, text,
+# multimodal, dataset ops). Consumers that want family-first iteration
+# (e.g. a harness that samples only the first N queries — the driver's
+# round-1 correctness run recorded exactly the first 50 registrations)
+# should iterate this list. Because the driver harness iterates the
+# ``QUERIES`` dict directly and cannot be pointed at a list, the dict is
+# ALSO reordered at import time to match (representatives first, then
+# remaining queries in registration order) — that reordering is a
+# driver-contract shim, and this list is the source of truth for it.
+
+PREFIX_ORDER = [
+    # reference parity
+    "sum_lineitem_int64",
+    "produce_array",
+    "produce_stream",
+    "sum_produce_stream",
+    # scan formats
+    "csv_scan_nation",
+    "json_scan_orders",
+    "orc_scan_supplier",
+    # relational core
+    "filter_project_lineitem",
+    "q1_pricing_summary",
+    "q7_nation_volume",
+    "asof_join_orders_events",
+    "range_join_purchase_follow",
+    # aggregation families (approx_count_distinct_orders left the prefix
+    # in r3: rows-only by nature — bitmap_distinct_orders carries the
+    # distinct-counting family with an exact oracle instead)
+    "grouping_sets_orders",
+    "percentiles_lineitem",
+    "bitmap_distinct_orders",
+    # stats family (r7: correlation_matrix + winsorize left the prefix
+    # driver-green; Gini — never driver-sampled — takes the stats slot,
+    # both stay in the full gate)
+    "gini_customer_revenue",  # r7 rotation
+    # windows / top-k (window_running_total left driver-green in r7;
+    # topk keeps ranking, ewma keeps frames; Kaplan–Meier survival —
+    # never driver-sampled — takes the slot)
+    "survival_repeat_orders",  # r7 rotation
+    "topk_orders_per_customer",
+    # EWMA stays: round-6's one red row — its floor-form rounding fix
+    # needs a green driver row this round
+    "ewma_revenue_priority",
+    # set ops (set_except_all_quantities left the prefix in r6 to seat
+    # the table-maintenance family; the multiset variants stay
+    # oracle-checked in the full gate)
+    "set_intersect_custkeys",
+    # table maintenance (r7 rotation: merge_upsert_orders left the
+    # prefix driver-green; SCD2 history + snapshot diff — never
+    # driver-sampled — take the family's two slots; MERGE stays in the
+    # full gate)
+    "scd2_customer_history",  # r7 rotation
+    "table_diff_orders",  # r7 rotation
+    # scalar function packs (string_funcs_part and json_extract_events
+    # left the prefix in r6 — two reps keep the family; both stay in
+    # the full gate)
+    "date_funcs_orders",
+    "variant_events_props",
+    # data-quality expectations (r6): the per-batch validation gate
+    "dq_expectations_orders",
+    # multimodal dedup (r6): block-hash near-dup over binary payloads —
+    # the binary-column counterpart of the MinHash family
+    "binary_near_dup_documents",
+    # subqueries / decorrelation / classic TPC-H shapes
+    # (q19_disjunctive_revenue left the prefix in r6 — five shape reps
+    # keep the family; it stays in the full gate)
+    # (subquery_above_avg_orders left the prefix in r6 — lateral + q4
+    # keep the decorrelation family; it stays in the full gate)
+    # (q6_forecast_revenue left the prefix in r6-late — q1 keeps the
+    # scan-agg shape; it stays in the full gate)
+    "lateral_topk_orders",
+    "q4_order_priority_check",
+    "cms_frequencies_orders",  # r7 swap 2
+    # graph analytics (r7 rotation: bfs_part_coorder left the prefix
+    # driver-green; label propagation — the family's heaviest rep,
+    # never driver-sampled — takes the slot; bfs/pagerank stay in the
+    # full gate)
+    "label_communities_parts",  # r7 rotation
+    # ANN compression (r6): PQ codes scan + exact rerank — the bytes
+    # lever complementing embedding_ann_lsh's pruning lever below —
+    # and the persisted IVF-PQ index composing both levers
+    "embedding_ann_pq",
+    "ivfpq_index_query",
+    # streaming batch twins
+    "events_tumbling_hourly",
+    "events_sessionization",
+    # python extension points
+    # (cogroup_user_behavior left the prefix in r6 — three reps keep
+    # the python-extension family; it stays in the full gate)
+    # (udaf_weighted_avg_price left the prefix in r6-late — two reps
+    # keep the python-extension family; it stays in the full gate)
+    "pandas_udf_charge",
+    "udtf_tokenize_docs",
+    # product analytics (r6 late): per-user Markov transition matrix
+    "event_transitions",
+    # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
+    # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
+    # token hash made its full pipeline DuckDB-recomputable — taking the
+    # slot of jaccard_pairs_sample, whose brute-force baseline stays
+    # oracle-checked in the full gate)
+    "dedup_exact_documents",
+    # near-dup (r7 rotation: dedup_simhash + containment_pairs left the
+    # prefix driver-green; minhash keeps the banded-LSH family; exact
+    # substring dedup and winnowing fingerprints — never driver-sampled
+    # — take the slots)
+    "substring_dup_spans_documents",  # r7 rotation
+    "dedup_minhash_lsh",
+    "weighted_sample_documents",
+    # entity resolution (r7 rotation: golden_records_parts left the
+    # prefix driver-green; the pair-match stage — never driver-sampled
+    # — takes the family slot)
+    "entity_match_parts",  # r7 rotation
+    "winnow_clusters_documents",  # r7 rotation
+    # LLM-pipeline: similarity / retrieval / text / multimodal / dataset
+    # ops (embedding_ann_lsh joined r3 — oracle-checked via inlined
+    # planes; bm25_search_documents joined r4 as the lexical-retrieval
+    # family rep, taking the slot of embedding_topk_cosine, which remains
+    # the ANN exactness oracle in the full gate)
+    "bm25_search_documents",
+    # persisted-inverted-index retrieval (r6): same twin, index path
+    "bm25_index_search_documents",
+    "embedding_ann_lsh",
+    "text_stats_documents",
+    "multimodal_decode_features",
+    "collocations_documents",  # r7 swap
+    "pipeline_clean_corpus",
+]
+
+
+def _apply_prefix_order() -> None:
+    missing = [n for n in PREFIX_ORDER if n not in QUERIES]
+    if missing:  # fail loudly at import if a rename breaks the list
+        raise RuntimeError(f"PREFIX_ORDER names unknown queries: {missing}")
+    tail = [(n, fn) for n, fn in QUERIES.items() if n not in set(PREFIX_ORDER)]
+    items = [(n, QUERIES[n]) for n in PREFIX_ORDER] + tail
+    # mutate in place: callers hold references to this exact dict
+    QUERIES.clear()
+    QUERIES.update(items)
+
+
+_apply_prefix_order()

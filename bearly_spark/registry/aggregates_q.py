@@ -1,0 +1,524 @@
+"""Aggregation surface: grouped/distinct/rollup/cube/grouping sets, approx and exact percentiles, stats/collect/bitmap aggregates, histograms.
+
+Split from the original flat registry.py by tools/split_registry.py
+(chunks keep original line order, so comments stay with their
+statements and helpers precede their consumers).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import maintenance as MT
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import relational as R
+from bearly_spark.operators import rounding as _R
+from bearly_spark.operators import similarity as S
+from bearly_spark.operators import text as T
+from bearly_spark.operators import windows as W
+from bearly_spark.operators.aggregate import grouped_agg, sum_int64
+from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources.tables import events_with_timestamp, load_table
+
+from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+
+
+
+@register(
+    "distinct_agg_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        ],
+    )
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+        mode="rollup",
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    return grouped_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+        mode="cube",
+    )
+
+
+# ===================================================================
+# Grouping sets / approx aggregates — SURVEY §2.2 aggregation row
+# ===================================================================
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_bearly_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_total
+        FROM _bearly_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register("approx_count_distinct_orders")  # rows-only: HLL sketches differ by engine
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count; the
+    relative-error contract is pinned by tests/test_relational_extra.py."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+
+
+# ===================================================================
+# Remaining scalar/agg surface: percentiles, map functions, UDTF
+# ===================================================================
+
+
+@register(
+    "percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+           FLOOR(quantile_cont(l_extendedprice, 0.50) * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont), via the spill-safe rank-window form in
+    operators.aggregate.exact_percentiles (F.percentile buffers whole
+    groups in memory). At 100 TB prefer approx_percentile (t-digest)."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75)
+    )
+
+
+@register(
+    "collect_agg_nations",
+    oracle="""
+    SELECT r_name, ARRAY_AGG(n_name ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS INTEGER) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_collect_agg(spark, sf_dir):
+    """Sorted collect_list (array_agg) — deterministic via sort_array."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.size(F.sort_array(F.collect_list("n_name"))).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "stats_agg_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance/variance/stddev (single-pass co-moment aggregates — all
+    mergeable partials, no extra shuffle vs a plain sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@register(
+    "minmax_by_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS top_order,
+           MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS bottom_order,
+           ROUND(MAX(o_totalprice), 2) AS top_price
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_by(spark, sf_dir):
+    """min_by/max_by (arg-min/arg-max) with a deterministic struct
+    tie-break — single-pass mergeable aggregates, no join-back or window
+    needed on the Spark side (the oracle uses the window form to pin the
+    identical tie order)."""
+    o = load_table(spark, sf_dir, "orders")
+    tie = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", tie).alias("top_order"),
+        F.min_by("o_orderkey", tie).alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@register(
+    "median_mode_orders",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             FLOOR(median(o_totalprice) * 100.0 + 0.5) / 100.0 AS median_price,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority),
+    c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus ASC) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus)
+    SELECT m.o_orderpriority, m.median_price, m.n_orders,
+           c.o_orderstatus AS modal_status
+    FROM m JOIN c ON m.o_orderpriority = c.o_orderpriority AND c.rn = 1
+    """,
+)
+def q_median_mode(spark, sf_dir):
+    """Exact median (built-in single-expression form) + deterministic mode
+    (count-then-arg-min composition; ties broken by lowest value, unlike
+    the engine-arbitrary built-in MODE()). The median rounds with the
+    floor form: an even-count median is the average of two 2dp prices,
+    which lands EXACTLY on a 2dp midpoint (round-7 midpoint audit),
+    where plain ROUND is engine-defined."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        _R.floor_round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modal = counts.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderstatus", F.struct(-F.col("cnt"), F.col("o_orderstatus"))).alias(
+            "modal_status"
+        )
+    )
+    return med.join(modal, "o_orderpriority").select(
+        "o_orderpriority", "median_price", "n_orders", "modal_status"
+    )
+
+
+@register("approx_percentile_lineitem")  # rows-only: sketch internals differ by engine
+def q_approx_percentile(spark, sf_dir):
+    """approx_percentile (KLL-style quantile sketch, mergeable partials —
+    the 100 TB default; exact_percentiles is the small-data twin). The
+    accuracy contract against the exact rank-window form is pinned by
+    tests/test_relational_extra.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "approx_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "histogram_prices_orders",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CASE WHEN o_totalprice >= b.hi THEN 20
+                ELSE CAST(floor(((o_totalprice - b.lo) / (b.hi - b.lo)) * 20.0)
+                          AS INT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def q_histogram_prices(spark, sf_dir):
+    """Exact equi-width histogram (round 6): 20 buckets over the data's
+    own [min, max] — the distribution-profiling primitive behind skew
+    diagnosis and quality dashboards, fully mergeable (one tiny bounds
+    agg collected as layout literals + one partial-aggregated groupBy).
+    The bucket arithmetic is written as the SAME double expression in
+    both engines (DuckDB has no width_bucket; Spark's would also hide
+    its boundary rules) — max lands in the top bucket, everything else
+    at floor(((x-lo)/(hi-lo))·20)+1 — so the twin is bit-exact. The
+    approximate counterpart for streaming percentiles remains
+    ``approx_percentile_lineitem``."""
+    od = load_table(spark, sf_dir, "orders")
+    b = od.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    lo, hi = F.lit(b["lo"]), F.lit(b["hi"])
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x >= hi, F.lit(20)).otherwise(
+            F.floor(((x - lo) / (hi - lo)) * F.lit(20.0)).cast("int") + F.lit(1)
+        )
+    ).alias("bucket")
+    return od.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "histogram_depth_orders",
+    oracle="""
+    WITH c AS (SELECT FLOOR(quantile_cont(o_totalprice, 0.125) * 10000.0 + 0.5) / 10000.0 AS c1,
+                      FLOOR(quantile_cont(o_totalprice, 0.250) * 10000.0 + 0.5) / 10000.0 AS c2,
+                      FLOOR(quantile_cont(o_totalprice, 0.375) * 10000.0 + 0.5) / 10000.0 AS c3,
+                      FLOOR(quantile_cont(o_totalprice, 0.500) * 10000.0 + 0.5) / 10000.0 AS c4,
+                      FLOOR(quantile_cont(o_totalprice, 0.625) * 10000.0 + 0.5) / 10000.0 AS c5,
+                      FLOOR(quantile_cont(o_totalprice, 0.750) * 10000.0 + 0.5) / 10000.0 AS c6,
+                      FLOOR(quantile_cont(o_totalprice, 0.875) * 10000.0 + 0.5) / 10000.0 AS c7
+               FROM orders)
+    SELECT 1 + (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c4 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c5 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c6 THEN 1 ELSE 0 END)
+             + (CASE WHEN o_totalprice > c7 THEN 1 ELSE 0 END) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_v,
+           ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders, c GROUP BY bucket
+    """,
+)
+def q_histogram_depth(spark, sf_dir):
+    """Equi-DEPTH histogram (``aggregate.equi_depth_histogram``): bucket
+    boundaries are the exact octile cutpoints (quantile_cont definition,
+    via the spill-safe rank-window percentile path), so each bucket
+    holds ~1/8 of the rows regardless of skew — the data-profiling /
+    optimizer-statistics dual of the equi-width
+    ``histogram_prices_orders``. Cutpoints are rounded to 4dp BEFORE
+    assignment so both engines bucket against bit-identical
+    boundaries."""
+    from bearly_spark.operators.aggregate import equi_depth_histogram
+
+    od = load_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(od, "o_totalprice", buckets=8)
+
+
+@register(
+    "bitmap_distinct_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    group builds fixed-size (4KB-bucket) bitmaps over the key space
+    instead of holding every distinct key in the aggregation hash map.
+    At 100 TB this is the mergeable exact-distinct pattern — partial
+    bitmaps OR together map-side, shuffle bytes are bounded by key-range
+    /32768 per group rather than by distinct count, and (unlike HLL,
+    ``approx_count_distinct``) the result is exact — which is why the
+    DuckDB COUNT(DISTINCT) twin can hash-match it."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus", F.expr("bitmap_bucket_number(o_custkey)").alias("_bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("_bm"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.expr("bitmap_count(_bm)")).cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
+    "try_arithmetic_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount = 0 THEN NULL
+                          ELSE l_extendedprice / l_discount END), 2) AS price_per_disc,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 127
+                         THEN CAST(l_quantity AS TINYINT) END) AS BIGINT) AS small_qty_sum,
+           COUNT(*) - COUNT(TRY_CAST(l_comment_missing AS INTEGER)) AS n_uncastable
+    FROM (SELECT *, l_returnflag || 'x' AS l_comment_missing FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic family: try_divide / try_cast return NULL
+    instead of raising under ANSI mode (Spark 4 default ON) — the
+    production answer to div-by-zero and bad casts in 100 TB inputs,
+    where one poisoned row must not kill a 10-hour job. This query runs
+    identically with ANSI on or off."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_comment_missing", F.concat(F.col("l_returnflag"), F.lit("x"))
+    )
+    narrow = F.when(F.col("l_quantity").between(1, 127), F.col("l_quantity")).try_cast(
+        "tinyint"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0)))),
+            2,
+        ).alias("price_per_disc"),
+        F.sum(narrow).cast("bigint").alias("small_qty_sum"),
+        (
+            F.count(F.lit(1)) - F.count(F.col("l_comment_missing").try_cast("int"))
+        ).alias("n_uncastable"),
+    )
+
+
+@register(
+    "misc_agg_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bit_xor(o_orderkey) AS key_xor,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_misc_agg(spark, sf_dir):
+    """Aggregate odds-and-ends: bool_and/bool_or (EVERY/ANY), bit_xor
+    (order-independent checksum — handy for cheap partition-equality
+    verification at scale), and deterministic string_agg (sorted distinct
+    list rendered as one string)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
+
+
+@register(
+    "filter_clause_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_chars > 200) AS n_long,
+           ROUND(AVG(n_chars) FILTER (WHERE source = 'web'), 4) AS avg_web_chars,
+           CAST(SUM(n_chars) FILTER (WHERE n_chars <= 200) AS BIGINT) AS short_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_filter_clause(spark, sf_dir):
+    """SQL FILTER clause on aggregates (per-aggregate predicates in one
+    pass — the standard spelling of conditional aggregation, planned
+    identically to CASE WHEN but closer to intent)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE n_chars > 200) AS n_long,
+               ROUND(AVG(n_chars) FILTER (WHERE source = 'web'), 4) AS avg_web_chars,
+               CAST(SUM(n_chars) FILTER (WHERE n_chars <= 200) AS BIGINT) AS short_chars
+        FROM v_documents GROUP BY lang
+        """
+    )
+
+
+@register(
+    "topn_types_brand",
+    oracle="""
+    WITH c AS (SELECT p_brand, p_type AS cat, COUNT(*) AS cnt
+               FROM part GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                       ORDER BY cnt DESC, cat ASC) AS rn,
+                 SUM(cnt) OVER (PARTITION BY p_brand) AS tot
+          FROM c),
+    l AS (SELECT p_brand,
+                 CASE WHEN rn <= 3 THEN cat ELSE 'other' END AS category,
+                 cnt, tot
+          FROM r)
+    SELECT p_brand, category, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS share
+    FROM l GROUP BY 1, 2
+    """,
+)
+def q_topn_with_others(spark, sf_dir):
+    """Top-N categories + OTHERS rollup (``relational.topn_with_others``):
+    per part brand, the 3 most frequent part types keep their label
+    (count DESC, category ASC ties — a shared total order) and the rest
+    fold into 'other' with 6dp within-group shares. One wordcount
+    shuffle + rank over aggregated counts + same-key re-aggregate."""
+    from bearly_spark.operators.relational import topn_with_others
+
+    pt = load_table(spark, sf_dir, "part")
+    return topn_with_others(pt, ["p_brand"], "p_type", n=3)

@@ -1,0 +1,382 @@
+"""Lakehouse table maintenance: CoW MERGE, SCD2, snapshot diff/checksum, incremental rollup, DQ expectations.
+
+Split from the original flat registry.py by tools/split_registry.py
+(chunks keep original line order, so comments stay with their
+statements and helpers precede their consumers).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import maintenance as MT
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import relational as R
+from bearly_spark.operators import rounding as _R
+from bearly_spark.operators import similarity as S
+from bearly_spark.operators import text as T
+from bearly_spark.operators import windows as W
+from bearly_spark.operators.aggregate import grouped_agg, sum_int64
+from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources.tables import events_with_timestamp, load_table
+
+from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+from bearly_spark.registry._shared import (  # noqa: F401
+    _SCRATCH,
+    _sf_tag,
+)
+
+
+
+@register(
+    "table_diff_orders",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+    SELECT o_orderkey, 'changed' AS change FROM orders
+    WHERE o_orderkey % 37 = 0 AND o_orderkey % 43 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 43 = 0
+    UNION ALL
+    SELECT o_orderkey + (SELECT m FROM mx) + 1, 'added' FROM orders
+    WHERE o_orderkey % 41 = 0
+    """,
+)
+def q_table_diff(spark, sf_dir):
+    """Keyed snapshot diff (round 6, ``maintenance.table_diff``): what
+    a revision actually did — the before state vs an after state
+    carrying updates (every 37th key), inserts (shifted keys) and
+    deletes (every 43rd key), classified added/removed/changed in one
+    slim full-outer join over (key, row-hash) pairs. The audit view
+    over ``snapshot_table`` versions; output is Θ(difference), never
+    Θ(table), which is what makes diffing production snapshots
+    affordable. The oracle states the change set in closed form
+    (37∧43 keys end as 'removed' — the delete wins the final state)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    upd = (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    ins = orders.filter(F.col("o_orderkey") % 41 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(mx + 1)
+    )
+    after = (
+        orders.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upd.select(*orders.columns))
+        .unionByName(ins.select(*orders.columns))
+        .filter(~((F.col("o_orderkey") % 43 == 0) & (F.col("o_orderkey") <= mx)))
+    )
+    return MT.table_diff(orders, after, ["o_orderkey"])
+
+
+@register(
+    "table_checksum_orders",
+    oracle="""
+    WITH c AS (SELECT CONCAT(o_orderkey, '|', o_custkey, '|', o_orderstatus,
+                             '|', CAST(o_totalprice AS DECIMAL(18,2)), '|',
+                             CAST(o_orderdate AS DATE), '|', o_orderpriority)
+                      AS canon FROM orders),
+    h AS (SELECT ('0x' || substr(md5(canon), 1, 16))::UBIGINT AS hv FROM c)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(hv::HUGEINT) % 18446744073709551616::HUGEINT
+                AS DECIMAL(20,0)) AS checksum
+    FROM h
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table fingerprint
+    (``maintenance.table_checksum``): sum mod 2^64 of a 64-bit
+    md5-derived hash per row over an explicit canonical string (column
+    order fixed, price cast to DECIMAL(18,2) and date to DATE so both
+    engines render identical text — raw doubles format differently).
+    The cheap replica-verification primitive: no sort, no key shuffle,
+    scan-shaped partial sums; `table_diff` then tells you WHAT changed
+    when checksums disagree."""
+    from bearly_spark.operators.maintenance import table_checksum
+
+    od = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    return table_checksum(od, canon)
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'custkey_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_nonnegative',
+           CAST(COUNT(*) FILTER (WHERE NOT (o_totalprice >= 0)
+                                 OR o_totalprice IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_open_or_final',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')
+                                 OR o_orderstatus IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey))
+    UNION ALL
+    SELECT 'custkey_in_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
+    """,
+)
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectations report (round 6,
+    ``operators/quality.py``): five declarative rules over orders —
+    nullability, a range check, a value domain (deliberately failing:
+    'P' rows count), key uniqueness, and referential integrity against
+    customer — compiled to ONE aggregate pass for the row rules plus
+    one groupBy (unique) and one anti-join (FK). The per-batch
+    validation gate a 100 TB pipeline runs before a revision ships;
+    counts (not booleans) so drift is visible and the DuckDB twin can
+    state every rule as a FILTERed count."""
+    from bearly_spark.operators.quality import expectations_report
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        od,
+        row_rules={
+            "custkey_not_null": F.col("o_custkey").isNull(),
+            "totalprice_nonnegative": ~(F.col("o_totalprice") >= 0),
+            "status_open_or_final": ~F.col("o_orderstatus").isin("O", "F"),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        foreign_keys={"custkey_in_customer": (["o_custkey"], cu, ["c_custkey"])},
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 37 = 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), o_custkey, 'N',
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE (round 6, ``maintenance.merge_into``): a
+    Delta-style upsert on a plain parquet table — updates (+10.0 price,
+    status 'U' for every 37th key) and inserts (shifted keys, status
+    'N') applied in ONE merge. The entry exercises the real
+    file-pruned path end-to-end: range-clustered scratch table build,
+    ``_metadata.file_path`` semi-join to find touched files, untouched
+    files hard-linked into the new snapshot, atomic
+    ``RENAME_EXCHANGE`` swap, then aggregates the merged table
+    read back from disk. Rebuilt per invocation (a merge MUTATES its
+    table — reuse would double-apply). File-level pruning and crash
+    semantics are pinned in tests/test_sinks.py."""
+    import shutil
+    from pathlib import Path
+
+    orders = load_table(spark, sf_dir, "orders")
+    work_root = Path(f"{_SCRATCH}/{_sf_tag(sf_dir)}/merge_orders")
+    shutil.rmtree(work_root, ignore_errors=True)
+    work = str(work_root / "table")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(work)
+
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    upd = (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    ins = (
+        orders.filter(F.col("o_orderkey") % 41 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    MT.merge_into(spark, work, upd.unionByName(ins), ["o_orderkey"])
+    return (
+        spark.read.parquet(work)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 11 = 0 THEN DATE '1995-06-01'
+                  WHEN c_custkey % 13 = 0 THEN DATE '1997-03-01'
+                  ELSE NULL END AS valid_to
+      FROM customer
+    ),
+    v2 AS (
+      SELECT c_custkey, (c_nationkey + 7) % 25 AS c_nationkey, c_mktsegment,
+             DATE '1995-06-01' AS valid_from,
+             CASE WHEN c_custkey % 13 = 0 THEN DATE '1997-03-01'
+                  ELSE NULL END AS valid_to
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    v3 AS (
+      SELECT c_custkey, (c_nationkey + 3) % 25 AS c_nationkey,
+             'SEG2' AS c_mktsegment,
+             DATE '1997-03-01' AS valid_from, NULL AS valid_to
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    """,
+)
+def q_scd2_customer(spark, sf_dir):
+    """SCD Type 2 history maintenance (round 6,
+    ``maintenance.scd2_apply``): two change batches applied in sequence
+    to a customer dimension snapshot — a nation reassignment (every
+    11th key, 1995-06-01) then a segment migration (every 13th key,
+    1997-03-01). Each apply closes the changed keys' current version
+    and appends the new one; keys hit by both batches carry a 3-deep
+    version chain. The oracle states the resulting history in closed
+    form. Edge semantics (no-op changes dropped, out-of-order changes
+    dropped, new-key inserts, latest-per-key collapse) are pinned in
+    tests/test_relational_extra.py."""
+    cust = load_table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    keys, attrs = ["c_custkey"], ["c_nationkey", "c_mktsegment"]
+    chg1 = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"),
+        "c_mktsegment",
+        F.to_date(F.lit("1995-06-01")).alias("change_ts"),
+    )
+    chg2 = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 3) % 25).alias("c_nationkey"),
+        F.lit("SEG2").alias("c_mktsegment"),
+        F.to_date(F.lit("1997-03-01")).alias("change_ts"),
+    )
+    h = MT.scd2_apply(hist, chg1, keys, attrs)
+    return MT.scd2_apply(h, chg2, keys, attrs)
+
+
+@register(
+    "scd2_asof_customer",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25
+                ELSE c_nationkey END AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def q_scd2_asof(spark, sf_dir):
+    """The READ side of SCD2 (round 6, ``maintenance.scd2_asof``): the
+    customer dimension AS OF 1996-01-01 — after the nation
+    reassignment (1995-06-01) but before the segment migration
+    (1997-03-01) — reconstructed from the same two-apply history as
+    ``scd2_customer_history``. One map-only interval filter; the
+    oracle states the expected as-of state in closed form. This is the
+    reproducibility primitive: join facts against the as-of dimension
+    and every attribute reads as it did at snapshot time."""
+    cust = load_table(spark, sf_dir, "customer")
+    hist = QUERIES["scd2_customer_history"](spark, sf_dir)
+    return MT.scd2_asof(hist, datetime.date(1996, 1, 1)).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+
+
+@register(
+    "incremental_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance (round 6,
+    ``maintenance.incremental_rollup``): a persisted rollup of orders by
+    (status, priority) — mergeable partials: count + DECIMAL(18,6)
+    price sum — built from two thirds of the table, then refreshed from
+    the remaining third as a DELTA: delta partials merge into affected
+    stored groups by addition (semi-filtered, broadcast-joined) and the
+    update is one copy-on-write MERGE touching only the files holding
+    affected groups — Θ(delta), never a base rescan. The refreshed
+    table must equal the one-shot rollup over ALL orders, which is
+    exactly what the oracle states. DECIMAL partials make the merge
+    order-independent, so the hash compare is exact."""
+    import shutil
+    from pathlib import Path
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    work_root = Path(f"{_SCRATCH}/{_sf_tag(sf_dir)}/rollup_orders")
+    shutil.rmtree(work_root, ignore_errors=True)
+    work = str(work_root / "table")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_o_totalprice"),
+        )
+        .repartition(4, *[F.col(k) for k in keys])
+        .write.parquet(work)
+    )
+    MT.incremental_rollup(
+        spark,
+        work,
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        keys,
+        ["o_totalprice"],
+    )
+    return spark.read.parquet(work).select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_o_totalprice").cast("double").alias("total_price"),
+    )

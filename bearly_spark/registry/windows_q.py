@@ -1,0 +1,444 @@
+"""Window functions and time series: frames, ranking, IGNORE NULLS, gaps, EWMA, interpolation, calendar fill, streaks, seasonality.
+
+Split from the original flat registry.py by tools/split_registry.py
+(chunks keep original line order, so comments stay with their
+statements and helpers precede their consumers).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bearly_spark.operators import dedup as D
+from bearly_spark.operators import maintenance as MT
+from bearly_spark.operators import multimodal as M
+from bearly_spark.operators import relational as R
+from bearly_spark.operators import rounding as _R
+from bearly_spark.operators import similarity as S
+from bearly_spark.operators import text as T
+from bearly_spark.operators import windows as W
+from bearly_spark.operators.aggregate import grouped_agg, sum_int64
+from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources.tables import events_with_timestamp, load_table
+
+from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+
+
+
+# ===================================================================
+# Window functions
+# ===================================================================
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = W.running_sum(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.col("o_totalprice"),
+        "running_total_raw",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round(F.col("running_total_raw"), 2).alias("running_total")
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_window_gaps(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = W.lag_lead_delta(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.col("o_orderdate"),
+        out_prev="prev_date",
+        out_next="next_date",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date"))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_range_frame_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_sec,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS rolling_90d_total
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """Value-based RANGE frame: per-customer rolling 90-day order total
+    (windows.rolling_range_sum)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_sec"),
+        "o_totalprice",
+    )
+    out = W.rolling_range_sum(
+        od, ["o_custkey"], F.col("order_sec"), F.col("o_totalprice"),
+        preceding_range=7776000, out_col="rolling_90d_total",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "order_sec",
+        F.round(F.col("rolling_90d_total"), 2).alias("rolling_90d_total"),
+    )
+
+
+@register(
+    "calendar_fill_orders",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                      CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+    cal AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    d AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS total_price
+          FROM orders GROUP BY 1)
+    SELECT cal.day, COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.total_price, 0.0) AS total_price
+    FROM cal LEFT JOIN d ON cal.day = d.day
+    """,
+)
+def q_calendar_fill(spark, sf_dir):
+    """Time-series gap fill: generate the full calendar spine with
+    sequence()+explode and left-join daily aggregates, so days with no
+    orders appear as explicit zeros. The spine is derived distributively
+    (min/max agg -> one-row sequence), never collected to the driver."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    cal = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    )
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@register(
+    "window_distribution_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window family: ntile / percent_rank / cume_dist over a
+    per-customer total order (the order includes the unique key, so tile
+    assignment is deterministic). One shuffle+sort serves all three."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders")
+    w = SW.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "interpolate_events",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+    w AS (SELECT event_id, user_id, tn, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+            FIRST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY tn, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+          FROM s)
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (CAST(tn - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE)) END,
+                 6) AS value_i
+    FROM w
+    """,
+)
+def q_interpolate_events(spark, sf_dir):
+    """Linear interpolation of NULL gaps in a per-user time series
+    (``windows.interpolate_linear``) — the repair face of time-series
+    work (``calendar_fill_orders`` inserts missing ROWS; this fills
+    missing VALUES): every 7th event's value is nulled to simulate
+    dropouts, then rebuilt from the nearest non-null neighbors weighted
+    on the epoch-nanos axis. Leading/trailing gaps stay NULL (no
+    extrapolation). One shuffle on user_id + one per-key window sort."""
+    from bearly_spark.operators.windows import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("tn"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(
+        base,
+        ["user_id"],
+        [F.asc("tn"), F.asc("event_id")],
+        F.col("tn"),
+        F.col("v"),
+        "value_i",
+        decimals=6,
+    )
+    return out.select("event_id", "user_id", "value_i")
+
+
+@register(
+    "window_ignore_nulls_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           last_value(CASE WHEN o_totalprice > 250000
+                           THEN ROUND(o_totalprice, 2) END IGNORE NULLS)
+             OVER w AS last_big_price,
+           first_value(CASE WHEN o_totalprice > 250000
+                            THEN ROUND(o_totalprice, 2) END IGNORE NULLS)
+             OVER w AS first_big_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation: carry the most recent / first
+    'big order' price forward along each customer's order history (the
+    gaps-filling idiom for sparse observations — sensor carry-forward,
+    last-known-good values)."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        SW.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    big = F.when(F.col("o_totalprice") > 250000, F.round("o_totalprice", 2))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.last(big, ignorenulls=True).over(w).alias("last_big_price"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big_price"),
+    )
+
+
+@register(
+    "rank_ties_orders",
+    oracle="""
+    WITH t AS (SELECT o_orderpriority, o_orderkey,
+                      CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band
+               FROM orders)
+    SELECT o_orderpriority, o_orderkey, price_band,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY price_band DESC, o_orderkey ASC) AS rn
+    FROM t
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_band DESC)
+    """,
+)
+def q_rank_ties(spark, sf_dir):
+    """rank vs dense_rank vs row_number tie semantics, made visible by
+    banding prices into deliberate ties: rank leaves gaps after tie
+    groups, dense_rank doesn't, row_number breaks ties by the unique key
+    (its order therefore includes o_orderkey so results are total)."""
+    from pyspark.sql import Window as SW
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_band"),
+    )
+    w = SW.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
+    wt = SW.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_band"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "price_band",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(wt).alias("rn"),
+    )
+
+
+@register(
+    "order_streaks_customer",
+    oracle="""
+    WITH p AS (SELECT DISTINCT o_custkey AS key,
+                      CAST(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                           + date_part('month', CAST(o_orderdate AS DATE)) - 1
+                           AS BIGINT) AS period
+               FROM orders),
+    i AS (SELECT key, period,
+                 period - ROW_NUMBER() OVER (PARTITION BY key ORDER BY period)
+                     AS island
+          FROM p),
+    pi AS (SELECT key, island, COUNT(*) AS len, MAX(period) AS last_period
+           FROM i GROUP BY 1, 2),
+    fl AS (SELECT *, last_period = MAX(last_period) OVER (PARTITION BY key)
+                         AS is_latest
+           FROM pi)
+    SELECT key, CAST(SUM(len) AS BIGINT) AS n_active_periods,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           MAX(CASE WHEN is_latest THEN len END) AS current_streak
+    FROM fl GROUP BY key
+    """,
+)
+def q_order_streaks(spark, sf_dir):
+    """Gaps-and-islands activity streaks (``windows.activity_streaks``):
+    per customer, consecutive order-MONTHS grouped into islands via the
+    textbook ``period - row_number()`` constant; reports total active
+    months, streak count, longest streak and the streak touching the
+    latest month — the retention primitive behind "N consecutive months
+    active" dashboards."""
+    from bearly_spark.operators.windows import activity_streaks
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1)
+        .alias("period"),
+    )
+    return activity_streaks(od, "o_custkey", "period")
+
+
+@register(
+    "ewma_revenue_priority",
+    oracle="""
+    WITH d AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                           AS DECIMAL(18,2)) AS revenue
+               FROM orders GROUP BY 1, 2),
+    a AS (SELECT priority, day, revenue,
+                 list(CAST(revenue AS DOUBLE)) OVER
+                     (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+          FROM d)
+    SELECT priority, day, revenue,
+           FLOOR(r[1] / r[2] * 1000000 + 0.5) / 1000000 AS revenue_ewma
+    FROM (SELECT priority, day, revenue,
+                 list_reduce(list_transform(arr, x -> [x, 1.0]),
+                             (acc, e) -> [acc[1] * 0.7 + e[1],
+                                          acc[2] * 0.7 + e[2]]) AS r
+          FROM a)
+    """,
+)
+def q_ewma_revenue(spark, sf_dir):
+    """Adjusted EWMA smoothing (``windows.ewma``, α=0.3, span 14) of
+    the daily revenue series per order priority — the trend-smoothing
+    primitive behind monitoring dashboards. Daily sums are exact
+    DECIMAL; the frame array folds oldest→newest with the Horner
+    recurrence ``s←s·0.7+x, w←w·0.7+1`` (ONE fixed IEEE evaluation
+    order), which the twin replays exactly via ``list_reduce`` — a
+    weight-sum formulation would leave summation order unspecified.
+    The 6dp rounding is the floor form ``floor(x·1e6+0.5)/1e6`` in
+    BOTH engines: plain ROUND hit a 6dp midpoint on 1 of 8,623 rows
+    in round 6 and hash-failed (Spark shortest-decimal half-up vs
+    DuckDB binary-value, version-dependent)."""
+    from bearly_spark.operators.windows import ewma
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    return ewma(daily, ["priority"], "day", "revenue", alpha=0.3, span=14)
+
+
+@register(
+    "seasonality_orders",
+    oracle="""
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(18,2)) AS revenue
+                   FROM orders GROUP BY 1),
+    per AS (SELECT CAST(((day - DATE '1992-01-06') % 7 + 7) % 7 AS INTEGER)
+                       AS weekday,
+                   COUNT(*) AS n_days, SUM(revenue) AS total
+            FROM daily GROUP BY 1),
+    o AS (SELECT COUNT(*) AS n, SUM(revenue) AS t FROM daily)
+    SELECT weekday, n_days, CAST(total AS DECIMAL(28,2)) AS total,
+           CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_value,
+           (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+               / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) AS seasonal_index
+    FROM per, o
+    """,
+)
+def q_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile (``windows.seasonality_profile``)
+    of daily order revenue: weekday = days-since-a-known-Monday mod 7
+    (the one weekday formula every engine computes identically), means
+    and seasonal index as raw IEEE quotients of exact DECIMAL sums."""
+    from bearly_spark.operators.windows import seasonality_profile
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    return seasonality_profile(daily, "day", "revenue")

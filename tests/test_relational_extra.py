@@ -858,6 +858,35 @@ def test_label_propagation_barbell_and_ties(spark):
     assert got2 == again
 
 
+def test_graph_canonical_fast_path_equivalence(spark):
+    """``canonical=True`` (the cached-edge-list fast path that skips the
+    Θ(|E|) dedup shuffle) returns row-identical results to the default
+    path when the input really is canonical (u<v exactly once, no
+    loops) — for all four undirected-graph operators."""
+    from bearly_spark.operators.graph import (
+        bfs_levels,
+        label_propagation,
+        local_clustering,
+        triangle_counts,
+    )
+
+    cliq = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    edges = spark.createDataFrame(cliq + [(5, 8), (8, 9)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    for fn, kwargs in [
+        (triangle_counts, {}),
+        (local_clustering, {}),
+        (label_propagation, {"rounds": 3}),
+    ]:
+        slow = {tuple(r) for r in fn(edges, **kwargs).collect()}
+        fast = {tuple(r) for r in fn(edges, canonical=True, **kwargs).collect()}
+        assert fast == slow, fn.__name__
+    slow = {tuple(r) for r in bfs_levels(edges, seeds, rounds=2).collect()}
+    fast = {tuple(r) for r in bfs_levels(edges, seeds, rounds=2, canonical=True).collect()}
+    assert fast == slow
+
+
 def test_winsorize_semantics(spark):
     """Values clamp to the [p01, p99] cutpoints; NULLs pass through
     unclipped with NULL flag; interior values untouched."""
