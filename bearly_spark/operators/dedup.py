@@ -1258,6 +1258,69 @@ def remove_duplicate_spans(
     )
 
 
+def line_frequency_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Corpus-frequency LINE dedup (the CCNet/RefinedWeb boilerplate
+    pass): drop every line whose exact text occurs ≥ ``min_count``
+    times across the whole corpus — navigation bars, cookie banners,
+    license footers — and stitch each document's surviving lines back
+    together in order. The line-granularity sibling of the exact
+    substring pass (:func:`duplicate_spans` catches duplicated RUNS
+    inside a line; this catches short templated lines repeated across
+    thousands of pages that never reach a 60-char run). Lines shorter
+    than ``min_line_chars`` are never removed (blank/separator lines
+    are formatting, not boilerplate). NULL text passes through NULL; a
+    document whose every line is boilerplate comes back as ``''``.
+    Output: (id, cleaned, n_lines_removed).
+
+    Scale shape: split+posexplode is map-only; the line-frequency
+    count is one wordcount-shaped shuffle on Θ(total lines); the
+    boilerplate SET (heavy hitters only — lines with ≥ min_count
+    occurrences) is orders of magnitude smaller than the line stream,
+    so AQE broadcasts the flag join; the rebuild is one groupBy(id)
+    with an ordered array fold. No hint is pinned: if a pathological
+    corpus makes the boilerplate set huge, the join degrades to a
+    shuffle instead of OOMing the driver."""
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("line", F.lit(1).alias("_bp"))
+    )
+    marked = lines.join(boiler, "line", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                # collect_list skips nulls, so boilerplate rows drop out
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_cleaned"),
+        F.sum(F.when(F.col("_bp") == 1, 1).otherwise(0)).alias("_removed"),
+    )
+    return df.join(agg, id_col, "left").select(
+        id_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("_cleaned", F.lit("")))
+        .alias("cleaned"),
+        F.coalesce("_removed", F.lit(0)).alias("n_lines_removed"),
+    )
+
+
 def entity_match_pairs(
     df: DataFrame,
     id_col: str,

@@ -27,6 +27,8 @@ plain SQL (the registry twin states every rule as a FILTERed count).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -510,6 +512,54 @@ def cap_per_key(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rows)
         .drop("_rn")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: dict[str, float],
+    n_target: int,
+) -> DataFrame:
+    """Resample a corpus to a TARGET DOMAIN MIXTURE (the DoReMi /
+    Pile-style weighting step): given per-domain target fractions and a
+    total output size, keep ``round_half_up(fraction·n_target)`` rows
+    per domain, chosen deterministically by the shared
+    :func:`_uniform52` hash order (id tie-break) so the draw is a
+    uniform-without-replacement subsample per domain, stable across
+    runs and engines. Down-sampling ONLY: a domain with fewer rows than
+    its quota contributes everything it has (the shortfall is visible
+    as ``n_kept < quota`` downstream; up-weighting means REPEATING data
+    — an epoch-schedule decision, deliberately out of scope here).
+    Domains absent from ``targets`` are dropped (weight 0). Appends
+    ``mix_rank`` (1-based position in the per-domain hash order) so the
+    selection is auditable.
+
+    Scale shape: identical to :func:`cap_per_key` — one shuffle on the
+    domain + per-partition sort with a rank stop at the quota
+    (WindowGroupLimit prunes each domain's sort at its cap), so a
+    billion-row web domain costs its top-quota scan, not a full
+    materialized rank. Quotas are plan-time literals: no second pass,
+    no driver-side counts."""
+    from pyspark.sql import Window
+
+    quotas = {
+        d: int(math.floor(frac * n_target + 0.5)) for d, frac in targets.items()
+    }
+    quota = F.create_map(
+        *[x for d, q in sorted(quotas.items()) for x in (F.lit(d), F.lit(q))]
+    )[F.col(domain_col)]
+    w = Window.partitionBy(domain_col).orderBy(_uniform52(id_col), F.col(id_col))
+    # two filters on purpose: the LITERAL max-quota bound is what the
+    # InferWindowGroupLimit rule matches (per-domain sorts stop at the
+    # largest quota instead of fully ranking a billion-row domain); the
+    # per-domain map bound then trims to the exact quota
+    max_q = max(quotas.values(), default=0)
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.lit(max_q))
+        .filter(F.col("mix_rank") <= F.coalesce(quota, F.lit(0)))
     )
 
 

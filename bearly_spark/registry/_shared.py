@@ -188,6 +188,25 @@ def _scratch_index(sf_dir: str, name: str, source_table: str, build) -> str:
     return str(d / "index")
 
 
+def _dup_spans_cached(spark, sf_dir):
+    """The exact-substring duplicate-span report (k=30 grams, merged
+    spans ≥ 60 chars) served from the mtime-keyed ``.scratch/`` parquet:
+    the span-report and span-removal queries both need this exact frame,
+    and the Θ(chars) gram expansion is pure rebuild cost after the
+    first run (deterministic: gram counting + gaps-and-islands merge).
+    At 100 TB the span report is likewise computed once and consumed by
+    both audit and cleaning jobs."""
+    span_dir = _scratch_index(
+        sf_dir,
+        "dup-spans-k30-m60-v1",
+        "documents",
+        lambda d: D.duplicate_spans(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", k=30, min_len=60
+        ).write.parquet(d),
+    )
+    return spark.read.parquet(span_dir)
+
+
 def _minhash_clusters_cached(spark, sf_dir):
     """The (doc_id, cluster) MinHash near-dup cluster map at the default
     threshold, served from the mtime-keyed ``.scratch/`` parquet (the

@@ -496,6 +496,42 @@ def q_cap_per_source(spark, sf_dir):
 
 
 @register(
+    "mixture_resample_documents",
+    oracle="""
+    SELECT doc_id, lang, mix_rank FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                             ::UBIGINT AS DOUBLE) / 4503599627370496.0,
+                        doc_id) AS INTEGER) AS mix_rank
+      FROM documents)
+    WHERE mix_rank <= CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 60
+                                WHEN 'fr' THEN 60 WHEN 'zh' THEN 30
+                                ELSE 0 END
+    """,
+)
+def q_mixture_resample(spark, sf_dir):
+    """Target-mixture resampling (``quality.mixture_resample``): the
+    DoReMi/Pile-style domain-weighting step — rebalance the corpus to a
+    target language mixture (en 50 / de 20 / fr 20 / zh 10 over a
+    300-doc budget; es weight 0 drops out) by keeping exactly
+    ``round(frac·n_target)`` docs per domain in the shared 52-bit md5
+    hash order. Down-sampling only (a short domain contributes all it
+    has); ``mix_rank`` makes the per-domain draw auditable. Same
+    WindowGroupLimit rank-stop plan as the per-source cap — the literal
+    max-quota bound stops each domain's sort at 150 rows regardless of
+    domain size."""
+    from bearly_spark.operators.quality import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_resample(
+        d, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}, n_target=300,
+    )
+
+
+@register(
     "negative_samples_documents",
     oracle="""
     WITH n AS (SELECT COUNT(*) AS nn FROM documents),

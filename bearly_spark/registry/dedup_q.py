@@ -29,6 +29,7 @@ from bearly_spark.sources.tables import events_with_timestamp, load_table
 from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
 from bearly_spark.registry._shared import (  # noqa: F401
     _TOKS,
+    _dup_spans_cached,
     _minhash_doc_pairs_sql,
     _minhash_clusters_cached,
     _minhash_graph_ctes,
@@ -403,10 +404,10 @@ def q_substring_dup_spans(spark, sf_dir):
     also occurs elsewhere in the corpus, as 1-based inclusive character
     spans — the Lee-et-al-2022 operation that document-level MinHash
     misses (boilerplate inside otherwise-distinct docs). k=30 grams,
-    duplicated iff corpus count > 1, gaps-and-islands merge."""
-    return D.duplicate_spans(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=30, min_len=60
-    )
+    duplicated iff corpus count > 1, gaps-and-islands merge. Served
+    from the mtime-keyed scratch span report shared with the removal
+    half (``_shared._dup_spans_cached``)."""
+    return _dup_spans_cached(spark, sf_dir)
 
 
 @register(
@@ -441,8 +442,49 @@ def q_substring_dedup_clean(spark, sf_dir):
     no spans pass through intact; counters ride along. The twin
     replays the gap/lag/string_agg stitch verbatim."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = D.duplicate_spans(docs, "doc_id", "text", k=30, min_len=60)
+    spans = _dup_spans_cached(spark, sf_dir)
     return D.remove_duplicate_spans(docs, spans, "doc_id", "text")
+
+
+@register(
+    "line_dedup_clean_documents",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, p AS pos, ls[p] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents WHERE text IS NOT NULL) d0,
+           LATERAL unnest(generate_series(1, len(ls))) AS t(p)
+    ),
+    bp AS (SELECT line FROM l WHERE length(line) >= 4
+           GROUP BY line HAVING COUNT(*) >= 3),
+    m AS (SELECT l.doc_id, l.pos, l.line, bp.line IS NOT NULL AS is_bp
+          FROM l LEFT JOIN bp ON l.line = bp.line),
+    a AS (SELECT doc_id,
+                 string_agg(CASE WHEN NOT is_bp THEN line END,
+                            chr(10) ORDER BY pos) AS cleaned0,
+                 CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lines_removed
+          FROM m GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(a.cleaned0, '') END AS cleaned,
+           COALESCE(a.n_lines_removed, 0) AS n_lines_removed
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_line_dedup_clean(spark, sf_dir):
+    """Corpus-frequency line dedup (``dedup.line_frequency_clean``):
+    the CCNet/RefinedWeb boilerplate pass — every line occurring ≥ 3
+    times corpus-wide (length ≥ 4; blank/separator lines exempt) is cut
+    from every document, surviving lines stitched back in order. The
+    line-granularity complement of exact substring dedup: templated
+    short lines (nav bars, footers) repeat across pages without ever
+    forming a 60-char duplicated run. Wordcount-shaped frequency
+    shuffle + AQE-broadcast flag join + one groupBy(id) rebuild."""
+    return D.line_frequency_clean(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_count=3, min_line_chars=4,
+    )
 
 
 @register("dedup_clusters_minhash", oracle=_minhash_clusters_oracle())

@@ -130,6 +130,7 @@ HEADLINE = [
     # round 7: exact substring dedup (Lee et al. 2022) — duplicated-span
     # detection + removal end-to-end
     "substring_dedup_clean_documents",
+    "line_dedup_clean_documents",
     # round 7: pattern mining — market-basket association rules and
     # CEP-lite sequence matching
     "basket_rules_lineitem",
@@ -159,6 +160,7 @@ HEADLINE = [
     # round 7: dataset curation sampling — weighted draw + domain cap
     "weighted_sample_documents",
     "cap_per_source_documents",
+    "mixture_resample_documents",
     # round 7: PMI collocations and z-score standardization
     "collocations_documents",
     "standardize_lineitem",

@@ -937,6 +937,64 @@ def test_entity_match_mega_block_capped(spark):
     assert uncapped == 780 + 1  # the mega-block's C(40,2) + the good pair
 
 
+def test_line_frequency_clean_boilerplate(spark):
+    """Lines repeated >= min_count corpus-wide are cut from every doc
+    (order of survivors preserved); short lines are exempt however
+    often they repeat; a doc of pure boilerplate comes back ''; NULL
+    text passes through NULL."""
+    from bearly_spark.operators.dedup import line_frequency_clean
+
+    footer = "(c) example corp - all rights reserved"
+    docs = [
+        (1, f"alpha content\n{footer}\n--\nmore alpha"),
+        (2, f"beta content\n{footer}\n--"),
+        (3, f"{footer}\ngamma content"),
+        (4, footer),                # pure boilerplate
+        (5, None),                  # NULL text
+        (6, "unique line\n--"),     # '--' is short: exempt
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_frequency_clean(
+        df, "doc_id", "text", min_count=3, min_line_chars=4).collect()}
+    assert got[1]["cleaned"] == "alpha content\n--\nmore alpha"
+    assert got[1]["n_lines_removed"] == 1
+    assert got[2]["cleaned"] == "beta content\n--"
+    assert got[3]["cleaned"] == "gamma content"
+    assert got[4]["cleaned"] == "" and got[4]["n_lines_removed"] == 1
+    assert got[5]["cleaned"] is None and got[5]["n_lines_removed"] == 0
+    assert got[6]["cleaned"] == "unique line\n--" and got[6]["n_lines_removed"] == 0
+
+
+def test_mixture_resample_quotas_shortfall_determinism(spark):
+    """Exact per-domain quotas (round-half-up of frac*n_target); a
+    domain shorter than its quota contributes everything it has; a
+    domain absent from targets is dropped; the draw is stable across
+    invocations (md5 hash order, not storage order)."""
+    from bearly_spark.operators.quality import mixture_resample
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(1000 + i, "code") for i in range(10)]   # short domain
+        + [(2000 + i, "junk") for i in range(20)]   # unweighted domain
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_resample(
+        df, "doc_id", "domain", {"web": 0.75, "code": 0.25}, n_target=60
+    )
+    counts = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"web": 45, "code": 10}  # code quota 15 > 10 on hand
+    assert "junk" not in counts
+    first = sorted(tuple(r) for r in out.collect())
+    again = sorted(tuple(r) for r in mixture_resample(
+        df, "doc_id", "domain", {"web": 0.75, "code": 0.25}, n_target=60
+    ).collect())
+    assert first == again
+    # mix_rank is a contiguous 1..n_kept prefix of the hash order
+    ranks = sorted(r["mix_rank"] for r in out.filter(F.col("domain") == "web").collect())
+    assert ranks == list(range(1, 46))
+
+
 def test_cluster_aware_split_no_straddle(spark, sf_dir):
     """Every near-dup cluster lands wholly in one split (the leakage
     invariant a per-doc hash split violates), and the registry query's

@@ -146,6 +146,7 @@ for _mod, _names in {
         "substring_dedup_clean_documents", "levenshtein_near_dup",
         "containment_pairs_documents", "binary_near_dup_documents",
         "entity_match_parts", "golden_records_parts",
+        "line_dedup_clean_documents",  # added post-split
     ],
     "similarity_q": [
         "embedding_topk_cosine", "embedding_ann_lsh", "embedding_near_dup",
@@ -170,6 +171,7 @@ for _mod, _names in {
         "negative_samples_documents", "pii_redact_documents",
         "decontaminate_documents", "decontaminate_bm25_documents",
         "decontaminate_embedding", "pack_sequences_documents",
+        "mixture_resample_documents",  # added post-split
     ],
     "multimodal_q": [
         "multimodal_ingest", "multimodal_decode_features",
