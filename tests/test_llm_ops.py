@@ -1229,3 +1229,42 @@ def test_negative_samples_contract(spark):
     assert all(r["negative_id"] != r["anchor_id"] for r in out)
     again = negative_samples(df, "doc_id", k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_scratch_index_mtime_invalidation(tmp_path):
+    """The shared derived-frame cache (_scratch_index) rebuilds iff the
+    source parquet is newer than the _BUILT marker: two calls -> one
+    build; touching the source -> rebuild. (The contract every cached
+    frame relies on: co-order/bipartite edges, minhash clusters,
+    dup-span report, ANN/BM25 indexes.)"""
+    import os
+    import time
+
+    from bearly_spark.registry._shared import _scratch_index
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    src = sf / "documents.parquet"
+    src.write_bytes(b"fixture")
+    builds = []
+
+    def build(d):
+        os.makedirs(d)
+        builds.append(d)
+
+    p1 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
+    p2 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
+    assert p1 == p2 and len(builds) == 1
+    time.sleep(0.05)
+    now = time.time() + 1
+    os.utime(src, (now, now))  # simulate fixture regeneration
+    _scratch_index(str(sf), "test-cache-v1", "documents", build)
+    assert len(builds) == 2
+    # clean up the repo-level scratch entry the test created
+    import shutil
+    from pathlib import Path
+
+    shutil.rmtree(
+        Path(__file__).resolve().parent.parent / ".scratch" / "test-cache-v1-sfX",
+        ignore_errors=True,
+    )

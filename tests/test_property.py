@@ -220,3 +220,49 @@ def test_star_contraction_matches_union_find(spark, edges):
         r.node: r.component for r in connected_components_star(df, "src", "dst").collect()
     }
     assert got == want
+
+
+# floor_round is the repo's cross-engine determinism primitive (round-7:
+# every midpoint-exposed ROUND twin was converted to it). The property
+# that makes it safe is BIT-IDENTITY of floor(x*10^d + 0.5)/10^d across
+# Spark, DuckDB and CPython — one fixed IEEE op sequence. Exercise it on
+# adversarial inputs: exact d-decimal midpoints, midpoint±1ulp, and
+# arbitrary doubles.
+_vals = st.one_of(
+    st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+    # exact/near 6dp midpoints: k/1e6 + 0.5/1e6 (± a few ulps)
+    st.builds(
+        lambda k, bump: (k / 1e6 + 0.0000005) + bump * 1e-22,
+        st.integers(0, 10**9),
+        st.integers(-2, 2),
+    ),
+)
+
+
+@given(xs=st.lists(_vals, min_size=1, max_size=6), d=st.sampled_from([2, 4, 6, 10]))
+@settings(**_SETTINGS)
+def test_floor_round_bit_identical_across_engines(spark, xs, d):
+    import math
+
+    import duckdb
+
+    from bearly_spark.operators.rounding import floor_round, floor_round_sql
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got_spark = {
+        r["i"]: r["y"]
+        for r in df.select("i", floor_round(F.col("x"), d).alias("y")).collect()
+    }
+    expr = floor_round_sql("x", d)
+    got_duck = dict(
+        duckdb.sql(
+            "SELECT i, " + expr + " AS y FROM (SELECT unnest($ids) AS i, unnest($xs) AS x)",
+            params={"ids": list(range(len(xs))), "xs": xs},
+        ).fetchall()
+    )
+    scale = float(10**d)
+    for i, x in enumerate(xs):
+        py = math.floor(x * scale + 0.5) / scale
+        assert got_spark[i] == py == got_duck[i], (x, d, got_spark[i], got_duck[i], py)
