@@ -1371,6 +1371,15 @@ def entity_match_pairs(
     ``max_bucket_size`` after the action to see cap pressure.
     ``max_block=None`` disables the guard. The cap gate is one
     Θ(blocks) aggregate + a semi-join — never a driver-side pass."""
+    if max_block is None and observation is not None:
+        # fail loudly: the Observation is only attached by the cap
+        # gate; with the guard disabled it would never be populated and
+        # a later observation.get would hang on a metric that no action
+        # ever recorded (review catch, round 7)
+        raise ValueError(
+            "observation requires max_block: the drop metrics are "
+            "recorded by the cap gate, which max_block=None disables"
+        )
     if max_block is not None:
         sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         sizes = _observe_bucket_drops(

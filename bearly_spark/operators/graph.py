@@ -35,6 +35,8 @@ documented rather than silently approximated).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from bearly_spark.operators.rounding import floor_round
 from pyspark.sql import DataFrame
 
 
@@ -80,10 +82,7 @@ def pagerank(
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                (
-                    F.floor(F.col("rank") / F.col("deg") * F.lit(1e12) + F.lit(0.5))
-                    / F.lit(1e12)
-                )
+                floor_round(F.col("rank") / F.col("deg"), 12)
                 .cast("decimal(28,12)")
                 .alias("w"),
             )
@@ -99,9 +98,7 @@ def pagerank(
             nodes.join(agg, "node", "left")
             .select(
                 "node",
-                (F.floor(upd * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).alias(
-                    "rank"
-                ),
+                floor_round(upd, 10).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
@@ -505,10 +502,7 @@ def personalized_pagerank(
                 .join(deg, "src")
                 .select(
                     F.col("dst").alias("node"),
-                    (
-                        F.floor(F.col("rank") / F.col("deg") * F.lit(1e12) + F.lit(0.5))
-                        / F.lit(1e12)
-                    )
+                    floor_round(F.col("rank") / F.col("deg"), 12)
                     .cast("decimal(28,12)")
                     .alias("w"),
                 )
@@ -522,9 +516,7 @@ def personalized_pagerank(
                 nodes.join(agg, "node", "left")
                 .select(
                     "node",
-                    (F.floor(upd * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).alias(
-                        "rank"
-                    ),
+                    floor_round(upd, 10).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )

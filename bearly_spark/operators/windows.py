@@ -11,6 +11,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from bearly_spark.operators.rounding import floor_round
+
 
 def running_sum(
     df: DataFrame,
@@ -309,9 +311,7 @@ def ewma(
     )
     return df.filter(F.col(value_col).isNotNull()).select(
         *df.columns,
-        (F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            f"{value_col}_ewma"
-        ),
+        floor_round(folded, 6).alias(f"{value_col}_ewma"),
     )
 
 

@@ -936,6 +936,14 @@ def test_entity_match_mega_block_capped(spark):
     ).count()
     assert uncapped == 780 + 1  # the mega-block's C(40,2) + the good pair
 
+    # observation + disabled guard is a loud error, not a metric that
+    # silently never populates
+    with pytest.raises(ValueError, match="observation requires max_block"):
+        D.entity_match_pairs(
+            df, "id", ["type"], fields, max_block=None,
+            observation=Observation("er-nocap"),
+        )
+
 
 def test_line_frequency_clean_boilerplate(spark):
     """Lines repeated >= min_count corpus-wide are cut from every doc
@@ -1252,19 +1260,23 @@ def test_scratch_index_mtime_invalidation(tmp_path):
         os.makedirs(d)
         builds.append(d)
 
-    p1 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
-    p2 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
-    assert p1 == p2 and len(builds) == 1
-    time.sleep(0.05)
-    now = time.time() + 1
-    os.utime(src, (now, now))  # simulate fixture regeneration
-    _scratch_index(str(sf), "test-cache-v1", "documents", build)
-    assert len(builds) == 2
-    # clean up the repo-level scratch entry the test created
     import shutil
     from pathlib import Path
 
-    shutil.rmtree(
-        Path(__file__).resolve().parent.parent / ".scratch" / "test-cache-v1-sfX",
-        ignore_errors=True,
-    )
+    try:
+        p1 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
+        p2 = _scratch_index(str(sf), "test-cache-v1", "documents", build)
+        assert p1 == p2 and len(builds) == 1
+        time.sleep(0.05)
+        now = time.time() + 1
+        os.utime(src, (now, now))  # simulate fixture regeneration
+        _scratch_index(str(sf), "test-cache-v1", "documents", build)
+        assert len(builds) == 2
+    finally:
+        # always remove the repo-level scratch entry: a stale marker
+        # keyed on the sf-dir BASENAME would mask the rebuild on a
+        # future run of this very test (review catch, round 7)
+        shutil.rmtree(
+            Path(__file__).resolve().parent.parent / ".scratch" / "test-cache-v1-sfX",
+            ignore_errors=True,
+        )

@@ -228,13 +228,22 @@ def test_star_contraction_matches_union_find(spark, edges):
 # Spark, DuckDB and CPython — one fixed IEEE op sequence. Exercise it on
 # adversarial inputs: exact d-decimal midpoints, midpoint±1ulp, and
 # arbitrary doubles.
+import math as _math
+
 _vals = st.one_of(
-    st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False),
-    # exact/near 6dp midpoints: k/1e6 + 0.5/1e6 (± a few ulps)
+    # negatives included: bigram log-prob scores are a live negative
+    # call site, and true-floor (round half toward +inf) must hold for
+    # every sign
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False),
+    # exact/near 6dp midpoints: ±(k/1e6 + 0.5/1e6), perturbed by ±1-2
+    # ULP OF THE VALUE (a fixed absolute bump is absorbed by rounding
+    # for any k beyond single digits — review catch, round 7)
     st.builds(
-        lambda k, bump: (k / 1e6 + 0.0000005) + bump * 1e-22,
+        lambda k, bump, sign: sign
+        * (lambda m: m + bump * _math.ulp(m))(k / 1e6 + 0.0000005),
         st.integers(0, 10**9),
         st.integers(-2, 2),
+        st.sampled_from([-1, 1]),
     ),
 )
 
