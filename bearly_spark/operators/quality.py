@@ -563,6 +563,91 @@ def mixture_resample(
     )
 
 
+#: The Gopher quality-filter stop set (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", §A.1.1): a doc must contain ≥ 2 of
+#: these to pass the stop-word rule. Shared verbatim with the oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher quality-filter rule pack (Rae et al. 2021 §A.1.1) as
+    one map-only pass: per document, the raw metrics and the combined
+    pass/fail the standard web-corpus cleaning pipeline keys on —
+
+    - word count in [50, 100,000];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio (``#`` chars + non-overlapping ``...``) ≤ 0.1;
+    - ≤ 90% of lines starting with a bullet (``-``/``*``/``•``);
+    - ≤ 30% of lines ending with an ellipsis;
+    - ≥ 80% of words containing an alphabetic character;
+    - ≥ 2 distinct members of :data:`GOPHER_STOPWORDS` present.
+
+    Emits the metrics (word/line fractions as RAW IEEE int/int
+    quotients — exact in every engine, no rounding needed) plus
+    ``passes_gopher``. NULL text coalesces to ``''`` and fails. Zero
+    shuffles: every metric is an array HOF over the whitespace-token /
+    line splits (JVM-side, no UDFs), so at 100 TB this is a pure scan.
+    The rule set is English-centric by construction (the published
+    filter); non-English corpora should gate on their own stop lists."""
+    from bearly_spark.operators import text as T
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = T.word_tokens(txt)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    # '#' and non-overlapping '...' counts via replace-and-measure (both
+    # engines replace left-to-right, non-overlapping — identical counts)
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))
+    ) / F.lit(3)
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).substr(1, 1).isin("-", "*", "•"))
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    ratio = lambda num: F.when(  # noqa: E731 — local plumbing
+        n_words > 0, num.cast("double") / n_words
+    )
+    mean_word_len = ratio(sum_len)
+    symbol_ratio = ratio(n_hash + n_ellipsis)
+    alpha_frac = ratio(n_alpha)
+    bullet_frac = n_bullet.cast("double") / n_lines  # n_lines >= 1 always
+    ellipsis_frac = n_ell_lines.cast("double") / n_lines
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_hits"),
+        F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )
+
+
 def standardize(
     df: DataFrame,
     cols: list[str],

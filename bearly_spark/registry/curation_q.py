@@ -496,6 +496,73 @@ def q_cap_per_source(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_documents",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+    m AS (
+      SELECT doc_id,
+             [x for x in string_split_regex(txt, '\s+') if x <> ''] AS toks,
+             string_split(txt, chr(10)) AS ls,
+             length(txt) - length(replace(txt, '#', '')) AS n_hash,
+             (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             COALESCE(list_sum([length(x) for x in toks]), 0) AS sum_len,
+             n_hash, n_ell,
+             len(ls) AS n_lines,
+             len([x for x in ls
+                  if substr(ltrim(x), 1, 1) IN ('-', '*', '•')]) AS n_bullet,
+             len([x for x in ls if ends_with(rtrim(x), '...')]) AS n_ell_lines,
+             len([x for x in toks if regexp_matches(x, '[A-Za-z]')]) AS n_alpha,
+             len(list_intersect(
+                 list_distinct([lower(x) for x in toks]),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+               AS n_stop
+      FROM m
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+                  THEN CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+             CASE WHEN n_words > 0
+                  THEN (n_hash + n_ell) / n_words END AS symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+             CAST(n_ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+             CAST(n_stop AS INTEGER) AS n_stop_hits
+      FROM c
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, n_stop_hits,
+           COALESCE(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3
+                    AND alpha_frac >= 0.8
+                    AND n_stop_hits >= 2, FALSE) AS passes_gopher
+    FROM r
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher quality-rule pack (``quality.gopher_rules``, Rae et
+    al. 2021 §A.1.1): per-document word-count / mean-word-length /
+    symbol-ratio / bullet-line / ellipsis-line / alpha-word / stop-word
+    metrics and the combined ``passes_gopher`` gate — the standard
+    web-corpus cleaning filter bundle beside the repo's repetition and
+    perplexity scores. All fractions are raw IEEE int/int quotients
+    (exact in both engines, no rounding layer needed); map-only, zero
+    shuffles — a pure scan at any scale."""
+    from bearly_spark.operators.quality import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "mixture_resample_documents",
     oracle="""
     SELECT doc_id, lang, mix_rank FROM (

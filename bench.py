@@ -161,6 +161,7 @@ HEADLINE = [
     "weighted_sample_documents",
     "cap_per_source_documents",
     "mixture_resample_documents",
+    "gopher_quality_documents",
     # round 7: PMI collocations and z-score standardization
     "collocations_documents",
     "standardize_lineitem",

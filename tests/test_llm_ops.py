@@ -973,6 +973,28 @@ def test_line_frequency_clean_boilerplate(spark):
     assert got[6]["cleaned"] == "unique line\n--" and got[6]["n_lines_removed"] == 0
 
 
+def test_gopher_rules_planted(spark):
+    """A constructed clean English doc passes every rule; each planted
+    defect (too short, bullet-wall, symbol spam, no stopwords, NULL)
+    fails the gate; fractions are exact int/int quotients."""
+    from bearly_spark.operators.quality import gopher_rules
+
+    clean = "the quick brown fox and the lazy dog have plans to run " * 6
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    hashy = "the and have to " + "# " * 60
+    nostop = "lorem ipsum dolor sit amet " * 12
+    docs = [(1, clean), (2, "too short"), (3, bullets), (4, hashy), (5, nostop), (6, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["passes_gopher"] and got[1]["n_words"] == 72
+    assert got[1]["n_stop_hits"] >= 2 and got[1]["alpha_frac"] == 1.0
+    assert not got[2]["passes_gopher"]          # word count < 50
+    assert not got[3]["passes_gopher"] and got[3]["bullet_frac"] == 1.0
+    assert not got[4]["passes_gopher"] and got[4]["symbol_ratio"] > 0.1
+    assert not got[5]["passes_gopher"] and got[5]["n_stop_hits"] == 0
+    assert not got[6]["passes_gopher"] and got[6]["n_words"] == 0
+
+
 def test_mixture_resample_quotas_shortfall_determinism(spark):
     """Exact per-domain quotas (round-half-up of frac*n_target); a
     domain shorter than its quota contributes everything it has; a

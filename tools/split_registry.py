@@ -172,6 +172,7 @@ for _mod, _names in {
         "decontaminate_documents", "decontaminate_bm25_documents",
         "decontaminate_embedding", "pack_sequences_documents",
         "mixture_resample_documents",  # added post-split
+        "gopher_quality_documents",  # added post-split
     ],
     "multimodal_q": [
         "multimodal_ingest", "multimodal_decode_features",
