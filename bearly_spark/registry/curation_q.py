@@ -501,25 +501,39 @@ def q_cap_per_source(spark, sf_dir):
     WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
     m AS (
       SELECT doc_id,
-             [x for x in string_split_regex(txt, '\s+') if x <> ''] AS toks,
-             string_split(txt, chr(10)) AS ls,
+             trim(regexp_replace(txt, '\s+', ' ', 'g')) AS nrm,
+             trim(regexp_replace(
+                  regexp_replace(txt, '[^\s]*[A-Za-z][^\s]*', '', 'g'),
+                  '\s+', ' ', 'g')) AS nrm_noalpha,
+             length(regexp_replace(txt, '\s', '', 'g')) AS sum_len,
              length(txt) - length(replace(txt, '#', '')) AS n_hash,
-             (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell
+             (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell,
+             length(txt) - length(replace(txt, chr(10), '')) + 1 AS n_lines,
+             len(regexp_extract_all(txt, '(?m)^ *[-*•]')) AS n_bullet,
+             len(regexp_extract_all(txt, '(?m)\.\.\. *$')) AS n_ell_lines,
+             ' ' || regexp_replace(lower(txt), '\s+', ' ', 'g') || ' ' AS padded
       FROM t
     ),
     c AS (
       SELECT doc_id,
-             CAST(len(toks) AS INTEGER) AS n_words,
-             COALESCE(list_sum([length(x) for x in toks]), 0) AS sum_len,
-             n_hash, n_ell,
-             len(ls) AS n_lines,
-             len([x for x in ls
-                  if substr(ltrim(x), 1, 1) IN ('-', '*', '•')]) AS n_bullet,
-             len([x for x in ls if ends_with(rtrim(x), '...')]) AS n_ell_lines,
-             len([x for x in toks if regexp_matches(x, '[A-Za-z]')]) AS n_alpha,
-             len(list_intersect(
-                 list_distinct([lower(x) for x in toks]),
-                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+             CAST(CASE WHEN length(nrm) = 0 THEN 0
+                  ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1
+                  END AS INTEGER) AS n_words,
+             sum_len, n_hash, n_ell, n_lines, n_bullet, n_ell_lines,
+             (CASE WHEN length(nrm) = 0 THEN 0
+                   ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END)
+             - (CASE WHEN length(nrm_noalpha) = 0 THEN 0
+                     ELSE length(nrm_noalpha)
+                          - length(replace(nrm_noalpha, ' ', '')) + 1 END)
+               AS n_alpha,
+             (CAST(contains(padded, ' the ') AS INTEGER)
+              + CAST(contains(padded, ' be ') AS INTEGER)
+              + CAST(contains(padded, ' to ') AS INTEGER)
+              + CAST(contains(padded, ' of ') AS INTEGER)
+              + CAST(contains(padded, ' and ') AS INTEGER)
+              + CAST(contains(padded, ' that ') AS INTEGER)
+              + CAST(contains(padded, ' have ') AS INTEGER)
+              + CAST(contains(padded, ' with ') AS INTEGER))
                AS n_stop
       FROM m
     ),
