@@ -11,7 +11,6 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from bearly_spark.operators.rounding import floor_round
 
 
 def running_sum(
@@ -274,44 +273,93 @@ def ewma(
     semantics, restricted to the last ``span`` observations so state is
     bounded (weights beyond the frame are ≤ (1-α)^span ≈ negligible,
     and a bounded frame is what scales: Θ(span) per row, no unbounded
-    history). Appends ``<col>_ewma`` (6dp). NULL values are dropped
-    first (an absent observation, not a zero).
+    history). Appends ``<col>_ewma`` (6dp, round half-up for the
+    non-negative values the revenue contract supplies; negative series
+    round half-toward-+∞-in-micro-units — both engines' integral
+    division truncates toward zero identically). NULL values are
+    dropped first (an absent observation, not a zero).
 
-    Determinism: the frame array is folded oldest→newest with the
-    Horner recurrence ``s ← s·(1-α)+x, w ← w·(1-α)+1`` and
-    ``ewma = s/w`` — ONE fixed IEEE evaluation order that the DuckDB
-    twin replays exactly via ``list_reduce`` (a weight-sum formulation
-    would leave summation order unspecified and drift in ulps). The 6dp
-    rounding is the floor form ``floor(x·1e6+0.5)/1e6`` (values are
-    non-negative by the revenue contract; callers with signed series
-    should drop the rounding): plain ROUND diverges between Spark
-    (shortest-decimal half-up) and DuckDB (binary value,
-    version-dependent) when a quotient lands on a 6dp midpoint — the
-    exact failure observed on 1 of 8,623 rows in round 6 — while the
-    floor form is the same IEEE op sequence in both engines (the
-    ``personalized_pagerank`` pattern, graph.py). All JVM-side:
-    collect_list over the rows frame + a higher-order ``aggregate``,
-    no UDF; one shuffle on the key."""
+    Determinism: NO IEEE arithmetic touches the compared value. Two
+    prior rounds proved the float routes dead: plain ROUND diverges at
+    6dp midpoints (round 6, 1 of 8,623 rows), and even the floor form
+    ``floor(x·1e6+0.5)/1e6`` over a fixed-order double Horner fold
+    diverges when the pre-floor argument lands ON an integer with a
+    1-ulp neighbor (round 7: 441350099202.0, distance 0.0 — a 1-ulp
+    list_reduce difference across DuckDB *builds* flips the 6th
+    decimal). So the fold is exact integer arithmetic: with decay
+    ``1-α = n/d`` (a small exact fraction, e.g. 7/10) and values scaled
+    to integers ``X = x·10^v`` (v = input decimal scale), track
+    ``S_k = s_k·d^k·10^v`` and ``W_k = w_k·d^k`` via
+
+        S ← n·S + X·P·d,   W ← n·W + P·d,   P ← P·d   (P_0 = 1)
+
+    in DECIMAL(38,0) — every step exact, no rounding anywhere. The 6dp
+    half-up quotient is then pure integral division,
+    ``micro = (2·10⁶·S + 10^v·W) div (2·10^v·W)``, and the emitted
+    double ``micro/10⁶`` is the same IEEE division of the same exact
+    integers in every engine and build. The DuckDB twin replays the
+    identical recurrence in HUGEINT via ``list_reduce`` over a
+    sentinel-prepended list (list_reduce has no explicit init).
+
+    Capacity: S ≤ max|X|·d^span/α, and the quotient path multiplies by
+    2·10⁶ — all inside DECIMAL(38,0)/HUGEINT as long as
+    ``max|x|·10^v · d^span · 2·10⁶/α < 10³⁸`` (α=0.3, span 14, cents:
+    values up to ~10¹⁶ cents per row — far beyond any daily revenue).
+    Past that Spark yields NULL (non-ANSI decimal overflow), not a
+    wrong value. ``micro`` must also fit BIGINT: |ewma| < 9.2·10¹².
+
+    All JVM-side: collect_list over the rows frame + a higher-order
+    ``aggregate``, no UDF; one shuffle on the key."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
 
-    decay = F.lit(1.0 - alpha)
+    frac = Fraction(1.0 - alpha).limit_denominator(1000)
+    if abs(float(frac) - (1.0 - alpha)) > 1e-12:
+        raise ValueError(
+            f"alpha={alpha} has no small exact decay fraction; "
+            "exact-integer EWMA needs 1-alpha = n/d with d <= 1000"
+        )
+    n, d = frac.numerator, frac.denominator
+    in_type = df.schema[value_col].dataType
+    # Doubles are snapped to an exact 9dp decimal first (deterministic
+    # half-up cast); DECIMAL inputs keep their own scale exactly.
+    v = in_type.scale if isinstance(in_type, DecimalType) else 9
+    dec = "decimal(38,0)"
     w = (
         Window.partitionBy(*[F.col(k) for k in key_cols])
         .orderBy(order_col)
         .rowsBetween(-(span - 1), 0)
     )
-    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    scaled = (F.col(value_col).cast(f"decimal(38,{v})") * F.lit(10**v)).cast(dec)
+    arr = F.collect_list(scaled).over(w)
+    lit_n, lit_d = F.lit(n).cast(dec), F.lit(d).cast(dec)
     folded = F.aggregate(
         arr,
-        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("w")),
-        lambda acc, x: F.struct(
-            (acc["s"] * decay + x).alias("s"), (acc["w"] * decay + F.lit(1.0)).alias("w")
+        F.struct(
+            F.lit(0).cast(dec).alias("s"),
+            F.lit(0).cast(dec).alias("w"),
+            F.lit(1).cast(dec).alias("p"),
         ),
-        lambda acc: acc["s"] / acc["w"],
+        lambda acc, x: F.struct(
+            (lit_n * acc["s"] + x * (acc["p"] * lit_d)).alias("s"),
+            (lit_n * acc["w"] + acc["p"] * lit_d).alias("w"),
+            (acc["p"] * lit_d).alias("p"),
+        ),
     )
-    return df.filter(F.col(value_col).isNotNull()).select(
-        *df.columns,
-        floor_round(folded, 6).alias(f"{value_col}_ewma"),
+    micro = F.expr(
+        f"(CAST(2000000 AS DECIMAL(38,0)) * _ewma_acc.s"
+        f" + CAST({10**v} AS DECIMAL(38,0)) * _ewma_acc.w)"
+        f" div (CAST({2 * 10**v} AS DECIMAL(38,0)) * _ewma_acc.w)"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_ewma_acc", folded)
+        .select(
+            *df.columns,
+            (micro.cast("double") / F.lit(1000000.0)).alias(f"{value_col}_ewma"),
+        )
     )
 
 

@@ -370,31 +370,41 @@ def q_order_streaks(spark, sf_dir):
                            AS DECIMAL(18,2)) AS revenue
                FROM orders GROUP BY 1, 2),
     a AS (SELECT priority, day, revenue,
-                 list(CAST(revenue AS DOUBLE)) OVER
+                 list(CAST(revenue * 100 AS HUGEINT)) OVER
                      (PARTITION BY priority ORDER BY day
                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
           FROM d)
     SELECT priority, day, revenue,
-           FLOOR(r[1] / r[2] * 1000000 + 0.5) / 1000000 AS revenue_ewma
+           CAST((2000000 * r[1] + 100 * r[2]) // (200 * r[2]) AS DOUBLE)
+               / 1000000 AS revenue_ewma
     FROM (SELECT priority, day, revenue,
-                 list_reduce(list_transform(arr, x -> [x, 1.0]),
-                             (acc, e) -> [acc[1] * 0.7 + e[1],
-                                          acc[2] * 0.7 + e[2]]) AS r
+                 list_reduce(
+                     list_prepend([CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+                                   CAST(1 AS HUGEINT)],
+                                  list_transform(arr, x ->
+                                      [x, CAST(0 AS HUGEINT),
+                                       CAST(0 AS HUGEINT)])),
+                     (acc, e) -> [7 * acc[1] + e[1] * acc[3] * 10,
+                                  7 * acc[2] + acc[3] * 10,
+                                  acc[3] * 10]) AS r
           FROM a)
     """,
 )
 def q_ewma_revenue(spark, sf_dir):
     """Adjusted EWMA smoothing (``windows.ewma``, α=0.3, span 14) of
     the daily revenue series per order priority — the trend-smoothing
-    primitive behind monitoring dashboards. Daily sums are exact
-    DECIMAL; the frame array folds oldest→newest with the Horner
-    recurrence ``s←s·0.7+x, w←w·0.7+1`` (ONE fixed IEEE evaluation
-    order), which the twin replays exactly via ``list_reduce`` — a
-    weight-sum formulation would leave summation order unspecified.
-    The 6dp rounding is the floor form ``floor(x·1e6+0.5)/1e6`` in
-    BOTH engines: plain ROUND hit a 6dp midpoint on 1 of 8,623 rows
-    in round 6 and hash-failed (Spark shortest-decimal half-up vs
-    DuckDB binary-value, version-dependent)."""
+    primitive behind monitoring dashboards. NO IEEE arithmetic touches
+    the compared value (rounds 6 AND 7 each lost a driver row to float
+    forms — plain ROUND at a 6dp midpoint, then floor-form at a
+    boundary-exact row with a 1-ulp cross-build list_reduce neighbor):
+    daily sums are exact DECIMAL, the Horner fold runs in scaled
+    integers (``S←7S+X·P·10, W←7W+P·10, P←P·10`` over cents, DECIMAL
+    (38,0) in Spark / HUGEINT in DuckDB — every step exact), the 6dp
+    half-up quotient is integral division, and the emitted double
+    ``micro/10⁶`` is the same IEEE division of the same exact integers
+    in every engine and build. The twin replays the identical
+    recurrence via ``list_reduce`` over a sentinel-prepended list
+    (DuckDB's reduce has no explicit init)."""
     from bearly_spark.operators.windows import ewma
 
     od = load_table(spark, sf_dir, "orders")

@@ -943,9 +943,9 @@ def test_ewma_midpoint_rounding_pinned(spark):
     """6dp rounding-midpoint pin (the round-6 driver failure class): a
     single-row EWMA is the value itself, and 1.0000015 sits exactly on
     a 6dp midpoint where Spark's plain ROUND (shortest-decimal half-up)
-    and DuckDB's (binary value, version-dependent) disagree. The floor
-    form ``floor(x*1e6+0.5)/1e6`` is the same IEEE op sequence in every
-    engine — pin that Spark emits exactly what Python/DuckDB compute."""
+    and DuckDB's (binary value, version-dependent) disagree. The
+    exact-integer fold rounds it half-up by integral division — pin
+    that Spark emits exactly what rational arithmetic says."""
     import math
 
     from bearly_spark.operators.windows import ewma
@@ -954,6 +954,47 @@ def test_ewma_midpoint_rounding_pinned(spark):
     df = spark.createDataFrame([("k", 1, v)], "key string, t int, v double")
     [row] = ewma(df, ["key"], "t", "v", 0.3, span=14).collect()
     assert row["v_ewma"] == math.floor(v * 1e6 + 0.5) / 1e6 == 1.000002
+
+
+def test_ewma_exact_rational_reference(spark):
+    """The round-7 driver failure class: the floor-form float fold died
+    when a pre-floor argument landed EXACTLY on an integer (micro
+    441350099202, a 6-digit-revenue regime) with a 1-ulp cross-build
+    neighbor. Pin the exact-integer fold against an independent
+    ``fractions.Fraction`` reference — s/w computed in exact rationals,
+    6dp round-half-up — over DECIMAL(18,2) rows spanning magnitudes
+    from cents to the 10^7 regime (micro ~10^13, the boundary-exact
+    row's scale), per key, per prefix length. Any 1-ulp drift anywhere
+    in either engine's fold would flip at least one of these."""
+    import random
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from bearly_spark.operators.windows import ewma
+
+    rng = random.Random(8)
+    rows, series = [], {}
+    for key, mag in [("a", 100), ("b", 10**7), ("c", 441350)]:
+        vals = [
+            Decimal(rng.randrange(1, mag * 100)) / 100 for _ in range(20)
+        ]
+        series[key] = vals
+        rows += [(key, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t int, v decimal(18,2)")
+    got = {(r["key"], r["t"]): r["v_ewma"]
+           for r in ewma(df, ["key"], "t", "v", alpha=0.3, span=14).collect()}
+    decay = Fraction(7, 10)
+    for key, vals in series.items():
+        for t in range(len(vals)):
+            frame = vals[max(0, t - 13): t + 1]
+            s, w = Fraction(0), Fraction(0)
+            for x in frame:
+                s = s * decay + Fraction(x)
+                w = w * decay + 1
+            micro = (2 * 10**6 * s.numerator * w.denominator
+                     + s.denominator * w.numerator) // (
+                2 * s.denominator * w.numerator)
+            assert got[(key, t)] == float(micro) / 1e6, (key, t)
 
 
 def test_correlation_matrix_semantics(spark):
