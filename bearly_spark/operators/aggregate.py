@@ -96,6 +96,7 @@ def exact_percentiles(
     quantiles: Sequence[float],
     names: Sequence[str] | None = None,
     decimals: int = 4,
+    scale: int | None = None,
 ) -> DataFrame:
     """Exact linear-interpolation percentiles per group (the quantile_cont
     definition) via a rank window instead of ``F.percentile``.
@@ -117,35 +118,77 @@ def exact_percentiles(
     One documented deviation: a group whose values are ALL null is
     absent from the output (quantile_cont would keep the group with a
     NULL quantile); no fixture column hits this.
+
+    Determinism (round 8): NO IEEE arithmetic touches the emitted
+    value. Interpolated quantiles of 2dp prices land EXACTLY on 4dp
+    midpoints ((a+b)/2 with a, b one cent apart), where plain ROUND
+    and the floor form alike are engine/build-defined (the round-7
+    driver failure class). So each quantile ``q = a/b`` (an exact
+    small fraction) selects its straddling order statistics by exact
+    integer index ``lo = ((n−1)·a) div b, r = ((n−1)·a) mod b``, the
+    interpolated value is the exact rational
+    ``(lo_val·(b−r) + hi_val·r) / (b·10^v)`` over ``10^v``-scaled
+    integer values (v = the column's decimal scale), and the
+    ``decimals``-dp emission is ``rounding.rational_round`` — integral
+    division, then one IEEE division of the same exact integer in
+    every engine. The oracle twin replays the identical index/
+    interpolation arithmetic (``_shared.quantile_cuts_sql``) instead
+    of ``quantile_cont``.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    from bearly_spark.operators.rounding import rational_round
 
     df = df.filter(F.col(value_col).isNotNull())
     names = list(names or [f"p{int(q * 100)}" for q in quantiles])
-    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    in_type = df.schema[value_col].dataType
+    # Scaling: the order statistics become exact 10^scale-scaled
+    # integers. DECIMAL columns use their own scale; integral columns
+    # 0; float/double columns snap to `scale` dp (default 2 — the
+    # fixtures' price columns are 2dp values stored as doubles; pass
+    # `scale` explicitly for finer-grained float data). The twin must
+    # use the SAME scale (``quantile_cuts_sql(..., scale=...)``).
+    if scale is not None:
+        v = scale
+    elif isinstance(in_type, DecimalType):
+        v = in_type.scale
+    elif isinstance(in_type, (DoubleType, FloatType)):
+        v = 2
+    else:
+        v = 0
+    sval = (F.col(value_col).cast(f"decimal(38,{v})") * F.lit(10**v)).cast(
+        "decimal(38,0)"
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_sv").asc())
     wn = Window.partitionBy(*group_cols)
-    ranked = df.select(*group_cols, value_col).withColumn(
+    ranked = df.select(*group_cols, sval.alias("_sv")).withColumn(
         "_rn", F.row_number().over(w) - F.lit(1)
     ).withColumn("_n", F.count(F.lit(1)).over(wn))
 
+    fracs = [Fraction(q).limit_denominator(10**6) for q in quantiles]
     aggs = []
-    for q, name in zip(quantiles, names):
-        h = (F.col("_n") - 1) * F.lit(float(q))
-        lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col(value_col))).alias(f"_lo_{name}")
-        hi = F.max(F.when(F.col("_rn") == F.ceil(h), F.col(value_col))).alias(f"_hi_{name}")
-        aggs += [lo, hi]
+    for fr, name in zip(fracs, names):
+        a, b = fr.numerator, fr.denominator
+        num = (F.col("_n") - 1).cast("long") * F.lit(a)
+        lo_idx = F.call_function("div", num, F.lit(b).cast("long"))
+        hi_idx = lo_idx + F.when(num % b > 0, F.lit(1)).otherwise(F.lit(0))
+        aggs += [
+            F.max(F.when(F.col("_rn") == lo_idx, F.col("_sv"))).alias(f"_lo_{name}"),
+            F.max(F.when(F.col("_rn") == hi_idx, F.col("_sv"))).alias(f"_hi_{name}"),
+        ]
     agged = ranked.groupBy(*group_cols).agg(F.max("_n").alias("_n"), *aggs)
 
     out_cols = list(group_cols)
-    for q, name in zip(quantiles, names):
-        h = (F.col("_n") - 1) * F.lit(float(q))
-        frac = h - F.floor(h)
-        val = F.col(f"_lo_{name}") + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
-        # floor-form rounding: interpolated quantiles of 2dp prices land
-        # EXACTLY on 4dp midpoints (e.g. (a+b)/2 with a,b one cent apart),
-        # where plain ROUND is engine-defined (round-7 midpoint audit);
-        # floor(x*10^d+0.5)/10^d is the same IEEE sequence in every engine.
-        out_cols.append(floor_round(val, decimals).alias(name))
+    for fr, name in zip(fracs, names):
+        a, b = fr.numerator, fr.denominator
+        r = ((F.col("_n") - 1).cast("long") * F.lit(a)) % b
+        val_num = F.col(f"_lo_{name}") * (F.lit(b) - r) + F.col(f"_hi_{name}") * r
+        out_cols.append(
+            rational_round(val_num, F.lit(b * 10**v), decimals).alias(name)
+        )
     return agged.select(*out_cols)
 
 

@@ -32,7 +32,11 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from bearly_spark.operators.rounding import floor_round
+from bearly_spark.operators.rounding import (
+    floor_round,
+    rational_micro,
+    rational_round,
+)
 
 
 def expectations_report(
@@ -141,6 +145,25 @@ def streaming_expectations(
     )
 
 
+def _drift_terms() -> list[Column]:
+    """The drift-report output columns over integer micro-unit (6dp)
+    shares ``_pm``/``_qm`` — shared by the numeric and categorical
+    reports. Every compared value is either one IEEE division of an
+    exact integer (shares) or a ``rational_round`` over exact integers
+    (chi-square / TVD terms): bit-identical in every engine and
+    build."""
+    pm, qm = F.col("_pm"), F.col("_qm")
+    dpm = qm - pm
+    return [
+        (pm.cast("double") / F.lit(1000000.0)).alias("p_before"),
+        (qm.cast("double") / F.lit(1000000.0)).alias("q_after"),
+        F.when(
+            pm > 0, rational_round(dpm * dpm, F.lit(1_000_000) * pm, 6)
+        ).alias("chi2_term"),
+        rational_round(F.abs(dpm), F.lit(2_000_000), 6).alias("tvd_term"),
+    ]
+
+
 def drift_report(
     before: DataFrame,
     after: DataFrame,
@@ -165,9 +188,14 @@ def drift_report(
       population-stability signal),
     - ``tvd_term`` = |q−p|/2   (total-variation-distance contribution).
 
-    Shares are rounded to 6dp BEFORE the statistics so the float trees
-    match bit-for-bit across engines. (PSI's ln(p/q) is deliberately
-    not emitted: libm ln may differ in the last ulp between engines;
+    Shares are quantized to integer micro-units (6dp) BEFORE the
+    statistics, and the statistics themselves are exact rationals over
+    those integers quantized by ``rounding.rational_round`` — no IEEE
+    arithmetic anywhere in the compared values (round-8 midpoint
+    audit: |q−p|/2 over 6dp shares is a multiple of 5e-7, i.e. EXACTLY
+    a 6dp rounding boundary half the time — any float form is a
+    cross-build landmine there). (PSI's ln(p/q) is deliberately not
+    emitted: libm ln may differ in the last ulp between engines;
     chi-square and TVD carry the same signal deterministically.)
 
     Scale shape: one rank-window cutpoint pass over BEFORE, then both
@@ -197,29 +225,17 @@ def drift_report(
         total = counted.agg(F.sum("_n").alias("_t"))
         return counted.crossJoin(F.broadcast(total)).select(
             "bucket",
-            floor_round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+            rational_micro(F.col("_n"), F.col("_t"), 6).alias(out),
         )
 
-    p = shares(before, "p_before")
-    q = shares(after, "q_after")
+    p = shares(before, "_pm")
+    q = shares(after, "_qm")
     joined = p.join(q, "bucket", "full_outer").select(
         "bucket",
-        F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
-        F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+        F.coalesce("_pm", F.lit(0)).alias("_pm"),
+        F.coalesce("_qm", F.lit(0)).alias("_qm"),
     )
-    dp = F.col("q_after") - F.col("p_before")
-    # floor-form rounding throughout: |q-p|/2 over 6dp-rounded shares is
-    # a multiple of 5e-7, i.e. EXACTLY on a 6dp midpoint half the time
-    # (round-7 midpoint audit) — plain ROUND there is engine-defined.
-    return joined.select(
-        "bucket",
-        "p_before",
-        "q_after",
-        F.when(
-            F.col("p_before") > 0, floor_round(dp * dp / F.col("p_before"), 6)
-        ).alias("chi2_term"),
-        floor_round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
-    )
+    return joined.select("bucket", *_drift_terms())
 
 
 def iqr_outlier_report(
@@ -292,28 +308,18 @@ def drift_report_categorical(
         total = counted.agg(F.sum("_n").alias("_t"))
         return counted.crossJoin(F.broadcast(total)).select(
             "category",
-            floor_round(F.col("_n").cast("double") / F.col("_t"), 6).alias(out),
+            rational_micro(F.col("_n"), F.col("_t"), 6).alias(out),
         )
 
-    p = shares(before, "p_before")
-    q = shares(after, "q_after")
+    p = shares(before, "_pm")
+    q = shares(after, "_qm")
     joined = p.join(q, p["category"].eqNullSafe(q["category"]), "full_outer").select(
         F.coalesce(p["category"], q["category"]).alias("category"),
-        F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
-        F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+        F.coalesce("_pm", F.lit(0)).alias("_pm"),
+        F.coalesce("_qm", F.lit(0)).alias("_qm"),
     )
-    dp = F.col("q_after") - F.col("p_before")
-    # floor-form rounding: same midpoint exposure as drift_report (|q-p|/2
-    # over 6dp shares is a multiple of 5e-7 — exactly a 6dp midpoint).
-    return joined.select(
-        "category",
-        "p_before",
-        "q_after",
-        F.when(
-            F.col("p_before") > 0, floor_round(dp * dp / F.col("p_before"), 6)
-        ).alias("chi2_term"),
-        floor_round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
-    )
+    # exact-integer drift terms — same contract as drift_report
+    return joined.select("category", *_drift_terms())
 
 
 def streaming_drift(
@@ -839,7 +845,9 @@ def mad_outliers(
     dev = nn.crossJoin(F.broadcast(med)).select(
         (F.abs(v - F.col("_med"))).alias("_dev")
     )
-    mad = exact_percentiles(dev, [], "_dev", [0.5], names=["_mad"])
+    # deviations are 4dp-grained (2dp values minus a 4dp median) — snap
+    # at scale 4, not the float default of 2 (twin uses the same scale)
+    mad = exact_percentiles(dev, [], "_dev", [0.5], names=["_mad"], scale=4)
     # raw IEEE quotient (the weighted_sample p_keep rule): products and
     # quotients of decimal-derived doubles land on decimal rounding
     # midpoints, where the engines' ROUND implementations diverge

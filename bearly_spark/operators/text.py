@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from bearly_spark.operators.rounding import floor_round
+from bearly_spark.operators.rounding import floor_round, rational_round
 
 #: Tiny deterministic stopword lists used for language scoring. Shared with
 #: the DuckDB oracle SQL — do not edit one side without the other.
@@ -86,6 +86,38 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def quality_score_parts(text: Column) -> tuple[Column, Column]:
+    """:func:`quality_score` as an exact integer rational (num, den):
+    with T = n_tokens, m = min(50, T), L = max(len, 1), P = punct
+    chars, S = stopword hits, Td = max(T, 1),
+
+        score = m/125 + 3(L−P)/(10L) + 3S/(10Td)
+              = (2·m·L·Td + 75·Td·(L−P) + 75·L·S) / (250·L·Td)
+
+    so the 6dp emission can be ``rounding.rational_round`` — no IEEE
+    arithmetic in the compared value (the round-7/8 midpoint-probe
+    finding: the weighted ratio sum lands EXACTLY on 6dp midpoints on
+    real fixtures, where any float form is a cross-build landmine).
+    All factors in LONG (≤ 2·50·L·T ≈ 10¹³ for megabyte docs — no
+    overflow even under ANSI)."""
+    toks = word_tokens(text)
+    t_ = F.size(toks).cast("long")
+    m = F.least(F.lit(50).cast("long"), t_)
+    ln = F.greatest(F.length(text), F.lit(1)).cast("long")
+    np = (
+        F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    ).cast("long")
+    sh = stopword_hits(toks, QUALITY_STOPWORDS).cast("long")
+    td = F.greatest(t_, F.lit(1).cast("long"))
+    num = (
+        F.lit(2).cast("long") * m * ln * td
+        + F.lit(75).cast("long") * td * (ln - np)
+        + F.lit(75).cast("long") * ln * sh
+    )
+    den = F.lit(250).cast("long") * ln * td
+    return num, den
+
+
 def lang_scores(tokens: Column) -> dict[str, Column]:
     return {lang: stopword_hits(tokens, words) for lang, words in STOPWORDS.items()}
 
@@ -114,16 +146,20 @@ def fingerprint(text: Column) -> Column:
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document stat bundle (all JVM-side).
 
-    The two ratio columns round with the cross-engine floor form
-    (``rounding.floor_round``): the quality score's weighted sum of
-    dyadic-ish ratios lands exactly on 6dp midpoints on real fixtures
-    (round-7 midpoint audit), where plain ROUND is engine-defined."""
+    The two ratio columns quantize at 6dp via exact integer rationals
+    (``rounding.rational_round``): the quality score's weighted ratio
+    sum lands EXACTLY on 6dp midpoints on real fixtures (round-7/8
+    midpoint audits), where every float form — plain ROUND and the
+    floor form alike — is engine/build-defined."""
     t = F.col(text_col)
+    qn, qd = quality_score_parts(t)
+    np = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("long")
+    ln = F.greatest(F.length(t), F.lit(1)).cast("long")
     return (
         df.withColumn("n_tokens", token_count(t))
         .withColumn("n_bpe_tokens", bpe_token_count(t))
-        .withColumn("punct_ratio", floor_round(punct_ratio(t), 6))
-        .withColumn("quality", floor_round(quality_score(t), 6))
+        .withColumn("punct_ratio", rational_round(np, ln, 6))
+        .withColumn("quality", rational_round(qn, qd, 6))
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )

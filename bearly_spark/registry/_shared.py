@@ -232,20 +232,85 @@ def _minhash_clusters_cached(spark, sf_dir):
 # LLM-pipeline: text analysis
 # ===================================================================
 
-# punct_ratio / quality round with the cross-engine floor form: the
-# quality score's weighted ratio sum lands exactly on 6dp midpoints on
-# real fixtures (round-7 midpoint audit), where plain ROUND diverges
-# between Spark and DuckDB. Mirrors text.with_text_stats.
-_PUNCT_RAW_SQL = (
-    "((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-    " / GREATEST(length(text), 1))"
+# punct_ratio / quality quantize at 6dp via exact integer rationals
+# (rounding.rational_round_sql): the quality score's weighted ratio sum
+# lands EXACTLY on 6dp midpoints on real fixtures (round-7/8 midpoint
+# audits), where every float form — plain ROUND and floor-form alike —
+# is engine/build-defined. Mirrors text.with_text_stats /
+# text.quality_score_parts: score = (2mLT' + 75T'(L-P) + 75LS)/(250LT')
+# with T = n_tokens, m = min(50,T), L = max(len,1), P = punct chars,
+# S = stopword hits, T' = max(T,1).
+_PUNCT_NUM_SQL = (
+    "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
 )
-_QUALITY_SQL = _R.floor_round_sql(
-    f"0.4 * LEAST(1.0, len({_TOKS}) / 50.0)"
-    f" + 0.3 * (1.0 - {_PUNCT_RAW_SQL})"
-    f" + 0.3 * ({_STOP_HITS['en']} / GREATEST(len({_TOKS}), 1))",
-    6,
+_PUNCT_DEN_SQL = "GREATEST(length(text), 1)"
+_QUALITY_NUM_SQL = (
+    f"(2 * LEAST(50, len({_TOKS})) * {_PUNCT_DEN_SQL}"
+    f"   * GREATEST(len({_TOKS}), 1)"
+    f" + 75 * GREATEST(len({_TOKS}), 1)"
+    f"   * ({_PUNCT_DEN_SQL} - {_PUNCT_NUM_SQL})"
+    f" + 75 * {_PUNCT_DEN_SQL} * ({_STOP_HITS['en']}))"
 )
+_QUALITY_DEN_SQL = f"(250 * {_PUNCT_DEN_SQL} * GREATEST(len({_TOKS}), 1))"
+_QUALITY_SQL = _R.rational_round_sql(_QUALITY_NUM_SQL, _QUALITY_DEN_SQL, 6)
+def quantile_cuts_sql(
+    source: str,
+    value: str,
+    qs: list[float],
+    names: list[str],
+    digits: int = 4,
+    scale: int = 2,
+    group_by: list[str] | None = None,
+) -> str:
+    """SELECT body computing exact-integer interpolated quantiles of
+    ``value`` over ``source`` — the DuckDB twin of
+    ``aggregate.exact_percentiles`` and the replacement for every
+    ``FLOOR(quantile_cont(..)·10^d + 0.5)`` cutpoint site (round-8
+    midpoint audit: interpolated quantiles of 2dp prices land EXACTLY
+    on 4dp boundaries, where any float form is engine/build-defined).
+
+    Each quantile ``q = a/b`` picks order statistics by integer index
+    ``lo = ((n−1)·a) // b`` with remainder ``r``; the cut is the exact
+    rational ``(lo_val·(b−r) + hi_val·r)/(b·10^scale)`` over
+    ``10^scale``-scaled integer values, emitted via
+    ``rounding.rational_round_sql``. Usage:
+    ``c AS ({quantile_cuts_sql('orders', 'o_totalprice', ...)})``."""
+    from fractions import Fraction
+
+    g = list(group_by or [])
+    g_sel = "".join(f"st.{c}, " for c in g)
+    g_cols = "".join(f"{c}, " for c in g)
+    part = f"PARTITION BY {', '.join(g)} " if g else ""
+    fracs = [Fraction(q).limit_denominator(10**6) for q in qs]
+    sel = []
+    for fr, name in zip(fracs, names):
+        a, b = fr.numerator, fr.denominator
+        r = f"(((st.n - 1) * {a}) % {b})"
+        sel.append(
+            _R.rational_round_sql(
+                f"st.lo_{name} * ({b} - {r}) + st.hi_{name} * {r}",
+                str(b * 10**scale),
+                digits,
+            )
+            + f" AS {name}"
+        )
+    aggs = ["MAX(n) AS n"]
+    for fr, name in zip(fracs, names):
+        a, b = fr.numerator, fr.denominator
+        num = f"((n - 1) * {a})"
+        lo_i = f"({num} // {b})"
+        hi_i = f"({lo_i} + CASE WHEN {num} % {b} > 0 THEN 1 ELSE 0 END)"
+        aggs.append(f"MAX(CASE WHEN rn = {lo_i} THEN sv END) AS lo_{name}")
+        aggs.append(f"MAX(CASE WHEN rn = {hi_i} THEN sv END) AS hi_{name}")
+    group_clause = f" GROUP BY {', '.join(g)}" if g else ""
+    return f"""SELECT {g_sel}{', '.join(sel)}
+    FROM (SELECT {g_cols}{', '.join(aggs)}
+          FROM (SELECT {g_cols}CAST(({value}) * {10**scale} AS HUGEINT) AS sv,
+                       ROW_NUMBER() OVER ({part}ORDER BY ({value})) - 1 AS rn,
+                       COUNT(*) OVER ({part.rstrip()}) AS n
+                FROM {source} WHERE ({value}) IS NOT NULL) rk{group_clause}) st"""
+
+
 _FPRINT_SQL = (
     f"md5(array_to_string(list_sort(list_distinct([lower(t) for t in {_TOKS}])), ' '))"
 )

@@ -27,6 +27,7 @@ from bearly_spark.producers import produce_array, produce_stream
 from bearly_spark.sources.tables import events_with_timestamp, load_table
 
 from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
+from bearly_spark.registry._shared import quantile_cuts_sql
 
 
 
@@ -137,17 +138,19 @@ def q_approx_distinct(spark, sf_dir):
 
 @register(
     "percentiles_lineitem",
-    oracle="""
-    SELECT l_returnflag,
-           FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
-           FLOOR(quantile_cont(l_extendedprice, 0.50) * 10000.0 + 0.5) / 10000.0 AS p50,
-           FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
-    FROM lineitem GROUP BY l_returnflag
-    """,
+    oracle=quantile_cuts_sql(
+        "lineitem",
+        "l_extendedprice",
+        [0.25, 0.50, 0.75],
+        ["p25", "p50", "p75"],
+        group_by=["l_returnflag"],
+    ),
 )
 def q_percentiles(spark, sf_dir):
-    """Exact percentiles (linear interpolation — same definition as
-    DuckDB's quantile_cont), via the spill-safe rank-window form in
+    """Exact percentiles (linear interpolation — the quantile_cont
+    definition, replayed in exact integer index/interpolation
+    arithmetic on both sides, round-8 midpoint audit), via the
+    spill-safe rank-window form in
     operators.aggregate.exact_percentiles (F.percentile buffers whole
     groups in memory). At 100 TB prefer approx_percentile (t-digest)."""
     from bearly_spark.operators.aggregate import exact_percentiles
@@ -238,12 +241,15 @@ def q_minmax_by(spark, sf_dir):
 
 @register(
     "median_mode_orders",
-    oracle="""
-    WITH m AS (
-      SELECT o_orderpriority,
-             FLOOR(median(o_totalprice) * 100.0 + 0.5) / 100.0 AS median_price,
-             COUNT(*) AS n_orders
-      FROM orders GROUP BY o_orderpriority),
+    oracle=f"""
+    WITH mq AS ({quantile_cuts_sql(
+        "orders", "o_totalprice", [0.5], ["median_price"],
+        digits=2, group_by=["o_orderpriority"],
+    )}),
+    mn AS (SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders GROUP BY o_orderpriority),
+    m AS (SELECT mq.o_orderpriority, mq.median_price, mn.n_orders
+          FROM mq JOIN mn USING (o_orderpriority)),
     c AS (
       SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
              row_number() OVER (PARTITION BY o_orderpriority
@@ -255,16 +261,22 @@ def q_minmax_by(spark, sf_dir):
     """,
 )
 def q_median_mode(spark, sf_dir):
-    """Exact median (built-in single-expression form) + deterministic mode
-    (count-then-arg-min composition; ties broken by lowest value, unlike
-    the engine-arbitrary built-in MODE()). The median rounds with the
-    floor form: an even-count median is the average of two 2dp prices,
-    which lands EXACTLY on a 2dp midpoint (round-7 midpoint audit),
-    where plain ROUND is engine-defined."""
+    """Exact median + deterministic mode (count-then-arg-min
+    composition; ties broken by lowest value, unlike the
+    engine-arbitrary built-in MODE()). The median is the exact-integer
+    rank-window quantile (an even-count median is the average of two
+    2dp prices — EXACTLY a 2dp rounding boundary, where every float
+    form is engine/build-defined; round-7/8 midpoint audits): both
+    engines interpolate and quantize in integer arithmetic."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
     o = load_table(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderpriority").agg(
-        _R.floor_round(F.median("o_totalprice"), 2).alias("median_price"),
-        F.count(F.lit(1)).alias("n_orders"),
+    med = exact_percentiles(
+        o, ["o_orderpriority"], "o_totalprice", [0.5],
+        names=["median_price"], decimals=2,
+    ).join(
+        o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders")),
+        "o_orderpriority",
     )
     counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -340,15 +352,13 @@ def q_histogram_prices(spark, sf_dir):
 
 @register(
     "histogram_depth_orders",
-    oracle="""
-    WITH c AS (SELECT FLOOR(quantile_cont(o_totalprice, 0.125) * 10000.0 + 0.5) / 10000.0 AS c1,
-                      FLOOR(quantile_cont(o_totalprice, 0.250) * 10000.0 + 0.5) / 10000.0 AS c2,
-                      FLOOR(quantile_cont(o_totalprice, 0.375) * 10000.0 + 0.5) / 10000.0 AS c3,
-                      FLOOR(quantile_cont(o_totalprice, 0.500) * 10000.0 + 0.5) / 10000.0 AS c4,
-                      FLOOR(quantile_cont(o_totalprice, 0.625) * 10000.0 + 0.5) / 10000.0 AS c5,
-                      FLOOR(quantile_cont(o_totalprice, 0.750) * 10000.0 + 0.5) / 10000.0 AS c6,
-                      FLOOR(quantile_cont(o_totalprice, 0.875) * 10000.0 + 0.5) / 10000.0 AS c7
-               FROM orders)
+    oracle=f"""
+    WITH c AS ({quantile_cuts_sql(
+        "orders",
+        "o_totalprice",
+        [k / 8 for k in range(1, 8)],
+        [f"c{k}" for k in range(1, 8)],
+    )})
     SELECT 1 + (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END)
              + (CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END)
              + (CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END)

@@ -29,7 +29,18 @@ from bearly_spark.sources.tables import events_with_timestamp, load_table
 from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
 from bearly_spark.registry._shared import (  # noqa: F401
     _scratch_index,
+    quantile_cuts_sql,
 )
+
+# Exact-integer quantile cut blocks (round-8 midpoint audit: every
+# FLOOR(quantile_cont(..)·10^d + 0.5) site is a cross-build landmine;
+# the generator replays exact_percentiles' integer index/interpolation
+# arithmetic). Sources name CTEs defined in the host oracle strings.
+_Q_RFM = [
+    quantile_cuts_sql("agg", col, [0.25, 0.50, 0.75],
+                      [f"{tag}{k}" for k in (1, 2, 3)], scale=s)
+    for col, tag, s in [("r_days", "r", 0), ("f", "f", 0), ("m", "m", 2)]
+]
 
 
 
@@ -133,22 +144,14 @@ def q_anomaly_zscore(spark, sf_dir):
 
 @register(
     "rfm_segments_customer",
-    oracle="""
+    oracle=f"""
     WITH agg AS (SELECT o_custkey,
                         CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1992-01-01'
                              AS BIGINT) AS r_days,
                         COUNT(*) AS f, ROUND(SUM(o_totalprice), 2) AS m
                  FROM orders GROUP BY o_custkey),
-    c AS (SELECT FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.25) * 10000.0 + 0.5) / 10000.0 AS r1,
-                 FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS r2,
-                 FLOOR(quantile_cont(CAST(r_days AS DOUBLE), 0.75) * 10000.0 + 0.5) / 10000.0 AS r3,
-                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.25) * 10000.0 + 0.5) / 10000.0 AS f1,
-                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS f2,
-                 FLOOR(quantile_cont(CAST(f AS DOUBLE), 0.75) * 10000.0 + 0.5) / 10000.0 AS f3,
-                 FLOOR(quantile_cont(m, 0.25) * 10000.0 + 0.5) / 10000.0 AS m1,
-                 FLOOR(quantile_cont(m, 0.50) * 10000.0 + 0.5) / 10000.0 AS m2,
-                 FLOOR(quantile_cont(m, 0.75) * 10000.0 + 0.5) / 10000.0 AS m3
-          FROM agg)
+    c AS (SELECT * FROM
+          ({_Q_RFM[0]}) tr, ({_Q_RFM[1]}) tf, ({_Q_RFM[2]}) tm)
     SELECT o_custkey,
            1 + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
              + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END)
@@ -184,11 +187,12 @@ def q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("f"),
         F.round(F.sum("o_totalprice"), 2).alias("m"),
     )
-    qs, names = [0.25, 0.50, 0.75], None
+    qs = [0.25, 0.50, 0.75]
     cuts = None
     for col in ("r_days", "f", "m"):
-        src = agg.select(F.col(col).cast("double").alias(col)) if col != "m" else agg
-        c = exact_percentiles(src, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)])
+        # scale inference: r_days/f are integral (scale 0), m is a
+        # 2dp-rounded double (scale 2) — matching the twin's cut blocks
+        c = exact_percentiles(agg, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)])
         cuts = c if cuts is None else cuts.crossJoin(c)
 
     def score(col):
@@ -205,19 +209,13 @@ def q_rfm_segments(spark, sf_dir):
 
 @register(
     "drift_report_orders",
-    oracle="""
+    oracle=f"""
     WITH a AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
                            ELSE o_totalprice END AS v FROM orders),
-    c AS (SELECT FLOOR(quantile_cont(o_totalprice, 0.1) * 10000.0 + 0.5) / 10000.0 AS c1,
-                 FLOOR(quantile_cont(o_totalprice, 0.2) * 10000.0 + 0.5) / 10000.0 AS c2,
-                 FLOOR(quantile_cont(o_totalprice, 0.3) * 10000.0 + 0.5) / 10000.0 AS c3,
-                 FLOOR(quantile_cont(o_totalprice, 0.4) * 10000.0 + 0.5) / 10000.0 AS c4,
-                 FLOOR(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS c5,
-                 FLOOR(quantile_cont(o_totalprice, 0.6) * 10000.0 + 0.5) / 10000.0 AS c6,
-                 FLOOR(quantile_cont(o_totalprice, 0.7) * 10000.0 + 0.5) / 10000.0 AS c7,
-                 FLOOR(quantile_cont(o_totalprice, 0.8) * 10000.0 + 0.5) / 10000.0 AS c8,
-                 FLOOR(quantile_cont(o_totalprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS c9
-          FROM orders),
+    c AS ({quantile_cuts_sql(
+        "orders", "o_totalprice",
+        [k / 10 for k in range(1, 10)], [f"c{k}" for k in range(1, 10)],
+    )}),
     pb AS (SELECT 1 + (o_totalprice > c1)::INT + (o_totalprice > c2)::INT
                     + (o_totalprice > c3)::INT + (o_totalprice > c4)::INT
                     + (o_totalprice > c5)::INT + (o_totalprice > c6)::INT
@@ -230,22 +228,22 @@ def q_rfm_segments(spark, sf_dir):
                   COUNT(*) AS n
            FROM a, c GROUP BY bucket),
     ps AS (SELECT bucket,
-                  FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb)
-                        * 1000000.0 + 0.5) / 1000000.0 AS p_before FROM pb),
+                  {_R.rational_micro_sql('n', '(SELECT SUM(n) FROM pb)', 6)}
+                      AS pm FROM pb),
     qsh AS (SELECT bucket,
-                   FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb)
-                         * 1000000.0 + 0.5) / 1000000.0 AS q_after FROM qb),
+                   {_R.rational_micro_sql('n', '(SELECT SUM(n) FROM qb)', 6)}
+                       AS qm FROM qb),
     j AS (SELECT COALESCE(ps.bucket, qsh.bucket) AS bucket,
-                 COALESCE(p_before, 0.0) AS p_before,
-                 COALESCE(q_after, 0.0) AS q_after
+                 COALESCE(pm, 0) AS pm, COALESCE(qm, 0) AS qm
           FROM ps FULL OUTER JOIN qsh ON ps.bucket = qsh.bucket)
-    SELECT bucket, p_before, q_after,
-           CASE WHEN p_before > 0
-                THEN FLOOR((q_after - p_before) * (q_after - p_before) / p_before
-                           * 1000000.0 + 0.5) / 1000000.0
+    SELECT bucket,
+           CAST(pm AS DOUBLE) / 1000000.0 AS p_before,
+           CAST(qm AS DOUBLE) / 1000000.0 AS q_after,
+           CASE WHEN pm > 0
+                THEN {_R.rational_round_sql(
+                    '(qm - pm) * (qm - pm)', '1000000 * pm', 6)}
                 END AS chi2_term,
-           FLOOR(ABS(q_after - p_before) / 2.0 * 1000000.0 + 0.5) / 1000000.0
-               AS tvd_term
+           {_R.rational_round_sql('ABS(qm - pm)', '2000000', 6)} AS tvd_term
     FROM j
     """,
 )
@@ -274,11 +272,11 @@ def q_drift_report(spark, sf_dir):
 
 @register(
     "outliers_iqr_lineitem",
-    oracle="""
-    WITH q AS (SELECT l_returnflag,
-                      FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
-                      FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3
-               FROM lineitem GROUP BY l_returnflag),
+    oracle=f"""
+    WITH q AS ({quantile_cuts_sql(
+        "lineitem", "l_extendedprice", [0.25, 0.75], ["q1", "q3"],
+        group_by=["l_returnflag"],
+    )}),
     f AS (SELECT l_returnflag, ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
                  ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence FROM q)
     SELECT li.l_returnflag, COUNT(*) AS n,
@@ -304,28 +302,28 @@ def q_outliers_iqr(spark, sf_dir):
 
 @register(
     "drift_categorical_orders",
-    oracle="""
+    oracle=f"""
     WITH a AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN '1-URGENT'
                            ELSE o_orderpriority END AS category FROM orders),
     pb AS (SELECT o_orderpriority AS category, COUNT(*) AS n FROM orders GROUP BY 1),
     qb AS (SELECT category, COUNT(*) AS n FROM a GROUP BY 1),
     ps AS (SELECT category,
-                  FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM pb)
-                        * 1000000.0 + 0.5) / 1000000.0 AS p_before FROM pb),
+                  {_R.rational_micro_sql('n', '(SELECT SUM(n) FROM pb)', 6)}
+                      AS pm FROM pb),
     qsh AS (SELECT category,
-                   FLOOR(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM qb)
-                         * 1000000.0 + 0.5) / 1000000.0 AS q_after FROM qb),
+                   {_R.rational_micro_sql('n', '(SELECT SUM(n) FROM qb)', 6)}
+                       AS qm FROM qb),
     j AS (SELECT COALESCE(ps.category, qsh.category) AS category,
-                 COALESCE(p_before, 0.0) AS p_before,
-                 COALESCE(q_after, 0.0) AS q_after
+                 COALESCE(pm, 0) AS pm, COALESCE(qm, 0) AS qm
           FROM ps FULL OUTER JOIN qsh ON ps.category IS NOT DISTINCT FROM qsh.category)
-    SELECT category, p_before, q_after,
-           CASE WHEN p_before > 0
-                THEN FLOOR((q_after - p_before) * (q_after - p_before) / p_before
-                           * 1000000.0 + 0.5) / 1000000.0
+    SELECT category,
+           CAST(pm AS DOUBLE) / 1000000.0 AS p_before,
+           CAST(qm AS DOUBLE) / 1000000.0 AS q_after,
+           CASE WHEN pm > 0
+                THEN {_R.rational_round_sql(
+                    '(qm - pm) * (qm - pm)', '1000000 * pm', 6)}
                 END AS chi2_term,
-           FLOOR(ABS(q_after - p_before) / 2.0 * 1000000.0 + 0.5) / 1000000.0
-               AS tvd_term
+           {_R.rational_round_sql('ABS(qm - pm)', '2000000', 6)} AS tvd_term
     FROM j
     """,
 )
@@ -351,10 +349,10 @@ def q_drift_categorical(spark, sf_dir):
 
 @register(
     "winsorize_lineitem",
-    oracle="""
-    WITH c AS (SELECT FLOOR(quantile_cont(l_extendedprice, 0.01) * 10000.0 + 0.5) / 10000.0 AS lo,
-                      FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5) / 10000.0 AS hi
-               FROM lineitem)
+    oracle=f"""
+    WITH c AS ({quantile_cuts_sql(
+        "lineitem", "l_extendedprice", [0.01, 0.99], ["lo", "hi"],
+    )})
     SELECT l_orderkey, l_linenumber, l_extendedprice,
            LEAST(GREATEST(l_extendedprice, lo), hi) AS l_extendedprice_winsorized,
            LEAST(GREATEST(l_extendedprice, lo), hi) <> l_extendedprice
@@ -634,12 +632,15 @@ def q_cms_index_query(spark, sf_dir):
 
 @register(
     "mad_outliers_lineitem",
-    oracle="""
-    WITH m AS (SELECT FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS med
-               FROM lineitem),
-    d AS (SELECT FLOOR(quantile_cont(
-                   ABS(CAST(l_extendedprice AS DOUBLE) - med), 0.5) * 10000.0 + 0.5) / 10000.0 AS mad
-          FROM lineitem, m WHERE l_extendedprice IS NOT NULL),
+    oracle=f"""
+    WITH m AS ({quantile_cuts_sql(
+        "lineitem", "l_extendedprice", [0.5], ["med"],
+    )}),
+    d AS ({quantile_cuts_sql(
+        "(SELECT ABS(CAST(l_extendedprice AS DOUBLE) - med) AS dev"
+        " FROM lineitem, m WHERE l_extendedprice IS NOT NULL) devs",
+        "dev", [0.5], ["mad"], scale=4,
+    )}),
     s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
                  CASE WHEN l_extendedprice IS NOT NULL AND mad > 0
                       THEN 0.6745 * (CAST(l_extendedprice AS DOUBLE) - med) / mad

@@ -31,7 +31,8 @@ from bearly_spark.registry._shared import (  # noqa: F401
     _BM25_QUERIES,
     _BM25_QUERY,
     _FPRINT_SQL,
-    _PUNCT_RAW_SQL,
+    _PUNCT_DEN_SQL,
+    _PUNCT_NUM_SQL,
     _QUALITY_SQL,
     _STOP_HITS,
     _TOKS,
@@ -49,7 +50,7 @@ _LANG_CASE = (
     )
     + " ELSE 'und' END"
 )
-_PUNCT_SQL = _R.floor_round_sql(_PUNCT_RAW_SQL, 6)
+_PUNCT_SQL = _R.rational_round_sql(_PUNCT_NUM_SQL, _PUNCT_DEN_SQL, 6)
 
 
 @register(

@@ -2,13 +2,18 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
-ONE JSON line to stdout:
+ONE compact JSON line (<=200 bytes — the driver records only a
+2,000-char tail of stdout, so the final line must fit it whole) as the
+LAST line of stdout:
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+    {"metric": "headline_queries_wall_clock", "value": <total_sec>,
+     "unit": "sec", "n_queries": N, "sf": 0.1,
+     "queries_file": "BENCH_samples.json"}
 
-Everything else (Spark logs, progress) goes to stderr. Each query is
-materialized with the noop sink (full execution, no driver collect cost).
+Per-query best-of-3 timings and the raw per-pass samples land in
+``BENCH_samples.json`` next to this file. Everything else (Spark logs,
+progress) goes to stderr. Each query is materialized with the noop sink
+(full execution, no driver collect cost).
 """
 
 from __future__ import annotations
@@ -316,26 +321,29 @@ def main() -> None:
     timings = {k: min(v) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    # Stdout carries ONE compact JSON line — the driver captures a
-    # bounded tail of stdout, and round 6's line (with inline raw
-    # samples, ~8 KB+) was truncated mid-JSON, losing the round's
-    # headline entirely. Raw per-pass samples (for attributing
-    # cross-round drift to shared-host noise vs code, round-4 verdict
-    # #8) go to a side file instead.
+    # Stdout carries ONE COMPACT FINAL line. The driver records only a
+    # 2,000-char TAIL of stdout: round 6's line (inline raw samples,
+    # ~8 KB) and round 7's "fix" (per-query map inline, ~3.5 KB) were
+    # both truncated from the FRONT, losing the {"metric","value"} head
+    # and the round's headline entirely. So the per-query minima and
+    # the raw per-pass samples (cross-round drift attribution, round-4
+    # verdict #8) go ONLY to BENCH_samples.json, and the last stdout
+    # line is a <=200-byte summary the tail always contains whole.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_samples.json"), "w") as fh:
-        json.dump({"sf": sf, "samples": samples}, fh)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+        json.dump({"sf": sf, "queries": timings, "samples": samples}, fh)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "queries_file": "BENCH_samples.json",
+        }
     )
+    assert len(line) <= 200, f"bench summary line grew to {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,17 @@ site can be converted to the cross-engine floor form
 ``floor(x*10^d + 0.5)/10^d`` (the `personalized_pagerank` /
 `windows.ewma` pattern).
 
+Round 8 closed the probe's floor-form blind spot: a twin already
+converted to ``FLOOR(x*10^d + 0.5)/10^d`` was previously skipped
+("probed 0 ROUND twins" on ewma — the one query that then failed in the
+driver's env, where the pre-floor argument landed EXACTLY on an integer
+with a 1-ulp cross-build neighbor). Every ``FLOOR(... + 0.5)`` site is
+now also instrumented: rows where the floor argument ``y`` sits within
+``4·ulp(y)`` of ANY integer raise the same loud per-row ERROR. A hit
+means a 1-ulp engine/build difference in computing ``y`` would flip the
+emitted decimal — the site must move to exact-integer emission (the
+``windows.ewma`` scaled-DECIMAL pattern), not merely to floor-form.
+
 Usage: PYTHONPATH=. python tools/round_midpoint_probe.py [sf_dir] [query ...]
 
 Run once per fixture scale (the IVF twin's lazy k-means fit reads
@@ -104,6 +115,51 @@ def instrument(sql: str) -> str:
     return sql.replace("__RND__(", "ROUND(")
 
 
+_FLOOR = re.compile(r"(?<![A-Za-z_0-9])FLOOR\s*\(", re.IGNORECASE)
+# top-level "... + 0.5" tail marks the half-up rounding form (plain
+# bucketing FLOORs — FLOOR(x/2048) etc. — are exact by construction
+# and are left alone)
+_HALF_TAIL = re.compile(r"\+\s*0?\.5\s*$")
+
+
+def instrument_floor(sql: str) -> str:
+    """Wrap every half-up-form FLOOR(x*scale + 0.5) in an
+    integer-boundary proximity probe: ERROR when the argument lies
+    within 4 ulps of ANY integer (where a 1-ulp cross-build difference
+    in computing the argument flips the floor), innermost-first."""
+    site = 0
+    while True:
+        chosen = None
+        for m in _FLOOR.finditer(sql):
+            open_idx = sql.index("(", m.start())
+            end = _balanced_end(sql, open_idx)
+            inner = sql[open_idx + 1 : end]
+            if _FLOOR.search(inner):
+                continue  # handle the innermost site of this nest first
+            chosen = (m, inner, end)
+            if _HALF_TAIL.search(inner.strip()):
+                break
+        if chosen is None:
+            break
+        m, inner, end = chosen
+        if not _HALF_TAIL.search(inner.strip()):
+            # bucketing FLOOR (no "+ 0.5" tail): exact by construction,
+            # mark done without a probe
+            sql = sql[: m.start()] + "__FLR__(" + inner + ")" + sql[end + 1 :]
+            continue
+        site += 1
+        tag = re.sub(r"\s+", " ", inner)[:60].replace("'", "")
+        y = f"CAST(({inner}) AS DOUBLE)"
+        repl = (
+            f"CASE WHEN ABS({y} - ROUND({y})) <= "
+            f"4 * GREATEST(ABS({y}), 1.0) * 2.220446049250313e-16 "
+            f"THEN ERROR('MIDPOINT floor-site {site}: {tag}') "
+            f"ELSE __FLR__(({inner})) END"
+        )
+        sql = sql[: m.start()] + repl + sql[end + 1 :]
+    return sql.replace("__FLR__(", "FLOOR(")
+
+
 def run(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
 
@@ -122,12 +178,25 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        if not _ROUND.search(sql):
+        has_round = bool(_ROUND.search(sql))
+        has_floor = any(
+            _HALF_TAIL.search(
+                sql[m.start() :][
+                    sql[m.start() :].index("(") + 1 :
+                    _balanced_end(sql[m.start() :], sql[m.start() :].index("("))
+                ].strip()
+            )
+            for m in _FLOOR.finditer(sql)
+        )
+        if not has_round and not has_floor:
             skipped += 1
             continue
         probed += 1
         try:
-            con.sql(instrument(sql)).fetchall()
+            # ROUND sites first (their probe text adds bucketing FLOORs,
+            # which the floor pass leaves alone); half-up FLOOR sites
+            # second (their probe text adds ROUNDs, no further pass)
+            con.sql(instrument_floor(instrument(sql))).fetchall()
             print(f"ok   {name}: 0 midpoint-adjacent rows")
         except Exception as exc:  # noqa: BLE001
             if "MIDPOINT" in str(exc):
@@ -138,7 +207,8 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
                 errored.append(name)
                 print(f"ERR  {name}: probe rewrite failed: {exc}")
     print(
-        f"\nprobed {probed} ROUND twins ({skipped} without ROUND skipped): "
+        f"\nprobed {probed} ROUND/floor-form twins "
+        f"({skipped} with neither skipped): "
         f"{len(at_risk)} at-risk, {len(errored)} probe errors"
     )
     if at_risk:
