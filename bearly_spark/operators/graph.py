@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from bearly_spark.operators.rounding import floor_round
 from pyspark.sql import DataFrame
 
 
@@ -50,7 +49,27 @@ def pagerank(
     """Power-iteration PageRank over a directed edge list. For an
     undirected graph pass the symmetrized edges. Returns (node, rank)
     for every node that appears as a source (with ≥ 1 out-edge —
-    see the module docstring's dangling-node contract)."""
+    see the module docstring's dangling-node contract).
+
+    Determinism (round 8): the ENTIRE iteration runs in exact integer
+    picoranks (10⁻¹² units) — no IEEE arithmetic anywhere until the
+    final ``rank = pico/10¹²`` emission (one IEEE division of the same
+    exact integer in every engine/build; the round-7 driver failure
+    proved float folds 1-ulp-fragile ACROSS DuckDB builds even in
+    floor form). With damping ``dn/dd`` (0.85 = 17/20 exactly):
+
+        R₀      = halfup(10¹²/n)
+        c(edge) = halfup(R(src)/deg(src))                 [pico]
+        R'      = 100·halfup(((dd−dn)·10¹² + dn·Σc·n) / (100·dd·n))
+
+    (the last line is base + damping·Σc quantized at 10dp, scaled back
+    to pico — matching the prior 10dp update contract). halfup is
+    integral division (``rounding.rational_micro``); sums of integer
+    picoranks are order-free; the twin replays the identical integer
+    recurrence, so every intermediate rank vector is bit-identical."""
+    from fractions import Fraction
+
+    from bearly_spark.operators.rounding import rational_micro
     # Pin the edge list hash-partitioned on src ONCE: every iteration
     # joins on src, so the (large) edge side never re-shuffles — only
     # the Θ(nodes) rank vector moves per iteration. deg derives from
@@ -68,12 +87,13 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()  # also pins both tables for the loop
-    base = (1.0 - damping) / n
+    dfr = Fraction(damping).limit_denominator(1000)
+    dn, dd = dfr.numerator, dfr.denominator
+    dec = "decimal(38,0)"
 
-    # exact double 1/n, NOT pre-rounded: the twin computes 1.0/n in SQL
-    # and IEEE division of the same integers is bit-identical
     ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+        F.col("src").alias("node"),
+        rational_micro(F.lit(1), F.lit(n), 12).alias("_pico"),
     ).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     for _ in range(iterations):
@@ -82,27 +102,32 @@ def pagerank(
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                floor_round(F.col("rank") / F.col("deg"), 12)
-                .cast("decimal(28,12)")
-                .alias("w"),
+                rational_micro(F.col("_pico"), F.col("deg"), 0).alias("w"),
             )
         )
-        agg = contrib.groupBy("node").agg(F.sum("w").cast("double").alias("_s"))
+        agg = contrib.groupBy("node").agg(F.sum("w").alias("_s"))
         # left-join back onto the FULL node set: a node with out-edges
         # but no in-edges (possible on non-symmetric graphs) must keep
         # its base rank and stay in the vector — grouping only the
         # contribution stream would silently drop it AND its out-edges
         # from every later iteration (review catch, round 6)
-        upd = F.lit(base) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+        s38 = F.coalesce(F.col("_s"), F.lit(0)).cast(dec)
+        num = (
+            F.lit((dd - dn) * 10**12).cast(dec)
+            + F.lit(dn).cast(dec) * s38 * F.lit(n).cast(dec)
+        )
+        den = F.lit(100 * dd).cast(dec) * F.lit(n).cast(dec)
         ranks = (
             nodes.join(agg, "node", "left")
             .select(
                 "node",
-                floor_round(upd, 10).alias("rank"),
+                (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select(
+        "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
+    )
 
 
 def triangle_counts(
@@ -458,16 +483,25 @@ def personalized_pagerank(
     contributions with p = uniform over seeds, r0 = p.
 
     Same execution shape as :func:`pagerank`: edges pinned partitioned
-    on src (only the Θ(nodes) rank vector moves per iteration), 12dp
-    DECIMAL contribution sums, 10dp damped updates, localCheckpoint
-    per round. The rounding, though, is ``floor(x·10ⁿ+0.5)/10ⁿ`` on
-    doubles instead of ROUND: PPR's restart arithmetic (0.15/|S| +
-    0.85·12dp-decimals) lands EXACTLY on 10dp decimal midpoints, where
-    Spark (shortest-decimal-repr half-up) and DuckDB (binary value)
-    disagree — the floor form is the same IEEE op sequence in both
-    engines, so the twin matches bit-for-bit by construction (observed
-    at sf0.01 with plain ROUND: 0.0011315211 vs 0.001131521). Nodes unreachable from the seeds report rank 0 — absence
-    of relatedness is a value, not a missing row."""
+    on src (only the Θ(nodes) rank vector moves per iteration),
+    localCheckpoint per round — and the same round-8 exact-integer
+    picorank recurrence (PPR's restart arithmetic lands EXACTLY on
+    10dp decimal boundaries — observed at sf0.01 with plain ROUND:
+    0.0011315211 vs 0.001131521 — and the round-7 audit showed even
+    fixed-order float forms 1-ulp-fragile across DuckDB builds):
+
+        R₀      = is_seed ? halfup(10¹²/|S|) : 0
+        c(edge) = halfup(R(src)/deg(src))                  [pico]
+        R'      = 100·halfup(([seed]·(dd−dn)·10¹² + dn·Σc·|S|)
+                             / (100·dd·|S|))
+
+    all in integral division (``rounding.rational_micro``); the only
+    IEEE op is the final ``pico/10¹²`` emission of identical integers.
+    Nodes unreachable from the seeds report rank 0 — absence of
+    relatedness is a value, not a missing row."""
+    from fractions import Fraction
+
+    from bearly_spark.operators.rounding import rational_micro
     # explicit partition count — same AQE-coalesce guard as pagerank
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e = (
@@ -488,13 +522,16 @@ def personalized_pagerank(
         s_count = nodes.filter("is_seed").count()
         if s_count == 0:
             raise ValueError("personalized_pagerank: no seed appears in the graph")
-        seed_r0 = 1.0 / s_count
-        seed_base = (1.0 - damping) / s_count
+        dfr = Fraction(damping).limit_denominator(1000)
+        dn, dd = dfr.numerator, dfr.denominator
+        dec = "decimal(38,0)"
         ranks = nodes.select(
             "node",
-            F.when(F.col("is_seed"), F.lit(seed_r0)).otherwise(F.lit(0.0)).alias(
-                "rank"
-            ),
+            F.when(
+                F.col("is_seed"), rational_micro(F.lit(1), F.lit(s_count), 12)
+            )
+            .otherwise(F.lit(0))
+            .alias("_pico"),
         ).localCheckpoint(eager=True)
         for _ in range(iterations):
             contrib = (
@@ -502,25 +539,29 @@ def personalized_pagerank(
                 .join(deg, "src")
                 .select(
                     F.col("dst").alias("node"),
-                    floor_round(F.col("rank") / F.col("deg"), 12)
-                    .cast("decimal(28,12)")
-                    .alias("w"),
+                    rational_micro(F.col("_pico"), F.col("deg"), 0).alias("w"),
                 )
             )
-            agg = contrib.groupBy("node").agg(F.sum("w").cast("double").alias("_s"))
-            upd = (
-                F.when(F.col("is_seed"), F.lit(seed_base)).otherwise(F.lit(0.0))
-                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            agg = contrib.groupBy("node").agg(F.sum("w").alias("_s"))
+            s38 = F.coalesce(F.col("_s"), F.lit(0)).cast(dec)
+            num = (
+                F.when(
+                    F.col("is_seed"), F.lit((dd - dn) * 10**12).cast(dec)
+                ).otherwise(F.lit(0).cast(dec))
+                + F.lit(dn).cast(dec) * s38 * F.lit(s_count).cast(dec)
             )
+            den = F.lit(100 * dd).cast(dec) * F.lit(s_count).cast(dec)
             ranks = (
                 nodes.join(agg, "node", "left")
                 .select(
                     "node",
-                    floor_round(upd, 10).alias("rank"),
+                    (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
                 )
                 .localCheckpoint(eager=True)
             )
-        return ranks
+        return ranks.select(
+            "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
+        )
     finally:
         e.unpersist()
         deg.unpersist()

@@ -57,11 +57,20 @@ def floor_round(col: Column, digits: int) -> Column:
     """``floor(col·10^digits + 0.5)/10^digits`` as a double Column —
     true floor for all signs, exact over the full double range (no
     BIGINT saturation)."""
-    scale = F.lit(float(10**digits))
-    y = col * scale + F.lit(0.5)
+    return floor_scaled(col, digits) / F.lit(float(10**digits))
+
+
+def floor_scaled(col: Column, digits: int) -> Column:
+    """``floor(col·10^digits + 0.5)`` as an INTEGER-VALUED double
+    Column — :func:`floor_round` before its final ``/10^digits``, for
+    callers that need the quantized integer itself (exact sums of
+    micro-units). Do NOT reconstruct it as ``floor_round(x, d)·10^d``:
+    the divide-then-multiply round-trip can lose a ulp and a
+    subsequent integer cast then truncates to the NEIGHBORING
+    integer."""
+    y = col * F.lit(float(10**digits)) + F.lit(0.5)
     r = y % F.lit(1.0)
-    f = y - r + F.when(r < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
-    return f / scale
+    return y - r + F.when(r < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
 
 
 def floor_round_sql(expr: str, digits: int) -> str:

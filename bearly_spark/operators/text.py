@@ -12,7 +12,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from bearly_spark.operators.rounding import floor_round, rational_round
+from bearly_spark.operators.rounding import (
+    floor_round,
+    floor_scaled,
+    rational_round,
+)
 
 #: Tiny deterministic stopword lists used for language scoring. Shared with
 #: the DuckDB oracle SQL — do not edit one side without the other.
@@ -409,11 +413,19 @@ def bigram_logprob_scores(
     wordcount-shaped aggregations (bigram counts, context counts, a
     1-row distinct-vocab scalar) joined back onto the occurrence stream
     — every shuffle keyed on token values with mergeable partial
-    aggregates; the vocab scalar rides a 1-row broadcast. The per-doc
-    mean sums per-bigram contributions as DECIMAL(28,12) (rounded to
-    12dp first) so aggregation order can't wiggle the result — the same
-    determinism contract as :func:`bm25_topk`, making the DuckDB twin
-    exact.
+    aggregates; the vocab scalar rides a 1-row broadcast.
+
+    Determinism (round 8): each contribution is quantized to an
+    INTEGER micro-nat (6dp) — ``floor(ln·10⁶ + 0.5)`` as BIGINT — then
+    summed exactly; the per-doc mean is ``rational_round`` over those
+    exact integers (4dp, integral division — no float division, no
+    float rounding). The ln itself is the one irreducible libm call:
+    a 1-ulp cross-build difference moves ``ln·10⁶`` by ~2·10⁻⁹, so a
+    contribution flips only when it lands within that of a boundary —
+    ~10⁻⁴ expected rows at this corpus size, vs ~certainty at the old
+    12dp quantization (ulp(ln·10¹²) ≈ 2·10⁻³ — the round-8 midpoint
+    audit flagged it). Exact-integer ln is not expressible in SQL;
+    this bounds the residual risk instead and the probe measures it.
 
     Returns (id, n_bigrams, avg_logprob) for documents with ≥ 1 bigram
     (≥ 2 tokens); avg_logprob rounded to 4dp.
@@ -441,27 +453,24 @@ def bigram_logprob_scores(
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            # floor-form rounding (rounding.floor_round): smoothed-count
-            # log quotients land within ulps of 12dp midpoints on real
-            # fixtures (round-7 midpoint audit, sf0.1), where plain
-            # ROUND is engine-defined. Log-probs are NEGATIVE, so the
-            # floor form is half-DOWN here — deterministic in both
-            # engines, which is the contract that matters.
-            floor_round(
+            # integer micro-nats (floor is half-DOWN for the NEGATIVE
+            # log-probs — deterministic in both engines); long cast of
+            # the integer-valued double makes the sum exact
+            floor_scaled(
                 F.log(
                     (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
                 ),
-                12,
-            )
-            .cast("decimal(28,12)")
-            .alias("lp"),
+                6,
+            ).cast("long").alias("lp_micro"),
         )
     )
     return contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        floor_round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias(
-            "avg_logprob"
-        ),
+        rational_round(
+            F.sum("lp_micro"),
+            F.lit(1_000_000) * F.count(F.lit(1)),
+            4,
+        ).alias("avg_logprob"),
     )
 
 

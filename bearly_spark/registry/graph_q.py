@@ -35,24 +35,23 @@ from bearly_spark.registry._shared import (  # noqa: F401
 
 def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
     """Twin of ``pagerank_supplier_part``: the power iteration UNROLLED
-    as one CTE per iteration. The determinism contract (12dp DECIMAL
-    contribution sums, 10dp damped update — both in the floor form
-    ``floor(x·10ⁿ+0.5)/10ⁿ``, since plain ROUND is engine-defined at
-    the decimal midpoints rank quotients land on (round-7 midpoint
-    audit) — base written as ``(1.0 - 0.85) / n`` so both engines fold
-    the same IEEE ops) makes every intermediate rank vector
-    bit-identical to Spark's."""
+    as one CTE per iteration, in EXACT INTEGER PICORANKS (round 8 —
+    the graph.pagerank determinism contract: halfup integral-division
+    contributions, the damped update quantized at 10dp and rescaled to
+    pico, HUGEINT throughout; no IEEE arithmetic until the final
+    ``pico/10¹²`` emission, so every intermediate rank vector is
+    bit-identical to Spark's in every engine AND build — the round-7
+    audit showed float folds 1-ulp-fragile across DuckDB versions)."""
     prev = "r0"
     its = []
     for i in range(1, iterations + 1):
         its.append(
             f"""it{i} AS (SELECT e.dst AS node,
-               FLOOR(((1.0 - 0.85) / (SELECT n FROM nn)
-                      + 0.85 * CAST(SUM(CAST(FLOOR(r.pr / d.deg
-                                                   * 1000000000000.0 + 0.5)
-                                             / 1000000000000.0
-                                             AS DECIMAL(28,12))) AS DOUBLE))
-                     * 10000000000.0 + 0.5) / 10000000000.0 AS pr
+               100 * ((2 * (3000000000000::HUGEINT
+                            + 17 * SUM((2 * r.pr + d.deg) // (2 * d.deg))
+                                 * (SELECT n FROM nn))
+                       + 2000 * (SELECT n FROM nn))
+                      // (2 * 2000 * (SELECT n FROM nn))) AS pr
         FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
         GROUP BY e.dst)"""
         )
@@ -64,9 +63,12 @@ def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
     e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM deg),
-    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    r0 AS (SELECT src AS node,
+                  (2 * 1000000000000::HUGEINT + (SELECT n FROM nn))
+                      // (2 * (SELECT n FROM nn)) AS pr
+           FROM deg),
     {its_sql},
-    t AS (SELECT node, pr AS page_rank,
+    t AS (SELECT node, CAST(pr AS DOUBLE) / 1e12 AS page_rank,
                  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INTEGER) AS rk
           FROM {prev})
     SELECT node, page_rank, rk FROM t WHERE rk <= {k}
@@ -81,10 +83,11 @@ def q_pagerank(spark, sf_dir):
     graph derived from lineitem (the link-authority signal corpus
     curation applies to web-document graphs). One node-keyed join +
     partial-aggregated groupBy per iteration, lineage truncated per
-    round; the iterative FLOAT algorithm is hash-twinnable because
-    contributions sum as 12dp DECIMALs and the damped update rounds to
-    10dp — both engines walk bit-identical rank vectors through every
-    unrolled iteration of the oracle."""
+    round; the iteration is hash-twinnable because it runs ENTIRELY in
+    exact integer picoranks (round 8 — halfup integral-division
+    contributions, 10dp-quantized damped update) — both engines walk
+    bit-identical rank vectors through every unrolled iteration of the
+    oracle, in every engine build."""
     from bearly_spark.operators.graph import pagerank
 
     e0 = _bipartite_edges(spark, sf_dir)
@@ -322,13 +325,14 @@ def q_bfs_levels(spark, sf_dir):
 def _ppr_oracle(iterations: int = 3, k: int = 20) -> str:
     """Twin of ``ppr_supplier_part``: personalized PageRank unrolled
     (the ``_pagerank_oracle`` shape with the restart mass CASEd onto
-    the seed set). Rounding is ``floor(x·10ⁿ+0.5)/10ⁿ`` — identical
-    IEEE ops in both engines — because PPR's restart arithmetic lands
-    exactly on 10dp decimal midpoints where plain ROUND diverges
-    cross-engine."""
+    the seed set), in EXACT INTEGER PICORANKS (round 8 — the
+    ``graph.personalized_pagerank`` contract: halfup integral-division
+    contributions, 10dp-quantized damped update rescaled to pico,
+    HUGEINT throughout; the only IEEE op is the final ``pico/10¹²``
+    emission of identical integers)."""
     seed_case = (
         "CASE WHEN n.node IN (SELECT node FROM seeds)"
-        " THEN (1.0 - 0.85) / (SELECT s FROM sc) ELSE 0.0 END"
+        " THEN 3000000000000::HUGEINT ELSE 0::HUGEINT END"
     )
     prev = "r0"
     its = []
@@ -336,13 +340,14 @@ def _ppr_oracle(iterations: int = 3, k: int = 20) -> str:
         its.append(
             f"""it{i} AS (
       SELECT n.node,
-             FLOOR(({seed_case}
-                    + 0.85 * COALESCE(c.sd, 0.0)) * 1e10 + 0.5) / 1e10 AS pr
+             100 * ((2 * ({seed_case}
+                          + 17 * COALESCE(c.sd, 0::HUGEINT)
+                               * (SELECT s FROM sc))
+                     + 2000 * (SELECT s FROM sc))
+                    // (2 * 2000 * (SELECT s FROM sc))) AS pr
       FROM nodes n LEFT JOIN (
           SELECT e.dst AS node,
-                 CAST(SUM(CAST(FLOOR(r.pr / d.deg * 1e12 + 0.5) / 1e12
-                               AS DECIMAL(28,12)))
-                      AS DOUBLE) AS sd
+                 SUM((2 * r.pr + d.deg) // (2 * d.deg)) AS sd
           FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
           GROUP BY e.dst) c ON c.node = n.node)"""
         )
@@ -359,10 +364,12 @@ def _ppr_oracle(iterations: int = 3, k: int = 20) -> str:
     sc AS (SELECT COUNT(*) AS s FROM seeds),
     r0 AS (SELECT node,
                   CASE WHEN node IN (SELECT node FROM seeds)
-                       THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS pr
+                       THEN (2 * 1000000000000::HUGEINT + (SELECT s FROM sc))
+                                // (2 * (SELECT s FROM sc))
+                       ELSE 0::HUGEINT END AS pr
            FROM nodes),
     {its_sql},
-    t AS (SELECT node, pr AS rank,
+    t AS (SELECT node, CAST(pr AS DOUBLE) / 1e12 AS rank,
                  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INTEGER) AS rk
           FROM {prev})
     SELECT node, rank, rk FROM t WHERE rk <= {k}

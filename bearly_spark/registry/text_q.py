@@ -128,12 +128,13 @@ def _bm25_oracle(query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> s
 def _bigram_lm_oracle(k: float = 0.5) -> str:
     """Exact DuckDB twin of ``text.bigram_logprob_scores``: bigram /
     context / vocab counts over the same tokenization, identical
-    arithmetic shape, contributions rounded to 12dp and summed as
-    DECIMAL(28,12) (order-independent), mean rounded to 4dp. Both
-    roundings use the cross-engine floor form — smoothed-count log
-    quotients land within ulps of 12dp midpoints on real fixtures
-    (round-7 midpoint audit, sf0.1), where plain ROUND is
-    engine-defined."""
+    arithmetic shape. Round 8: contributions are INTEGER micro-nats
+    (``floor(ln·10⁶ + 0.5)`` as BIGINT — 6dp, where a 1-ulp cross-build
+    libm ln difference moves the argument by only ~2·10⁻⁹; the old
+    12dp quantization was boundary-adjacent on real fixtures), summed
+    exactly, and the 4dp mean is ``rational_round_sql`` integral
+    division — no float division or float rounding downstream of the
+    one irreducible ln call."""
     return f"""
     WITH t AS (SELECT doc_id,
                       [lower(x) for x in string_split_regex(text, '\\s+') if x <> ''] AS toks
@@ -149,11 +150,10 @@ def _bigram_lm_oracle(k: float = 0.5) -> str:
               FROM (SELECT unnest(toks) AS w FROM t)),
     contrib AS (SELECT big.doc_id,
                        CAST(FLOOR(ln((c2.c2 + {k!r}) / (c1.c1 + {k!r} * vocab.v))
-                                  * 1000000000000.0 + 0.5) / 1000000000000.0
-                            AS DECIMAL(28,12)) AS lp
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
                 FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+           {_R.rational_round_sql('SUM(lp_micro)', '1000000 * COUNT(*)', 4)}
                AS avg_logprob
     FROM contrib GROUP BY doc_id
     """
