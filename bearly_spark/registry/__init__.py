@@ -91,7 +91,10 @@ PREFIX_ORDER = [
     # relational core
     "filter_project_lineitem",
     "q1_pricing_summary",
-    "q7_nation_volume",
+    # (q7_nation_volume left the prefix driver-green in r8; q9 — a
+    # never-driver-sampled TPC-H join shape — keeps the multi-join
+    # family)
+    "q9_product_type_profit",  # r8 rotation
     "asof_join_orders_events",
     "range_join_purchase_follow",
     # aggregation families (approx_count_distinct_orders left the prefix
@@ -100,17 +103,18 @@ PREFIX_ORDER = [
     "grouping_sets_orders",
     "percentiles_lineitem",
     "bitmap_distinct_orders",
-    # stats family (r7: correlation_matrix + winsorize left the prefix
-    # driver-green; Gini — never driver-sampled — takes the stats slot,
-    # both stay in the full gate)
-    "gini_customer_revenue",  # r7 rotation
-    # windows / top-k (window_running_total left driver-green in r7;
-    # topk keeps ranking, ewma keeps frames; Kaplan–Meier survival —
-    # never driver-sampled — takes the slot)
-    "survival_repeat_orders",  # r7 rotation
+    # stats family (r8 rotation: gini left the prefix driver-green;
+    # MAD robust outliers — never driver-sampled AND freshly migrated
+    # to the exact-integer quantile path — takes the stats slot)
+    "mad_outliers_lineitem",  # r8 rotation
+    # windows / top-k (r8: survival_repeat_orders left driver-green;
+    # funnel conversion — never driver-sampled — takes the slot; topk
+    # keeps ranking, ewma keeps frames)
+    "funnel_conversion_events",  # r8 rotation
     "topk_orders_per_customer",
-    # EWMA stays: round-6's one red row — its floor-form rounding fix
-    # needs a green driver row this round
+    # EWMA stays A THIRD round: red in r06 (ROUND midpoint) and r07
+    # (floor-form at a boundary-exact row); the exact-integer DECIMAL/
+    # HUGEINT fold needs its green driver row
     "ewma_revenue_priority",
     # set ops (set_except_all_quantities left the prefix in r6 to seat
     # the table-maintenance family; the multiset variants stay
@@ -139,19 +143,23 @@ PREFIX_ORDER = [
     # keep the decorrelation family; it stays in the full gate)
     # (q6_forecast_revenue left the prefix in r6-late — q1 keeps the
     # scan-agg shape; it stays in the full gate)
-    "lateral_topk_orders",
+    # (lateral_topk_orders left the prefix driver-green in r8; the
+    # recursive CTE — never driver-sampled — keeps the SQL-surface
+    # family beside q4's decorrelation)
+    "recursive_order_hierarchy",  # r8 rotation
     "q4_order_priority_check",
     "cms_frequencies_orders",  # r7 swap 2
-    # graph analytics (r7 rotation: bfs_part_coorder left the prefix
-    # driver-green; label propagation — the family's heaviest rep,
-    # never driver-sampled — takes the slot; bfs/pagerank stay in the
-    # full gate)
-    "label_communities_parts",  # r7 rotation
+    # graph analytics (r8 rotation: label_communities_parts left the
+    # prefix driver-green; PageRank — never driver-sampled AND freshly
+    # migrated to exact integer picoranks — takes the slot)
+    "pagerank_supplier_part",  # r8 rotation
     # ANN compression (r6): PQ codes scan + exact rerank — the bytes
-    # lever complementing embedding_ann_lsh's pruning lever below —
-    # and the persisted IVF-PQ index composing both levers
+    # lever complementing embedding_ann_lsh's pruning lever below.
+    # (ivfpq_index_query left the prefix driver-green in r8; the
+    # persisted LSH ANN index — never driver-sampled — keeps the
+    # persisted-index family)
     "embedding_ann_pq",
-    "ivfpq_index_query",
+    "ann_index_query",  # r8 rotation
     # streaming batch twins
     "events_tumbling_hourly",
     "events_sessionization",
@@ -162,8 +170,10 @@ PREFIX_ORDER = [
     # keep the python-extension family; it stays in the full gate)
     "pandas_udf_charge",
     "udtf_tokenize_docs",
-    # product analytics (r6 late): per-user Markov transition matrix
-    "event_transitions",
+    # product analytics (r8 rotation: event_transitions left the
+    # prefix driver-green; cohort retention — never driver-sampled —
+    # keeps the family)
+    "cohort_retention_events",  # r8 rotation
     # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
     # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
     # token hash made its full pipeline DuckDB-recomputable — taking the
@@ -193,7 +203,9 @@ PREFIX_ORDER = [
     "embedding_ann_lsh",
     "text_stats_documents",
     "multimodal_decode_features",
-    "collocations_documents",  # r7 swap
+    # (collocations_documents left the prefix driver-green in r8;
+    # TF-IDF keywords — never driver-sampled — keeps the text family)
+    "tfidf_keywords_documents",  # r8 rotation
     "pipeline_clean_corpus",
 ]
 
