@@ -1381,6 +1381,21 @@ def entity_match_pairs(
             "recorded by the cap gate, which max_block=None disables"
         )
     if max_block is not None:
+        if observation is None:
+            # the cap defaults ON (round 7) — without an Observation a
+            # recall loss from oversized blocks would be invisible, so
+            # say up front that the gate is armed blind (ADVICE r8)
+            import warnings
+
+            warnings.warn(
+                f"entity_match_pairs: max_block={max_block} is active "
+                "without an Observation — records in oversized blocks "
+                "are excluded from pair generation with no drop "
+                "metrics recorded; pass observation= to see "
+                "dropped_buckets/dropped_ids, or max_block=None to "
+                "disable the cap",
+                stacklevel=2,
+            )
         sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         sizes = _observe_bucket_drops(
             sizes, F.col("_bsz"), max_block, observation

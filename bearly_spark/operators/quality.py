@@ -606,22 +606,28 @@ def gopher_rules(
     gate on their own stop lists."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
+    # EXPLICIT whitespace class shared with the oracle twin: Java's \s
+    # includes vertical tab \x0b while RE2's does not — a document
+    # containing \x0b would tokenize differently per engine (ADVICE
+    # r8). Both sides use this exact class.
+    ws, nws = r"[ \t\n\x0b\f\r]", r"[^ \t\n\x0b\f\r]"
+
     # Every count below is PURE STRING ARITHMETIC — no array HOFs. One
     # HOF anywhere in a projection drops the WHOLE projection out of
     # whole-stage codegen into interpreted evaluation (measured: the
     # split/filter formulation ran the 256× probe in 107s; this form
     # runs it in a few seconds with identical counts).
     def _word_count(s):
-        # tokens are the non-whitespace runs: normalize \s+ to single
-        # spaces, trim, then count separators
-        nrm = F.trim(F.regexp_replace(s, r"\s+", " "))
+        # tokens are the non-whitespace runs: normalize whitespace runs
+        # to single spaces, trim, then count separators
+        nrm = F.trim(F.regexp_replace(s, ws + "+", " "))
         return F.when(F.length(nrm) == 0, F.lit(0)).otherwise(
             F.length(nrm) - F.length(F.translate(nrm, " ", "")) + 1
         )
 
     n_words = _word_count(txt)
     # sum of token lengths == count of non-whitespace chars
-    sum_len = F.length(F.regexp_replace(txt, r"\s", ""))
+    sum_len = F.length(F.regexp_replace(txt, ws, ""))
     # '#' and non-overlapping '...' counts via replace-and-measure (both
     # engines replace left-to-right, non-overlapping — identical counts)
     n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
@@ -635,10 +641,11 @@ def gopher_rules(
     n_bullet = F.regexp_count(txt, F.lit(r"(?m)^ *[-*•]"))
     n_ell_lines = F.regexp_count(txt, F.lit(r"(?m)\.\.\. *$"))
     # words WITHOUT a letter = word-count after deleting every token
-    # that contains one ([^\s]* is token-bounded, so the match can never
-    # bridge two tokens); alpha count = n_words − that
+    # that contains one (the non-whitespace-run pattern is
+    # token-bounded, so the match can never bridge two tokens); alpha
+    # count = n_words − that
     n_alpha = n_words - _word_count(
-        F.regexp_replace(txt, r"[^\s]*[A-Za-z][^\s]*", "")
+        F.regexp_replace(txt, f"{nws}*[A-Za-z]{nws}*", "")
     )
     # distinct-stopword hits as 8 PLAIN substring checks over the
     # whitespace-normalized, space-padded lowered text — ' w ' in
@@ -646,7 +653,7 @@ def gopher_rules(
     # intersecting the distinct lowered token set, and substring search
     # beats the (^|\s)w(\s|$) regex form ~20× (measured 55.7s → ~3s)
     padded = F.concat(
-        F.lit(" "), F.regexp_replace(F.lower(txt), r"\s+", " "), F.lit(" ")
+        F.lit(" "), F.regexp_replace(F.lower(txt), ws + "+", " "), F.lit(" ")
     )
     n_stop = sum(
         padded.contains(f" {w} ").cast("int") for w in GOPHER_STOPWORDS

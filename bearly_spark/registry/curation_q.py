@@ -500,18 +500,22 @@ def q_cap_per_source(spark, sf_dir):
     oracle=r"""
     WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
     m AS (
+      -- whitespace class written out explicitly: Java \s includes \x0b,
+      -- RE2 \s does not — both engines use this exact class (ADVICE r8)
       SELECT doc_id,
-             trim(regexp_replace(txt, '\s+', ' ', 'g')) AS nrm,
+             trim(regexp_replace(txt, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm,
              trim(regexp_replace(
-                  regexp_replace(txt, '[^\s]*[A-Za-z][^\s]*', '', 'g'),
-                  '\s+', ' ', 'g')) AS nrm_noalpha,
-             length(regexp_replace(txt, '\s', '', 'g')) AS sum_len,
+                  regexp_replace(txt,
+                       '[^ \t\n\x0b\f\r]*[A-Za-z][^ \t\n\x0b\f\r]*', '', 'g'),
+                  '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm_noalpha,
+             length(regexp_replace(txt, '[ \t\n\x0b\f\r]', '', 'g')) AS sum_len,
              length(txt) - length(replace(txt, '#', '')) AS n_hash,
              (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell,
              length(txt) - length(replace(txt, chr(10), '')) + 1 AS n_lines,
              len(regexp_extract_all(txt, '(?m)^ *[-*•]')) AS n_bullet,
              len(regexp_extract_all(txt, '(?m)\.\.\. *$')) AS n_ell_lines,
-             ' ' || regexp_replace(lower(txt), '\s+', ' ', 'g') || ' ' AS padded
+             ' ' || regexp_replace(lower(txt), '[ \t\n\x0b\f\r]+', ' ', 'g')
+                 || ' ' AS padded
       FROM t
     ),
     c AS (

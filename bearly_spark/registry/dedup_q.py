@@ -722,6 +722,8 @@ def q_entity_match(spark, sf_dir):
     mega-block cap (default 10k — no sf's p_type block comes near it)
     is mirrored in the twin's block-size CTE, so the recall contract
     stays oracle-checked at every scale."""
+    from pyspark.sql import Observation
+
     pt = load_table(spark, sf_dir, "part")
     return D.entity_match_pairs(
         pt,
@@ -732,6 +734,11 @@ def q_entity_match(spark, sf_dir):
          ("p_size", 0.2, "numeric:50")],
         match_threshold=0.8,
         possible_threshold=0.6,
+        # armed cap + attached Observation (ADVICE r8: an unobserved
+        # cap makes recall loss invisible); the driver never reads it,
+        # but the drop metrics are recorded and the call-time warning
+        # stays quiet
+        observation=Observation("entity_match_cap"),
     )
 
 
