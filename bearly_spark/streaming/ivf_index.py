@@ -62,13 +62,45 @@ BASE_BATCH_ID = -1
 _ROWS_PER_FILE = 4_000_000
 
 
+#: driver-side frozen-model cache: (abs subdir, newest mtime) → loaded
+#: model. The centroid/codebook/meta files are a few KB but each read
+#: is a full Spark job (plan + scan + collect) — three per
+#: ``ivfpq_index_query`` call, ~1s of pure overhead on repeated
+#: queries against the same index (the bench/production steady state).
+#: mtime-keyed like ``registry._shared._scratch_index``, so rebuilds
+#: invalidate naturally; local-FS mtimes only (object-store callers
+#: would key on a manifest — out of scope here).
+_MODEL_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _model_cached(index_dir: str, sub: str, load):
+    import os
+
+    path = os.path.abspath(os.path.join(index_dir, sub))
+    try:
+        mtime = max(
+            os.path.getmtime(os.path.join(d, f))
+            for d, _, fs in os.walk(path)
+            for f in fs
+        )
+    except (OSError, ValueError):
+        return load()  # non-local or empty: skip caching
+    key = (path, mtime)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = load()
+    return _MODEL_CACHE[key]
+
+
 def _read_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
-    rows = (
-        spark.read.parquet(f"{index_dir}/centroids")
-        .orderBy("cell")
-        .collect()
-    )
-    return np.asarray([r.c for r in rows], dtype=np.float64)
+    def load():
+        rows = (
+            spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return np.asarray([r.c for r in rows], dtype=np.float64)
+
+    return _model_cached(index_dir, "centroids", load)
 
 
 def build_ivf_index(
@@ -335,14 +367,21 @@ def _assign_cells_np(C: np.ndarray, mat: np.ndarray) -> np.ndarray:
 
 
 def _read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{index_dir}/codebooks").orderBy("j", "c").collect()
-    m = max(r.j for r in rows) + 1
-    ksub = max(r.c for r in rows) + 1
-    dsub = len(rows[0].cv)
-    cb = np.empty((m, ksub, dsub), dtype=np.float64)
-    for r in rows:
-        cb[r.j, r.c] = r.cv
-    return cb
+    def load():
+        rows = (
+            spark.read.parquet(f"{index_dir}/codebooks")
+            .orderBy("j", "c")
+            .collect()
+        )
+        m = max(r.j for r in rows) + 1
+        ksub = max(r.c for r in rows) + 1
+        dsub = len(rows[0].cv)
+        cb = np.empty((m, ksub, dsub), dtype=np.float64)
+        for r in rows:
+            cb[r.j, r.c] = r.cv
+        return cb
+
+    return _model_cached(index_dir, "codebooks", load)
 
 
 _VEC_WRITE_OPTS = {"parquet.bloom.filter.enabled#id": "true"}
@@ -355,7 +394,11 @@ def _read_encoding(spark: SparkSession, index_dir: str) -> str:
 
     if not os.path.isdir(f"{index_dir}/meta"):
         return "flat"
-    return spark.read.parquet(f"{index_dir}/meta").collect()[0]["encoding"]
+    return _model_cached(
+        index_dir,
+        "meta",
+        lambda: spark.read.parquet(f"{index_dir}/meta").collect()[0]["encoding"],
+    )
 
 
 def make_ivfpq_encode_udf(C: np.ndarray, cb: np.ndarray, residual: bool):
