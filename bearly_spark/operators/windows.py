@@ -424,18 +424,27 @@ def kaplan_meier(
     ascending: (duration, n_events, n_censored, n_risk,
     survival = Π_{t'≤t} (1 − d/n_risk)).
 
-    Determinism: the survival product folds the per-time factors in
-    ascending-duration order via the ordered collect_list +
-    higher-order ``aggregate`` Horner pattern proven by
-    :func:`ewma` — ONE fixed IEEE multiplication order the twin
-    replays with ``list_reduce`` — and is emitted RAW (un-rounded, the
-    ``weighted_sample`` midpoint rule: d/n quotients of small ints are
-    exactly where decimal re-rounding diverges).
+    Determinism (round 8): the survival product is a QUANTIZED-EXACT
+    integer fold — the round-7 driver failure proved that even a
+    fixed-order float fold (the prior contract here) can differ by an
+    ulp across DuckDB builds. Each factor ``1 − d/n`` becomes an exact
+    6dp micro integer ``F = (2·10⁶·(n−d) + n) div (2n)``, and the
+    running product holds 18 digits:
+
+        S₀ = 10¹⁸,   S ← (2·S·F + 10⁶) div (2·10⁶)     [halfup]
+
+    — all integral ops (no ulp anywhere, fold included), emitted as
+    the one IEEE division ``S/10¹⁸`` of identical integers. The
+    semantic delta vs the raw product is ≤ ~10⁻⁶·curve-length —
+    documented quantization, not float noise; the twin replays the
+    identical integer recurrence.
 
     Scale shape: one Θ(subjects) groupBy onto Θ(distinct durations)
     rows, then a single global window over that (already tiny)
     aggregate — the curve itself is axis-sized, never subject-sized."""
     from pyspark.sql import Window
+
+    from bearly_spark.operators.rounding import rational_micro
 
     tt = df.groupBy(F.col(duration_col).cast("long").alias("duration")).agg(
         F.sum(F.col(event_col).cast("int")).cast("long").alias("n_events"),
@@ -450,16 +459,24 @@ def kaplan_meier(
     r = tt.withColumn(
         "n_risk", F.lit(total) - F.coalesce(F.sum("_n_at").over(w_prev), F.lit(0))
     )
-    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk").cast(
-        "double"
+    f_micro = rational_micro(
+        F.col("n_risk") - F.col("n_events"), F.col("n_risk"), 6
     )
-    s = r.withColumn("_fs", F.collect_list(factor).over(w_cum))
+    dec = "decimal(38,0)"
+    s = r.withColumn("_fs", F.collect_list(f_micro.cast(dec)).over(w_cum))
+    folded = F.aggregate(
+        F.col("_fs"),
+        F.lit(10**18).cast(dec),
+        lambda acc, x: F.call_function(
+            "div",
+            F.lit(2).cast(dec) * acc * x + F.lit(10**6).cast(dec),
+            F.lit(2 * 10**6).cast(dec),
+        ).cast(dec),
+    )
     return s.select(
         "duration",
         "n_events",
         "n_censored",
         "n_risk",
-        F.aggregate(F.col("_fs"), F.lit(1.0), lambda acc, x: acc * x).alias(
-            "survival"
-        ),
+        (folded.cast("double") / F.lit(1e18)).alias("survival"),
     )

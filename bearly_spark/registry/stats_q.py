@@ -694,15 +694,19 @@ def q_mad_outliers(spark, sf_dir):
            FROM tt),
     f AS (SELECT duration, n_events, n_censored,
                  CAST(total - removed AS BIGINT) AS n_risk,
-                 1.0 - CAST(n_events AS DOUBLE)
-                       / CAST(total - removed AS DOUBLE) AS factor
+                 (2000000 * CAST(total - removed - n_events AS HUGEINT)
+                  + CAST(total - removed AS HUGEINT))
+                 // (2 * CAST(total - removed AS HUGEINT)) AS f_micro
           FROM r2, n),
     s AS (SELECT duration, n_events, n_censored, n_risk,
-                 list(factor) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
-                     AS fcts
+                 list(f_micro) OVER (ORDER BY duration
+                                     ROWS UNBOUNDED PRECEDING) AS fcts
           FROM f)
     SELECT duration, n_events, n_censored, n_risk,
-           list_reduce(fcts, (a, b) -> a * b) AS survival
+           CAST(list_reduce(
+                    list_prepend(1000000000000000000::HUGEINT, fcts),
+                    (a, b) -> (2 * a * b + 1000000) // 2000000)
+                AS DOUBLE) / 1e18 AS survival
     FROM s
     """,
 )
@@ -711,9 +715,11 @@ def q_survival_repeat(spark, sf_dir):
     days-to-second-order: one-order customers enter CENSORED at the
     corpus horizon (reducing the risk set without counting as events —
     the bias a naive "average days to repeat" metric eats). Survival
-    is the ascending-duration Horner fold of (1 − d/n_risk) factors
-    (the ``ewma``/``list_reduce`` bit-exact product pattern), emitted
-    raw."""
+    is the ascending-duration QUANTIZED-EXACT integer fold (round 8:
+    6dp micro factors, 18-digit running product, all integral ops —
+    the float fold this replaced was the round-7 cross-build failure
+    class), replayed identically by the twin's sentinel-prepended
+    ``list_reduce``."""
     from pyspark.sql import Window
 
     from bearly_spark.operators.windows import kaplan_meier
