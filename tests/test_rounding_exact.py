@@ -1,0 +1,148 @@
+"""Pins for the round-8 exact-integer quantization tier
+(``operators/rounding.rational_round`` / ``rational_micro`` /
+``floor_scaled`` and the exact-integer ``exact_percentiles``): every
+compared value must equal what exact rational arithmetic says,
+including on true decimal-boundary inputs — the class where any float
+form (plain ROUND and floor-form alike) is engine/build-defined (the
+round-6 and round-7 driver failures)."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+from fractions import Fraction
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _halfup_trunc(num: int, den: int, digits: int) -> int:
+    """The contract both engines implement: (2·10^d·num + den) trunc-div
+    (2·den) — half-up for non-negative, half-toward-zero-biased for
+    negative (Spark ``div`` and DuckDB ``//`` both truncate)."""
+    a, b = 2 * 10**digits * num + den, 2 * den
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_rational_round_matches_fraction_reference(spark):
+    """Exhaustive small-rational sweep INCLUDING every true midpoint
+    (num/den where num·10^d·2 ≡ den mod 2·den): Spark's emission must
+    be bit-equal to float(micro)/10^d from exact integer arithmetic,
+    and DuckDB's twin SQL must agree."""
+    import duckdb
+
+    from bearly_spark.operators.rounding import (
+        rational_round,
+        rational_round_sql,
+    )
+
+    cases = [(n, d) for d in (1, 2, 3, 7, 16, 1_000_000) for n in
+             (-7, -3, -1, 0, 1, 2, 5, 123456, 10**12)]
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["r"]
+        for r in df.select(
+            "n", "d", rational_round(F.col("n"), F.col("d"), 6).alias("r")
+        ).collect()
+    }
+    sql = rational_round_sql("n", "d", 6)
+    vals = ", ".join(f"({n}, {d})" for n, d in cases)
+    duck = {
+        (n, d): r
+        for n, d, r in duckdb.sql(
+            f"SELECT n, d, {sql} AS r FROM (VALUES {vals}) t(n, d)"
+        ).fetchall()
+    }
+    for n, d in cases:
+        want = float(_halfup_trunc(n, d, 6)) / 1e6
+        assert got[(n, d)] == want == duck[(n, d)], (n, d)
+
+
+def test_floor_scaled_is_integer_exact(spark):
+    """floor_scaled must emit the exact integer floor(x·10^d + 0.5) as
+    a double — no divide-then-multiply ulp loss — for negatives too."""
+    from bearly_spark.operators.rounding import floor_scaled
+
+    vals = [1.0000015, -9.2103405, -0.0000005, 0.0, 123.456789,
+            -15.0000004999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["x"]: r["f"] for r in
+           df.select("x", floor_scaled(F.col("x"), 6).alias("f")).collect()}
+    for v in vals:
+        assert got[v] == float(math.floor(v * 1e6 + 0.5)), v
+
+
+def test_exact_percentiles_fraction_reference(spark):
+    """Grouped interpolated quantiles over DECIMAL(12,2) values vs a
+    Fraction reference of the same contract (integer index selection,
+    exact rational interpolation, 4dp halfup emission). Includes an
+    even-count median — (a+b)/2 of one-cent-apart prices, EXACTLY a
+    boundary — the case float forms get engine-defined."""
+    import random
+
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    rng = random.Random(88)
+    rows = [("g1", Decimal("10.00")), ("g1", Decimal("10.01")),
+            ("g1", Decimal("10.02")), ("g1", Decimal("10.03"))]
+    rows += [("g2", Decimal(rng.randrange(100, 10**7)) / 100)
+             for _ in range(37)]
+    df = spark.createDataFrame(rows, "g string, v decimal(12,2)")
+    qs = [0.25, 0.5, 0.75]
+    got = {r["g"]: (r["q1"], r["q2"], r["q3"]) for r in
+           exact_percentiles(df, ["g"], "v", qs,
+                             names=["q1", "q2", "q3"]).collect()}
+    by_g: dict[str, list[Decimal]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals = sorted(vals)
+        n = len(vals)
+        want = []
+        for q in qs:
+            fr = Fraction(q).limit_denominator(10**6)
+            a, b = fr.numerator, fr.denominator
+            lo, r = divmod((n - 1) * a, b)
+            hi = lo + (1 if r else 0)
+            cents = lambda x: int(x * 100)  # noqa: E731
+            num = cents(vals[lo]) * (b - r) + cents(vals[hi]) * r
+            den = b * 100
+            want.append(float(_halfup_trunc(num, den, 4)) / 1e4)
+        assert list(got[g]) == want, g
+    # pin the boundary case explicitly: median of g1 is (10.01+10.02)/2
+    # = 10.015 — a true 2dp/4dp boundary — and halfup says 10.015
+    assert got["g1"][1] == 10.015
+
+
+def test_km_quantized_fold_reference(spark):
+    """kaplan_meier's integer survival fold vs a Python replay of the
+    same recurrence (6dp micro factors, 18-digit running product)."""
+    from bearly_spark.operators.windows import kaplan_meier
+
+    rows = [(3, 1), (3, 1), (3, 0), (5, 1), (5, 0), (9, 0), (12, 1)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {r["duration"]: r for r in
+           kaplan_meier(df, "dur", "ev").collect()}
+    total, removed, s = len(rows), 0, 10**18
+    from collections import Counter
+
+    per = {}
+    for d, e in rows:
+        per.setdefault(d, Counter())["ev" if e else "cz"] += 0  # init
+        per[d]["ev"] += e
+        per[d]["n"] += 1
+    for d in sorted(per):
+        n_risk = total - removed
+        f = _halfup_trunc(n_risk - per[d]["ev"], n_risk, 6)
+        s = (2 * s * f + 10**6) // (2 * 10**6)
+        assert got[d]["n_risk"] == n_risk
+        assert got[d]["survival"] == float(s) / 1e18, d
+        removed += per[d]["n"]
+
+
+@pytest.mark.parametrize("alpha,expect", [(0.3, (7, 10)), (0.5, (1, 2)),
+                                          (0.25, (3, 4))])
+def test_ewma_decay_fraction(alpha, expect):
+    frac = Fraction(1.0 - alpha).limit_denominator(1000)
+    assert (frac.numerator, frac.denominator) == expect
