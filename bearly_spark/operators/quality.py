@@ -355,21 +355,20 @@ def streaming_drift(
         F.count(F.lit(1)).alias("_n")
     )
     p_total = p_counted.agg(F.sum("_n").alias("_t"))
-    # shares rounded with F.round (half-up) — the SAME rounding
-    # drift_report uses, so the frozen baseline is bit-identical to a
-    # batch-mode report over the same frame (Python round() is
-    # half-even and could disagree on exact .5 boundaries)
+    # integer micro shares — the SAME exact-integer quantization
+    # drift_report uses (round 8), so the frozen baseline is
+    # bit-identical to a batch-mode report over the same frame
     p_rows = (
         p_counted.crossJoin(F.broadcast(p_total))
         .select(
             "bucket",
-            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias("p_before"),
+            rational_micro(F.col("_n"), F.col("_t"), 6).alias("_pm"),
         )
         .collect()
     )
     p_base = spark.createDataFrame(
-        [(r["bucket"], r["p_before"]) for r in p_rows],
-        "bucket int, p_before double",
+        [(r["bucket"], r["_pm"]) for r in p_rows],
+        "bucket int, _pm long",
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -382,27 +381,18 @@ def streaming_drift(
         total = counted.agg(F.sum("_n").alias("_t"))
         q = counted.crossJoin(F.broadcast(total)).select(
             "bucket",
-            F.round(F.col("_n").cast("double") / F.col("_t"), 6).alias("q_after"),
+            rational_micro(F.col("_n"), F.col("_t"), 6).alias("_qm"),
         )
-        dp = F.col("q_after") - F.col("p_before")
         rep = (
             p_base.join(q, "bucket", "full_outer")
             .select(
                 "bucket",
-                F.coalesce("p_before", F.lit(0.0)).alias("p_before"),
-                F.coalesce("q_after", F.lit(0.0)).alias("q_after"),
+                F.coalesce("_pm", F.lit(0)).alias("_pm"),
+                F.coalesce("_qm", F.lit(0)).alias("_qm"),
             )
             .select(
                 "bucket",
-                "p_before",
-                "q_after",
-                F.round(
-                    F.when(
-                        F.col("p_before") > 0, dp * dp / F.col("p_before")
-                    ).otherwise(F.lit(None)),
-                    6,
-                ).alias("chi2_term"),
-                F.round(F.abs(dp) / 2.0, 6).alias("tvd_term"),
+                *_drift_terms(),
             )
         )
         (
