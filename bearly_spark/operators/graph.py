@@ -97,12 +97,22 @@ def pagerank(
     ).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     for _ in range(iterations):
+        # per-EDGE halfup contribution in plain LONG arithmetic (the
+        # hot path — Θ(edges)/round): picoranks sum to ~10¹², so
+        # 2·R + deg ≤ ~2·10¹² at ANY corpus scale — no DECIMAL needed
+        # (rational_micro's DECIMAL(38,0) chain measured +~10% on the
+        # bench graph trio); the Θ(nodes) damped update below keeps
+        # DECIMAL for the dn·S·n blow-up.
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                rational_micro(F.col("_pico"), F.col("deg"), 0).alias("w"),
+                F.call_function(
+                    "div",
+                    F.lit(2).cast("long") * F.col("_pico") + F.col("deg"),
+                    F.lit(2).cast("long") * F.col("deg"),
+                ).alias("w"),
             )
         )
         agg = contrib.groupBy("node").agg(F.sum("w").alias("_s"))
@@ -534,12 +544,18 @@ def personalized_pagerank(
             .alias("_pico"),
         ).localCheckpoint(eager=True)
         for _ in range(iterations):
+            # LONG fast path for the Θ(edges) contribution — see
+            # pagerank's in-loop note (picoranks bound 2·R+deg ≤ 2·10¹²)
             contrib = (
                 e.join(ranks.withColumnRenamed("node", "src"), "src")
                 .join(deg, "src")
                 .select(
                     F.col("dst").alias("node"),
-                    rational_micro(F.col("_pico"), F.col("deg"), 0).alias("w"),
+                    F.call_function(
+                        "div",
+                        F.lit(2).cast("long") * F.col("_pico") + F.col("deg"),
+                        F.lit(2).cast("long") * F.col("deg"),
+                    ).alias("w"),
                 )
             )
             agg = contrib.groupBy("node").agg(F.sum("w").alias("_s"))
