@@ -209,3 +209,18 @@ def test_aqe_skew_join_runtime_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_order_is_the_driver_sample_contract():
+    """The driver's correctness sample records the FIRST 50 entries of
+    the ``queries()`` dict — pin that PREFIX_ORDER has exactly 50
+    unique seats, the dict leads with them in order, and every seat
+    has an exact oracle twin (a rows-only seat would waste a driver
+    hash-check slot)."""
+    from bearly_spark.registry import ORACLE, PREFIX_ORDER, QUERIES
+
+    assert len(PREFIX_ORDER) == 50
+    assert len(set(PREFIX_ORDER)) == 50
+    assert list(QUERIES)[:50] == PREFIX_ORDER
+    missing_oracle = [n for n in PREFIX_ORDER if n not in ORACLE]
+    assert not missing_oracle, missing_oracle
