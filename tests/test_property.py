@@ -275,3 +275,54 @@ def test_floor_round_bit_identical_across_engines(spark, xs, d):
     for i, x in enumerate(xs):
         py = math.floor(x * scale + 0.5) / scale
         assert got_spark[i] == py == got_duck[i], (x, d, got_spark[i], got_duck[i], py)
+
+
+# |num/den| stays within rational_round's documented BIGINT capacity
+# (|micro| = |num/den|·10^d < 9.2e18): hypothesis immediately found the
+# overflow edge at num ~ 9.2e12 with digits=6 (Spark's long `div`
+# overflows where DuckDB's HUGEINT keeps going — outside the contract
+# by design, see the docstring's capacity clause)
+_num = st.integers(-(10**11), 10**11)
+_den = st.integers(1, 10**12)
+_dig = st.sampled_from([0, 2, 4, 6])
+
+
+@given(pairs=st.lists(st.tuples(_num, _den), min_size=1, max_size=8),
+       digits=_dig)
+@settings(**_SETTINGS)
+def test_rational_round_property(spark, pairs, digits):
+    """rational_round (round 8) over random rationals across the full
+    documented capacity: Spark's emission, DuckDB's twin SQL and exact
+    Python integer arithmetic must be THREE-WAY bit-identical —
+    including true boundary cases hypothesis stumbles into and
+    negative numerators (trunc-division semantics on both engines)."""
+    import duckdb
+
+    from bearly_spark.operators.rounding import (
+        rational_round,
+        rational_round_sql,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(pairs, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["r"]
+        for r in df.select(
+            "n", "d", rational_round(F.col("n"), F.col("d"), digits).alias("r")
+        ).collect()
+    }
+    vals = ", ".join(f"({n}, {d})" for n, d in pairs)
+    duck = {
+        (n, d): r
+        for n, d, r in duckdb.sql(
+            f"SELECT n, d, {rational_round_sql('n', 'd', digits)} AS r "
+            f"FROM (VALUES {vals}) t(n, d)"
+        ).fetchall()
+    }
+    s = 10**digits
+    for n, d in pairs:
+        a, b = 2 * s * n + d, 2 * d
+        q = abs(a) // b
+        micro = q if a >= 0 else -q
+        want = float(micro) / s
+        assert got[(n, d)] == want == duck[(n, d)], (n, d, digits)
