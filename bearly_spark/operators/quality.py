@@ -695,6 +695,73 @@ def gopher_rules(
     )
 
 
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rule pack (Raffel et al. 2020 §2.2) — the
+    most-cited baseline web-corpus filter, complementing
+    :func:`gopher_rules`' statistical gates with LINE-LEVEL repair:
+
+    - keep only lines ending in a terminal punctuation mark
+      (``. ! ? "``) whose word count is ≥ ``min_words`` and that do
+      not mention ``javascript`` (boilerplate JS warnings);
+    - reassemble the kept lines as ``clean_text``;
+    - gate the PAGE on ≥ ``min_sentences`` sentences in the kept text
+      (terminal-punctuation count), no ``lorem ipsum``, and no ``{``
+      (code);
+
+    emitting (id, n_lines, n_kept_lines, clean_text, n_sentences,
+    has_lorem_ipsum, has_brace, passes_c4). (The original's bad-words
+    list and langdetect steps are the lang-id / stop-list operators'
+    jobs — see ``lang_id`` and the curation pack.)
+
+    Determinism: every emitted value is an INT, BOOLEAN or STRING —
+    no floats anywhere, so the twin is exact with no quantization
+    story at all. Tokenization shares :func:`gopher_rules`' explicit
+    whitespace class (Java ``\\s`` ≠ RE2 ``\\s`` on vertical tab);
+    CRLF input should be normalized upstream (a trailing ``\\r`` fails
+    the terminal-punctuation test identically in both engines).
+
+    Scale shape: map-only pure scan (one projection per document; the
+    per-line checks are HOFs over small line arrays — the gopher
+    pattern). Zero shuffles at 100 TB."""
+    ws = r"[ \t\n\x0b\f\r]"
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, r"\n")
+
+    def _keep(line: Column) -> Column:
+        words = F.filter(F.split(F.trim(line), ws + "+"), lambda w: w != F.lit(""))
+        return (
+            F.rtrim(line).rlike(r'[.!?"]$')
+            & (F.size(words) >= F.lit(min_words))
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    staged = df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        F.regexp_count(clean, F.lit(r"[.!?]")).alias("n_sentences"),
+        F.lower(txt).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        txt.contains("{").alias("has_brace"),
+    )
+    return staged.select(
+        "*",
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+        ).alias("passes_c4"),
+    )
+
+
 def standardize(
     df: DataFrame,
     cols: list[str],

@@ -581,6 +581,79 @@ def q_gopher_quality(spark, sf_dir):
 
 
 @register(
+    "c4_rules_documents",
+    oracle=r"""
+    WITH raw AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                 FROM documents),
+    t AS (SELECT doc_id,
+                 array_to_string(
+                     [array_to_string(toks[(i*7+1):(i*7+7)], ' ') || '.'
+                      for i in range(0, (len(toks) - 1) // 7 + 1)],
+                     chr(10)) AS txt
+          FROM raw),
+    s AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM t),
+    k AS (SELECT doc_id, txt, len(lines) AS n_lines,
+                 [x for x in lines
+                  if regexp_matches(rtrim(x), '[.!?"]$')
+                     and len([w for w in string_split_regex(
+                                  trim(x), '[ \t\n\x0b\f\r]+')
+                              if w <> '']) >= 3
+                     and not contains(lower(x), 'javascript')] AS kept
+          FROM s),
+    c AS (SELECT doc_id,
+                 CAST(n_lines AS INTEGER) AS n_lines,
+                 CAST(len(kept) AS INTEGER) AS n_kept_lines,
+                 COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+                 contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(txt, '{') AS has_brace
+          FROM k)
+    SELECT doc_id, n_lines, n_kept_lines, clean_text,
+           CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INTEGER)
+               AS n_sentences,
+           has_lorem_ipsum, has_brace,
+           (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+            AND NOT has_lorem_ipsum AND NOT has_brace) AS passes_c4
+    FROM c
+    """,
+)
+def q_c4_rules(spark, sf_dir):
+    """The C4 cleaning rule pack (``quality.c4_rules``, Raffel et al.
+    2020 §2.2) — line-level repair + page gates: keep lines ending in
+    terminal punctuation with ≥ 3 words and no 'javascript', then gate
+    the page on ≥ 5 sentences / no 'lorem ipsum' / no '{'. The
+    most-cited baseline web filter, complementing the Gopher pack's
+    statistical gates with line REMOVAL (emits ``clean_text``). Every
+    output is int/bool/string — the twin is exact with no quantization
+    story. Map-only pure scan, zero shuffles at any scale.
+
+    The fixture's token soup has no line/punctuation structure (every
+    rule would fire vacuously), so the query first derives a
+    deterministic lined variant — 7-token chunks, '.'-terminated,
+    newline-joined — IDENTICALLY in both engines; short tail chunks
+    then exercise the min-words drop, and the sentence-count page gate
+    splits real passes from real failures. The raw rule semantics
+    (javascript / lorem ipsum / brace / terminal-punct variants) are
+    pinned on crafted text in tests/test_llm_ops.py."""
+    from bearly_spark.operators.quality import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_chunks = F.floor((F.size(toks) - 1) / 7).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 7 + 1, 7), " "), F.lit(".")
+            ),
+        ),
+        "\n",
+    )
+    return c4_rules(
+        docs.select("doc_id", lined.alias("text")), "doc_id", "text"
+    )
+
+
+@register(
     "mixture_resample_documents",
     oracle="""
     SELECT doc_id, lang, mix_rank FROM (

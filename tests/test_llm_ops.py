@@ -1302,3 +1302,49 @@ def test_scratch_index_mtime_invalidation(tmp_path):
             Path(__file__).resolve().parent.parent / ".scratch" / "test-cache-v1-sfX",
             ignore_errors=True,
         )
+
+
+def test_c4_rules_planted(spark):
+    """C4 rule pack (Raffel et al. 2020 §2.2) on crafted text: each
+    rule fires exactly where the paper says — terminal-punctuation
+    line keep (period/bang/question/end-quote), the ≥3-words line
+    drop, the javascript line drop, and the page gates (≥5 sentences,
+    lorem ipsum, brace)."""
+    from bearly_spark.operators.quality import c4_rules
+
+    good = "\n".join(
+        [
+            "this line ends with a period.",          # kept
+            "does this line ask a question?",         # kept
+            "this line ends with a bang!",            # kept
+            'he said "the end quote counts."',        # kept
+            "one more proper sentence right here.",   # kept
+            "no terminal punctuation here",           # dropped: punct
+            "too short.",                             # dropped: <3 words
+            "please enable javascript to continue.",  # dropped: js
+        ]
+    )
+    lorem = "lorem ipsum dolor sit amet. " * 6            # page gate
+    brace = "a code snippet { appears on this page. " * 6  # page gate
+    thin = "only two proper sentences live here. and this is the second one."
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem.strip()), (3, brace.strip()), (4, thin),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+
+    assert got[1]["n_lines"] == 8
+    assert got[1]["n_kept_lines"] == 5
+    assert got[1]["n_sentences"] == 5
+    assert got[1]["passes_c4"]
+    assert "javascript" not in got[1]["clean_text"]
+    assert "no terminal punctuation" not in got[1]["clean_text"]
+
+    assert got[2]["has_lorem_ipsum"] and not got[2]["passes_c4"]
+    assert got[3]["has_brace"] and not got[3]["passes_c4"]
+    # thin page: lines survive but the 5-sentence page gate fails
+    assert got[4]["n_kept_lines"] == 1 and not got[4]["passes_c4"]
+    # NULL text coalesces to '' and fails everything
+    assert got[5]["n_kept_lines"] == 0 and not got[5]["passes_c4"]
+    assert got[5]["clean_text"] == ""
