@@ -167,6 +167,7 @@ HEADLINE = [
     "cap_per_source_documents",
     "mixture_resample_documents",
     "gopher_quality_documents",
+    "c4_rules_documents",
     # round 7: PMI collocations and z-score standardization
     "collocations_documents",
     "standardize_lineitem",
