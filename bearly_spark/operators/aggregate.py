@@ -134,6 +134,21 @@ def exact_percentiles(
     every engine. The oracle twin replays the identical index/
     interpolation arithmetic (``_shared.quantile_cuts_sql``) instead
     of ``quantile_cont``.
+
+    Plan shape (round 9): the GLOBAL form (``group_cols == []``) no
+    longer runs the rank window — ``Window.partitionBy()`` puts the
+    whole table in ONE task (``Exchange SinglePartition`` + whole-table
+    sort, a serialization point at 100 TB). Instead it runs distributed
+    exact order-statistic selection (:func:`_global_order_statistics`):
+    a fully-parallel t-digest/GK bracket pass (``percentile_approx``,
+    mergeable partial aggregates) brackets each target rank, one
+    parallel counting pass verifies the bracket ranks exactly, and the
+    few candidate values inside the brackets are resolved to the exact
+    integer rank indices ``((n−1)a) div b`` driver-side. Every pass is
+    a scan + partial aggregate — no single-task sort anywhere — and the
+    ANSWER is bit-identical to the window form (same order statistics,
+    same rational interpolation, same emission). The grouped form keeps
+    the per-group rank window (parallelism = group cardinality there).
     """
     from fractions import Fraction
 
@@ -156,19 +171,36 @@ def exact_percentiles(
     elif isinstance(in_type, DecimalType):
         v = in_type.scale
     elif isinstance(in_type, (DoubleType, FloatType)):
+        import warnings
+
+        warnings.warn(
+            f"exact_percentiles({value_col!r}): float/double input with no "
+            "explicit scale= quantizes values to 2dp before interpolation "
+            "(right for the 2dp-price fixtures; pass scale= for "
+            "finer-grained data — the twin must use the same scale)",
+            stacklevel=2,
+        )
         v = 2
     else:
         v = 0
     sval = (F.col(value_col).cast(f"decimal(38,{v})") * F.lit(10**v)).cast(
         "decimal(38,0)"
     )
+    fracs = [Fraction(q).limit_denominator(10**6) for q in quantiles]
+    if not group_cols:
+        res = _global_order_statistics(
+            df.select(sval.alias("_sv")), fracs, names, v, decimals
+        )
+        if res is not None:
+            return res
+        # bracket-miss fallback (pathological sketch failure): the
+        # window form below is always correct, just single-partition.
     w = Window.partitionBy(*group_cols).orderBy(F.col("_sv").asc())
     wn = Window.partitionBy(*group_cols)
     ranked = df.select(*group_cols, sval.alias("_sv")).withColumn(
         "_rn", F.row_number().over(w) - F.lit(1)
     ).withColumn("_n", F.count(F.lit(1)).over(wn))
 
-    fracs = [Fraction(q).limit_denominator(10**6) for q in quantiles]
     aggs = []
     for fr, name in zip(fracs, names):
         a, b = fr.numerator, fr.denominator
@@ -192,6 +224,183 @@ def exact_percentiles(
     return agged.select(*out_cols)
 
 
+def _dec38(x: int) -> Column:
+    """A DECIMAL(38,0) literal from an arbitrary-size Python int
+    (``F.lit`` infers LongType and overflows past 2^63)."""
+    return F.expr(f"CAST('{int(x)}' AS DECIMAL(38,0))")
+
+
+def _global_order_statistics(
+    sv: DataFrame,
+    fracs: Sequence,
+    names: Sequence[str],
+    v: int,
+    decimals: int,
+) -> DataFrame | None:
+    """Distributed exact selection of the global order statistics that
+    :func:`exact_percentiles` needs for ``group_cols == []`` — the same
+    answer as a whole-table rank window WITHOUT its
+    ``Exchange SinglePartition`` single-task sort.
+
+    ``sv`` is a one-column frame of non-null ``10^v``-scaled
+    DECIMAL(38,0) values. For each quantile ``a/b`` the target ranks
+    are the exact integer indices ``lo = ((n−1)a) div b`` and
+    ``hi = lo + (1 if (n−1)a mod b else 0)``. Passes, all fully
+    parallel (scan + mergeable partial aggregate, no global sort):
+
+    1. ONE aggregate: ``n`` + ``percentile_approx`` at
+       ``q ∓ 5/accuracy`` — Spark's Greenwald-Khanna summary guarantees
+       rank error ≤ n/accuracy and returns ACTUAL dataset elements, so
+       the returned pair brackets the target ranks with ≥ 4n/accuracy
+       slack. (At SMALL n that quantile slack is under one rank and the
+       sketch's element-pick convention can miss by one — so a failed
+       verification first retries with RANK-aware offsets
+       ``(idx ∓ max(3, 5n/acc))/(n−1)`` before giving up.)
+    2. ONE aggregate: exact ranks of each bracket endpoint
+       (``count(x < lo)``, ``count(x ≤ hi)``) — verifies the sketch's
+       guarantee instead of trusting it (returns None on a repeated
+       miss → caller falls back to the always-correct window form).
+    3. Candidate values inside the brackets are gathered as DISTINCT
+       values + counts (``groupBy(_sv).count()`` — ties collapse, so a
+       duplicate-heavy plateau is ONE row) and resolved to the exact
+       ranks driver-side. Expected candidate rows ≈ 10·n/accuracy per
+       quantile; when distinct candidates exceed the collect cap (huge
+       n with dense distinct values), each bracket is NARROWED by
+       re-running the sketch on the bracket's rows only (rank error now
+       relative to the bracket size → ×accuracy/10 shrink per round,
+       log_accuracy(n) rounds, each a parallel filtered scan).
+
+    Scale shape: 100 TB ≈ 10^12 rows needs 1 narrowing round at
+    accuracy 10^4 to bring candidates under the 10^5 cap — 4 parallel
+    scans total, zero single-task stages, O(10^5) driver bytes.
+    """
+    ACC = 10_000
+    CAP = 100_000
+    targets: list[tuple[int, int]] = []
+
+    pcts: list[float] = []
+    for fr in fracs:
+        q = float(fr)
+        pcts += [max(0.0, q - 5.0 / ACC), min(1.0, q + 5.0 / ACC)]
+    head = sv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("_sv", pcts, ACC).alias("p"),
+    ).first()
+    n = head["n"]
+    if n == 0:
+        # mirror the window form: groupBy() over empty input still
+        # yields one all-NULL row
+        return sv.sparkSession.range(1).select(
+            *[F.lit(None).cast("double").alias(name) for name in names]
+        )
+    for fr in fracs:
+        a, b = fr.numerator, fr.denominator
+        num = (n - 1) * a
+        lo_idx, r = divmod(num, b)
+        targets.append((lo_idx, lo_idx + (1 if r else 0)))
+    brackets = [
+        (int(head["p"][2 * i]), int(head["p"][2 * i + 1])) for i in range(len(fracs))
+    ]
+
+    def _rank_aware_brackets() -> list[tuple[int, int]]:
+        eps = max(3, -(-5 * n // ACC))  # ceil
+        pcts2: list[float] = []
+        denom = max(n - 1, 1)
+        for lo, hi in targets:
+            pcts2 += [
+                max(0.0, (lo - eps) / denom),
+                min(1.0, (hi + eps) / denom),
+            ]
+        p2 = sv.agg(F.percentile_approx("_sv", pcts2, ACC).alias("p")).first()["p"]
+        return [(int(p2[2 * i]), int(p2[2 * i + 1])) for i in range(len(fracs))]
+
+    resolved: list[tuple[int, int]] | None = None
+    retried = False
+    for _ in range(5):
+        rank_aggs: list[Column] = []
+        for i, (va, vb) in enumerate(brackets):
+            rank_aggs.append(
+                F.sum(F.when(F.col("_sv") < _dec38(va), 1).otherwise(0))
+                .cast("long")
+                .alias(f"L{i}")
+            )
+            rank_aggs.append(
+                F.sum(F.when(F.col("_sv") <= _dec38(vb), 1).otherwise(0))
+                .cast("long")
+                .alias(f"U{i}")
+            )
+        ranks = sv.agg(*rank_aggs).first()
+        L = [ranks[f"L{i}"] for i in range(len(fracs))]
+        U = [ranks[f"U{i}"] for i in range(len(fracs))]
+        if not all(
+            L[i] <= lo and hi <= U[i] - 1 for i, (lo, hi) in enumerate(targets)
+        ):
+            if retried:
+                return None  # repeated miss: window-form fallback
+            retried = True
+            brackets = _rank_aware_brackets()
+            continue
+        in_any = functools.reduce(
+            lambda acc, br: acc
+            | ((F.col("_sv") >= _dec38(br[0])) & (F.col("_sv") <= _dec38(br[1]))),
+            brackets[1:],
+            (F.col("_sv") >= _dec38(brackets[0][0]))
+            & (F.col("_sv") <= _dec38(brackets[0][1])),
+        )
+        cand = sv.filter(in_any).groupBy("_sv").agg(F.count(F.lit(1)).alias("c"))
+        rows = cand.take(CAP + 1)
+        if len(rows) <= CAP:
+            cand_sorted = sorted((int(r["_sv"]), r["c"]) for r in rows)
+
+            def _value_at(rank: int, va: int, base: int) -> int | None:
+                cum = base
+                for val, c in cand_sorted:
+                    if val < va:
+                        continue
+                    if rank < cum + c:
+                        return val
+                    cum += c
+                return None
+
+            resolved = []
+            for i, (lo, hi) in enumerate(targets):
+                lv = _value_at(lo, brackets[i][0], L[i])
+                hv = _value_at(hi, brackets[i][0], L[i])
+                if lv is None or hv is None:
+                    return None
+                resolved.append((lv, hv))
+            break
+        # too many distinct candidates: narrow each bracket by
+        # re-sketching INSIDE it (rank error now relative to its size)
+        new_brackets = []
+        for i, (va, vb) in enumerate(brackets):
+            m = U[i] - L[i]
+            sub = sv.filter(
+                (F.col("_sv") >= _dec38(va)) & (F.col("_sv") <= _dec38(vb))
+            )
+            lo_loc, hi_loc = targets[i][0] - L[i], targets[i][1] - L[i]
+            denom = max(m - 1, 1)
+            p_lo = max(0.0, lo_loc / denom - 5.0 / ACC)
+            p_hi = min(1.0, hi_loc / denom + 5.0 / ACC)
+            sub_p = sub.agg(
+                F.percentile_approx("_sv", [p_lo, p_hi], ACC).alias("p")
+            ).first()["p"]
+            new_brackets.append((int(sub_p[0]), int(sub_p[1])))
+        brackets = new_brackets
+    if resolved is None:
+        return None
+
+    from bearly_spark.operators.rounding import rational_round
+
+    out_cols = []
+    for fr, name, (lo_val, hi_val) in zip(fracs, names, resolved):
+        a, b = fr.numerator, fr.denominator
+        r = ((n - 1) * a) % b
+        val_num = _dec38(lo_val) * F.lit(b - r) + _dec38(hi_val) * F.lit(r)
+        out_cols.append(rational_round(val_num, F.lit(b * 10**v), decimals).alias(name))
+    return sv.sparkSession.range(1).select(*out_cols)
+
+
 def bucket_assign(value: Column, cut_names: Sequence[str]) -> Column:
     """THE cutpoint-bucket rule shared by the equi-depth histogram, the
     drift report and RFM scoring: ``1 + #(cutpoints < value)`` — ties
@@ -208,7 +417,11 @@ def bucket_assign(value: Column, cut_names: Sequence[str]) -> Column:
 
 
 def equi_depth_histogram(
-    df: DataFrame, value_col: str, buckets: int = 8, decimals: int = 4
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 8,
+    decimals: int = 4,
+    scale: int | None = None,
 ) -> DataFrame:
     """Equi-DEPTH (quantile-bucket) histogram — the distribution profile
     dual of the equi-width form (``histogram_prices_orders``): bucket
@@ -240,7 +453,9 @@ def equi_depth_histogram(
     qs = [k / buckets for k in range(1, buckets)]
     names = [f"_c{k}" for k in range(1, buckets)]
     df = df.filter(F.col(value_col).isNotNull())
-    cuts = exact_percentiles(df, [], value_col, qs, names=names, decimals=decimals)
+    cuts = exact_percentiles(
+        df, [], value_col, qs, names=names, decimals=decimals, scale=scale
+    )
     v = F.col(value_col)
     bucket = bucket_assign(v, names).alias("bucket")
     return (

@@ -170,6 +170,7 @@ def drift_report(
     value_col: str,
     buckets: int = 10,
     decimals: int = 4,
+    scale: int | None = None,
 ) -> DataFrame:
     """Distribution-drift report between two table states of a numeric
     column — the monitoring face of the DQ family (did this ingest
@@ -212,7 +213,9 @@ def drift_report(
     names = [f"_c{k}" for k in range(1, buckets)]
     before = before.filter(F.col(value_col).isNotNull())
     after = after.filter(F.col(value_col).isNotNull())
-    cuts = exact_percentiles(before, [], value_col, qs, names=names, decimals=decimals)
+    cuts = exact_percentiles(
+        before, [], value_col, qs, names=names, decimals=decimals, scale=scale
+    )
     v = F.col(value_col)
     bucket = bucket_assign(v, names).alias("bucket")
 
@@ -243,6 +246,7 @@ def iqr_outlier_report(
     group_cols: list[str],
     value_col: str,
     k: float = 1.5,
+    scale: int | None = None,
 ) -> DataFrame:
     """Tukey-fence outlier counts per group: values outside
     ``[q1 − k·IQR, q3 + k·IQR]`` (k=1.5 is the classic whisker rule) —
@@ -267,7 +271,7 @@ def iqr_outlier_report(
 
     df = df.filter(F.col(value_col).isNotNull())
     qr = exact_percentiles(
-        df, group_cols, value_col, (0.25, 0.75), names=["_q1", "_q3"]
+        df, group_cols, value_col, (0.25, 0.75), names=["_q1", "_q3"], scale=scale
     )
     iqr = F.col("_q3") - F.col("_q1")
     fenced = qr.select(
@@ -329,6 +333,7 @@ def streaming_drift(
     report_dir: str,
     checkpoint_dir: str,
     buckets: int = 10,
+    scale: int | None = None,
 ):
     """Drift monitoring AT INGEST: each arriving micro-batch's value
     distribution is compared against a FROZEN baseline (cutpoints and
@@ -346,7 +351,9 @@ def streaming_drift(
     qs = [k / buckets for k in range(1, buckets)]
     names = [f"_c{k}" for k in range(1, buckets)]
     base_nn = baseline.filter(F.col(value_col).isNotNull())
-    cut_row = exact_percentiles(base_nn, [], value_col, qs, names=names).collect()[0]
+    cut_row = exact_percentiles(
+        base_nn, [], value_col, qs, names=names, scale=scale
+    ).collect()[0]
     spark = baseline.sparkSession
     cuts = spark.createDataFrame([cut_row])
     v = F.col(value_col)
@@ -417,6 +424,7 @@ def winsorize(
     value_col: str,
     lo_q: float = 0.01,
     hi_q: float = 0.99,
+    scale: int | None = None,
 ) -> DataFrame:
     """Percentile winsorization (feature prep / robust-stats clipping):
     values below the ``lo_q`` quantile or above the ``hi_q`` quantile
@@ -432,7 +440,9 @@ def winsorize(
     from bearly_spark.operators.aggregate import exact_percentiles
 
     nn = df.filter(F.col(value_col).isNotNull())
-    cuts = exact_percentiles(nn, [], value_col, [lo_q, hi_q], names=["_lo", "_hi"])
+    cuts = exact_percentiles(
+        nn, [], value_col, [lo_q, hi_q], names=["_lo", "_hi"], scale=scale
+    )
     v = F.col(value_col).cast("double")
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     return df.crossJoin(F.broadcast(cuts)).select(
@@ -892,6 +902,7 @@ def mad_outliers(
     df: DataFrame,
     value_col: str,
     z_thresh: float = 3.5,
+    scale: int | None = None,
 ) -> DataFrame:
     """Robust outlier detection by the modified z-score
     (Iglewicz–Hoaglin): ``rz = 0.6745·(x − median) / MAD`` with
@@ -910,7 +921,7 @@ def mad_outliers(
     from bearly_spark.operators.aggregate import exact_percentiles
 
     nn = df.filter(F.col(value_col).isNotNull())
-    med = exact_percentiles(nn, [], value_col, [0.5], names=["_med"])
+    med = exact_percentiles(nn, [], value_col, [0.5], names=["_med"], scale=scale)
     v = F.col(value_col).cast("double")
     dev = nn.crossJoin(F.broadcast(med)).select(
         (F.abs(v - F.col("_med"))).alias("_dev")

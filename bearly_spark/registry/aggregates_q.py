@@ -157,7 +157,7 @@ def q_percentiles(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75)
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75), scale=2
     )
 
 
@@ -273,7 +273,7 @@ def q_median_mode(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     med = exact_percentiles(
         o, ["o_orderpriority"], "o_totalprice", [0.5],
-        names=["median_price"], decimals=2,
+        names=["median_price"], decimals=2, scale=2,
     ).join(
         o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders")),
         "o_orderpriority",
@@ -384,7 +384,7 @@ def q_histogram_depth(spark, sf_dir):
     from bearly_spark.operators.aggregate import equi_depth_histogram
 
     od = load_table(spark, sf_dir, "orders")
-    return equi_depth_histogram(od, "o_totalprice", buckets=8)
+    return equi_depth_histogram(od, "o_totalprice", buckets=8, scale=2)
 
 
 @register(

@@ -192,7 +192,10 @@ def q_rfm_segments(spark, sf_dir):
     for col in ("r_days", "f", "m"):
         # scale inference: r_days/f are integral (scale 0), m is a
         # 2dp-rounded double (scale 2) — matching the twin's cut blocks
-        c = exact_percentiles(agg, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)])
+        c = exact_percentiles(
+            agg, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)],
+            scale=2 if col == "m" else None,
+        )
         cuts = c if cuts is None else cuts.crossJoin(c)
 
     def score(col):
@@ -267,7 +270,7 @@ def q_drift_report(spark, sf_dir):
         .otherwise(F.col("o_totalprice"))
         .alias("v")
     )
-    return drift_report(before, after, "v", buckets=10)
+    return drift_report(before, after, "v", buckets=10, scale=2)
 
 
 @register(
@@ -297,7 +300,9 @@ def q_outliers_iqr(spark, sf_dir):
     from bearly_spark.operators.quality import iqr_outlier_report
 
     li = load_table(spark, sf_dir, "lineitem")
-    return iqr_outlier_report(li, ["l_returnflag"], "l_extendedprice", k=1.5)
+    return iqr_outlier_report(
+        li, ["l_returnflag"], "l_extendedprice", k=1.5, scale=2
+    )
 
 
 @register(
@@ -370,7 +375,7 @@ def q_winsorize(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    return winsorize(li, "l_extendedprice", 0.01, 0.99)
+    return winsorize(li, "l_extendedprice", 0.01, 0.99, scale=2)
 
 
 # ===================================================================
@@ -663,7 +668,7 @@ def q_mad_outliers(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    return mad_outliers(li, "l_extendedprice", z_thresh=3.5)
+    return mad_outliers(li, "l_extendedprice", z_thresh=3.5, scale=2)
 
 
 @register(

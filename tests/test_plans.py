@@ -121,6 +121,33 @@ def test_key_plan_properties_hold(spark, sf_dir):
     plan = _plan_of(spark, "sum_lineitem_int64", sf_dir)
     assert "l_orderkey" in plan and "l_extendedprice" not in plan
 
+    # round 9: the global exact-percentile family resolves its order
+    # statistics via distributed selection (aggregate.
+    # _global_order_statistics) — no whole-table single-partition SORT
+    # may appear in any of these executed plans. (A bare Exchange
+    # SinglePartition under a scalar aggregate is fine: it ships one
+    # partial row per partition, not the table; the killer pattern is
+    # Sort-over-SinglePartition, which serializes the whole input into
+    # one task.)
+    for name in (
+        "mad_outliers_lineitem",
+        "winsorize_lineitem",
+        "histogram_depth_orders",
+        "rfm_segments_customer",
+        "drift_report_orders",
+        "percentiles_lineitem",
+        "median_mode_orders",
+        "outliers_iqr_lineitem",
+    ):
+        lines = _plan_of(spark, name, sf_dir).splitlines()
+        offenders = [
+            line
+            for i, line in enumerate(lines)
+            if "Exchange SinglePartition" in line
+            and any("Sort" in lines[j] for j in range(max(0, i - 2), i))
+        ]
+        assert not offenders, (name, offenders)
+
 
 def test_cbo_catalog_stats_flip_join_strategy(spark, sf_dir):
     """ANALYZE statistics must be CONSUMED by the planner, not just
