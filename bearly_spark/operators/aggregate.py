@@ -256,23 +256,28 @@ def _global_order_statistics(
        sketch's element-pick convention can miss by one — so a failed
        verification first retries with RANK-aware offsets
        ``(idx ∓ max(3, 5n/acc))/(n−1)`` before giving up.)
-    2. ONE aggregate: exact ranks of each bracket endpoint
-       (``count(x < lo)``, ``count(x ≤ hi)``) — verifies the sketch's
-       guarantee instead of trusting it (returns None on a repeated
-       miss → caller falls back to the always-correct window form).
-    3. Candidate values inside the brackets are gathered as DISTINCT
-       values + counts (``groupBy(_sv).count()`` — ties collapse, so a
-       duplicate-heavy plateau is ONE row) and resolved to the exact
-       ranks driver-side. Expected candidate rows ≈ 10·n/accuracy per
-       quantile; when distinct candidates exceed the collect cap (huge
-       n with dense distinct values), each bracket is NARROWED by
-       re-running the sketch on the bracket's rows only (rank error now
-       relative to the bracket size → ×accuracy/10 shrink per round,
-       log_accuracy(n) rounds, each a parallel filtered scan).
+    2. ONE combined aggregate gathers candidates AND exact ranks:
+       candidate values inside the brackets keep their identity as
+       DISTINCT values + counts (ties collapse, so a duplicate-heavy
+       plateau is ONE row) while every non-candidate collapses into
+       one of ≤ 2·nq+1 GAP groups keyed by how many bracket boundaries
+       lie strictly below it — the exact endpoint ranks
+       ``L_i = count(x < lo_i)`` / ``U_i = count(x ≤ hi_i)``
+       reconstruct driver-side from gap + candidate counts, verifying
+       the sketch's guarantee instead of trusting it (a repeated miss
+       → None → caller falls back to the always-correct window form),
+       and the target ranks resolve from the candidate walk. Expected
+       candidate rows ≈ 10·n/accuracy per quantile; when distinct
+       candidates exceed the collect cap (huge n with dense distinct
+       values), each bracket is NARROWED by re-running the sketch on
+       the bracket's rows only (rank error now relative to the bracket
+       size → ×accuracy/10 shrink per round, log_accuracy(n) rounds,
+       each a parallel filtered scan).
 
-    Scale shape: 100 TB ≈ 10^12 rows needs 1 narrowing round at
-    accuracy 10^4 to bring candidates under the 10^5 cap — 4 parallel
-    scans total, zero single-task stages, O(10^5) driver bytes.
+    Scale shape: the common case is TWO parallel scans (head +
+    combined pass); 100 TB ≈ 10^12 rows needs 1 narrowing round at
+    accuracy 10^4 to bring candidates under the 10^5 cap — ~5 parallel
+    scans, zero single-task stages, O(10^5) driver bytes.
     """
     ACC = 10_000
     CAP = 100_000
@@ -314,11 +319,9 @@ def _global_order_statistics(
         p2 = sv.agg(F.percentile_approx("_sv", pcts2, ACC).alias("p")).first()["p"]
         return [(int(p2[2 * i]), int(p2[2 * i + 1])) for i in range(len(fracs))]
 
-    resolved: list[tuple[int, int]] | None = None
-    retried = False
-    for _ in range(5):
+    def _rank_bounds(brs: list[tuple[int, int]]) -> tuple[list[int], list[int]]:
         rank_aggs: list[Column] = []
-        for i, (va, vb) in enumerate(brackets):
+        for i, (va, vb) in enumerate(brs):
             rank_aggs.append(
                 F.sum(F.when(F.col("_sv") < _dec38(va), 1).otherwise(0))
                 .cast("long")
@@ -330,8 +333,99 @@ def _global_order_statistics(
                 .alias(f"U{i}")
             )
         ranks = sv.agg(*rank_aggs).first()
-        L = [ranks[f"L{i}"] for i in range(len(fracs))]
-        U = [ranks[f"U{i}"] for i in range(len(fracs))]
+        return (
+            [ranks[f"L{i}"] for i in range(len(brs))],
+            [ranks[f"U{i}"] for i in range(len(brs))],
+        )
+
+    nq = len(fracs)
+    resolved: list[tuple[int, int]] | None = None
+    retried = False
+    for _ in range(5):
+        # ONE combined pass: candidate rows keep their value identity;
+        # every NON-candidate collapses into one of ≤ 2·nq+1 GAP groups
+        # keyed by how many bracket boundaries lie strictly below it.
+        # A non-candidate x never equals a boundary (boundaries are
+        # inside brackets), so x < va_i ⟺ gap(x) ≤ #{boundaries < va_i}
+        # — the exact endpoint ranks L_i/U_i reconstruct from gap
+        # counts + candidate counts, letting rank verification and
+        # candidate gathering share a single aggregate job.
+        bounds: list[int] = []
+        for va, vb in brackets:
+            bounds += [va, vb]
+        in_any = functools.reduce(
+            lambda acc, br: acc
+            | ((F.col("_sv") >= _dec38(br[0])) & (F.col("_sv") <= _dec38(br[1]))),
+            brackets[1:],
+            (F.col("_sv") >= _dec38(brackets[0][0]))
+            & (F.col("_sv") <= _dec38(brackets[0][1])),
+        )
+        below_cnt = functools.reduce(
+            lambda acc, b: acc + F.when(F.col("_sv") > _dec38(b), 1).otherwise(0),
+            bounds,
+            F.lit(0),
+        )
+        grouped = (
+            sv.select(
+                F.when(in_any, F.col("_sv")).alias("_kv"),
+                F.when(in_any, F.lit(None)).otherwise(below_cnt).alias("_kg"),
+            )
+            .groupBy("_kv", "_kg")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        limit = CAP + 2 * nq + 2
+        rows = grouped.take(limit)
+        if len(rows) >= limit:
+            # truncated: too many distinct candidates — get the exact
+            # endpoint ranks separately, then narrow each bracket by
+            # re-sketching INSIDE it (rank error now relative to size)
+            L, U = _rank_bounds(brackets)
+            if not all(
+                L[i] <= lo and hi <= U[i] - 1 for i, (lo, hi) in enumerate(targets)
+            ):
+                if retried:
+                    return None
+                retried = True
+                brackets = _rank_aware_brackets()
+                continue
+            new_brackets = []
+            for i, (va, vb) in enumerate(brackets):
+                m = U[i] - L[i]
+                sub = sv.filter(
+                    (F.col("_sv") >= _dec38(va)) & (F.col("_sv") <= _dec38(vb))
+                )
+                lo_loc, hi_loc = targets[i][0] - L[i], targets[i][1] - L[i]
+                denom = max(m - 1, 1)
+                p_lo = max(0.0, lo_loc / denom - 5.0 / ACC)
+                p_hi = min(1.0, hi_loc / denom + 5.0 / ACC)
+                sub_p = sub.agg(
+                    F.percentile_approx("_sv", [p_lo, p_hi], ACC).alias("p")
+                ).first()["p"]
+                new_brackets.append((int(sub_p[0]), int(sub_p[1])))
+            brackets = new_brackets
+            continue
+        gap_counts: dict[int, int] = {}
+        cand_sorted: list[tuple[int, int]] = []
+        for row in rows:
+            if row["_kv"] is not None:
+                cand_sorted.append((int(row["_kv"]), row["c"]))
+            else:
+                gap_counts[row["_kg"]] = gap_counts.get(row["_kg"], 0) + row["c"]
+        cand_sorted.sort()
+
+        def _rank_of(boundary: int) -> int:
+            # exact #{x < boundary} over ALL data, from the one pass
+            pos = sum(1 for b in bounds if b < boundary)
+            return sum(c for g, c in gap_counts.items() if g <= pos) + sum(
+                c for val, c in cand_sorted if val < boundary
+            )
+
+        L = [_rank_of(va) for va, _ in brackets]
+        U = [
+            L[i]
+            + sum(c for val, c in cand_sorted if brackets[i][0] <= val <= brackets[i][1])
+            for i in range(nq)
+        ]
         if not all(
             L[i] <= lo and hi <= U[i] - 1 for i, (lo, hi) in enumerate(targets)
         ):
@@ -340,53 +434,25 @@ def _global_order_statistics(
             retried = True
             brackets = _rank_aware_brackets()
             continue
-        in_any = functools.reduce(
-            lambda acc, br: acc
-            | ((F.col("_sv") >= _dec38(br[0])) & (F.col("_sv") <= _dec38(br[1]))),
-            brackets[1:],
-            (F.col("_sv") >= _dec38(brackets[0][0]))
-            & (F.col("_sv") <= _dec38(brackets[0][1])),
-        )
-        cand = sv.filter(in_any).groupBy("_sv").agg(F.count(F.lit(1)).alias("c"))
-        rows = cand.take(CAP + 1)
-        if len(rows) <= CAP:
-            cand_sorted = sorted((int(r["_sv"]), r["c"]) for r in rows)
 
-            def _value_at(rank: int, va: int, base: int) -> int | None:
-                cum = base
-                for val, c in cand_sorted:
-                    if val < va:
-                        continue
-                    if rank < cum + c:
-                        return val
-                    cum += c
+        def _value_at(rank: int, va: int, base: int) -> int | None:
+            cum = base
+            for val, c in cand_sorted:
+                if val < va:
+                    continue
+                if rank < cum + c:
+                    return val
+                cum += c
+            return None
+
+        resolved = []
+        for i, (lo, hi) in enumerate(targets):
+            lv = _value_at(lo, brackets[i][0], L[i])
+            hv = _value_at(hi, brackets[i][0], L[i])
+            if lv is None or hv is None:
                 return None
-
-            resolved = []
-            for i, (lo, hi) in enumerate(targets):
-                lv = _value_at(lo, brackets[i][0], L[i])
-                hv = _value_at(hi, brackets[i][0], L[i])
-                if lv is None or hv is None:
-                    return None
-                resolved.append((lv, hv))
-            break
-        # too many distinct candidates: narrow each bracket by
-        # re-sketching INSIDE it (rank error now relative to its size)
-        new_brackets = []
-        for i, (va, vb) in enumerate(brackets):
-            m = U[i] - L[i]
-            sub = sv.filter(
-                (F.col("_sv") >= _dec38(va)) & (F.col("_sv") <= _dec38(vb))
-            )
-            lo_loc, hi_loc = targets[i][0] - L[i], targets[i][1] - L[i]
-            denom = max(m - 1, 1)
-            p_lo = max(0.0, lo_loc / denom - 5.0 / ACC)
-            p_hi = min(1.0, hi_loc / denom + 5.0 / ACC)
-            sub_p = sub.agg(
-                F.percentile_approx("_sv", [p_lo, p_hi], ACC).alias("p")
-            ).first()["p"]
-            new_brackets.append((int(sub_p[0]), int(sub_p[1])))
-        brackets = new_brackets
+            resolved.append((lv, hv))
+        break
     if resolved is None:
         return None
 

@@ -455,19 +455,25 @@ def kaplan_meier(
     fixed-order float fold (the prior contract here) can differ by an
     ulp across DuckDB builds. Each factor ``1 − d/n`` becomes an exact
     6dp micro integer ``F = (2·10⁶·(n−d) + n) div (2n)``, and the
-    running product holds 18 digits:
+    running product holds 12 digits:
 
-        S₀ = 10¹⁸,   S ← (2·S·F + 10⁶) div (2·10⁶)     [halfup]
+        S₀ = 10¹²,   S ← (2·S·F + 10⁶) div (2·10⁶)     [halfup]
 
     — all integral ops (no ulp anywhere, fold included), emitted as
-    the one IEEE division ``S/10¹⁸`` of identical integers. The
+    the one IEEE division ``S/10¹²`` of identical integers. The
     semantic delta vs the raw product is ≤ ~10⁻⁶·curve-length —
     documented quantization, not float noise; the twin replays the
-    identical integer recurrence.
+    identical integer recurrence. Round 9 shrank the state from 18 to
+    12 digits so every fold step fits LONG (max 2·10¹²·10⁶ + 10⁶ <
+    2⁶³) — the graph.py picorank fast path: the r8 DECIMAL(38,0) fold
+    was the bench's 2.5× regressor (each 128-bit div costs ~10× a
+    64-bit one, and the prefix fold runs k²/2 of them).
 
     Scale shape: one Θ(subjects) groupBy onto Θ(distinct durations)
     rows, then a single global window over that (already tiny)
-    aggregate — the curve itself is axis-sized, never subject-sized."""
+    aggregate — the curve itself is axis-sized, never subject-sized
+    (the O(k²) prefix fold is bounded by the duration axis, not the
+    subject count)."""
     from pyspark.sql import Window
 
     from bearly_spark.operators.rounding import rational_micro
@@ -488,21 +494,20 @@ def kaplan_meier(
     f_micro = rational_micro(
         F.col("n_risk") - F.col("n_events"), F.col("n_risk"), 6
     )
-    dec = "decimal(38,0)"
-    s = r.withColumn("_fs", F.collect_list(f_micro.cast(dec)).over(w_cum))
+    s = r.withColumn("_fs", F.collect_list(f_micro.cast("long")).over(w_cum))
     folded = F.aggregate(
         F.col("_fs"),
-        F.lit(10**18).cast(dec),
+        F.lit(10**12).cast("long"),
         lambda acc, x: F.call_function(
             "div",
-            F.lit(2).cast(dec) * acc * x + F.lit(10**6).cast(dec),
-            F.lit(2 * 10**6).cast(dec),
-        ).cast(dec),
+            F.lit(2).cast("long") * acc * x + F.lit(10**6).cast("long"),
+            F.lit(2 * 10**6).cast("long"),
+        ),
     )
     return s.select(
         "duration",
         "n_events",
         "n_censored",
         "n_risk",
-        (folded.cast("double") / F.lit(1e18)).alias("survival"),
+        (folded.cast("double") / F.lit(1e12)).alias("survival"),
     )

@@ -709,9 +709,9 @@ def q_mad_outliers(spark, sf_dir):
           FROM f)
     SELECT duration, n_events, n_censored, n_risk,
            CAST(list_reduce(
-                    list_prepend(1000000000000000000::HUGEINT, fcts),
+                    list_prepend(1000000000000::HUGEINT, fcts),
                     (a, b) -> (2 * a * b + 1000000) // 2000000)
-                AS DOUBLE) / 1e18 AS survival
+                AS DOUBLE) / 1e12 AS survival
     FROM s
     """,
 )
@@ -720,11 +720,12 @@ def q_survival_repeat(spark, sf_dir):
     days-to-second-order: one-order customers enter CENSORED at the
     corpus horizon (reducing the risk set without counting as events —
     the bias a naive "average days to repeat" metric eats). Survival
-    is the ascending-duration QUANTIZED-EXACT integer fold (round 8:
-    6dp micro factors, 18-digit running product, all integral ops —
-    the float fold this replaced was the round-7 cross-build failure
-    class), replayed identically by the twin's sentinel-prepended
-    ``list_reduce``."""
+    is the ascending-duration QUANTIZED-EXACT integer fold (round 8,
+    LONG-sized round 9: 6dp micro factors, 12-digit running product —
+    every step fits 64-bit, the picorank fast path — all integral
+    ops; the float fold this replaced was the round-7 cross-build
+    failure class), replayed identically by the twin's
+    sentinel-prepended ``list_reduce``."""
     from pyspark.sql import Window
 
     from bearly_spark.operators.windows import kaplan_meier

@@ -117,14 +117,14 @@ def test_exact_percentiles_fraction_reference(spark):
 
 def test_km_quantized_fold_reference(spark):
     """kaplan_meier's integer survival fold vs a Python replay of the
-    same recurrence (6dp micro factors, 18-digit running product)."""
+    same recurrence (6dp micro factors, 12-digit LONG running product)."""
     from bearly_spark.operators.windows import kaplan_meier
 
     rows = [(3, 1), (3, 1), (3, 0), (5, 1), (5, 0), (9, 0), (12, 1)]
     df = spark.createDataFrame(rows, "dur int, ev int")
     got = {r["duration"]: r for r in
            kaplan_meier(df, "dur", "ev").collect()}
-    total, removed, s = len(rows), 0, 10**18
+    total, removed, s = len(rows), 0, 10**12
     from collections import Counter
 
     per = {}
@@ -137,7 +137,7 @@ def test_km_quantized_fold_reference(spark):
         f = _halfup_trunc(n_risk - per[d]["ev"], n_risk, 6)
         s = (2 * s * f + 10**6) // (2 * 10**6)
         assert got[d]["n_risk"] == n_risk
-        assert got[d]["survival"] == float(s) / 1e18, d
+        assert got[d]["survival"] == float(s) / 1e12, d
         removed += per[d]["n"]
 
 
