@@ -11,10 +11,13 @@ Pattern for image/audio/video at 100 TB:
 - size skew (a few huge videos per partition) is handled by lowering
   ``spark.sql.files.maxPartitionBytes`` or salting on the hash prefix.
 
-The actual codec step is STUBBED (this container has no image/audio libs):
-``decode_features`` raises ``NotImplementedError`` in ``strict`` mode and
-otherwise emits a deterministic md5-derived fake feature vector — the
-Spark-side plumbing (schemas, batching, UDF signatures) is real and tested.
+The decode stage is REAL for uncompressed formats (round 9): a pure-Python
+24-bit BMP header+pixel decoder (:func:`bmp_image_features`) is the default
+decoder everywhere, upgraded to Pillow (:func:`pil_image_features`) where
+that lib is installed; compressed codecs (JPEG/PNG/audio/video) still need
+an external lib and slot in through the same ``decoder=`` hook. The
+md5-derived fake-feature stand-in survives only behind an explicit opt-in
+(``on_error="fake"`` or ``decoder=_fake_features``) for plumbing tests.
 """
 
 from __future__ import annotations
@@ -78,39 +81,146 @@ def pil_image_features(payload: bytes) -> list[float]:
     return [float(f) for f in feats]
 
 
+def bmp_image_features(payload: bytes) -> list[float]:
+    """REAL pure-Python image decoder for 24-bit uncompressed (BI_RGB)
+    BMP: parses the BITMAPFILEHEADER/BITMAPINFOHEADER, slices the pixel
+    array out of the payload (honoring the 4-byte row padding and
+    top-down negative heights), and emits 8 EXACT-INTEGER-valued
+    features — ``[width, height, sum_r, sum_g, sum_b, sum(r²+g²+b²),
+    sum(max(r,g,b)), n_pixels]`` — integers so a cross-engine oracle
+    can compare them without float-rounding hazards (each is ≤
+    255²·3·10⁶ for a megapixel image, exact in a double). Vectorized
+    with numpy (one ``frombuffer`` view, no per-pixel Python). Raises
+    ``ValueError`` on non-BMP bytes or unsupported bpp/compression —
+    compressed formats go through :func:`pil_image_features` or a
+    production codec via the same ``decoder=`` hook."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    _hdr, width, height = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    h = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    if pix_off + h * row_bytes > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=pix_off)
+        .reshape(h, row_bytes)[:, : width * 3]
+        .reshape(h, width, 3)
+        .astype(np.int64)
+    )
+    # in-file channel order is B,G,R
+    return [
+        float(width),
+        float(h),
+        float(arr[..., 2].sum()),
+        float(arr[..., 1].sum()),
+        float(arr[..., 0].sum()),
+        float((arr * arr).sum()),
+        float(arr.max(axis=2).sum()),
+        float(width * h),
+    ]
+
+
+def plant_bmp_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Materialize a REAL 24-bit uncompressed BMP payload per row whose
+    pixel array is the document's UTF-8 bytes cycled to fill the image —
+    deterministic, twin-replayable media bytes for exercising the real
+    decode path where no image fixtures exist (an oracle can recompute
+    every pixel byte as ``text_byte[j mod len]``). Same (doc_id,
+    payload, meta) shape as :func:`attach_payload`; one mapInPandas
+    stage so bytes cross the Python boundary once per Arrow batch."""
+    import struct
+
+    row_bytes = (width * 3 + 3) // 4 * 4
+    npix_bytes = row_bytes * height
+    size = 54 + npix_bytes
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, npix_bytes, 2835, 2835, 0, 0)
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for text in pdf[text_col]:
+                tb = str(text).encode("utf-8") or b"\x00"
+                body = (tb * (npix_bytes // len(tb) + 1))[:npix_bytes]
+                p = header + body
+                payloads.append(p)
+                metas.append(
+                    {
+                        "modality": "image/bmp",
+                        "payload_bytes": len(p),
+                        "content_md5": hashlib.md5(p).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "meta": metas}
+            )
+
+    return df.mapInPandas(
+        build,
+        schema=(
+            "doc_id long, payload binary, "
+            "meta struct<modality:string,payload_bytes:bigint,content_md5:string>"
+        ),
+    )
+
+
 def default_decoder():
-    """Best real decoder available in this environment, else None.
-    Media libs are optional deps: Pillow unlocks image decode; the same
-    hook is where ffmpeg/torchaudio would slot in for audio/video."""
+    """Best real decoder available in this environment — Pillow
+    (compressed formats + everything PIL reads) when installed, else the
+    always-available pure-Python BMP decoder. The same hook is where
+    ffmpeg/torchaudio would slot in for audio/video."""
     try:
         import PIL  # noqa: F401
 
         return pil_image_features
     except ImportError:
-        return None
+        return bmp_image_features
 
 
-def decode_features(df: DataFrame, strict: bool = False, decoder=None) -> DataFrame:
+def decode_features(df: DataFrame, decoder=None, on_error: str = "raise") -> DataFrame:
     """Arrow-batched decode/feature-extract over payload binaries.
 
     ``df`` must have (doc_id, payload, meta) as produced by
-    :func:`attach_payload`. ``decoder`` is any ``bytes -> list[float]``
-    (length N_FEATURES) callable — :func:`pil_image_features` where
-    Pillow is installed, a torchvision/ffmpeg wrapper in production.
-    With no decoder given, :func:`default_decoder` is consulted;
-    ``strict=True`` then refuses to fall back to the deterministic
-    fake-feature path, so a misconfigured cluster fails loudly instead
-    of producing md5 pseudo-features.
-    """
+    :func:`attach_payload` / :func:`plant_bmp_payload`. ``decoder`` is
+    any ``bytes -> list[float]`` (length N_FEATURES) callable — the
+    pure-Python :func:`bmp_image_features` by default,
+    :func:`pil_image_features` where Pillow is installed
+    (:func:`default_decoder` picks), a torchvision/ffmpeg wrapper in
+    production. A payload the decoder rejects fails the job loudly by
+    default (a misconfigured cluster must not silently produce garbage
+    features); ``on_error="fake"`` is the explicit opt-in that
+    substitutes the deterministic md5 stand-in for undecodable payloads
+    (plumbing tests, mixed-modality smoke runs)."""
+    if on_error not in ("raise", "fake"):
+        raise ValueError(f"on_error must be 'raise' or 'fake', got {on_error!r}")
     decoder = decoder or default_decoder()
-    if decoder is None:
-        if strict:
-            raise NotImplementedError(
-                "no media decoder available: install Pillow (images) or pass "
-                "decoder=...; strict=False falls back to deterministic fake "
-                "features for plumbing tests"
-            )
-        decoder = _fake_features
+
+    def decode_one(p: bytes) -> list[float]:
+        if on_error == "fake":
+            try:
+                return decoder(p)
+            except Exception:  # noqa: BLE001 — explicit fake opt-in
+                return _fake_features(p)
+        return decoder(p)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,7 +229,7 @@ def decode_features(df: DataFrame, strict: bool = False, decoder=None) -> DataFr
                     "doc_id": pdf["doc_id"],
                     "modality": [m["modality"] for m in pdf["meta"]],
                     "payload_bytes": [m["payload_bytes"] for m in pdf["meta"]],
-                    "feature": [decoder(bytes(p)) for p in pdf["payload"]],
+                    "feature": [decode_one(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

@@ -55,45 +55,72 @@ def q_multimodal_ingest(spark, sf_dir):
     )
 
 
-# Oracle twin of the decode stub: feature i is md5-digest byte i (hex-pair
-# -> int via a digit-lookup strpos), matching _fake_features exactly.
-_HEXD = "'0123456789abcdef'"
-_DECODE_FEATURES_SQL = ", ".join(
-    f"CAST((strpos({_HEXD}, substr(md5(text), {2 * i + 1}, 1)) - 1) * 16"
-    f" + (strpos({_HEXD}, substr(md5(text), {2 * i + 2}, 1)) - 1)"
-    f" AS BIGINT) AS feature_{i}"
-    for i in range(M.N_FEATURES)
+# Oracle twin of the REAL BMP decode (round 9): the planted 16x16
+# 24-bit BMP's pixel array is the document's UTF-8 bytes cycled to 768
+# bytes, so DuckDB recomputes every pixel byte as text_byte[j mod L]
+# without parsing BMP — byte extraction is a digit-lookup strpos over
+# hex(encode(text)) (no lambdas, no build-sensitive casts), channel is
+# j mod 3 in in-file B,G,R order, and every compared statistic is an
+# exact integer.
+_BMP_W, _BMP_H = 16, 16
+_BMP_PX = _BMP_W * 3 * _BMP_H  # 48-byte rows, already 4-byte aligned
+_HEXU = "'0123456789ABCDEF'"
+_BMP_BYTE_SQL = (
+    f"(strpos({_HEXU}, substr(hx, ((j % L) * 2) + 1, 1)) - 1) * 16"
+    f" + (strpos({_HEXU}, substr(hx, ((j % L) * 2) + 2, 1)) - 1)"
 )
 
 
 @register(
     "multimodal_decode_features",
     oracle=f"""
-    SELECT doc_id, 'text/plain' AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           {_DECODE_FEATURES_SQL}
-    FROM documents
+    WITH base AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS L
+                  FROM documents),
+    px AS (SELECT doc_id, j, ({_BMP_BYTE_SQL}) AS b, j % 3 AS ch, j // 3 AS pix
+           FROM base, (SELECT unnest(range({_BMP_PX})) AS j)),
+    per AS (SELECT doc_id,
+                   SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS sum_r,
+                   SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS sum_g,
+                   SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS sum_b,
+                   SUM(b * b) AS sumsq_rgb
+            FROM px GROUP BY doc_id),
+    mx AS (SELECT doc_id, SUM(mb) AS sum_max
+           FROM (SELECT doc_id, pix, MAX(b) AS mb FROM px GROUP BY 1, 2)
+           GROUP BY doc_id)
+    SELECT base.doc_id, 'image/bmp' AS modality,
+           CAST({54 + _BMP_PX} AS BIGINT) AS payload_bytes,
+           CAST({_BMP_W} AS BIGINT) AS width, CAST({_BMP_H} AS BIGINT) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(sumsq_rgb AS BIGINT) AS sumsq_rgb,
+           CAST(sum_max AS BIGINT) AS sum_max,
+           CAST({_BMP_W * _BMP_H} AS BIGINT) AS n_pixels
+    FROM base JOIN per ON base.doc_id = per.doc_id
+              JOIN mx ON base.doc_id = mx.doc_id
     """,
 )
 def q_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode stub, surfaced in driver-hashable scalar form:
-    the array<double> feature vector (kept for the pytest path — the
-    harness canonicalizer cannot sort/hash list cells) is re-expressed as
-    one exact byte-scaled long per dimension (feature*255 is the md5
-    digest byte, so round() recovers the integer exactly — no float
-    comparison risk)."""
+    """REAL media decode over the mapInPandas stage (round 9 — the
+    decode step is no longer a stub): each document's bytes are planted
+    as a genuine 16x16 24-bit uncompressed BMP
+    (``multimodal.plant_bmp_payload`` — header + pixel array the twin
+    can regenerate byte-for-byte), then ``multimodal.bmp_image_features``
+    parses the header, slices the pixel array and emits exact-integer
+    pixel statistics (per-channel sums, sum of squares, per-pixel-max
+    sum) — decoder pinned to the BMP path so an environment-installed
+    Pillow cannot change the compared values."""
     d = load_table(spark, sf_dir, "documents")
-    # decoder pinned to the deterministic md5 stand-in: the payloads are
-    # text/plain, not images, and the oracle mirrors exactly this function
-    # — environment-installed codecs must not change the result
-    feats = M.decode_features(M.attach_payload(d), decoder=M._fake_features)
+    planted = M.plant_bmp_payload(d, width=_BMP_W, height=_BMP_H)
+    feats = M.decode_features(planted, decoder=M.bmp_image_features)
+    names = ["width", "height", "sum_r", "sum_g", "sum_b", "sumsq_rgb",
+             "sum_max", "n_pixels"]
     return feats.select(
         "doc_id",
         "modality",
         "payload_bytes",
         *[
-            F.round(F.col("feature")[i] * 255).cast("long").alias(f"feature_{i}")
-            for i in range(M.N_FEATURES)
+            F.round(F.col("feature")[i]).cast("long").alias(name)
+            for i, name in enumerate(names)
         ],
     )
 

@@ -146,22 +146,73 @@ def test_embedding_near_dup_planted(spark):
     assert all(r.cosine_sim >= 0.95 for r in pairs)
 
 
-def test_multimodal_decode_plumbing(spark, sf_dir):
+def test_multimodal_decode_real_bmp_path(spark, sf_dir):
+    """Default decode is REAL now: planted 16x16 BMPs parse through the
+    pure-Python header+pixel decoder; stats replay exactly from the
+    known byte-cycling fill."""
     docs = load_table(spark, sf_dir, "documents").limit(50)
-    feats = M.decode_features(M.attach_payload(docs))
-    rows = feats.collect()
+    planted = M.plant_bmp_payload(docs)
+    rows = M.decode_features(planted).collect()
     assert len(rows) == 50
     assert all(len(r.feature) == M.N_FEATURES for r in rows)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        tb = texts[r.doc_id].encode("utf-8")
+        body = (tb * (768 // len(tb) + 1))[:768]
+        assert r.feature[0] == 16.0 and r.feature[1] == 16.0
+        assert r.feature[2] == float(sum(body[2::3]))  # R = in-file byte 2
+        assert r.feature[4] == float(sum(body[0::3]))  # B = in-file byte 0
+        assert r.feature[5] == float(sum(b * b for b in body))
+        assert r.payload_bytes == 54 + 768 and r.modality == "image/bmp"
+
+
+def test_multimodal_undecodable_raises_unless_fake_opt_in(spark, sf_dir):
+    """Text payloads are not decodable media: the default path must fail
+    loudly; on_error='fake' is the explicit plumbing opt-in and emits the
+    deterministic md5 stand-in."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(Exception, match="BMP|decode"):
+        M.decode_features(M.attach_payload(docs)).collect()
+    rows = M.decode_features(M.attach_payload(docs), on_error="fake").collect()
     assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
-    # deterministic across runs
-    again = {r.doc_id: r.feature for r in M.decode_features(M.attach_payload(docs)).collect()}
+    again = {
+        r.doc_id: r.feature
+        for r in M.decode_features(M.attach_payload(docs), on_error="fake").collect()
+    }
     assert all(again[r.doc_id] == r.feature for r in rows)
 
 
-def test_multimodal_strict_mode_raises(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
-        M.decode_features(M.attach_payload(docs), strict=True)
+def test_bmp_decoder_padding_and_topdown(spark):
+    """Hand-built BMPs pin the byte-level contract: 4-byte row padding is
+    EXCLUDED from stats (2x2 rows pad 6->8 bytes) and a negative
+    (top-down) height decodes to the same order-invariant sums."""
+    import struct
+
+    def bmp(width, height, rows):  # rows: list of row-pixel-bytes (no pad)
+        row_bytes = (width * 3 + 3) // 4 * 4
+        body = b"".join(r + b"\xff" * (row_bytes - len(r)) for r in rows)
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0
+            )
+            + body
+        )
+
+    # pixels (B,G,R): row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(10,11,12)
+    r0 = bytes([1, 2, 3, 4, 5, 6])
+    r1 = bytes([7, 8, 9, 10, 11, 12])
+    up = M.bmp_image_features(bmp(2, 2, [r0, r1]))
+    down = M.bmp_image_features(bmp(2, -2, [r1, r0]))
+    assert up == down
+    # padding 0xff bytes must not leak into any sum
+    assert up[2] == 3 + 6 + 9 + 12 and up[3] == 2 + 5 + 8 + 11 and up[4] == 1 + 4 + 7 + 10
+    assert up[5] == sum(b * b for b in r0 + r1)
+    assert up[6] == 3 + 6 + 9 + 12  # max channel is R everywhere
+    assert up[:2] == [2.0, 2.0] and up[7] == 4.0
+    with pytest.raises(ValueError):
+        M.bmp_image_features(b"NOTABMP" + b"\x00" * 100)
 
 
 def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
