@@ -721,8 +721,13 @@ def c4_rules(
       not mention ``javascript`` (boilerplate JS warnings);
     - reassemble the kept lines as ``clean_text``;
     - gate the PAGE on ≥ ``min_sentences`` sentences in the kept text
-      (terminal-punctuation count), no ``lorem ipsum``, and no ``{``
-      (code);
+      (terminal-punctuation count — a documented APPROXIMATION of C4's
+      sentence semantics: every ``[.!?]`` occurrence anywhere in the
+      kept text counts, so abbreviations/ellipses INSIDE kept lines
+      inflate the count relative to a linguistic sentence splitter;
+      deterministic and twin-matched, chosen over a splitter because
+      no two engines segment sentences identically), no
+      ``lorem ipsum``, and no ``{`` (code);
 
     emitting (id, n_lines, n_kept_lines, clean_text, n_sentences,
     has_lorem_ipsum, has_brace, passes_c4). (The original's bad-words

@@ -30,6 +30,44 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Observation, Window
 
 
+#: Driver-collect contract for the query-side ANN probes: these paths
+#: broadcast the QUERY SET from the driver (small queries vs huge
+#: corpus, the Spark ML ``approxNearestNeighbors``-key contract). The
+#: cap makes the assumption CHECKED instead of an unbounded collect
+#: that would OOM the driver on a 10M-query probe.
+MAX_DRIVER_QUERIES = 100_000
+
+
+def collect_query_rows(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_queries: int = MAX_DRIVER_QUERIES,
+    what: str = "query set",
+):
+    """Collect the (id, vector) query rows under the driver-collect
+    contract: the collect itself is LIMIT-bounded (never materializes
+    more than ``max_queries + 1`` rows driver-side, no separate count
+    job), and a query frame past the cap raises with a pointer at the
+    banded-join / persisted-index forms that handle query sets at
+    scale (``streaming.ann_index.ann_query_over_index``, the LSH
+    band-join path)."""
+    rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{what} exceeds the driver-collect contract "
+            f"({max_queries} rows): probe paths broadcast queries from "
+            "the driver by design — for large query sets use the "
+            "banded-join / persisted-index forms "
+            "(streaming.ann_index.ann_query_over_index, ivf_index)"
+        )
+    return rows
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double (sequential left-to-right fold, deterministic).
 
@@ -90,7 +128,7 @@ def brute_force_topk(
     the batch scores), so the final rank window is over a k·partitions
     bounded set — the corpus itself never shuffles.
     """
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qrows = collect_query_rows(queries, id_col, vec_col)
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -349,7 +387,7 @@ def lsh_ann_topk(
     bpb = nbits // bands
     band_w = (np.uint64(1) << np.arange(bpb, dtype=np.uint64)).astype(np.float64)
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qrows = collect_query_rows(queries, id_col, vec_col)
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -690,7 +728,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), cell_udf(F.col(vec_col)).alias("cell")
     )
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_rows(queries, id_col, vec_col)
     c2 = (C**2).sum(axis=1)
     probe_rows = []
     for r in qrows:
@@ -878,7 +916,7 @@ def pq_ann_topk(
     enc = make_pq_encode_udf(cb)
     codes = corpus.select(F.col(id_col).alias("c_id"), enc(F.col(vec_col)).alias("codes"))
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_rows(queries, id_col, vec_col)
     q_ids = np.asarray([int(r[0]) for r in qrows])
     # per-query LUT of ADC terms, computed EXACTLY like the SQL twin:
     # term(q, j, c) = c2 - 2·(q_j · C[j][c]) + q_j²  (float64 throughout)
@@ -986,7 +1024,8 @@ def _cosine_vs_set_kernel(eval_set, id_col, vec_col, threshold):
     not per-batch luck). Raises loudly on an empty eval set: a filter
     that matches nothing would otherwise surface as an opaque numpy
     axis error mid-job (review catch, round 6)."""
-    qrows = eval_set.select(F.col(id_col), F.col(vec_col)).collect()
+    qrows = collect_query_rows(queries=eval_set, id_col=id_col, vec_col=vec_col,
+                               what="eval set")
     if not qrows:
         raise ValueError("eval_set is empty: nothing to decontaminate against")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)

@@ -67,10 +67,15 @@ _ROWS_PER_FILE = 4_000_000
 #: is a full Spark job (plan + scan + collect) — three per
 #: ``ivfpq_index_query`` call, ~1s of pure overhead on repeated
 #: queries against the same index (the bench/production steady state).
-#: mtime-keyed like ``registry._shared._scratch_index``, so rebuilds
-#: invalidate naturally; local-FS mtimes only (object-store callers
-#: would key on a manifest — out of scope here).
-_MODEL_CACHE: dict[tuple[str, float], object] = {}
+#: manifest-keyed like ``registry._shared._scratch_index`` — the key
+#: carries (newest mtime, file count, total bytes) so an in-place
+#: rebuild completing within one coarse-mtime tick (1-second
+#: filesystems) still misses the stale entry unless it also matches
+#: size and count; superseded generations for the same path are
+#: EVICTED on insert, so repeated rebuilds cannot grow driver memory
+#: unboundedly. Local-FS only (object-store callers would key on a
+#: real manifest — out of scope here).
+_MODEL_CACHE: dict[tuple[str, float, int, int], object] = {}
 
 
 def _model_cached(index_dir: str, sub: str, load):
@@ -78,15 +83,21 @@ def _model_cached(index_dir: str, sub: str, load):
 
     path = os.path.abspath(os.path.join(index_dir, sub))
     try:
-        mtime = max(
-            os.path.getmtime(os.path.join(d, f))
+        stats = [
+            os.stat(os.path.join(d, f))
             for d, _, fs in os.walk(path)
             for f in fs
-        )
-    except (OSError, ValueError):
-        return load()  # non-local or empty: skip caching
-    key = (path, mtime)
+        ]
+        if not stats:
+            return load()
+        mtime = max(st.st_mtime for st in stats)
+        manifest = (len(stats), sum(st.st_size for st in stats))
+    except OSError:
+        return load()  # non-local: skip caching
+    key = (path, mtime, *manifest)
     if key not in _MODEL_CACHE:
+        for old in [k for k in _MODEL_CACHE if k[0] == path]:
+            del _MODEL_CACHE[old]
         _MODEL_CACHE[key] = load()
     return _MODEL_CACHE[key]
 
@@ -243,7 +254,9 @@ def ivf_index_query(
     if n_probe is None:
         n_probe = max(4, len(C) // 16)
     c2 = (C**2).sum(axis=1)
-    qrows = queries.select(id_col, vec_col).collect()
+    from bearly_spark.operators.similarity import collect_query_rows
+
+    qrows = collect_query_rows(queries, id_col, vec_col)
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
@@ -625,7 +638,9 @@ def ivfpq_index_query(
             lut[j] = cb2[j] - 2.0 * (cb[j] @ qj) + (qj @ qj)
         return lut
 
-    qrows = queries.select(id_col, vec_col).collect()
+    from bearly_spark.operators.similarity import collect_query_rows
+
+    qrows = collect_query_rows(queries, id_col, vec_col)
     probe_rows, luts = [], {}
     for r in qrows:
         qid = int(r[0])

@@ -343,7 +343,14 @@ def main() -> None:
             "queries_file": "BENCH_samples.json",
         }
     )
-    assert len(line) <= 200, f"bench summary line grew to {len(line)} bytes"
+    if len(line) > 200:
+        # never abort AFTER all queries already ran (and `python -O`
+        # would strip an assert): drop optional fields to stay inside
+        # the driver's one-short-line stdout contract
+        line = json.dumps(
+            {"metric": "headline_queries_wall_clock", "value": total,
+             "unit": "sec", "sf": sf}
+        )
     print(line)
 
 

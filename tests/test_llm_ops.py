@@ -358,6 +358,21 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
     assert got == want
 
 
+def test_query_collect_contract_guard(spark):
+    """The ANN probe paths broadcast the query set from the driver — an
+    oversized query frame must refuse loudly (pointing at the index
+    forms) instead of silently OOMing the driver, and the guard's LIMIT
+    bounds the collect itself."""
+    qs = spark.range(0, 11).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="driver-collect contract"):
+        S.collect_query_rows(qs, "vec_id", "embedding", max_queries=10)
+    rows = S.collect_query_rows(qs, "vec_id", "embedding", max_queries=11)
+    assert len(rows) == 11
+
+
 def test_decode_features_custom_decoder_plumbing(spark):
     """Any bytes -> list[float] callable slots into the decode stage —
     the production integration point (PIL/torchvision/ffmpeg) exercised
