@@ -84,12 +84,17 @@ PREFIX_ORDER = [
     "produce_array",
     "produce_stream",
     "sum_produce_stream",
-    # scan formats
-    "csv_scan_nation",
+    # scan formats (r9 rotation: csv_scan_nation + orc_scan_supplier
+    # left the prefix driver-green; the XML scan and the
+    # partition-pruned directory scan — never driver-sampled — keep
+    # three format seats beside JSON)
     "json_scan_orders",
-    "orc_scan_supplier",
-    # relational core
-    "filter_project_lineitem",
+    "xml_scan_supplier",  # r9 rotation
+    "partitioned_scan_orders",  # r9 rotation
+    # relational core (r9: filter_project left driver-green — pushdown
+    # stays pinned in test_plans; the temporal/point-in-time join —
+    # never driver-sampled — widens the join family)
+    "temporal_join_orders_customer",  # r9 rotation
     "q1_pricing_summary",
     # (q7_nation_volume left the prefix driver-green in r8; q9 — a
     # never-driver-sampled TPC-H join shape — keeps the multi-join
@@ -99,37 +104,39 @@ PREFIX_ORDER = [
     "range_join_purchase_follow",
     # aggregation families (approx_count_distinct_orders left the prefix
     # in r3: rows-only by nature — bitmap_distinct_orders carries the
-    # distinct-counting family with an exact oracle instead)
-    "grouping_sets_orders",
+    # distinct-counting family with an exact oracle instead;
+    # grouping_sets left driver-green in r9 and the equi-depth
+    # histogram — never sampled AND on the fresh distributed-selection
+    # percentile path — takes the seat)
+    "histogram_depth_orders",  # r9 rotation
     "percentiles_lineitem",
     "bitmap_distinct_orders",
-    # stats family (r8 rotation: gini left the prefix driver-green;
-    # MAD robust outliers — never driver-sampled AND freshly migrated
-    # to the exact-integer quantile path — takes the stats slot)
-    "mad_outliers_lineitem",  # r8 rotation
-    # windows / top-k (r8: survival_repeat_orders left driver-green;
-    # funnel conversion — never driver-sampled — takes the slot; topk
-    # keeps ranking, ewma keeps frames)
-    "funnel_conversion_events",  # r8 rotation
+    # stats family: MAD stays a second round — its global-percentile
+    # plan was REPLACED in r9 (distributed selection instead of the
+    # single-partition sort) and the fresh path wants a driver row
+    "mad_outliers_lineitem",
+    # windows / top-k (r9: funnel left driver-green; RFM quartile
+    # scoring — never sampled, fresh percentile path — takes the slot;
+    # topk keeps ranking, ewma keeps frames)
+    "rfm_segments_customer",  # r9 rotation
     "topk_orders_per_customer",
-    # EWMA stays A THIRD round: red in r06 (ROUND midpoint) and r07
-    # (floor-form at a boundary-exact row); the exact-integer DECIMAL/
-    # HUGEINT fold needs its green driver row
+    # EWMA stays A FOURTH round: red r06/r07/r08 (ROUND midpoint →
+    # floor-form ulp → exact-integer list_reduce under the driver's
+    # DuckDB build); r9 removed the lambda surface entirely (reduce-free
+    # lag()-literal twin) and compares BIGINT micros
     "ewma_revenue_priority",
-    # set ops (set_except_all_quantities left the prefix in r6 to seat
-    # the table-maintenance family; the multiset variants stay
-    # oracle-checked in the full gate)
-    "set_intersect_custkeys",
+    # set ops (r9: set_intersect_custkeys left driver-green; the
+    # MULTISET intersect — never sampled — keeps the family)
+    "set_intersect_all_quantities",  # r9 rotation
     # table maintenance (r7 rotation: merge_upsert_orders left the
     # prefix driver-green; SCD2 history + snapshot diff — never
     # driver-sampled — take the family's two slots; MERGE stays in the
     # full gate)
     "scd2_customer_history",  # r7 rotation
     "table_diff_orders",  # r7 rotation
-    # scalar function packs (string_funcs_part and json_extract_events
-    # left the prefix in r6 — two reps keep the family; both stay in
-    # the full gate)
-    "date_funcs_orders",
+    # scalar function packs (r9: date_funcs left driver-green; regexp
+    # funcs — never sampled — keep the family beside variant)
+    "regexp_funcs_documents",  # r9 rotation
     "variant_events_props",
     # data-quality expectations (r6): the per-batch validation gate
     "dq_expectations_orders",
@@ -148,45 +155,44 @@ PREFIX_ORDER = [
     # family beside q4's decorrelation)
     "recursive_order_hierarchy",  # r8 rotation
     "q4_order_priority_check",
-    "cms_frequencies_orders",  # r7 swap 2
-    # graph analytics (r8 rotation: label_communities_parts left the
-    # prefix driver-green; PageRank — never driver-sampled AND freshly
-    # migrated to exact integer picoranks — takes the slot)
-    "pagerank_supplier_part",  # r8 rotation
-    # ANN compression (r6): PQ codes scan + exact rerank — the bytes
-    # lever complementing embedding_ann_lsh's pruning lever below.
-    # (ivfpq_index_query left the prefix driver-green in r8; the
-    # persisted LSH ANN index — never driver-sampled — keeps the
-    # persisted-index family)
-    "embedding_ann_pq",
+    # sketches (r9: cms_frequencies left driver-green; the PERSISTED
+    # CMS index probe — never sampled — keeps the family)
+    "cms_index_query",  # r9 rotation
+    # graph analytics (r9: pagerank left driver-green; personalized
+    # pagerank — never sampled, the r8 LONG fast path — takes the slot)
+    "ppr_supplier_part",  # r9 rotation
+    # ANN (r9: embedding_ann_pq + embedding_ann_lsh left driver-green;
+    # the persisted IVF index probe and chunk-level retrieval — never
+    # sampled — keep the family beside the LSH index probe)
+    "ivf_index_query",  # r9 rotation
     "ann_index_query",  # r8 rotation
-    # streaming batch twins
-    "events_tumbling_hourly",
+    # streaming batch twins (r9: tumbling left driver-green; the
+    # hourly→daily incremental rollup — never sampled — keeps the
+    # window family beside sessionization)
+    "events_rollup_hourly_daily",  # r9 rotation
     "events_sessionization",
-    # python extension points
-    # (cogroup_user_behavior left the prefix in r6 — three reps keep
-    # the python-extension family; it stays in the full gate)
-    # (udaf_weighted_avg_price left the prefix in r6-late — two reps
-    # keep the python-extension family; it stays in the full gate)
-    "pandas_udf_charge",
+    # python extension points (r9: pandas_udf_charge left driver-green;
+    # applyInArrow grouped stats — never sampled — keeps the family
+    # beside the UDTF)
+    "arrow_grouped_discount_stats",  # r9 rotation
     "udtf_tokenize_docs",
-    # product analytics (r8 rotation: event_transitions left the
-    # prefix driver-green; cohort retention — never driver-sampled —
-    # keeps the family)
-    "cohort_retention_events",  # r8 rotation
+    # product analytics (r9: cohort retention left driver-green;
+    # last-touch attribution — never sampled — keeps the family)
+    "attribution_events",  # r9 rotation
     # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
     # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
     # token hash made its full pipeline DuckDB-recomputable — taking the
     # slot of jaccard_pairs_sample, whose brute-force baseline stays
     # oracle-checked in the full gate)
     "dedup_exact_documents",
-    # near-dup (r7 rotation: dedup_simhash + containment_pairs left the
-    # prefix driver-green; minhash keeps the banded-LSH family; exact
-    # substring dedup and winnowing fingerprints — never driver-sampled
-    # — take the slots)
-    "substring_dup_spans_documents",  # r7 rotation
+    # near-dup (r9: substring_dup_spans left driver-green; the CCNet
+    # line-frequency CLEAN stage — never sampled — takes the slot;
+    # minhash keeps the banded-LSH family)
+    "line_dedup_clean_documents",  # r9 rotation
     "dedup_minhash_lsh",
-    "weighted_sample_documents",
+    # dataset ops (r9: weighted_sample left driver-green; mixture
+    # resampling — never sampled — keeps the family)
+    "mixture_resample_documents",  # r9 rotation
     # entity resolution (r7 rotation: golden_records_parts left the
     # prefix driver-green; the pair-match stage — never driver-sampled
     # — takes the family slot)
@@ -200,8 +206,10 @@ PREFIX_ORDER = [
     "bm25_search_documents",
     # persisted-inverted-index retrieval (r6): same twin, index path
     "bm25_index_search_documents",
-    "embedding_ann_lsh",
-    "text_stats_documents",
+    "chunk_embedding_topk",  # r9 rotation
+    # text quality (r9: text_stats left driver-green; the C4 rule pack
+    # — never sampled — keeps the family beside TF-IDF + the pipeline)
+    "c4_rules_documents",  # r9 rotation
     "multimodal_decode_features",
     # (collocations_documents left the prefix driver-green in r8;
     # TF-IDF keywords — never driver-sampled — keeps the text family)
