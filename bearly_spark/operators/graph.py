@@ -304,6 +304,7 @@ def label_propagation(
     dst_col: str = "dst",
     rounds: int = 4,
     canonical: bool = False,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation: labels
     start as node ids; each round every node adopts the most frequent
@@ -317,11 +318,20 @@ def label_propagation(
     defined semantics, matching practice (GraphFrames' LPA does the
     same). Returns (node, community) for every node with ≥ 1 edge.
 
-    Scale shape: per round one hash-join of the symmetric edge list
-    (pinned partitioned on the neighbor key, so it never re-shuffles)
-    against the Θ(nodes) label vector + one (node,label) count + one
-    per-node arg-max hash agg (max_by, no sort); labels localCheckpoint
-    each round (same lineage discipline as ``connected_components``)."""
+    Scale shape (round 9, two regimes by node count): when the label
+    vector fits a broadcast (≤ ``broadcast_nodes_max`` nodes — the
+    co-order part graph, entity graphs, most dimension-derived graphs),
+    the symmetric edge list is pinned partitioned on the OUTPUT key
+    ``u`` and every round is a broadcast-hash join + two
+    partitioning-preserved hash aggs — ZERO per-round shuffles of edge
+    rows (HashPartitioning(u) satisfies both the (node,label) count
+    clustering and the per-node argmax). Past the broadcast cutover
+    (billions of nodes) the edge list pins on the neighbor key ``v``
+    instead and each round pays the one inherent Θ(edges) node-keyed
+    shuffle between the join and the count — LPA's information flow
+    (neighbor labels regroup by node) made explicit. Labels
+    localCheckpoint each round (same lineage discipline as
+    ``connected_components``)."""
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
@@ -344,34 +354,35 @@ def label_propagation(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )
-    sym = (
-        ee.union(
-            ee.where(F.col("u") != F.col("v")).select(
-                F.col("v").alias("u"), F.col("u").alias("v")
-            )
+    sym_raw = ee.union(
+        ee.where(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
         )
-        .repartition(n_parts, "v")
-        .persist()
     )
+    labels = (
+        sym_raw.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    n_nodes = labels.count()
+    bcast = n_nodes <= broadcast_nodes_max
+    sym = sym_raw.repartition(n_parts, "u" if bcast else "v").persist()
     sym.count()
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
     try:
         for _ in range(rounds):
-            # explicit node-keyed repartition: HashPartitioning(node)
-            # satisfies the (node, label) grouping AND the per-node
-            # argmax agg, so the round costs ONE pinned 32-way shuffle
-            # — without it AQE coalesces the count shuffle to a single
-            # task that sorts ~|edges| rows (measured sf0.1: rounds
-            # 3.5s -> ~1s)
-            nb = (
-                sym.join(labels, sym["v"] == labels["node"])
-                .select(F.col("u").alias("node"), "label")
-                .repartition(n_parts, "node")
-                .groupBy("node", "label")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
+            joined = sym.join(
+                F.broadcast(labels) if bcast else labels,
+                sym["v"] == labels["node"],
+            ).select(F.col("u").alias("node"), "label")
+            if not bcast:
+                # explicit node-keyed repartition: HashPartitioning(node)
+                # satisfies the (node, label) grouping AND the per-node
+                # argmax agg, so the round costs ONE pinned 32-way
+                # shuffle — without it AQE coalesces the count shuffle
+                # to a single task that sorts ~|edges| rows (measured
+                # sf0.1: rounds 3.5s -> ~1s)
+                joined = joined.repartition(n_parts, "node")
+            nb = joined.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
             # argmax as a hash agg, not a sort window: max_by over the
             # (count, -label) struct = most-frequent label, min-label
             # ties — (c, -label) is unique per node (labels are distinct
