@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. For an
     undirected graph pass the symmetrized edges. Returns (node, rank)
@@ -66,27 +67,39 @@ def pagerank(
     to pico — matching the prior 10dp update contract). halfup is
     integral division (``rounding.rational_micro``); sums of integer
     picoranks are order-free; the twin replays the identical integer
-    recurrence, so every intermediate rank vector is bit-identical."""
+    recurrence, so every intermediate rank vector is bit-identical.
+
+    Plan shape (round 9, two regimes by node count — the LPA design):
+    under ``broadcast_nodes_max`` nodes the edge list pins partitioned
+    on DST (the contribution stream's output key) and each iteration
+    broadcast-joins the Θ(nodes) rank/degree vectors onto it — the
+    contribution groupBy inherits HashPartitioning(dst) and the damped
+    update joins two co-partitioned Θ(nodes) frames, so NO edge row
+    ever re-shuffles. Past the cutover the edge list pins on SRC and
+    each iteration pays the one inherent Θ(edges) dst-keyed shuffle
+    into the contribution sum."""
     from fractions import Fraction
 
     from bearly_spark.operators.rounding import rational_micro
-    # Pin the edge list hash-partitioned on src ONCE: every iteration
-    # joins on src, so the (large) edge side never re-shuffles — only
-    # the Θ(nodes) rank vector moves per iteration. deg derives from
-    # the same partitioning (its groupBy needs no exchange).
     # EXPLICIT partition count: count-less repartition("src") is a
     # REPARTITION_BY_COL hint that AQE byte-coalesces to 1-2 tasks on
     # MB-scale inputs, serializing every per-iteration contribution
     # join (the measured LPA/BFS collapse, round 6); a user-specified
     # count survives AQE.
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition(n_parts, "src")
-        .persist()
-    )
+    e_raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persist OPTIMISTICALLY in the broadcast-regime layout (dst) so the
+    # raw edge construction is scanned exactly once; the rare
+    # past-cutover path re-lays-out from the cache, not the source
+    e = e_raw.repartition(n_parts, "dst").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = deg.count()  # also pins both tables for the loop
+    n = deg.count()  # pins e + deg; also the broadcast-regime decision
+    bcast = n <= broadcast_nodes_max
+    if not bcast:
+        e_src = e.repartition(n_parts, "src").persist()
+        e_src.count()
+        e.unpersist()
+        e = e_src
     dfr = Fraction(damping).limit_denominator(1000)
     dn, dd = dfr.numerator, dfr.denominator
     dec = "decimal(38,0)"
@@ -96,6 +109,10 @@ def pagerank(
         rational_micro(F.lit(1), F.lit(n), 12).alias("_pico"),
     ).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
+    if bcast:
+        nodes = nodes.repartition(n_parts, "node").persist()
+        nodes.count()
+    pinned = [e, deg] + ([nodes] if bcast else [])
     for _ in range(iterations):
         # per-EDGE halfup contribution in plain LONG arithmetic (the
         # hot path — Θ(edges)/round): picoranks sum to ~10¹², so
@@ -103,9 +120,13 @@ def pagerank(
         # (rational_micro's DECIMAL(38,0) chain measured +~10% on the
         # bench graph trio); the Θ(nodes) damped update below keeps
         # DECIMAL for the dn·S·n blow-up.
+        rv = ranks.withColumnRenamed("node", "src")
+        dv = deg
+        if bcast:
+            rv, dv = F.broadcast(rv), F.broadcast(dv)
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(rv, "src")
+            .join(dv, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.call_function(
@@ -135,6 +156,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    for df_ in pinned:
+        df_.unpersist()
     return ranks.select(
         "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
     )
@@ -359,15 +382,19 @@ def label_propagation(
             F.col("v").alias("u"), F.col("u").alias("v")
         )
     )
+    sym = sym_raw.repartition(n_parts, "u").persist()
     labels = (
-        sym_raw.select(F.col("u").alias("node"))
+        sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    n_nodes = labels.count()
+    n_nodes = labels.count()  # materializes sym; regime decision
     bcast = n_nodes <= broadcast_nodes_max
-    sym = sym_raw.repartition(n_parts, "u" if bcast else "v").persist()
-    sym.count()
+    if not bcast:
+        sym_v = sym.repartition(n_parts, "v").persist()
+        sym_v.count()
+        sym.unpersist()
+        sym = sym_v
     try:
         for _ in range(rounds):
             joined = sym.join(
@@ -410,6 +437,7 @@ def bfs_levels(
     dst_col: str = "dst",
     rounds: int = 3,
     canonical: bool = False,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS shortest-path levels: hop distance from a seed
     set (a one-column ``node`` frame) over the undirected edge list,
@@ -425,7 +453,14 @@ def bfs_levels(
     round is one edges⋈frontier hash join + a distinct + an anti-join
     against the Θ(reached) visited vector, which localCheckpoints per
     round (the ``connected_components`` lineage discipline). Work per
-    round is Θ(edges touching the frontier), never corpus-quadratic."""
+    round is Θ(edges touching the frontier), never corpus-quadratic.
+
+    Round 9, two regimes by node count (the LPA design): under
+    ``broadcast_nodes_max`` nodes the edge list pins on the OUTPUT key
+    ``u`` and each round broadcast-joins the frontier and anti-joins
+    the visited vector (both ≤ Θ(nodes)) — the expansion's distinct
+    inherits HashPartitioning(u), so no touched-edge row ever shuffles.
+    Past the cutover the v-pinned shuffle form remains."""
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
@@ -448,16 +483,19 @@ def bfs_levels(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )
-    sym = (
-        ee.union(
-            ee.where(F.col("u") != F.col("v")).select(
-                F.col("v").alias("u"), F.col("u").alias("v")
-            )
+    sym_raw = ee.union(
+        ee.where(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
         )
-        .repartition(n_parts, "v")
-        .persist()
     )
-    sym.count()
+    sym = sym_raw.repartition(n_parts, "u").persist()
+    n_nodes = sym.select("u").distinct().count()  # from the cache
+    bcast = n_nodes <= broadcast_nodes_max
+    if not bcast:
+        sym_v = sym.repartition(n_parts, "v").persist()
+        sym_v.count()
+        sym.unpersist()
+        sym = sym_v
     try:
         visited = (
             seeds.select(F.col("node").cast("long").alias("node"))
@@ -467,12 +505,19 @@ def bfs_levels(
         )
         frontier = visited.select("node")
         for r in range(1, rounds + 1):
+            fv = frontier.withColumnRenamed("node", "v")
+            expanded = sym.join(F.broadcast(fv) if bcast else fv, "v").select(
+                F.col("u").alias("node")
+            )
+            if not bcast:
+                expanded = expanded.repartition(n_parts, "node")
             nxt = (
-                sym.join(frontier.withColumnRenamed("node", "v"), "v")
-                .select(F.col("u").alias("node"))
-                .repartition(n_parts, "node")
-                .distinct()
-                .join(visited, "node", "left_anti")
+                expanded.distinct()
+                .join(
+                    F.broadcast(visited) if bcast else visited,
+                    "node",
+                    "left_anti",
+                )
                 .withColumn("dist", F.lit(r))
                 .localCheckpoint(eager=True)
             )
@@ -494,6 +539,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Personalized PageRank: the restart mass concentrates on a SEED
     set instead of spreading uniformly — "importance as seen from
@@ -523,15 +569,22 @@ def personalized_pagerank(
     from fractions import Fraction
 
     from bearly_spark.operators.rounding import rational_micro
-    # explicit partition count — same AQE-coalesce guard as pagerank
+    # explicit partition count — same AQE-coalesce guard as pagerank;
+    # same round-9 two-regime plan shape: under the broadcast cutover
+    # the edge list pins on DST and the rank/degree vectors broadcast,
+    # so no edge row ever re-shuffles across iterations
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition(n_parts, "src")
-        .persist()
-    )
+    e_raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # optimistic broadcast-regime layout — one scan of the raw edges
+    e = e_raw.repartition(n_parts, "dst").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    deg.count()
+    n_nodes = deg.count()
+    bcast = n_nodes <= broadcast_nodes_max
+    if not bcast:
+        e_src = e.repartition(n_parts, "src").persist()
+        e_src.count()
+        e.unpersist()
+        e = e_src
     try:
         sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
         nodes = (
@@ -554,12 +607,19 @@ def personalized_pagerank(
             .otherwise(F.lit(0))
             .alias("_pico"),
         ).localCheckpoint(eager=True)
+        if bcast:
+            nodes = nodes.repartition(n_parts, "node").persist()
+            nodes.count()
         for _ in range(iterations):
             # LONG fast path for the Θ(edges) contribution — see
             # pagerank's in-loop note (picoranks bound 2·R+deg ≤ 2·10¹²)
+            rv = ranks.withColumnRenamed("node", "src")
+            dv = deg
+            if bcast:
+                rv, dv = F.broadcast(rv), F.broadcast(dv)
             contrib = (
-                e.join(ranks.withColumnRenamed("node", "src"), "src")
-                .join(deg, "src")
+                e.join(rv, "src")
+                .join(dv, "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.call_function(
@@ -592,3 +652,7 @@ def personalized_pagerank(
     finally:
         e.unpersist()
         deg.unpersist()
+        try:
+            nodes.unpersist()  # no-op unless the bcast regime persisted it
+        except NameError:  # failed before nodes existed
+            pass
