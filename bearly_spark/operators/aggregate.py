@@ -195,6 +195,17 @@ def exact_percentiles(
             return res
         # bracket-miss fallback (pathological sketch failure): the
         # window form below is always correct, just single-partition.
+    else:
+        # FEW-group inputs have the same single-task-sort problem as the
+        # global form (3 groups = 3 whole-group sorts at any scale, the
+        # rank window's parallelism IS the group count) — route them
+        # through the distributed selection per group. Many-group inputs
+        # keep the window form, whose parallelism is then plentiful.
+        res = _few_group_order_statistics(
+            df, list(group_cols), sval, fracs, names, v, decimals
+        )
+        if res is not None:
+            return res
     w = Window.partitionBy(*group_cols).orderBy(F.col("_sv").asc())
     wn = Window.partitionBy(*group_cols)
     ranked = df.select(*group_cols, sval.alias("_sv")).withColumn(
@@ -230,12 +241,92 @@ def _dec38(x: int) -> Column:
     return F.expr(f"CAST('{int(x)}' AS DECIMAL(38,0))")
 
 
+def _resolve_candidates(
+    rows: Sequence[tuple],
+    brackets: list[tuple[int, int]],
+    targets: list[tuple[int, int]],
+) -> tuple[bool, list[tuple[int, int]] | None]:
+    """Driver-side core of the distributed selection: from one combined
+    pass's (candidate-value | gap-id, count) rows, reconstruct the exact
+    endpoint ranks ``L_i = #{x < lo_i}`` / ``U_i = #{x ≤ hi_i}`` (gap id
+    g means "g bracket boundaries lie strictly below x"; a non-candidate
+    never equals a boundary, so ``x < va ⟺ g ≤ #{boundaries < va}``),
+    verify every target rank is inside its bracket, and walk the sorted
+    candidates to the target order statistics. Returns (verified,
+    resolved (lo_val, hi_val) pairs or None)."""
+    gap_counts: dict[int, int] = {}
+    cand_sorted: list[tuple[int, int]] = []
+    for kv, kg, c in rows:
+        if kv is not None:
+            cand_sorted.append((int(kv), c))
+        else:
+            gap_counts[kg] = gap_counts.get(kg, 0) + c
+    cand_sorted.sort()
+    bounds = [b for br in brackets for b in br]
+
+    def _rank_of(boundary: int) -> int:
+        pos = sum(1 for b in bounds if b < boundary)
+        return sum(c for g, c in gap_counts.items() if g <= pos) + sum(
+            c for val, c in cand_sorted if val < boundary
+        )
+
+    L = [_rank_of(va) for va, _ in brackets]
+    U = [
+        L[i] + sum(c for val, c in cand_sorted if brackets[i][0] <= val <= brackets[i][1])
+        for i in range(len(brackets))
+    ]
+    if not all(L[i] <= lo and hi <= U[i] - 1 for i, (lo, hi) in enumerate(targets)):
+        return False, None
+
+    def _value_at(rank: int, va: int, base: int) -> int | None:
+        cum = base
+        for val, c in cand_sorted:
+            if val < va:
+                continue
+            if rank < cum + c:
+                return val
+            cum += c
+        return None
+
+    resolved: list[tuple[int, int]] = []
+    for i, (lo, hi) in enumerate(targets):
+        lv = _value_at(lo, brackets[i][0], L[i])
+        hv = _value_at(hi, brackets[i][0], L[i])
+        if lv is None or hv is None:
+            return True, None
+        resolved.append((lv, hv))
+    return True, resolved
+
+
+def _rational_round_py(num: int, den: int, digits: int) -> float:
+    """Python twin of ``rounding.rational_round`` over exact ints — the
+    identical half-up quantization (truncating integral division, like
+    Spark ``div`` / DuckDB ``//``) and the identical single IEEE
+    division, so a driver-resolved order statistic emits bit-for-bit
+    the value the Column form would."""
+    a, b = 2 * 10**digits * num + den, 2 * den
+    q = abs(a) // abs(b)
+    micro = q if (a >= 0) == (b > 0) else -q
+    return float(micro) / float(10**digits)
+
+
+def _approx_bracket_pcts(fracs: Sequence, acc: int) -> list[float]:
+    """The initial sketch percentages: each target quantile widened by
+    ±5/accuracy (≥ 4·n/accuracy ranks of slack over GK's guarantee)."""
+    pcts: list[float] = []
+    for fr in fracs:
+        q = float(fr)
+        pcts += [max(0.0, q - 5.0 / acc), min(1.0, q + 5.0 / acc)]
+    return pcts
+
+
 def _global_order_statistics(
     sv: DataFrame,
     fracs: Sequence,
     names: Sequence[str],
     v: int,
     decimals: int,
+    head: tuple[int, list[tuple[int, int]]] | None = None,
 ) -> DataFrame | None:
     """Distributed exact selection of the global order statistics that
     :func:`exact_percentiles` needs for ``group_cols == []`` — the same
@@ -283,15 +374,24 @@ def _global_order_statistics(
     CAP = 100_000
     targets: list[tuple[int, int]] = []
 
-    pcts: list[float] = []
-    for fr in fracs:
-        q = float(fr)
-        pcts += [max(0.0, q - 5.0 / ACC), min(1.0, q + 5.0 / ACC)]
-    head = sv.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("_sv", pcts, ACC).alias("p"),
-    ).first()
-    n = head["n"]
+    if head is None:
+        row = sv.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("_sv", _approx_bracket_pcts(fracs, ACC), ACC).alias(
+                "p"
+            ),
+        ).first()
+        n = row["n"]
+        brackets = (
+            []
+            if n == 0
+            else [
+                (int(row["p"][2 * i]), int(row["p"][2 * i + 1]))
+                for i in range(len(fracs))
+            ]
+        )
+    else:
+        n, brackets = head
     if n == 0:
         # mirror the window form: groupBy() over empty input still
         # yields one all-NULL row
@@ -303,9 +403,6 @@ def _global_order_statistics(
         num = (n - 1) * a
         lo_idx, r = divmod(num, b)
         targets.append((lo_idx, lo_idx + (1 if r else 0)))
-    brackets = [
-        (int(head["p"][2 * i]), int(head["p"][2 * i + 1])) for i in range(len(fracs))
-    ]
 
     def _rank_aware_brackets() -> list[tuple[int, int]]:
         eps = max(3, -(-5 * n // ACC))  # ceil
@@ -404,54 +501,16 @@ def _global_order_statistics(
                 new_brackets.append((int(sub_p[0]), int(sub_p[1])))
             brackets = new_brackets
             continue
-        gap_counts: dict[int, int] = {}
-        cand_sorted: list[tuple[int, int]] = []
-        for row in rows:
-            if row["_kv"] is not None:
-                cand_sorted.append((int(row["_kv"]), row["c"]))
-            else:
-                gap_counts[row["_kg"]] = gap_counts.get(row["_kg"], 0) + row["c"]
-        cand_sorted.sort()
-
-        def _rank_of(boundary: int) -> int:
-            # exact #{x < boundary} over ALL data, from the one pass
-            pos = sum(1 for b in bounds if b < boundary)
-            return sum(c for g, c in gap_counts.items() if g <= pos) + sum(
-                c for val, c in cand_sorted if val < boundary
-            )
-
-        L = [_rank_of(va) for va, _ in brackets]
-        U = [
-            L[i]
-            + sum(c for val, c in cand_sorted if brackets[i][0] <= val <= brackets[i][1])
-            for i in range(nq)
-        ]
-        if not all(
-            L[i] <= lo and hi <= U[i] - 1 for i, (lo, hi) in enumerate(targets)
-        ):
+        ok, res = _resolve_candidates(
+            [(row["_kv"], row["_kg"], row["c"]) for row in rows], brackets, targets
+        )
+        if not ok:
             if retried:
                 return None  # repeated miss: window-form fallback
             retried = True
             brackets = _rank_aware_brackets()
             continue
-
-        def _value_at(rank: int, va: int, base: int) -> int | None:
-            cum = base
-            for val, c in cand_sorted:
-                if val < va:
-                    continue
-                if rank < cum + c:
-                    return val
-                cum += c
-            return None
-
-        resolved = []
-        for i, (lo, hi) in enumerate(targets):
-            lv = _value_at(lo, brackets[i][0], L[i])
-            hv = _value_at(hi, brackets[i][0], L[i])
-            if lv is None or hv is None:
-                return None
-            resolved.append((lv, hv))
+        resolved = res
         break
     if resolved is None:
         return None
@@ -465,6 +524,173 @@ def _global_order_statistics(
         val_num = _dec38(lo_val) * F.lit(b - r) + _dec38(hi_val) * F.lit(r)
         out_cols.append(rational_round(val_num, F.lit(b * 10**v), decimals).alias(name))
     return sv.sparkSession.range(1).select(*out_cols)
+
+
+def _few_group_order_statistics(
+    df: DataFrame,
+    group_cols: list[str],
+    sval: Column,
+    fracs: Sequence,
+    names: Sequence[str],
+    v: int,
+    decimals: int,
+    max_groups: int = 8,
+) -> DataFrame | None:
+    """Distributed exact selection for GROUPED percentiles when the
+    group count is small — the regime where the rank-window form is a
+    scale-killer (its parallelism IS the group cardinality: 3 groups =
+    3 single-task whole-group sorts no matter how large the table).
+    Each group runs the verified :func:`_global_order_statistics` passes
+    over its filtered slice (all fully parallel scans + mergeable
+    aggregates), and the per-group 1-row results assemble into one
+    literal frame with the window form's exact schema and values.
+
+    Returns None (→ window form) when there are more than
+    ``max_groups`` groups — parallelism is then plentiful and the
+    per-group filtered scans would multiply instead of help. Cost: TWO
+    shared parallel scans for all groups together — one head pass
+    (group discovery + per-group counts and sketch brackets in a single
+    groupBy aggregate) and one combined candidate/rank pass (the
+    per-group bracket bounds join in as a broadcast ≤ max_groups-row
+    frame, so the gap/candidate keying evaluates against each row's OWN
+    group's brackets) — plus per-group driver resolution. A group whose
+    sketch misses (or a truncated candidate set) re-runs alone through
+    :func:`_global_order_statistics` on its filtered slice, which
+    carries the rank-aware retry and the narrowing loop; only a
+    repeated miss there falls back to the window form.
+    """
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    ACC = 10_000
+    CAP = 100_000
+    nq = len(fracs)
+    sv_g = df.select(*group_cols, sval.alias("_sv"))
+    heads = (
+        sv_g.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx("_sv", _approx_bracket_pcts(fracs, ACC), ACC).alias(
+                "_p"
+            ),
+        )
+        .take(max_groups + 1)
+    )
+    if len(heads) > max_groups:
+        return None
+
+    def group_key(row) -> tuple:
+        return tuple(row[c] for c in group_cols)
+
+    def group_cond(grow):
+        cond = None
+        for c in group_cols:
+            val = grow[c]
+            c_cond = F.col(c).isNull() if val is None else (F.col(c) == F.lit(val))
+            cond = c_cond if cond is None else (cond & c_cond)
+        return cond
+
+    g_brackets = {
+        group_key(grow): [
+            (int(grow["_p"][2 * i]), int(grow["_p"][2 * i + 1]))
+            for i in range(nq)
+        ]
+        for grow in heads
+    }
+    g_targets = {}
+    for grow in heads:
+        n_g = grow["_n"]
+        tg = []
+        for fr in fracs:
+            a, b = fr.numerator, fr.denominator
+            lo_idx, r = divmod((n_g - 1) * a, b)
+            tg.append((lo_idx, lo_idx + (1 if r else 0)))
+        g_targets[group_key(grow)] = tg
+
+    # shared combined pass: the per-group bracket bounds ride in as a
+    # broadcast frame so one scan serves every group
+    bcols = [f"_b{j}" for j in range(2 * nq)]
+    brows = [
+        group_key(grow) + tuple(str(b) for br in g_brackets[group_key(grow)] for b in br)
+        for grow in heads
+    ]
+    bschema = StructType(
+        [df.schema[c] for c in group_cols]
+        + [StructField(b, StringType()) for b in bcols]
+    )
+    bf = df.sparkSession.createDataFrame(brows, bschema).select(
+        *group_cols,
+        *[F.col(b).cast("decimal(38,0)").alias(b) for b in bcols],
+    )
+    in_any = functools.reduce(
+        lambda acc, i: acc
+        | (
+            (F.col("_sv") >= F.col(f"_b{2 * i}"))
+            & (F.col("_sv") <= F.col(f"_b{2 * i + 1}"))
+        ),
+        range(1, nq),
+        (F.col("_sv") >= F.col("_b0")) & (F.col("_sv") <= F.col("_b1")),
+    )
+    below_cnt = functools.reduce(
+        lambda acc, b: acc + F.when(F.col("_sv") > F.col(b), 1).otherwise(0),
+        bcols,
+        F.lit(0),
+    )
+    grouped = (
+        sv_g.join(F.broadcast(bf), group_cols)
+        .select(
+            *group_cols,
+            F.when(in_any, F.col("_sv")).alias("_kv"),
+            F.when(in_any, F.lit(None)).otherwise(below_cnt).alias("_kg"),
+        )
+        .groupBy(*group_cols, "_kv", "_kg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    limit = CAP + len(heads) * (2 * nq + 2) + 2
+    rows = grouped.take(limit)
+    by_group: dict[tuple, list[tuple]] = {}
+    truncated = len(rows) >= limit
+    if not truncated:
+        for row in rows:
+            by_group.setdefault(group_key(row), []).append(
+                (row["_kv"], row["_kg"], row["c"])
+            )
+
+    out_rows = []
+    for grow in heads:
+        key = group_key(grow)
+        resolved = None
+        if not truncated:
+            ok, resolved = _resolve_candidates(
+                by_group.get(key, []), g_brackets[key], g_targets[key]
+            )
+        if resolved is not None:
+            vals = []
+            for (lo_val, hi_val), fr in zip(resolved, fracs):
+                a, b = fr.numerator, fr.denominator
+                r = ((grow["_n"] - 1) * a) % b
+                vals.append(
+                    _rational_round_py(
+                        lo_val * (b - r) + hi_val * r, b * 10**v, decimals
+                    )
+                )
+            out_rows.append(key + tuple(vals))
+            continue
+        # miss or truncation: this group alone re-runs the full selection
+        # (fresh head → rank-aware retry → narrowing) on its slice
+        res = _global_order_statistics(
+            sv_g.filter(group_cond(grow)).select("_sv"), fracs, names, v, decimals
+        )
+        if res is None:
+            return None
+        row = res.first()
+        out_rows.append(key + tuple(row[n] for n in names))
+    schema = StructType(
+        [df.schema[c] for c in group_cols]
+        + [StructField(n, DoubleType()) for n in names]
+    )
+    # deterministic order not required (callers sort / the gate is
+    # order-insensitive), but keep group discovery order for stability
+    return df.sparkSession.createDataFrame(out_rows, schema)
 
 
 def bucket_assign(value: Column, cut_names: Sequence[str]) -> Column:

@@ -73,6 +73,32 @@ def test_floor_scaled_is_integer_exact(spark):
         assert got[v] == float(math.floor(v * 1e6 + 0.5)), v
 
 
+def test_rational_round_py_matches_column_form(spark):
+    """The grouped-selection path emits driver-computed doubles via
+    _rational_round_py — pin bit-parity with the Column form on planted
+    rationals including negatives and exact midpoints (where truncating
+    vs flooring division would diverge)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.aggregate import _rational_round_py
+    from bearly_spark.operators.rounding import rational_round
+
+    cases = [(5, 2, 1), (-5, 2, 1), (12345, 7, 4), (-12345, 7, 4),
+             (10015, 2, 4), (-10015, 2, 4), (0, 3, 6), (999999999999, 7, 6)]
+    got = spark.range(1).select(
+        *[
+            rational_round(
+                F.lit(num).cast("decimal(38,0)"),
+                F.lit(den).cast("decimal(38,0)"),
+                d,
+            ).alias(f"v{i}")
+            for i, (num, den, d) in enumerate(cases)
+        ]
+    ).first()
+    for i, (num, den, d) in enumerate(cases):
+        assert _rational_round_py(num, den, d) == got[f"v{i}"], (num, den, d)
+
+
 def test_exact_percentiles_fraction_reference(spark):
     """Grouped interpolated quantiles over DECIMAL(12,2) values vs a
     Fraction reference of the same contract (integer index selection,
