@@ -141,6 +141,43 @@ def test_exact_percentiles_fraction_reference(spark):
     assert got["g1"][1] == 10.015
 
 
+def test_exact_percentiles_paths_agree_across_group_threshold(spark):
+    """The few-group distributed-selection path (≤8 groups) and the
+    many-group rank-window path must produce IDENTICAL values — pin it
+    by running the same data grouped 12 ways (window form) and the
+    per-group slices through ≤8-group calls (selection form) and
+    comparing bit-for-bit."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    rng = random.Random(4242)
+    rows = [
+        (f"g{i % 12}", Decimal(rng.randrange(100, 10**6)) / 100)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v decimal(12,2)")
+    qs = [0.25, 0.5, 0.9]
+    names = ["q1", "q2", "q3"]
+    # 12 groups > max_groups=8 → window path
+    windowed = {
+        r["g"]: (r["q1"], r["q2"], r["q3"])
+        for r in exact_percentiles(df, ["g"], "v", qs, names=names).collect()
+    }
+    assert len(windowed) == 12
+    # two ≤8-group slices → selection path; same per-group answers
+    for gs in (range(0, 6), range(6, 12)):
+        sub = df.filter(F.col("g").isin([f"g{i}" for i in gs]))
+        got = {
+            r["g"]: (r["q1"], r["q2"], r["q3"])
+            for r in exact_percentiles(sub, ["g"], "v", qs, names=names).collect()
+        }
+        for g, vals in got.items():
+            assert vals == windowed[g], g
+
+
 def test_km_quantized_fold_reference(spark):
     """kaplan_meier's integer survival fold vs a Python replay of the
     same recurrence (6dp micro factors, 12-digit LONG running product)."""
