@@ -178,6 +178,22 @@ def test_exact_percentiles_paths_agree_across_group_threshold(spark):
             assert vals == windowed[g], g
 
 
+def test_exact_percentiles_null_group_key(spark):
+    """A NULL group key must survive the few-group selection path: the
+    inner bracket-frame join drops NULL keys by SQL semantics, so that
+    group resolves through the per-group fallback — pin that it comes
+    back with the right quantile instead of vanishing."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    rows = [(None, Decimal("1.00")), (None, Decimal("3.00")),
+            ("a", Decimal("2.00")), ("a", Decimal("4.00")),
+            ("a", Decimal("6.00"))]
+    df = spark.createDataFrame(rows, "g string, v decimal(12,2)")
+    out = {r["g"]: r["p50"] for r in
+           exact_percentiles(df, ["g"], "v", [0.5], names=["p50"]).collect()}
+    assert out == {None: 2.0, "a": 4.0}
+
+
 def test_km_quantized_fold_reference(spark):
     """kaplan_meier's integer survival fold vs a Python replay of the
     same recurrence (6dp micro factors, 12-digit LONG running product)."""
