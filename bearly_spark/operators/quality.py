@@ -967,27 +967,24 @@ def negative_samples(
     the sample is reproducible across runs/engines/partitionings,
     collision-free with the anchor, and uniform over the corpus.
 
-    Scale shape: one global row_number over the corpus (Θ(n) sort —
-    at 100 TB swap in a precomputed dense id or zipWithIndex-style
-    rank; the CONTRACT is just "a stable 0..N-1 indexing"), a ×k
+    Scale shape: one DISTRIBUTED global 0..N-1 indexing of the corpus
+    (``relational.global_row_number`` — range repartition +
+    partition-local rank + broadcast offsets since round 9; the prior
+    whole-corpus ``row_number`` window was a single-task sort), a ×k
     map-only explode of (anchor, position) probes, and ONE shuffle
     join of probes against the indexed corpus on position."""
-    from pyspark.sql import Window
-
+    from bearly_spark.operators.relational import global_row_number
     from bearly_spark.operators.sketches import _hash_mod
 
     n = df.count()
-    indexed = df.select(
-        F.col(id_col).alias("_nid"),
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("_pos"),
-    )
+    idx = global_row_number(df.select(F.col(id_col)), [id_col], out_col="_pos")
+    indexed = idx.select(F.col(id_col).alias("_nid"), "_pos")
     # anchor position computed BEFORE the explode: a window expression
     # sharing a projection with a generator is resolved AFTER the
     # Generate, i.e. over the exploded rows — which silently breaks the
     # self-collision bump (caught by the oracle: 4/1500 rows)
-    base = df.select(
-        F.col(id_col).alias("anchor_id"),
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("_apos"),
+    base = idx.select(
+        F.col(id_col).alias("anchor_id"), F.col("_pos").alias("_apos")
     )
     a = F.col("anchor_id")
     probes = base.select(

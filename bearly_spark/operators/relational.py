@@ -67,6 +67,56 @@ def sort_limit(df: DataFrame, order: Sequence[Column], n: int | None = None) -> 
     return out.limit(n) if n is not None else out
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "_rn",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """0-based GLOBAL row index by a total order WITHOUT the
+    single-task sort that ``row_number().over(Window.orderBy(...))``
+    compiles to (``Exchange SinglePartition`` + whole-table sort — the
+    plan that serializes at scale). The textbook two-pass distributed
+    ranking instead: range-repartition on the order key, sort within
+    partitions, per-partition ``row_number``, then add each
+    partition's prefix offset (one tiny Θ(partitions) count aggregate,
+    attached as a literal map). Output ranks are identical to the
+    window form and independent of where the sampled range bounds
+    land — ``order_cols`` must be a TOTAL order (include a unique
+    tie-break column), otherwise tie order is partition-dependent.
+
+    Cost: one range shuffle + one Θ(partitions) count + one map-side
+    rank pass — every stage parallel, nothing single-task."""
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_gpid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_gpid"], r["c"])
+        for r in ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_map = (
+        F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )[F.col("_gpid")]
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_gpid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        ranged.withColumn(
+            out_col, F.row_number().over(w) - 1 + F.coalesce(off_map, F.lit(0))
+        )
+        .drop("_gpid")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

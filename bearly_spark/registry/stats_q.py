@@ -788,11 +788,13 @@ def q_gini(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    rk = cr.select(
-        "rev",
-        F.row_number()
-        .over(Window.orderBy("rev", "o_custkey"))
-        .alias("i"),
+    # distributed global rank (round 9): the window form compiled to a
+    # single-task whole-frame sort; the two-pass range rank scales with
+    # customer cardinality at identical output (ties broken by custkey)
+    from bearly_spark.operators.relational import global_row_number
+
+    rk = global_row_number(cr, ["rev", "o_custkey"], out_col="_r").select(
+        "rev", (F.col("_r") + 1).alias("i")
     )
     s = rk.agg(
         F.count(F.lit(1)).alias("n"),

@@ -105,6 +105,44 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     assert not offenders, offenders
 
 
+# Queries allowed a Sort directly under Exchange SinglePartition: global
+# windows over AXIS-sized frames only (distinct durations / days — bounded
+# by the time axis, not the data volume). Corpus- or entity-sized global
+# ranks must use relational.global_row_number (two-pass range rank) or the
+# percentile family's distributed selection instead.
+SINGLE_PARTITION_SORT_ALLOWED = {
+    # Kaplan-Meier survival curve: one window over distinct durations
+    "survival_repeat_orders",
+    # trailing z over the daily series: one window over distinct days
+    "anomaly_zscore_orders",
+}
+
+
+def test_no_single_partition_whole_frame_sorts(spark, sf_dir):
+    """Sweep every registry query's executed plan for the
+    Sort-over-Exchange-SinglePartition pattern — the one-task whole-input
+    sort that serializes at scale (round-9 verdict: the old global
+    percentile family shipped three of them). Axis-sized global windows
+    are allowlisted above; anything else is a regression."""
+    offenders = {}
+    for name in QUERIES:
+        if name in SINGLE_PARTITION_SORT_ALLOWED:
+            continue
+        try:
+            lines = _plan_of(spark, name, sf_dir).splitlines()
+        except Exception:
+            continue  # compile errors are the cartesian test's job
+        bad = [
+            line
+            for i, line in enumerate(lines)
+            if "Exchange SinglePartition" in line
+            and any("Sort" in lines[j] for j in range(max(0, i - 2), i))
+        ]
+        if bad:
+            offenders[name] = bad[0]
+    assert not offenders, offenders
+
+
 def test_key_plan_properties_hold(spark, sf_dir):
     """Spot-pin the headline plan claims from PLANS.md so they cannot
     silently regress."""
