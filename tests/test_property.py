@@ -326,3 +326,55 @@ def test_rational_round_property(spark, pairs, digits):
         micro = q if a >= 0 else -q
         want = float(micro) / s
         assert got[(n, d)] == want == duck[(n, d)], (n, d, digits)
+
+
+_pct_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-(10**6), 10**6)),
+    min_size=1,
+    max_size=40,
+)
+_pct_qs = st.lists(
+    st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+@given(rows=_pct_rows, qs=_pct_qs)
+@settings(**_SETTINGS)
+def test_exact_percentiles_selection_matches_fraction_reference(spark, rows, qs):
+    """The r9 distributed-selection path (global AND few-group) ==
+    the exact quantile_cont contract, replayed in pure-Python Fractions,
+    over arbitrary grouped 2dp data — including negatives, duplicates,
+    single-row groups and the q=0/q=1 extremes."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    data = [(f"g{g}", Decimal(v) / 100) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v decimal(12,2)")
+    names = [f"p{i}" for i in range(len(qs))]
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in exact_percentiles(df, ["g"], "v", qs, names=names).collect()
+    }
+    by_g: dict[str, list] = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        vals = sorted(vals)
+        n = len(vals)
+        for qi, q in enumerate(qs):
+            fr = Fraction(q).limit_denominator(10**6)
+            a, b = fr.numerator, fr.denominator
+            lo, r_ = divmod((n - 1) * a, b)
+            hi = lo + (1 if r_ else 0)
+            num = int(vals[lo] * 100) * (b - r_) + int(vals[hi] * 100) * r_
+            den = b * 100
+            # halfup 4dp via truncating integral division (rational_round)
+            t, u = 2 * 10**4 * num + den, 2 * den
+            micro = abs(t) // abs(u) * (1 if (t >= 0) == (u > 0) else -1)
+            assert got[g][qi] == float(micro) / 1e4, (g, q)
