@@ -1435,10 +1435,31 @@ def entity_match_pairs(
             )
         else:
             raise ValueError(f"unknown similarity kind {kind!r}")
-        sims.append((col, F.coalesce(sim, F.lit(0.0)), weight))
+        sims.append((col, F.coalesce(sim, F.lit(0.0)), weight, kind))
+
+    # Expensive-similarity pushdown (round 9, semantics-preserving):
+    # Levenshtein is the per-pair cost driver (O(len²) per evaluation);
+    # a pair whose CHEAP similarities already bound the score below
+    # ``possible_threshold`` even at sim=1.0 on every expensive field
+    # can never be emitted — filter it BEFORE the edit distance runs.
+    # Output is identical: only never-emitted pairs are pruned.
+    cheap = [(c, s, w) for c, s, w, k in sims if k != "levenshtein"]
+    expensive = [(c, s, w) for c, s, w, k in sims if k == "levenshtein"]
+    if cheap and expensive:
+        cheap_sum = None
+        for _, sim, weight in cheap:
+            term = F.lit(weight) * sim
+            cheap_sum = term if cheap_sum is None else cheap_sum + term
+        w_exp = sum(w for _, _, w in expensive)
+        # margin: the emitted filter is round(score,6) >= threshold, so
+        # a raw score down to threshold - 0.5e-6 still emits — keep a
+        # full micro of slack so the bound can never out-prune it
+        joined = joined.where(
+            cheap_sum + F.lit(float(w_exp)) >= F.lit(possible_threshold - 1e-6)
+        )
 
     score = None
-    for _, sim, weight in sims:
+    for _, sim, weight, _k in sims:
         term = F.lit(weight) * sim
         score = term if score is None else score + term
     score = F.round(score, 6)
@@ -1446,7 +1467,7 @@ def entity_match_pairs(
         joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[sim.alias(f"sim_{col}") for col, sim, _ in sims],
+            *[sim.alias(f"sim_{col}") for col, sim, _, _k in sims],
             score.alias("score"),
         )
         .where(F.col("score") >= possible_threshold)
