@@ -199,7 +199,8 @@ def drift_report(
     emitted: libm ln may differ in the last ulp between engines;
     chi-square and TVD carry the same signal deterministically.)
 
-    Scale shape: one rank-window cutpoint pass over BEFORE, then both
+    Scale shape: one distributed-selection cutpoint pass over BEFORE
+    (r9 — no single-task sort), then both
     scans are map-only bucket assignments into B-row aggregates —
     2 passes total, Θ(rows) with B-row output.
 
@@ -254,7 +255,8 @@ def iqr_outlier_report(
     like ``expectations_report`` so drift in outlier mass is visible
     round over round.
 
-    Quartiles come from the spill-safe rank-window percentile path
+    Quartiles come from the exact percentile path (distributed
+    selection for few groups since r9, spill-safe rank window past that)
     (4dp-rounded, engine-twinnable); fences are fixed-shape double
     arithmetic on those rounded quartiles, and the flag compares the
     raw value against the fence — both engines see identical fences, so
@@ -433,7 +435,8 @@ def winsorize(
     missing, not extreme).
 
     The cutpoints come from the twin-proven exact-percentile path
-    (rank window, 4dp) and attach as a 1-row broadcast — the data side
+    (distributed selection since r9, 4dp) and attach as a 1-row
+    broadcast — the data side
     is then map-only: LEAST/GREATEST on doubles, no second shuffle.
     At 100 TB swap the exact cutpoints for ``approx_percentile`` if the
     global sort dominates; the clip stage is unchanged."""
@@ -919,8 +922,9 @@ def mad_outliers(
     identical) report NULL; ``robust_z`` is the raw IEEE quotient
     (un-rounded — see the in-code note).
 
-    Two exact-percentile cutpoint passes (the twin-proven rank-window
-    quantile_cont, 4dp) + a map-only score with both 1-row scalars
+    Two exact-percentile cutpoint passes (distributed selection since
+    r9 — the twin-proven quantile_cont values, no single-task sorts,
+    4dp) + a map-only score with both 1-row scalars
     broadcast — the same shape as ``winsorize``, one extra pass for the
     deviation median."""
     from bearly_spark.operators.aggregate import exact_percentiles

@@ -172,7 +172,8 @@ def q_rfm_segments(spark, sf_dir):
     against the population via the same cutpoint rule as the equi-depth
     histogram (exact quantile_cont cutpoints rounded to 4dp before
     assignment; ties stick to the lower score). One groupBy over
-    orders, one rank-window cutpoint pass per metric over the (small)
+    orders, one distributed-selection cutpoint pass per metric (r9 —
+    no single-task sort) over the (small)
     per-customer aggregate, then a broadcast 1-row cutpoint frame into
     a map-only score expression — Θ(customers) end to end."""
     from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
@@ -294,7 +295,7 @@ def q_outliers_iqr(spark, sf_dir):
     """Tukey-fence (1.5×IQR) outlier counts per return-flag group
     (``quality.iqr_outlier_report``) — the anomaly-detection face of
     the DQ family, counts-not-booleans so outlier-mass drift is
-    visible. Quartiles via the twin-proven rank-window percentile
+    visible. Quartiles via the twin-proven exact percentile
     path; fences are fixed-shape arithmetic on the rounded quartiles
     so both engines flag identically."""
     from bearly_spark.operators.quality import iqr_outlier_report
@@ -367,7 +368,7 @@ def q_drift_categorical(spark, sf_dir):
 )
 def q_winsorize(spark, sf_dir):
     """Percentile winsorization (``quality.winsorize``): prices clamped
-    to the exact [p01, p99] cutpoints (twin-proven rank-window
+    to the exact [p01, p99] cutpoints (twin-proven distributed-selection
     percentiles, 4dp) attached as a 1-row broadcast — the clip itself
     is map-only LEAST/GREATEST, no second shuffle."""
     from bearly_spark.operators.quality import winsorize
@@ -662,7 +663,7 @@ def q_mad_outliers(spark, sf_dir):
     Iglewicz–Hoaglin): |0.6745·(x−median)/MAD| > 3.5 — the
     breakdown-0.5 member of the outlier-detection family beside the
     Tukey IQR fence and the trailing mean/std z. Two twin-proven
-    rank-window percentile passes + a map-only raw-IEEE score."""
+    distributed-selection percentile passes + a map-only raw-IEEE score."""
     from bearly_spark.operators.quality import mad_outliers
 
     li = load_table(spark, sf_dir, "lineitem").select(
