@@ -183,17 +183,128 @@ def plant_bmp_payload(
     )
 
 
+def wav_audio_features(payload: bytes) -> list[float]:
+    """REAL pure-Python audio decoder for 16-bit PCM WAV: walks the
+    RIFF chunk list (handles extra chunks and odd-size padding), reads
+    the fmt block, slices the data chunk and emits 8 EXACT-INTEGER
+    features — ``[sample_rate, n_channels, bits, n_samples, sum,
+    sum_of_squares, min, max]`` over the int16 samples (all channels
+    pooled; each ≤ 2^15²·n exact in a double up to ~10^21 samples).
+    Vectorized (one ``frombuffer`` int16 view). Raises ``ValueError``
+    on non-WAV bytes or non-16-bit/non-PCM encodings — compressed
+    audio goes through a production codec via the ``decoder=`` hook."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # RIFF chunks pad to even size
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.int64)
+    return [
+        float(sample_rate),
+        float(n_channels),
+        float(bits),
+        float(len(samples)),
+        float(samples.sum()),
+        float((samples * samples).sum()),
+        float(samples.min()) if len(samples) else 0.0,
+        float(samples.max()) if len(samples) else 0.0,
+    ]
+
+
+def plant_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Materialize a REAL mono 16-bit PCM WAV payload per row whose
+    data chunk is the document's UTF-8 bytes cycled — the audio twin of
+    :func:`plant_bmp_payload` (an oracle recomputes every PCM sample as
+    the little-endian int16 of two cycled text bytes). Same (doc_id,
+    payload, meta) shape; one mapInPandas stage."""
+    import struct
+
+    data_bytes = n_samples * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for text in pdf[text_col]:
+                tb = str(text).encode("utf-8") or b"\x00"
+                body = (tb * (data_bytes // len(tb) + 1))[:data_bytes]
+                p = header + body
+                payloads.append(p)
+                metas.append(
+                    {
+                        "modality": "audio/wav",
+                        "payload_bytes": len(p),
+                        "content_md5": hashlib.md5(p).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "meta": metas}
+            )
+
+    return df.mapInPandas(
+        build,
+        schema=(
+            "doc_id long, payload binary, "
+            "meta struct<modality:string,payload_bytes:bigint,content_md5:string>"
+        ),
+    )
+
+
+def sniff_features(payload: bytes) -> list[float]:
+    """Magic-byte dispatching decoder: BMP → :func:`bmp_image_features`,
+    RIFF/WAVE → :func:`wav_audio_features`; anything else raises — the
+    mixed-modality default for corpora that interleave image and audio
+    payloads in one binary column."""
+    if payload[:2] == b"BM":
+        return bmp_image_features(payload)
+    if payload[:4] == b"RIFF":
+        return wav_audio_features(payload)
+    raise ValueError("undecodable payload: no known magic (BMP/WAV)")
+
+
 def default_decoder():
     """Best real decoder available in this environment — Pillow
     (compressed formats + everything PIL reads) when installed, else the
-    always-available pure-Python BMP decoder. The same hook is where
-    ffmpeg/torchaudio would slot in for audio/video."""
+    always-available pure-Python magic-sniffing decoder (uncompressed
+    BMP images + 16-bit PCM WAV audio). The same hook is where
+    ffmpeg/torchaudio would slot in for compressed audio/video."""
     try:
         import PIL  # noqa: F401
 
         return pil_image_features
     except ImportError:
-        return bmp_image_features
+        return sniff_features
 
 
 def decode_features(df: DataFrame, decoder=None, on_error: str = "raise") -> DataFrame:

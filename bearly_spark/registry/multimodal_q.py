@@ -125,6 +125,68 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+# Oracle twin of the REAL WAV decode (round 9, the audio sibling of the
+# BMP twin): the planted mono 16-bit PCM payload's data chunk is the
+# document's UTF-8 bytes cycled to 512 bytes, so DuckDB recomputes each
+# sample as the little-endian int16 of two cycled bytes.
+_WAV_N = 256
+
+
+def _wav_byte_sql(expr: str) -> str:
+    return (
+        f"(strpos({_HEXU}, substr(hx, (({expr}) % L) * 2 + 1, 1)) - 1) * 16"
+        f" + (strpos({_HEXU}, substr(hx, (({expr}) % L) * 2 + 2, 1)) - 1)"
+    )
+
+
+@register(
+    "multimodal_wav_decode_features",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS L
+                  FROM documents),
+    sm AS (SELECT doc_id,
+                  ({_wav_byte_sql("i * 2")})
+                  + 256 * ({_wav_byte_sql("i * 2 + 1")})
+                  - CASE WHEN ({_wav_byte_sql("i * 2 + 1")}) >= 128
+                         THEN 65536 ELSE 0 END AS s
+           FROM base, (SELECT unnest(range({_WAV_N})) AS i)),
+    agg AS (SELECT doc_id, SUM(s) AS sum_s, SUM(s * s) AS sumsq_s,
+                   MIN(s) AS min_s, MAX(s) AS max_s
+            FROM sm GROUP BY doc_id)
+    SELECT base.doc_id, 'audio/wav' AS modality,
+           CAST({44 + 2 * _WAV_N} AS BIGINT) AS payload_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits, CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST(sum_s AS BIGINT) AS sum_s, CAST(sumsq_s AS BIGINT) AS sumsq_s,
+           CAST(min_s AS BIGINT) AS min_s, CAST(max_s AS BIGINT) AS max_s
+    FROM base JOIN agg ON base.doc_id = agg.doc_id
+    """,
+)
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode over the mapInPandas stage (round 9 — the WAV
+    sibling of the BMP path): each document's bytes plant as a genuine
+    mono 16-bit PCM WAV (``multimodal.plant_wav_payload``), then
+    ``multimodal.wav_audio_features`` walks the RIFF chunks and emits
+    exact-integer sample statistics; the twin recomputes every int16
+    sample from the cycled text bytes. Decoder pinned so an installed
+    Pillow cannot change the compared values."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = M.plant_wav_payload(d, n_samples=_WAV_N, sample_rate=8000)
+    feats = M.decode_features(planted, decoder=M.wav_audio_features)
+    names = ["sample_rate", "n_channels", "bits", "n_samples",
+             "sum_s", "sumsq_s", "min_s", "max_s"]
+    return feats.select(
+        "doc_id",
+        "modality",
+        "payload_bytes",
+        *[
+            F.round(F.col("feature")[i]).cast("long").alias(name)
+            for i, name in enumerate(names)
+        ],
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""

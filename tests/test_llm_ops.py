@@ -358,6 +358,41 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
     assert got == want
 
 
+def test_wav_decoder_chunks_and_sniff(spark):
+    """Hand-built WAVs pin the RIFF contract: an extra odd-size chunk
+    before fmt/data is skipped with even-padding, int16 samples decode
+    signed little-endian, and the magic-sniffing default dispatches
+    BMP vs WAV vs garbage."""
+    import struct
+
+    def wav(samples, extra_chunk=False):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        chunks = b""
+        if extra_chunk:  # 3-byte chunk → 1 pad byte per RIFF spec
+            chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        chunks += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    samples = [0, 1, -1, 32767, -32768, 100]
+    for extra in (False, True):
+        f = M.wav_audio_features(wav(samples, extra_chunk=extra))
+        assert f[:4] == [44100.0, 2.0, 16.0, 6.0]
+        assert f[4] == float(sum(samples))
+        assert f[5] == float(sum(s * s for s in samples))
+        assert (f[6], f[7]) == (-32768.0, 32767.0)
+    # sniffing default: BMP magic → image path, RIFF → audio, else raise
+    assert M.sniff_features(wav(samples))[0] == 44100.0
+    with pytest.raises(ValueError, match="no known magic"):
+        M.sniff_features(b"GIF89a" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        bad = wav(samples).replace(
+            struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16),
+            struct.pack("<IHHIIHH", 16, 3, 2, 44100, 176400, 4, 32),
+        )
+        M.wav_audio_features(bad)
+
+
 def test_query_collect_contract_guard(spark):
     """The ANN probe paths broadcast the query set from the driver — an
     oversized query frame must refuse loudly (pointing at the index
