@@ -98,6 +98,9 @@ HEADLINE = [
     # PQ ANN (codes scan + exact rerank)
     "merge_upsert_orders",
     "binary_near_dup_documents",
+    # round 9: the real decode stage — planted WAV bytes through the
+    # pure-Python PCM decoder (the audio face of the multimodal family)
+    "multimodal_wav_decode_features",
     "embedding_ann_pq",
     # round 6: the composed index — dir-pruned codes scan + id-pruned
     # raw-vector rerank (index built once under .scratch, reused)
