@@ -147,8 +147,11 @@ def exact_percentiles(
     integer rank indices ``((n−1)a) div b`` driver-side. Every pass is
     a scan + partial aggregate — no single-task sort anywhere — and the
     ANSWER is bit-identical to the window form (same order statistics,
-    same rational interpolation, same emission). The grouped form keeps
-    the per-group rank window (parallelism = group cardinality there).
+    same rational interpolation, same emission). The grouped form
+    routes any group count up to 4× cluster parallelism through the
+    same shared selection passes (:func:`_few_group_order_statistics`,
+    round 10 — previously only ≤ 8 groups); past that the rank window's
+    per-group parallelism is ≥ the cluster width and it wins.
     """
     from fractions import Fraction
 
@@ -534,7 +537,7 @@ def _few_group_order_statistics(
     names: Sequence[str],
     v: int,
     decimals: int,
-    max_groups: int = 8,
+    max_groups: int | None = None,
 ) -> DataFrame | None:
     """Distributed exact selection for GROUPED percentiles when the
     group count is small — the regime where the rank-window form is a
@@ -547,24 +550,49 @@ def _few_group_order_statistics(
 
     Returns None (→ window form) when there are more than
     ``max_groups`` groups — parallelism is then plentiful and the
-    per-group filtered scans would multiply instead of help. Cost: TWO
-    shared parallel scans for all groups together — one head pass
-    (group discovery + per-group counts and sketch brackets in a single
-    groupBy aggregate) and one combined candidate/rank pass (the
-    per-group bracket bounds join in as a broadcast ≤ max_groups-row
-    frame, so the gap/candidate keying evaluates against each row's OWN
-    group's brackets) — plus per-group driver resolution. A group whose
-    sketch misses (or a truncated candidate set) re-runs alone through
+    shared passes' driver-side resolution would stop amortizing.
+    ``max_groups`` defaults to **4× the cluster default parallelism**
+    (round 10 — the r9 cutoff of 8 left the 9–~200-group regime on
+    one-task-per-group sorts: 12 language groups over 100 TB would run
+    12 single tasks of ~8 TB each; any group count below a few× the
+    core count is exactly where the shared selection passes beat
+    group-count-parallel sorts). Past the cutoff the window form's
+    parallelism IS the group count, which is then ≥ the cluster width.
+
+    Cost: one CHEAP cardinality probe (``approx_count_distinct`` over
+    the group key — no per-group state, skips the sketch pass entirely
+    for high-cardinality callers like per-key percentiles over millions
+    of keys) + TWO shared parallel scans for all groups together — one
+    head pass (group discovery + per-group counts and sketch brackets
+    in a single groupBy aggregate) and one combined candidate/rank pass
+    (the per-group bracket bounds join in as a broadcast ≤
+    max_groups-row frame, so the gap/candidate keying evaluates against
+    each row's OWN group's brackets) — plus per-group driver
+    resolution. A group whose sketch misses re-runs alone through
     :func:`_global_order_statistics` on its filtered slice, which
     carries the rank-aware retry and the narrowing loop; only a
-    repeated miss there falls back to the window form.
+    repeated miss there falls back to the window form. A truncated
+    combined pass (total candidates past CAP) re-runs per group only
+    under ≤ 8 groups, else returns None — re-running hundreds of
+    groups serially would be worse than the window form it avoids.
     """
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
     ACC = 10_000
     CAP = 100_000
     nq = len(fracs)
+    if max_groups is None:
+        max_groups = 4 * df.sparkSession.sparkContext.defaultParallelism
     sv_g = df.select(*group_cols, sval.alias("_sv"))
+    # cheap cardinality gate (ADVICE r9): HLL estimate of the group-key
+    # cardinality before paying the per-group sketch head pass. 5% rsd
+    # with a 1.2 safety factor — an under-estimate that still exceeds
+    # the cutoff is caught exactly by the head pass's take() below.
+    est = sv_g.agg(
+        F.approx_count_distinct(F.struct(*group_cols), rsd=0.05).alias("c")
+    ).first()["c"]
+    if est > 1.2 * max_groups:
+        return None
     heads = (
         sv_g.groupBy(*group_cols)
         .agg(
@@ -649,6 +677,12 @@ def _few_group_order_statistics(
     rows = grouped.take(limit)
     by_group: dict[tuple, list[tuple]] = {}
     truncated = len(rows) >= limit
+    if truncated and len(heads) > 8:
+        # past-CAP candidate volume with many groups: the per-group
+        # sequential re-run below would be len(heads) driver-looped
+        # jobs — worse than the window form, whose parallelism equals
+        # the (here plentiful) group count
+        return None
     if not truncated:
         for row in rows:
             by_group.setdefault(group_key(row), []).append(

@@ -1450,7 +1450,12 @@ def entity_match_pairs(
         for _, sim, weight in cheap:
             term = F.lit(weight) * sim
             cheap_sum = term if cheap_sum is None else cheap_sum + term
-        w_exp = sum(w for _, _, w in expensive)
+        # sum only the POSITIVE expensive weights: sim=1.0 maximizes the
+        # score contribution only for w >= 0; a negative levenshtein
+        # weight maximizes at sim=0 (contribution 0), so clamping keeps
+        # w_exp a true upper bound and the pre-filter can never
+        # over-prune a pair the final filter would emit.
+        w_exp = sum(max(w, 0.0) for _, _, w in expensive)
         # margin: the emitted filter is round(score,6) >= threshold, so
         # a raw score down to threshold - 0.5e-6 still emits — keep a
         # full micro of slack so the bound can never out-prune it

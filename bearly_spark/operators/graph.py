@@ -113,6 +113,26 @@ def pagerank(
         nodes = nodes.repartition(n_parts, "node").persist()
         nodes.count()
     pinned = [e, deg] + ([nodes] if bcast else [])
+    try:
+        ranks = _pagerank_iterate(
+            ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec
+        )
+    finally:
+        # release the pinned edge/degree/node frames even when an
+        # iteration raises mid-loop (matches personalized_pagerank /
+        # label_propagation, which already unpersist in a finally)
+        for df_ in pinned:
+            df_.unpersist()
+    return ranks.select(
+        "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
+    )
+
+
+def _pagerank_iterate(ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec):
+    """The pagerank power-iteration loop, factored out so the caller can
+    wrap it in try/finally around the pinned frames."""
+    from bearly_spark.operators.rounding import rational_micro
+
     for _ in range(iterations):
         # per-EDGE halfup contribution in plain LONG arithmetic (the
         # hot path — Θ(edges)/round): picoranks sum to ~10¹², so
@@ -156,11 +176,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    for df_ in pinned:
-        df_.unpersist()
-    return ranks.select(
-        "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
-    )
+    return ranks
 
 
 def triangle_counts(

@@ -203,8 +203,18 @@ def wav_audio_features(payload: bytes) -> list[float]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            # a declared chunk size past the payload end means truncated
+            # or corrupt bytes — fail loudly instead of silently emitting
+            # stats over a shortened data slice
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {csz} bytes but only "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + csz]
         if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError(f"WAV fmt chunk too short ({csz} < 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -88,10 +88,16 @@ def global_row_number(
     Cost: one range shuffle + one Θ(partitions) count + one map-side
     rank pass — every stage parallel, nothing single-task."""
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): the counts job and the caller's
+    # output job share the materialized range shuffle, and the blocks
+    # are released by the ContextCleaner when the returned frame is
+    # garbage-collected — a bare .persist() here accumulated cached
+    # partitions for the session lifetime across repeated callers
+    # (gini, negative-sampling, every bench round).
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_gpid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_gpid"], r["c"])

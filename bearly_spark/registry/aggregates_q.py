@@ -162,6 +162,41 @@ def q_percentiles(spark, sf_dir):
 
 
 @register(
+    "nation_percentiles_lineitem",
+    oracle=quantile_cuts_sql(
+        "(SELECT n_name, l_extendedprice FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey) jn",
+        "l_extendedprice",
+        [0.25, 0.50, 0.75, 0.95],
+        ["p25", "p50", "p75", "p95"],
+        group_by=["n_name"],
+    ),
+)
+def q_nation_percentiles(spark, sf_dir):
+    """Exact per-NATION price percentiles — 25 groups, the
+    mid-cardinality grouped-percentile regime (round-10 seat for the
+    extended distributed selection: the r9 ``max_groups=8`` cutoff left
+    9–~200 groups on one-task-per-group rank-window sorts, which at
+    100 TB means e.g. 12 language groups = 12 single tasks over ~8 TB
+    each; the cutoff is now 4× cluster parallelism, so these 25 groups
+    run the shared head-sketch + combined candidate passes — every
+    stage a parallel scan or mergeable aggregate, zero whole-group
+    sorts). Supplier→nation are broadcast dims on the lineitem scan."""
+    from bearly_spark.operators.aggregate import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    jn = li.join(
+        F.broadcast(su), li.l_suppkey == su.s_suppkey
+    ).join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+    return exact_percentiles(
+        jn, ["n_name"], "l_extendedprice", (0.25, 0.50, 0.75, 0.95), scale=2
+    )
+
+
+@register(
     "collect_agg_nations",
     oracle="""
     SELECT r_name, ARRAY_AGG(n_name ORDER BY n_name) AS nations,
