@@ -79,142 +79,100 @@ from bearly_spark.registry import maintenance_q  # noqa: F401,E402
 # driver-contract shim, and this list is the source of truth for it.
 
 PREFIX_ORDER = [
-    # reference parity
+    # ---- round-10 prefix: 46 of 50 seats are FIRST-EVER driver seats
+    # (r9 verdict #4: 89 registry queries had never been sampled; every
+    # r9-green seat rotates out — its certification is on record — and
+    # the never-sampled backlog drains through the sample instead).
+    # Kept seats: the two reference-parity anchors, q1 (flagship agg)
+    # and ewma_revenue_priority (red 4 rounds — now minimal-surface,
+    # flanked by its three bisect probes).
+    # reference parity (produce_array / produce_stream left driver-green
+    # r1-r9; sum_produce_stream exercises both producers + the sum path)
     "sum_lineitem_int64",
-    "produce_array",
-    "produce_stream",
     "sum_produce_stream",
-    # scan formats (r9 rotation: csv_scan_nation + orc_scan_supplier
-    # left the prefix driver-green; the XML scan and the
-    # partition-pruned directory scan — never driver-sampled — keep
-    # three format seats beside JSON)
-    "json_scan_orders",
-    "xml_scan_supplier",  # r9 rotation
-    "partitioned_scan_orders",  # r9 rotation
-    # relational core (r9: filter_project left driver-green — pushdown
-    # stays pinned in test_plans; the temporal/point-in-time join —
-    # never driver-sampled — widens the join family)
-    "temporal_join_orders_customer",  # r9 rotation
+    # scan/layout formats (json/xml/partitioned left driver-green r9;
+    # the bucketed and Z-order layouts — never sampled — take the seats)
+    "clustered_scan_lineitem",
+    "zorder_scan_lineitem",
+    # TPC-H: q1 stays (flagship scan-agg); nine never-sampled tail
+    # shapes take their first seats (q9/q4 left driver-green r8/r9)
     "q1_pricing_summary",
-    # (q7_nation_volume left the prefix driver-green in r8; q9 — a
-    # never-driver-sampled TPC-H join shape — keeps the multi-join
-    # family)
-    "q9_product_type_profit",  # r8 rotation
-    "asof_join_orders_events",
-    "range_join_purchase_follow",
-    # aggregation families (approx_count_distinct_orders left the prefix
-    # in r3: rows-only by nature — bitmap_distinct_orders carries the
-    # distinct-counting family with an exact oracle instead;
-    # grouping_sets left driver-green in r9 and the equi-depth
-    # histogram — never sampled AND on the fresh distributed-selection
-    # percentile path — takes the seat)
-    "histogram_depth_orders",  # r9 rotation
-    "percentiles_lineitem",
-    "bitmap_distinct_orders",
-    # stats family: MAD stays a second round — its global-percentile
-    # plan was REPLACED in r9 (distributed selection instead of the
-    # single-partition sort) and the fresh path wants a driver row
-    "mad_outliers_lineitem",
-    # windows / top-k (r9: funnel left driver-green; RFM quartile
-    # scoring — never sampled, fresh percentile path — takes the slot;
-    # topk keeps ranking, ewma keeps frames)
-    "rfm_segments_customer",  # r9 rotation
-    "topk_orders_per_customer",
-    # EWMA stays A FOURTH round: red r06/r07/r08 (ROUND midpoint →
-    # floor-form ulp → exact-integer list_reduce under the driver's
-    # DuckDB build); r9 removed the lambda surface entirely (reduce-free
-    # lag()-literal twin) and compares BIGINT micros
+    "q2_min_cost_supplier",
+    "q8_nation_market_share",
+    "q10_returned_items",
+    "q13_customer_order_histogram",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # join family (asof/range/temporal left driver-green r9; the full
+    # outer, the cross join and the as-of-over-SCD2 form are fresh)
+    "full_outer_status_counts",
+    "cross_join_priority_status",
+    "scd2_asof_customer",
+    # reshape / collect aggregates (grouping-sets family green r9)
+    "pivot_orders_status",
+    "unpivot_lineitem_measures",
+    "collect_agg_nations",
+    # windows (topk/rfm/attribution/sessionization left green r9; the
+    # median/mode, RANGE frame, gap interpolation, rolling z-score and
+    # seasonality forms are fresh — seasonality also shares the ewma
+    # daily CTE, a bonus bisect signal)
+    "median_mode_orders",
+    "window_range_frame_orders",
+    "interpolate_events",
+    "anomaly_zscore_orders",
+    "seasonality_orders",
+    # percentile family (percentiles/mad/histogram-depth green r9; the
+    # 25-group distributed-selection regime and the equi-WIDTH
+    # histogram are fresh)
+    "nation_percentiles_lineitem",
+    "histogram_prices_orders",
+    # EWMA bisect block: the minimal-surface main query (red r6-r9)
+    # plus its three diagnostic probes — see registry/windows_q.py
     "ewma_revenue_priority",
-    # set ops (r9: set_intersect_custkeys left driver-green; the
-    # MULTISET intersect — never sampled — keeps the family)
-    "set_intersect_all_quantities",  # r9 rotation
-    # table maintenance (r7 rotation: merge_upsert_orders left the
-    # prefix driver-green; SCD2 history + snapshot diff — never
-    # driver-sampled — take the family's two slots; MERGE stays in the
-    # full gate)
-    "scd2_customer_history",  # r7 rotation
-    "table_diff_orders",  # r7 rotation
-    # scalar function packs (r9: date_funcs left driver-green; regexp
-    # funcs — never sampled — keep the family beside variant)
-    "regexp_funcs_documents",  # r9 rotation
-    "variant_events_props",
-    # data-quality expectations (r6): the per-batch validation gate
-    "dq_expectations_orders",
-    # multimodal dedup (r6): block-hash near-dup over binary payloads —
-    # the binary-column counterpart of the MinHash family
-    "binary_near_dup_documents",
-    # subqueries / decorrelation / classic TPC-H shapes
-    # (q19_disjunctive_revenue left the prefix in r6 — five shape reps
-    # keep the family; it stays in the full gate)
-    # (subquery_above_avg_orders left the prefix in r6 — lateral + q4
-    # keep the decorrelation family; it stays in the full gate)
-    # (q6_forecast_revenue left the prefix in r6-late — q1 keeps the
-    # scan-agg shape; it stays in the full gate)
-    # (lateral_topk_orders left the prefix driver-green in r8; the
-    # recursive CTE — never driver-sampled — keeps the SQL-surface
-    # family beside q4's decorrelation)
-    "recursive_order_hierarchy",  # r8 rotation
-    "q4_order_priority_check",
-    # sketches (r9: cms_frequencies left driver-green; the PERSISTED
-    # CMS index probe — never sampled — keeps the family)
-    "cms_index_query",  # r9 rotation
-    # graph analytics (r9: pagerank left driver-green; personalized
-    # pagerank — never sampled, the r8 LONG fast path — takes the slot)
-    "ppr_supplier_part",  # r9 rotation
-    # ANN (r9: embedding_ann_pq + embedding_ann_lsh left driver-green;
-    # the persisted IVF index probe and chunk-level retrieval — never
-    # sampled — keep the family beside the LSH index probe)
-    "ivf_index_query",  # r9 rotation
-    "ann_index_query",  # r8 rotation
-    # streaming batch twins (r9: tumbling left driver-green; the
-    # hourly→daily incremental rollup — never sampled — keeps the
-    # window family beside sessionization)
-    "events_rollup_hourly_daily",  # r9 rotation
-    "events_sessionization",
-    # python extension points (r9: pandas_udf_charge left driver-green;
-    # applyInArrow grouped stats — never sampled — keeps the family
-    # beside the UDTF)
-    "arrow_grouped_discount_stats",  # r9 rotation
-    "udtf_tokenize_docs",
-    # product analytics (r9: cohort retention left driver-green;
-    # last-touch attribution — never sampled — keeps the family)
-    "attribution_events",  # r9 rotation
-    # LLM-pipeline: dedup (fingerprint_winnow_pairs joined r3 via the
-    # HUGEINT rolling-hash twin; dedup_simhash joined r4 — the md5-derived
-    # token hash made its full pipeline DuckDB-recomputable — taking the
-    # slot of jaccard_pairs_sample, whose brute-force baseline stays
-    # oracle-checked in the full gate)
-    "dedup_exact_documents",
-    # near-dup (r9: substring_dup_spans left driver-green; the CCNet
-    # line-frequency CLEAN stage — never sampled — takes the slot;
-    # minhash keeps the banded-LSH family)
-    "line_dedup_clean_documents",  # r9 rotation
-    "dedup_minhash_lsh",
-    # dataset ops (r9: weighted_sample left driver-green; mixture
-    # resampling — never sampled — keeps the family)
-    "mixture_resample_documents",  # r9 rotation
-    # entity resolution (r7 rotation: golden_records_parts left the
-    # prefix driver-green; the pair-match stage — never driver-sampled
-    # — takes the family slot)
-    "entity_match_parts",  # r7 rotation
-    "winnow_clusters_documents",  # r7 rotation
-    # LLM-pipeline: similarity / retrieval / text / multimodal / dataset
-    # ops (embedding_ann_lsh joined r3 — oracle-checked via inlined
-    # planes; bm25_search_documents joined r4 as the lexical-retrieval
-    # family rep, taking the slot of embedding_topk_cosine, which remains
-    # the ANN exactness oracle in the full gate)
-    "bm25_search_documents",
-    # persisted-inverted-index retrieval (r6): same twin, index path
-    "bm25_index_search_documents",
-    "chunk_embedding_topk",  # r9 rotation
-    # text quality (r9: text_stats left driver-green; the C4 rule pack
-    # — never sampled — keeps the family beside TF-IDF + the pipeline)
-    "c4_rules_documents",  # r9 rotation
-    "multimodal_decode_features",
-    # (collocations_documents left the prefix driver-green in r8;
-    # TF-IDF keywords — never driver-sampled — keeps the text family)
-    "tfidf_keywords_documents",  # r8 rotation
-    "pipeline_clean_corpus",
+    "ewma_probe_base",
+    "ewma_probe_lag",
+    "ewma_probe_full",
+    # SQL surface (recursive CTE / q4 decorrelation green r8/r9)
+    "subquery_exists_customers",
+    "pipe_syntax_orders",
+    # scalar function packs (regexp/variant green r9; map funcs fresh)
+    "map_funcs_events",
+    # event analytics (rollup/sessionization green r9; the MATCH-
+    # RECOGNIZE-shaped funnel and rolling active users are fresh)
+    "sequence_pattern_events",
+    "active_users_events",
+    # python extension points (arrow-grouped/UDTF green r9)
+    "arrow_map_charge_buckets",
+    # graph (ppr green r9; star-contraction components, triangles and
+    # local clustering coefficients take first seats)
+    "dedup_components_star",
+    "triangle_count_parts",
+    "local_clustering_parts",
+    # ANN / similarity (ann/ivf/chunk green r9; IVF-PQ residual rerank
+    # and the feature-hashed embedding retrieval are fresh)
+    "ivfpq_residual_query",
+    "hashed_embedding_topk",
+    # dedup (exact/minhash-pairs/line-dedup/entity/winnow green r9; the
+    # minhash CLUSTER assembly takes the family seat)
+    "dedup_clusters_minhash",
+    # text retrieval (bm25 single + index green r9; multi-query fresh)
+    "bm25_multi_search_documents",
+    # curation packs (c4/mixture/pipeline green r9; the gopher rules,
+    # PII redaction, sequence packing and exact decontamination are
+    # fresh)
+    "gopher_quality_documents",
+    "pii_redact_documents",
+    "pack_sequences_documents",
+    "decontaminate_documents",
+    # multimodal (BMP decode + binary near-dup green r9; the WAV decode
+    # joined post-certification — r9 verdict #3 wants its driver row)
+    "multimodal_wav_decode_features",
+    # table maintenance (scd2/diff/dq/merge green r7-r9; the
+    # incremental hourly→daily rollup maintenance form is fresh)
+    "incremental_rollup_orders",
 ]
 
 
