@@ -153,14 +153,34 @@ def rolling_zscore(
     no verdict — not ±inf). Output adds (prev_n, z, is_anomaly).
 
     Scale shape: one shuffle on the partition keys + per-partition
-    sort; the frame is rows-based so state is O(n) per row. A single
-    unpartitioned series funnels into one task — partition by entity
-    (per-metric, per-tenant) for fleet-scale monitoring."""
-    w = (
-        Window.partitionBy(*partition_by)
-        .orderBy(order_col)
-        .rowsBetween(-n, -1)
-    )
+    sort; the frame is rows-based so state is O(n) per row. An
+    UNPARTITIONED series runs the blocked sliding-window form instead
+    of a global window (round 10 — ``Window.orderBy`` with no keys
+    compiles to ``Exchange SinglePartition`` + one-task whole-series
+    sort): range-repartition on the order key, derive the global row
+    number from per-partition counts (the ``global_row_number``
+    offsets trick — one Θ(partitions) collect, no extra shuffle),
+    carve the series into blocks of ``B = max(2n, ceil(N/parts))``
+    consecutive ranks, replicate each block's last ``n`` rows into the
+    NEXT block (a trailing n-frame never reaches further back), and
+    run the window per block — every stage parallel. Values are
+    bit-identical to the global window: the frame sees exactly the
+    same ``n`` predecessor rows either way.
+
+    ``order_col`` must be a TOTAL order in the unpartitioned form
+    (duplicate keys would make block membership of ties
+    partition-dependent); the daily-series callers key on distinct
+    days."""
+    if not partition_by:
+        base = _blocked_series(df, order_col, n)
+        w = Window.partitionBy("_blk").orderBy("_grn").rowsBetween(-n, -1)
+    else:
+        base = df.withColumn("_rep", F.lit(False))
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(order_col)
+            .rowsBetween(-n, -1)
+        )
     v = F.col(value_col)
     cnt = F.count(v).over(w)
     s = F.sum(v).over(w)
@@ -169,14 +189,63 @@ def rolling_zscore(
     var = (ss.cast("double") - cnt * m * m) / (cnt - 1)
     z = F.round((v.cast("double") - m) / F.sqrt(var), 6)
     z_ok = F.when((cnt == n) & (var > 0), z)
-    return df.select(
+    return base.select(
         *partition_by,
         order_col,
         value_col,
         cnt.alias("prev_n"),
         z_ok.alias("z"),
         F.when(z_ok.isNotNull(), F.abs(z_ok) > z_thresh).alias("is_anomaly"),
+        F.col("_rep"),
+    ).filter(~F.col("_rep")).drop("_rep")
+
+
+def _blocked_series(df: DataFrame, order_col: str, n: int) -> DataFrame:
+    """Shared scaffolding of the blocked sliding-window form: returns
+    ``df`` plus ``_grn`` (global rank by ``order_col``), ``_blk``
+    (block id — ranks ``[kB, (k+1)B)`` with ``B ≥ 2n``) and ``_rep``
+    (True on the copies of each block's last ``n`` rows that seed the
+    next block's lookback; callers filter them out after the window).
+    One range shuffle + one Θ(partitions) count; the block window
+    itself adds one hash shuffle on ``_blk``."""
+    import math
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_bpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    counts = sorted(
+        (r["_bpid"], r["c"])
+        for r in ranged.groupBy("_bpid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    total = acc
+    B = max(2 * n, math.ceil(total / max(1, n_parts)))
+    off_map = (
+        F.create_map(*[F.lit(x) for po in offsets.items() for x in po])[
+            F.col("_bpid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
+    w_local = Window.partitionBy("_bpid").orderBy(order_col)
+    base = ranged.withColumn(
+        "_grn", F.row_number().over(w_local) - 1 + F.coalesce(off_map, F.lit(0))
+    ).drop("_bpid")
+    blk = F.call_function("div", F.col("_grn"), F.lit(B).cast("long"))
+    own = base.withColumn("_blk", blk).withColumn("_rep", F.lit(False))
+    reps = (
+        base.filter(F.col("_grn") % B >= B - n)
+        .filter(blk + 1 <= (total - 1) // B)  # no replica-only tail block
+        .withColumn("_blk", blk + 1)
+        .withColumn("_rep", F.lit(True))
+    )
+    return own.unionByName(reps)
 
 
 def rolling_active_users(
@@ -469,15 +538,20 @@ def kaplan_meier(
     was the bench's 2.5× regressor (each 128-bit div costs ~10× a
     64-bit one, and the prefix fold runs k²/2 of them).
 
-    Scale shape: one Θ(subjects) groupBy onto Θ(distinct durations)
-    rows, then a single global window over that (already tiny)
-    aggregate — the curve itself is axis-sized, never subject-sized
-    (the O(k²) prefix fold is bounded by the duration axis, not the
-    subject count)."""
-    from pyspark.sql import Window
-
-    from bearly_spark.operators.rounding import rational_micro
-
+    Scale shape (round 10): one Θ(subjects) groupBy onto Θ(distinct
+    durations) rows — the curve itself is axis-sized, never
+    subject-sized — then the strictly-sequential quantized fold runs
+    DRIVER-side over the collected axis rows (capped at
+    ``max_curve_points``; a take(), no global sort anywhere). This
+    replaces the r9 global window, which was both the registry's last
+    ``Exchange SinglePartition`` sort AND O(k²) in curve length (a
+    collect_list prefix per row); the driver fold is O(k) over the
+    same rows that single task materialized. The per-step-rounded
+    recurrence is inherently serial — no distributed form computes it
+    without serializing somewhere; axis-sized driver resolution is the
+    honest plan (same doctrine as the percentile selection). A curve
+    past the cap falls back to the r9 window form — correct, one
+    axis-sized task (no registry fixture is within 10³× of the cap)."""
     tt = df.groupBy(F.col(duration_col).cast("long").alias("duration")).agg(
         F.sum(F.col(event_col).cast("int")).cast("long").alias("n_events"),
         (F.count(F.lit(1)) - F.sum(F.col(event_col).cast("int"))).cast("long").alias(
@@ -486,6 +560,51 @@ def kaplan_meier(
         F.count(F.lit(1)).alias("_n_at"),
     )
     total = df.count()
+    max_curve_points = 1_000_000
+    pts = tt.take(max_curve_points + 1)
+    if len(pts) > max_curve_points:
+        return _kaplan_meier_window(tt, total)
+    pts = sorted(pts, key=lambda r: r["duration"])
+    out_rows, s_state, at_risk = [], 10**12, total
+    for r in pts:
+        n_risk = at_risk
+        d = r["n_events"]
+        # the exact integer recurrence (same as rational_micro + the
+        # window fold, in arbitrary-precision Python ints; every value
+        # non-negative so floor == truncating div)
+        f_micro = (2 * 10**6 * (n_risk - d) + n_risk) // (2 * n_risk)
+        s_state = (2 * s_state * f_micro + 10**6) // (2 * 10**6)
+        out_rows.append(
+            (r["duration"], d, r["n_censored"], n_risk, float(s_state) / 1e12)
+        )
+        at_risk -= r["_n_at"]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("duration", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_censored", LongType()),
+            StructField("n_risk", LongType()),
+            StructField("survival", DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+def _kaplan_meier_window(tt: DataFrame, total: int) -> DataFrame:
+    """The r9 global-window Kaplan-Meier fold — fallback for curves too
+    long to resolve driver-side (one axis-sized task; O(k²) prefix
+    lists). Values identical to the driver fold."""
+    from pyspark.sql import Window
+
+    from bearly_spark.operators.rounding import rational_micro
+
     w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
     r = tt.withColumn(

@@ -105,17 +105,15 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     assert not offenders, offenders
 
 
-# Queries allowed a Sort directly under Exchange SinglePartition: global
-# windows over AXIS-sized frames only (distinct durations / days — bounded
-# by the time axis, not the data volume). Corpus- or entity-sized global
-# ranks must use relational.global_row_number (two-pass range rank) or the
-# percentile family's distributed selection instead.
-SINGLE_PARTITION_SORT_ALLOWED = {
-    # Kaplan-Meier survival curve: one window over distinct durations
-    "survival_repeat_orders",
-    # trailing z over the daily series: one window over distinct days
-    "anomaly_zscore_orders",
-}
+# Queries allowed a Sort directly under Exchange SinglePartition: NONE
+# (round 10 — the last two axis-sized global windows were rewritten:
+# Kaplan-Meier folds its axis-sized curve driver-side with a window
+# fallback only past 10^6 curve points, and the unpartitioned rolling
+# z-score runs the blocked sliding-window form). Corpus- or entity-sized
+# global ranks must use relational.global_row_number (two-pass range
+# rank) or the percentile family's distributed selection; keep this set
+# empty.
+SINGLE_PARTITION_SORT_ALLOWED: set[str] = set()
 
 
 def test_no_single_partition_whole_frame_sorts(spark, sf_dir):
