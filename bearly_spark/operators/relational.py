@@ -93,11 +93,13 @@ def global_row_number(
     # are released by the ContextCleaner when the returned frame is
     # garbage-collected — a bare .persist() here accumulated cached
     # partitions for the session lifetime across repeated callers
-    # (gini, negative-sampling, every bench round).
+    # (gini, negative-sampling, every bench round). LAZY: the counts
+    # collect below is the materializing job — eager=True would spend
+    # a third job on materialization alone.
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_gpid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["_gpid"], r["c"])

@@ -214,7 +214,8 @@ def _blocked_series(df: DataFrame, order_col: str, n: int) -> DataFrame:
     ranged = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("_bpid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the counts collect below is the materializing job
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["_bpid"], r["c"])
