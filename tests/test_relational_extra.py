@@ -810,6 +810,74 @@ def test_rolling_zscore_planted(spark):
     assert all(r["z"] is None for r in fz)  # zero variance -> no verdict
 
 
+def test_rolling_zscore_blocked_equals_global_window(spark):
+    """The round-10 blocked sliding-window form must be bit-identical
+    to a plain global window on the same series — across sizes that
+    exercise every block-boundary regime: series shorter than one
+    lookback, series smaller than the partition count (empty range
+    partitions), block boundaries mid-lookback, and a multi-block
+    tail."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from bearly_spark.operators.windows import rolling_zscore
+
+    rng = random.Random(100)
+    for size in (1, 3, 7, 8, 9, 40, 257):
+        rows = [(i, rng.randint(0, 10_000)) for i in range(size)]
+        df = spark.createDataFrame(rows, "day int, v long").select(
+            "day", F.col("v").cast("decimal(18,2)").alias("v")
+        )
+        got = {
+            r["day"]: (r["prev_n"], r["z"], r["is_anomaly"])
+            for r in rolling_zscore(df, "day", "v", n=7).collect()
+        }
+        # reference: the single global window (the pre-r10 plan)
+        w = Window.orderBy("day").rowsBetween(-7, -1)
+        v = F.col("v")
+        cnt, s, ss = F.count(v).over(w), F.sum(v).over(w), F.sum(v * v).over(w)
+        m = s.cast("double") / cnt
+        var = (ss.cast("double") - cnt * m * m) / (cnt - 1)
+        z = F.round((v.cast("double") - m) / F.sqrt(var), 6)
+        z_ok = F.when((cnt == 7) & (var > 0), z)
+        want = {
+            r["day"]: (r["prev_n"], r["z"], r["is_anomaly"])
+            for r in df.select(
+                "day",
+                cnt.alias("prev_n"),
+                z_ok.alias("z"),
+                F.when(z_ok.isNotNull(), F.abs(z_ok) > 2.5).alias("is_anomaly"),
+            ).collect()
+        }
+        assert got == want, f"size={size}"
+
+
+def test_kaplan_meier_driver_fold_equals_window_fallback(spark):
+    """The round-10 driver-side fold and the retained window fallback
+    must agree exactly (same integer recurrence, same emission)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators.windows import _kaplan_meier_window, kaplan_meier
+
+    rng = random.Random(7)
+    rows = [(rng.randint(1, 40), rng.randint(0, 1)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = sorted(map(tuple, kaplan_meier(df, "dur", "ev").collect()))
+    tt = df.groupBy(F.col("dur").cast("long").alias("duration")).agg(
+        F.sum(F.col("ev").cast("int")).cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum(F.col("ev").cast("int")))
+        .cast("long")
+        .alias("n_censored"),
+        F.count(F.lit(1)).alias("_n_at"),
+    )
+    want = sorted(map(tuple, _kaplan_meier_window(tt, df.count()).collect()))
+    assert got == want
+
+
 def test_rolling_active_users_planted(spark):
     """3-day window: WAU(d) counts distinct users over {d-2, d-1, d};
     stickiness = dau/wau; silent days absent."""

@@ -142,11 +142,13 @@ def test_exact_percentiles_fraction_reference(spark):
 
 
 def test_exact_percentiles_paths_agree_across_group_threshold(spark):
-    """The few-group distributed-selection path (≤8 groups) and the
-    many-group rank-window path must produce IDENTICAL values — pin it
-    by running the same data grouped 12 ways (window form) and the
-    per-group slices through ≤8-group calls (selection form) and
-    comparing bit-for-bit."""
+    """The distributed-selection path and the many-group rank-window
+    path must produce IDENTICAL values. Since round 10 the selection
+    route covers any group count up to 4× parallelism (128 locally),
+    so the window form is forced with 600 groups (past the HLL
+    cardinality gate) and compared bit-for-bit against per-slice
+    selection calls at 20 groups — squarely inside the NEW 9-128
+    mid-cardinality regime the r9 cutoff of 8 excluded."""
     import random
 
     import pyspark.sql.functions as F
@@ -155,25 +157,26 @@ def test_exact_percentiles_paths_agree_across_group_threshold(spark):
 
     rng = random.Random(4242)
     rows = [
-        (f"g{i % 12}", Decimal(rng.randrange(100, 10**6)) / 100)
-        for i in range(600)
+        (f"g{i % 600}", Decimal(rng.randrange(100, 10**6)) / 100)
+        for i in range(3000)
     ]
     df = spark.createDataFrame(rows, "g string, v decimal(12,2)")
     qs = [0.25, 0.5, 0.9]
     names = ["q1", "q2", "q3"]
-    # 12 groups > max_groups=8 → window path
+    # 600 groups > 1.2 * 4 * parallelism → rank-window path
     windowed = {
         r["g"]: (r["q1"], r["q2"], r["q3"])
         for r in exact_percentiles(df, ["g"], "v", qs, names=names).collect()
     }
-    assert len(windowed) == 12
-    # two ≤8-group slices → selection path; same per-group answers
-    for gs in (range(0, 6), range(6, 12)):
+    assert len(windowed) == 600
+    # two 20-group slices → the extended selection path; same answers
+    for gs in (range(0, 20), range(300, 320)):
         sub = df.filter(F.col("g").isin([f"g{i}" for i in gs]))
         got = {
             r["g"]: (r["q1"], r["q2"], r["q3"])
             for r in exact_percentiles(sub, ["g"], "v", qs, names=names).collect()
         }
+        assert len(got) == 20
         for g, vals in got.items():
             assert vals == windowed[g], g
 
