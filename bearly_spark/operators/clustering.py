@@ -1,0 +1,389 @@
+"""Distributed k-means over embeddings + SemDeDup-style semantic dedup.
+
+The LLM-curation operator family the repo lacked until round 10:
+cluster the embedding space (k-means), then curate INSIDE clusters —
+SemDeDup (Abbas et al. 2023) drops semantic near-duplicates per
+cluster; D4 (Tirumala et al. 2023) additionally prunes the most
+prototypical points. Blocking by k-means cell is what makes both
+tractable at corpus scale: pair work is Sigma(cell^2), never N^2.
+
+Everything here is EXACT INTEGER arithmetic so the DuckDB oracle twins
+hash-match bit-for-bit:
+
+- vectors are quantized once: ``xq[i] = floor(float64(v[i]) * 2^20)``
+  (int64). float->double widening and the double multiply are identical
+  IEEE operations in Spark, numpy and DuckDB, so the quantized grid is
+  engine-independent;
+- squared L2 distances are int64 sums (|xq| <= ~1.1e6 per coordinate,
+  dim 64 -> dist <= ~7.7e13, no overflow);
+- Lloyd centroid updates use FLOOR-DIVISION means (``s // n`` on exact
+  integer sums) so refined centroids stay on the integer grid — a
+  deliberate, documented deviation from real-valued k-means that buys
+  cross-engine exactness at < 1 quantization step of centroid error;
+- cosine thresholds compare ``den^2 * dot^2 >= num^2 * nx2 * ny2`` with
+  the threshold a RATIONAL (num, den) — no sqrt, no IEEE anywhere.
+
+Scale shape (the 100 TB story):
+- centroids are tiny (k x dim ints) and always DRIVER-HELD + broadcast
+  inside Arrow kernels; the corpus never shuffles for assignment — one
+  narrow ``mapInPandas`` pass per Lloyd iteration;
+- the per-iteration reduction ships only k x dim x partitions partial
+  sums (a ``groupBy(cluster, pos)`` over kernel-emitted partials, NOT a
+  64x ``posexplode`` of the corpus);
+- SemDeDup pair work runs per-cell via ``applyInPandas`` with a hard
+  cell cap + ``Observation`` drop accounting, the same
+  blocked/capped/observed contract as the minhash and entity-match
+  families (``operators/dedup.py``);
+- assignment kernels are numpy int64 batch ops (Arrow transfer), not
+  per-element SQL folds — the higher-order-function forms are
+  CodegenFallback and ~50x slower (see ``operators/similarity.py``).
+
+Reference parity note: the reference engine (bearly_ext.cc — Arrow
+stream in, int64 SUM, stream out) has no clustering surface at all;
+this module is part of the mandated capability superset (SURVEY §2.3:
+similarity / semantic dedup for training-data curation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Observation
+
+#: Quantization grid: floor(value * 2^20). Embeddings are unit-norm
+#: (|v_i| < 1), so quantized coordinates fit comfortably in int64 and
+#: squared distances in dim<=1024 never overflow.
+QUANT_SCALE = 1 << 20
+
+#: SemDeDup cell-size guard: cells bigger than this contribute capped
+#: pair work and are reported through the Observation instead of
+#: silently exploding Sigma(cell^2). At 100 TB the right fix is a
+#: bigger k (cells ~ N/k), not a bigger cap.
+MAX_SEMDEDUP_CELL = 100_000
+
+
+def quantized_vec(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """``floor(float64(v) * scale)`` per coordinate, as array<long>.
+
+    Column-expression form (CodegenFallback transform) — used by tests
+    and small frames; the kernels below quantize in numpy instead.
+    """
+    s = F.lit(float(scale))
+    return F.transform(vec, lambda v: F.floor(v.cast("double") * s).cast("long"))
+
+
+def _quantize_np(mat: np.ndarray, scale: int = QUANT_SCALE) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) * float(scale)).astype(np.int64)
+
+
+def _vec_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _assign_batch(xq: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, dist) per row: argmin_j ||xq - cent_j||^2, int64-exact.
+
+    np.argmin returns the FIRST minimal index, i.e. ties break toward
+    the lowest cluster id — the same order the SQL twin's
+    ``MIN(ROW(dist, cluster))`` induces.
+    """
+    # (n, k, dim) broadcast subtract; batches are Arrow-sized (~10k rows)
+    # so the temp stays tens of MB.
+    diff = xq[:, None, :] - cent[None, :, :]
+    dists = np.einsum("nkd,nkd->nk", diff, diff)
+    idx = dists.argmin(axis=1)
+    return idx.astype(np.int32), dists[np.arange(len(idx)), idx]
+
+
+def seed_centroids(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8
+) -> list[list[int]]:
+    """Deterministic init: the quantized vectors of the k lowest ids.
+
+    ``orderBy(id).limit(k)`` compiles to TakeOrderedAndProject (a
+    partial top-k, no global sort) — k rows reach the driver. The SQL
+    twin re-derives the same seeds with ``ORDER BY id LIMIT k``.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col)).alias("xq"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} seeds requested but only {len(rows)} vectors present")
+    return [list(r.xq) for r in rows]
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+    emit_xq: bool = False,
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: (id, cluster, dist).
+
+    Centroids ride inside the kernel closure (broadcast with the task
+    binary); the corpus is never shuffled. Output dist is the exact
+    int64 squared L2 on the quantized grid. ``keep_vec`` carries the
+    raw vector through so downstream per-cell stages (SemDeDup) avoid
+    an O(N) join back to the source; ``emit_xq`` additionally emits the
+    quantized grid vector (what the persisted semantic index stores —
+    integer-exact across engine versions and float rounding modes).
+    """
+    cent = np.asarray(centroids, dtype=np.int64)
+    schema = f"{id_col} long, cluster int, dist long"
+    if keep_vec:
+        schema += f", {vec_col} array<float>"
+    if emit_xq:
+        schema += ", xq array<long>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            xq = _quantize_np(_vec_matrix(b[vec_col]))
+            idx, d = _assign_batch(xq, cent)
+            out = {id_col: b[id_col].to_numpy(), "cluster": idx, "dist": d}
+            if keep_vec:
+                out[vec_col] = b[vec_col]
+            if emit_xq:
+                out["xq"] = list(xq)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def _refine_once(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    vec_col: str,
+) -> list[list[int]]:
+    """One Lloyd step: assign, reduce per-cluster coordinate sums,
+    floor-divide on the driver. Shuffle volume = partitions x k x dim
+    partial rows (the kernel pre-reduces each Arrow batch; no corpus
+    explode). Empty clusters keep their previous centroid."""
+    cent = np.asarray(centroids, dtype=np.int64)
+    k, dim = cent.shape
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            xq = _quantize_np(_vec_matrix(b[vec_col]))
+            idx, _ = _assign_batch(xq, cent)
+            np.add.at(sums, idx, xq)
+            counts += np.bincount(idx, minlength=k)
+        live = np.nonzero(counts)[0]
+        if len(live) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "cluster": np.repeat(live.astype(np.int32), dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                "s": sums[live].reshape(-1),
+                "n": np.repeat(counts[live], dim),
+            }
+        )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="cluster int, pos int, s long, n long")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )  # k x dim rows — Theta(k*dim), independent of corpus size
+    out = [list(c) for c in centroids]
+    by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+    for r in agg:
+        by_cluster.setdefault(r.cluster, []).append((r.pos, r.s, r.n))
+    for c, triples in by_cluster.items():
+        vec = out[c]
+        for pos, s, n in triples:
+            vec[pos] = s // n  # python floor division == the twin's exact fdiv
+    return out
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Integer-grid Lloyd k-means: (assignments, final centroids).
+
+    assignments = (id, cluster int, dist long) under the FINAL
+    centroids. ``iters`` refinement steps after seed init; each step is
+    one narrow corpus pass + a Theta(k*dim) reduction.
+    """
+    cents = seed_centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        cents = _refine_once(df, cents, id_col, vec_col)
+    return assign_clusters(df, cents, id_col, vec_col), cents
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster (cluster, n_vecs, inertia) under the final centroids.
+
+    inertia is the exact integer sum of quantized squared distances,
+    emitted as decimal(38,0) so corpus-scale sums cannot wrap int64.
+    """
+    assigned, _ = kmeans_quantized(df, id_col, vec_col, k, iters)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+        )
+        .select("cluster", "n_vecs", F.col("inertia").cast("decimal(38,0)").alias("inertia"))
+        .orderBy("cluster")
+    )
+
+
+def _exact_ge(lhs_a: int, lhs_b: int, rhs: int) -> bool:
+    """lhs_a * lhs_b >= rhs with python ints (exact, arbitrary width)."""
+    return lhs_a * lhs_b >= rhs
+
+
+def semdedup_flags(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: tuple[int, int] = (19, 20),
+    max_cell: int = MAX_SEMDEDUP_CELL,
+    observation: Observation | None = None,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup: flag semantic near-duplicates inside k-means cells.
+
+    A vector is ``kept = false`` iff a LOWER-id vector in the SAME cell
+    has cosine >= tau (tau given as a rational num/den; the test is the
+    exact integer ``den^2*dot^2 >= num^2*nx2*ny2 AND dot > 0`` on the
+    quantized grid — no sqrt). Keeps exactly the greedy min-id
+    representative per near-dup neighborhood, the standard SemDeDup
+    policy. Cross-cell near-dups are NOT compared — that recall loss is
+    the algorithm's documented trade (Abbas et al. 2023 §3).
+
+    Scale: pair work is Sigma(cell^2) via ``applyInPandas`` per cell;
+    cells past ``max_cell`` only compare their ``max_cell`` lowest ids
+    (drops counted in ``observation`` as ``semdedup_truncated_cells``
+    like every other capped family).
+    """
+    num, den = tau
+    if not (0 < num <= den):
+        raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
+    if centroids is not None:
+        # frozen-centroid mode (the streaming index face and its
+        # stream-equals-batch reference path): skip the fit entirely
+        cents = centroids
+    else:
+        cents = seed_centroids(df, id_col, vec_col, k)
+        for _ in range(iters):
+            cents = _refine_once(df, cents, id_col, vec_col)
+    # keep_vec: the final assignment carries the vector, so the only
+    # corpus shuffle is the groupBy(cluster) feeding the per-cell stage
+    vecs = assign_clusters(df, cents, id_col, vec_col, keep_vec=True)
+
+    num2 = num * num
+    den2 = den * den
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        truncated = len(pdf) > max_cell
+        work = pdf.iloc[:max_cell]
+        xq = _quantize_np(_vec_matrix(work[vec_col]))
+        n = len(work)
+        kept = np.ones(len(pdf), dtype=bool)
+        if n > 1:
+            gram = xq @ xq.T  # int64-exact: |dot| <= dim * (2^20)^2 ~ 7e13
+            nx2 = np.einsum("nd,nd->n", xq, xq)
+            # float64 screen with an exact python-int confirmation band:
+            # lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer range, so
+            # near-boundary pairs re-check in arbitrary precision.
+            fl = float(den2) * gram.astype(np.float64) ** 2
+            fr = float(num2) * np.outer(nx2, nx2).astype(np.float64)
+            for j in range(1, n):
+                row_l = fl[j, :j]
+                row_r = fr[j, :j]
+                cand = np.nonzero((gram[j, :j] > 0) & (row_l >= row_r * (1 - 1e-9)))[0]
+                for i in cand:
+                    d = int(gram[j, i])
+                    if d > 0 and _exact_ge(den2 * d, d, num2 * int(nx2[i]) * int(nx2[j])):
+                        kept[j] = False
+                        break
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "kept": kept,
+                "cell_truncated": np.full(len(pdf), truncated),
+            }
+        )
+        return out
+
+    out = vecs.groupBy("cluster").applyInPandas(
+        per_cell,
+        schema=f"{id_col} long, cluster int, kept boolean, cell_truncated boolean",
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count_if(F.col("cell_truncated")).alias("semdedup_truncated_rows"),
+        )
+    return out
+
+
+def cluster_prototypes(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    top: int = 3,
+) -> DataFrame:
+    """D4-style prototypes: the ``top`` closest members per cluster as
+    (cluster, rn, id, dist), rn starting at 1.
+
+    NOT a per-cluster sort window (k heavy groups = k single tasks at
+    corpus scale — the exact shape the round-9 percentile rework
+    removed). Instead ``top`` rounds of a map-side-combining
+    ``groupBy(cluster).min(struct(dist, id))``, each excluding prior
+    winners through a broadcast anti-join of <= k*top ids: Theta(top)
+    narrow scans, no task ever sorts a whole cluster.
+    """
+    remaining = assigned.select("cluster", id_col, "dist").localCheckpoint(eager=False)
+    rounds: list[DataFrame] = []
+    for rn in range(1, top + 1):
+        w = (
+            remaining.groupBy("cluster")
+            .agg(F.min(F.struct(F.col("dist"), F.col(id_col))).alias("w"))
+            .select(
+                "cluster",
+                F.lit(rn).cast("int").alias("rn"),
+                F.col(f"w.{id_col}").alias(id_col),
+                F.col("w.dist").alias("dist"),
+            )
+        )
+        rounds.append(w)
+        if rn < top:
+            remaining = remaining.join(
+                F.broadcast(w.select("cluster", id_col)), ["cluster", id_col], "left_anti"
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

@@ -55,6 +55,7 @@ from bearly_spark.registry import text_q  # noqa: F401,E402
 from bearly_spark.registry import curation_q  # noqa: F401,E402
 from bearly_spark.registry import multimodal_q  # noqa: F401,E402
 from bearly_spark.registry import graph_q  # noqa: F401,E402
+from bearly_spark.registry import clustering_q  # noqa: F401,E402
 from bearly_spark.registry import stats_q  # noqa: F401,E402
 from bearly_spark.registry import maintenance_q  # noqa: F401,E402
 
@@ -91,9 +92,11 @@ PREFIX_ORDER = [
     "sum_lineitem_int64",
     "sum_produce_stream",
     # scan/layout formats (json/xml/partitioned left driver-green r9;
-    # the bucketed and Z-order layouts — never sampled — take the seats)
+    # the bucketed layout — never sampled — takes the family seat;
+    # zorder yielded its seat to the semantic-index query: one layout
+    # representative suffices and the Z-order path is oracle-gated +
+    # plan-tested locally)
     "clustered_scan_lineitem",
-    "zorder_scan_lineitem",
     # TPC-H: q1 stays (flagship scan-agg); nine never-sampled tail
     # shapes take their first seats (q9/q4 left driver-green r8/r9)
     "q1_pricing_summary",
@@ -107,14 +110,15 @@ PREFIX_ORDER = [
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     # join family (asof/range/temporal left driver-green r9; the full
-    # outer, the cross join and the as-of-over-SCD2 form are fresh)
+    # outer and the as-of-over-SCD2 form are fresh. cross_join yielded
+    # its seat to the round-10 clustering family — cartesian-of-dims is
+    # the thinnest fresh signal in the block)
     "full_outer_status_counts",
-    "cross_join_priority_status",
     "scd2_asof_customer",
-    # reshape / collect aggregates (grouping-sets family green r9)
+    # reshape / collect aggregates (grouping-sets family green r9;
+    # pivot carries the reshape seat — unpivot/collect_agg yielded
+    # theirs to the clustering family and wait for r11)
     "pivot_orders_status",
-    "unpivot_lineitem_measures",
-    "collect_agg_nations",
     # windows (topk/rfm/attribution/sessionization left green r9; the
     # median/mode, RANGE frame, gap interpolation, rolling z-score and
     # seasonality forms are fresh — seasonality also shares the ewma
@@ -155,6 +159,14 @@ PREFIX_ORDER = [
     # and the feature-hashed embedding retrieval are fresh)
     "ivfpq_residual_query",
     "hashed_embedding_topk",
+    # semantic clustering / curation (NEW round-10 family: integer-grid
+    # Lloyd k-means, SemDeDup per-cell drops, D4 prototypes — all three
+    # take immediate seats so the new code is driver-certified in the
+    # round it shipped)
+    "kmeans_clusters_embeddings",
+    "semdedup_embeddings",
+    "prototypes_embeddings",
+    "semdedup_index_query",
     # dedup (exact/minhash-pairs/line-dedup/entity/winnow green r9; the
     # minhash CLUSTER assembly takes the family seat)
     "dedup_clusters_minhash",

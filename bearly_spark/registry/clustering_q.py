@@ -1,0 +1,262 @@
+"""Semantic clustering + SemDeDup curation over the embeddings table.
+
+Round-10 family: integer-grid Lloyd k-means (seed init = k lowest ids,
+floor-division centroid means), SemDeDup per-cell near-dup flags and
+D4-style cluster prototypes — the k-means-blocked curation trio from
+Abbas et al. 2023 / Tirumala et al. 2023, re-expressed Spark-first
+(broadcast centroids, Arrow assignment kernels, Theta(k*dim) Lloyd
+reductions; see operators/clustering.py for the 100 TB shape).
+
+Exactness contract: every number compared here is an INTEGER on the
+2^20 quantization grid (or a count), so the DuckDB twins reproduce the
+whole pipeline — seeds, two Lloyd steps, final assignment, pairwise
+cosine tests — bit-for-bit in SQL. The only float ops are the shared
+``floor(float64(v) * 2^20)`` quantization and both engines' identical
+IEEE semantics for it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bearly_spark.operators import clustering as C
+from bearly_spark.registry._core import register
+from bearly_spark.registry._shared import _scratch_index
+from bearly_spark.sources.tables import load_table
+
+_K = 8
+_ITERS = 2
+_DIM = 64
+
+
+def _kmeans_ctes(
+    k: int = _K,
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    fit_src: str = "embeddings",
+    assign_src: str = "embeddings",
+) -> str:
+    """WITH-clause body deriving ``af(vec_id, cluster, d)`` — the final
+    assignment after ``iters`` integer Lloyd steps — entirely in SQL.
+
+    Mirrors operators/clustering.py exactly: c0 = quantized vectors of
+    the k lowest vec_ids of ``fit_src``; each step assigns FIT vectors
+    under the current centroids (ties -> lowest cluster via MIN over a
+    (dist, cluster) struct) and floor-divides per-coordinate sums
+    (DuckDB ``//`` truncates toward zero, so the mod-subtract form
+    below forces python's floor); empty clusters keep their previous
+    centroid. The final ``af`` assigns ``assign_src`` — the two sources
+    differ for the persisted-index twin (frozen centroids fit on the
+    build frame, applied to every later arrival).
+    """
+
+    def dist(src: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({src}.xq, c.cq),"
+            " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {float(C.QUANT_SCALE)}) AS BIGINT))"
+    )
+    parts = [
+        f"""q AS (
+  SELECT vec_id, {quant} AS xq FROM {assign_src}
+),
+qf AS (
+  SELECT vec_id, {quant} AS xq FROM {fit_src}
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, xq AS cq
+  FROM qf ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""a{it} AS (
+  SELECT qf.vec_id,
+         (MIN({{'d': {dist('qf')}, 'c': c.cluster}})).c AS cluster
+  FROM qf, {prev} c GROUP BY qf.vec_id
+),
+m{it} AS (
+  SELECT a.cluster, i.i AS ord, SUM(qf.xq[i.i]) AS s, COUNT(*) AS n
+  FROM a{it} a JOIN qf USING (vec_id), range(1, {dim + 1}) i(i)
+  GROUP BY a.cluster, i.i
+),
+c{it} AS (
+  SELECT p.cluster, COALESCE(m.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN (
+    -- FLOOR division (python's //): duckdb's // truncates toward
+    -- zero, so subtract the non-negative remainder first — the
+    -- quotient is then an exact multiple and trunc == floor
+    SELECT cluster,
+           list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY ord) AS cq
+    FROM m{it} GROUP BY cluster
+  ) m USING (cluster)
+)"""
+        )
+    parts.append(
+        f"""af AS (
+  SELECT q.vec_id,
+         (MIN({{'d': {dist('q')}, 'c': c.cluster}})).c AS cluster,
+         MIN({dist('q')}) AS d
+  FROM q, c{iters} c GROUP BY q.vec_id
+)"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "kmeans_clusters_embeddings",
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) AS DECIMAL(38,0)) AS inertia
+    FROM af GROUP BY cluster ORDER BY cluster
+    """,
+)
+def q_kmeans_clusters(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans_cluster_profile(emb, k=_K, iters=_ITERS)
+
+
+#: The synthetic embeddings are near-orthogonal (max natural cosine
+#: ~0.51 at sf0.01), so a REAL SemDeDup threshold would never fire and
+#: the drop path would go driver-unexercised. The query therefore
+#: plants exact duplicates AT THE QUERY LEVEL — every vec_id < 20 row
+#: re-emitted as vec_id + 100000 — identically in both engines: copies
+#: land in their twin's cell (identical vector -> identical argmin) and
+#: are flagged kept=false by the lower-id original, so the gate checks
+#: the whole flag pipeline, not just the all-kept fixpoint.
+_SEMDEDUP_AUG = """
+    embeddings_aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 20
+    )"""
+
+
+#: Shared nx + greedy-drop CTEs (tau = 19/20 -> den^2=400, num^2=361):
+#: a vector is dropped iff a LOWER-id vector in the SAME cell clears the
+#: exact rational cosine test — the batch operator's rule, and (with
+#: id-ordered ingestion + witness="all") the persisted index's rule too.
+_NX_AND_DROPPED = """
+    nx AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(xq, x -> x*x)) AS BIGINT) AS nx2
+      FROM q
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id
+      JOIN nx na ON na.vec_id = a.vec_id
+      JOIN nx nb ON nb.vec_id = b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) > 0
+        AND 400 * CAST(CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) AS HUGEINT)
+              * CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT)
+            >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
+    )"""
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_kmeans_ctes(fit_src="embeddings_aug", assign_src="embeddings_aug")},
+    {_NX_AND_DROPPED}
+    SELECT af.vec_id, af.cluster,
+           (af.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept,
+           FALSE AS cell_truncated
+    FROM af
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup at tau = 19/20 inside the 8 k-means cells; kept=false
+    marks a vector with a lower-id >=0.95-cosine neighbor in its cell.
+    Exact-duplicate rows are planted (see _SEMDEDUP_AUG) so the drop
+    path fires at every SF."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    )
+    return C.semdedup_flags(aug, k=_K, iters=_ITERS, tau=(19, 20))
+
+
+@register(
+    "prototypes_embeddings",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    r AS (
+      SELECT cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY d, vec_id) AS INTEGER) AS rn,
+             vec_id, d AS dist
+      FROM af
+    )
+    SELECT cluster, rn, vec_id, dist FROM r WHERE rn <= 3
+    """,
+)
+def q_prototypes(spark, sf_dir):
+    """Top-3 most-prototypical vectors per cluster (D4 prune targets):
+    min-(dist,id) extraction rounds, never a per-cluster sort task."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = C.kmeans_quantized(emb, k=_K, iters=_ITERS)
+    return C.cluster_prototypes(assigned, top=3)
+
+
+@register(
+    "semdedup_index_query",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_kmeans_ctes(fit_src="embeddings", assign_src="embeddings_aug")},
+    {_NX_AND_DROPPED}
+    SELECT af.vec_id, af.cluster AS cell,
+           (af.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept,
+           FALSE AS cell_truncated,
+           CAST(CASE WHEN af.vec_id < 150 THEN 0
+                     WHEN af.vec_id < 300 THEN 1
+                     ELSE 2 END AS INTEGER) AS batch
+    FROM af
+    """,
+)
+def q_semdedup_index(spark, sf_dir):
+    """Semantic dedup AT INGEST: frozen centroids fit on the base
+    embeddings table, then three id-ordered micro-batches (the planted
+    exact copies arrive LAST) flagged against everything indexed before
+    them. With witness="all" and id-ordered arrival the verdict log
+    equals the batch greedy on the union — which is exactly what the
+    twin states in SQL (fit_src=embeddings, assign_src=aug), making the
+    whole persisted-index lifecycle driver-certifiable."""
+    from bearly_spark.streaming import semdedup_index as SI
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+
+    def build(index_dir: str) -> None:
+        SI.build_semdedup_index(emb, index_dir, k=_K, iters=_ITERS)
+        SI.upsert_semdedup_batch(emb.filter(F.col("vec_id") < 150), 0, index_dir)
+        SI.upsert_semdedup_batch(
+            emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+            1,
+            index_dir,
+        )
+        SI.upsert_semdedup_batch(
+            emb.filter(F.col("vec_id") >= 300).unionByName(copies), 2, index_dir
+        )
+
+    d = _scratch_index(sf_dir, "semdedup-idx-v1", "embeddings", build)
+    return SI.semdedup_index_verdicts(spark, d).select(
+        "vec_id", "cell", "kept", "cell_truncated", F.col("batch").cast("int").alias("batch")
+    )

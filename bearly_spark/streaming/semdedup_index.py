@@ -1,0 +1,342 @@
+"""Semantic dedup AT INGEST: a persisted SemDeDup index.
+
+The streaming face of ``operators/clustering.py`` — the same contract
+shape as the minhash ``dedup_index`` (lexical near-dups at ingest) and
+the persisted IVF index (frozen model + cell-directory layout):
+
+- ``build_semdedup_index`` fits integer-grid k-means centroids on a
+  fit frame and FREEZES them (quantized int64 centroids on parquet) —
+  the cell geometry never moves after build, so ingest assignment is
+  deterministic forever;
+- ``upsert_semdedup_batch`` assigns one micro-batch to cells map-only,
+  probes ONLY the touched cell directories (``cell=`` is the first
+  partition level -> directory pruning) for near-duplicates among
+  previously-ingested members, flags the batch greedily (earlier
+  ingested < earlier-in-batch id), and appends the batch's vectors
+  under ``members/cell=<c>/batch=<id>`` plus its verdicts under
+  ``verdicts/batch=<id>`` — all dynamic-partition-overwrite, so an
+  at-least-once replay rewrites its own slice (idempotent);
+- ``compact_semdedup_index`` folds member batch dirs into a fresh base
+  (write -> atomic rename -> delete; crash leaves duplicates, never
+  loss — and the probe kernel is duplicate-tolerant: a duplicated
+  member id changes no verdict because identical vectors witness
+  identically).
+
+Exactness: members store the QUANTIZED grid vectors (array<long>), so
+the cosine threshold test at probe time is the operator family's exact
+rational comparison (den^2*dot^2 >= num^2*nx2*ny2 in python ints) —
+bit-identical across replays, compactions and engine versions.
+
+Witness policy: ``witness="all"`` (default) stores every ingested
+vector and lets dropped vectors witness later arrivals — with id-ordered
+ingestion this makes the stream verdicts EQUAL the batch
+``semdedup_flags`` under the same frozen centroids (pinned in
+tests/test_clustering_index.py). ``witness="kept"`` stores only kept
+representatives (the SemDeDup-paper variant: smaller index, but a
+chain a~b, b~c with a!~c keeps c because b's slot was vacated).
+
+100 TB shape: centroids are Theta(k*dim) and model-cached; a batch
+touches <= min(|batch|, k) cell dirs and reads nothing else; per-cell
+pair work is Sigma(touched cell^2) with the operator family's cap.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from bearly_spark.operators import clustering as C
+from bearly_spark.streaming.ivf_index import _model_cached
+
+#: Compacted base partition id; micro-batch ids are >= 0 so a base dir
+#: never collides with a replayed batch (same scheme as the siblings).
+BASE_BATCH_ID = -1
+
+
+def build_semdedup_index(
+    fit_df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Fit frozen centroids (seed = k lowest ids of ``fit_df``, then
+    ``iters`` integer Lloyd steps) and write them. The index starts
+    with NO members — the fit frame is model-only; ingest it as the
+    first micro-batch if its vectors should participate in dedup."""
+    cents = C.seed_centroids(fit_df, id_col, vec_col, k)
+    for _ in range(iters):
+        cents = C._refine_once(fit_df, cents, id_col, vec_col)
+    spark = fit_df.sparkSession
+    rows = [(i, list(map(int, cq))) for i, cq in enumerate(cents)]
+    (
+        spark.createDataFrame(rows, "cell int, cq array<long>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    return cents
+
+
+def read_frozen_centroids(spark: SparkSession, index_dir: str) -> list[list[int]]:
+    def load():
+        rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+        return [list(r.cq) for r in rows]
+
+    return _model_cached(index_dir, "centroids", load)
+
+
+def _read_members(
+    spark: SparkSession, index_dir: str, cells: list[int], exclude_batch: int | None
+) -> DataFrame | None:
+    """Members of the touched cells only — ``cell`` is the FIRST
+    partition level, so this filter prunes whole directories; a replay
+    additionally excludes its own batch dirs."""
+    path = f"{index_dir}/members"
+    if not os.path.isdir(path):
+        return None
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+    df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != int(exclude_batch))
+    return df
+
+
+def upsert_semdedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: tuple[int, int] = (19, 20),
+    witness: str = "all",
+    max_cell: int = C.MAX_SEMDEDUP_CELL,
+) -> None:
+    """Flag one micro-batch against everything ingested before it and
+    append it to the index. Idempotent under replay: reads exclude
+    ``batch=<batch_id>`` and both writes dynamic-overwrite their own
+    partitions, so running the same batch twice converges."""
+    num, den = tau
+    if not (0 < num <= den):
+        raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
+    if witness not in ("all", "kept"):
+        raise ValueError(f"witness must be 'all' or 'kept', got {witness!r}")
+    spark = batch_df.sparkSession
+    cents = read_frozen_centroids(spark, index_dir)
+
+    assigned = C.assign_clusters(
+        batch_df, cents, id_col, vec_col, emit_xq=True
+    ).select(id_col, F.col("cluster").alias("cell"), "xq")
+    assigned = assigned.localCheckpoint(eager=True)  # one kernel pass, reused 3x
+    if assigned.isEmpty():
+        return  # empty batch writes NOTHING (the sibling's wedge lesson)
+    touched = sorted(r.cell for r in assigned.select("cell").distinct().collect())
+
+    existing = _read_members(spark, index_dir, touched, exclude_batch=int(batch_id))
+    new_rows = assigned.withColumn("is_new", F.lit(True)).withColumn(
+        "kept", F.lit(True)
+    )
+    if existing is not None:
+        old_rows = existing.select(id_col, "cell", "xq", "kept").withColumn(
+            "is_new", F.lit(False)
+        )
+        pool = old_rows.unionByName(new_rows.select(*old_rows.columns))
+    else:
+        pool = new_rows.select(id_col, "cell", "xq", "kept", "is_new")
+
+    num2, den2 = num * num, den * den
+    use_kept_only = witness == "kept"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        old = pdf[~pdf["is_new"]]
+        # duplicate-tolerant under the compaction crash window
+        old = old.drop_duplicates(subset=[id_col])
+        new = (
+            pdf[pdf["is_new"]]
+            .drop_duplicates(subset=[id_col])
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        wit_old = old[old["kept"]] if use_kept_only else old
+        w_mat = (
+            np.array(wit_old["xq"].tolist(), dtype=np.int64)
+            if len(wit_old)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        w_n2 = (
+            np.einsum("nd,nd->n", w_mat, w_mat) if len(wit_old) else np.zeros(0, np.int64)
+        )
+        n_mat = np.array(new["xq"].tolist(), dtype=np.int64)
+        n_n2 = np.einsum("nd,nd->n", n_mat, n_mat)
+        kept = np.ones(len(new), dtype=bool)
+        work = min(len(new), max_cell)  # cap counts ALL comparisons made
+        for j in range(work):
+            x = n_mat[j]
+            nx2 = int(n_n2[j])
+            hit = False
+            if len(wit_old):
+                dots = w_mat @ x
+                fl = float(den2) * dots.astype(np.float64) ** 2
+                fr = float(num2) * (w_n2.astype(np.float64) * float(nx2))
+                for i in np.nonzero((dots > 0) & (fl >= fr * (1 - 1e-9)))[0]:
+                    d = int(dots[i])
+                    if d > 0 and den2 * d * d >= num2 * int(w_n2[i]) * nx2:
+                        hit = True
+                        break
+            if not hit and j > 0:
+                prior = n_mat[:j] if not use_kept_only else n_mat[:j][kept[:j]]
+                p_n2 = n_n2[:j] if not use_kept_only else n_n2[:j][kept[:j]]
+                if len(prior):
+                    dots = prior @ x
+                    fl = float(den2) * dots.astype(np.float64) ** 2
+                    fr = float(num2) * (p_n2.astype(np.float64) * float(nx2))
+                    for i in np.nonzero((dots > 0) & (fl >= fr * (1 - 1e-9)))[0]:
+                        d = int(dots[i])
+                        if d > 0 and den2 * d * d >= num2 * int(p_n2[i]) * nx2:
+                            hit = True
+                            break
+            kept[j] = not hit
+        return pd.DataFrame(
+            {
+                id_col: new[id_col].to_numpy(),
+                "cell": new["cell"].to_numpy(),
+                "xq": new["xq"],
+                "kept": kept,
+                "cell_truncated": np.full(len(new), len(new) > max_cell),
+            }
+        )
+
+    verdicts = pool.groupBy("cell").applyInPandas(
+        per_cell,
+        schema=f"{id_col} long, cell int, xq array<long>, kept boolean, cell_truncated boolean",
+    )
+    verdicts = verdicts.localCheckpoint(eager=True)  # two writers below
+
+    members = verdicts.select(id_col, "cell", "xq", "kept")
+    if use_kept_only:
+        members = members.filter(F.col("kept"))
+    (
+        members.repartition(len(touched), "cell")
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch")
+        .parquet(f"{index_dir}/members")
+    )
+    (
+        verdicts.select(id_col, "cell", "kept", "cell_truncated")
+        .coalesce(1)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{index_dir}/verdicts")
+    )
+
+
+def semdedup_index_verdicts(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All per-batch verdicts: (id, cell, kept, cell_truncated, batch)."""
+    return spark.read.parquet(f"{index_dir}/verdicts")
+
+
+def streaming_semdedup_index(
+    vecs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: tuple[int, int] = (19, 20),
+    witness: str = "all",
+    max_cell: int = C.MAX_SEMDEDUP_CELL,
+) -> StreamingQuery:
+    """Start the semantic-dedup-at-ingest stream (availableNow drains
+    the backlog and stops; swap the trigger in production). The index
+    must already be built (frozen centroids present)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_semdedup_batch(
+            batch_df, batch_id, index_dir, id_col, vec_col, tau, witness, max_cell
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_semdedup_index(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+) -> int:
+    """Fold every ``members/cell=*/batch=*`` dir into one new base
+    batch per cell; verdicts stay per-batch (they ARE the audit log).
+    write -> atomic rename -> delete, so a crash leaves duplicate
+    members, never loss — and the probe kernel dedups member ids, so
+    verdicts are unchanged through the crash window. Returns the number
+    of batch dirs folded."""
+    root = Path(index_dir) / "members"
+    if not root.is_dir():
+        return 0
+    cell_dirs = [d for d in root.iterdir() if d.is_dir() and d.name.startswith("cell=")]
+    batch_dirs = [
+        b
+        for c in cell_dirs
+        for b in c.iterdir()
+        if b.is_dir() and b.name.startswith("batch=")
+    ]
+    if len(batch_dirs) <= len(cell_dirs):
+        return 0
+    batch_ids = [int(b.name.split("=", 1)[1]) for b in batch_dirs]
+    new_base = min(BASE_BATCH_ID, min(batch_ids) - 1)
+
+    snap = (
+        spark.read.parquet(str(root))
+        .drop("batch")
+        .dropDuplicates(["cell", id_col])
+        .localCheckpoint(eager=True)  # sever lineage from dirs deleted below
+    )
+    n_cells = max(len(cell_dirs), 1)
+    _ROWS_PER_FILE = 4_000_000
+    n_files = max(n_cells, math.ceil(snap.count() / _ROWS_PER_FILE))
+    shaped = (
+        snap.repartition(n_cells, "cell")
+        if n_files <= n_cells
+        else snap.repartitionByRange(n_files, "cell", id_col)
+    )
+    tmp = Path(index_dir) / ".compacting-members"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        shaped.withColumn("batch", F.lit(int(new_base)))
+        .write.mode("overwrite")
+        .partitionBy("cell", "batch")
+        .parquet(str(tmp))
+    )
+    # atomic per-cell renames: move each cell's new base dir into place
+    for c in [d for d in tmp.iterdir() if d.is_dir() and d.name.startswith("cell=")]:
+        dest_cell = root / c.name
+        dest_cell.mkdir(parents=True, exist_ok=True)
+        src = c / f"batch={new_base}"
+        if src.is_dir():
+            os.rename(src, dest_cell / f"batch={new_base}")
+    shutil.rmtree(tmp)
+    for b in batch_dirs:
+        shutil.rmtree(b)
+    return len(batch_dirs)

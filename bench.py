@@ -101,6 +101,17 @@ HEADLINE = [
     # round 9: the real decode stage — planted WAV bytes through the
     # pure-Python PCM decoder (the audio face of the multimodal family)
     "multimodal_wav_decode_features",
+    # round 10: the semantic-clustering family — integer-grid Lloyd
+    # k-means (2 iterations: 2 kernel passes + Theta(k*dim) reductions)
+    # and SemDeDup per-cell drops (k-means-blocked pair stage). A
+    # regression here means the assignment kernels or the partial-sum
+    # reduction stopped being one-pass.
+    "kmeans_clusters_embeddings",
+    "semdedup_embeddings",
+    # round 10: the persisted semantic index — verdict-log read over the
+    # .scratch-cached build (first pass pays build+3 ingests, like the
+    # other index entries)
+    "semdedup_index_query",
     "embedding_ann_pq",
     # round 6: the composed index — dir-pruned codes scan + id-pruned
     # raw-vector rerank (index built once under .scratch, reused)

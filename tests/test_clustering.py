@@ -1,0 +1,258 @@
+"""Planted-fixture tests for the k-means / SemDeDup / prototypes family.
+
+The registry twins (tests/test_oracle_gate.py) pin cross-engine
+exactness on real fixture data; these tests pin the SEMANTICS on
+hand-computable frames: assignment ties, floor-division centroid means
+on negative sums (the trunc-vs-floor trap that bit the first twin
+draft), empty-cluster carry-over, the greedy min-id drop rule, the
+exact rational-threshold boundary, and prototype tie-breaks.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bearly_spark.operators import clustering as C
+
+Q = C.QUANT_SCALE
+
+
+def _emb(spark, rows):
+    """rows: list[(id, list[float])] -> DataFrame(vec_id, embedding).
+
+    Coordinates are given in QUANT UNITS (i / 2^20) so the quantized
+    grid values equal the integers passed in — every expectation below
+    is exact by construction.
+    """
+    data = [(i, [float(x) / Q for x in v]) for i, v in rows]
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_assignment_argmin_and_tie_to_lowest_cluster(spark):
+    # seeds are ids 0,1 -> centroids (0,0) and (10,0); id 2 sits exactly
+    # between them (dist 25 both) -> tie must go to cluster 0
+    df = _emb(spark, [(0, [0, 0]), (1, [10, 0]), (2, [5, 0]), (3, [9, 1])])
+    cents = C.seed_centroids(df, k=2)
+    assert cents == [[0, 0], [10, 0]]
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in C.assign_clusters(df, cents).collect()
+    }
+    assert got[2] == (0, 25)  # tie -> lowest cluster id
+    assert got[3] == (1, 2)
+    assert got[0] == (0, 0) and got[1] == (1, 0)
+
+
+def test_refine_means_floor_divide_negative_sums(spark):
+    # one cluster, members summing to a NEGATIVE non-multiple: mean of
+    # {-5, -2} = -3.5 -> floor = -4 (truncation would give -3; the
+    # DuckDB twin's explicit mod-subtract form exists for exactly this)
+    df = _emb(spark, [(0, [-5, 3]), (1, [-2, 4])])
+    new = C._refine_once(df, [[-5, 3]], "vec_id", "embedding")
+    assert new == [[-4, 3]]  # floor(-7/2) = -4, floor(7/2) = 3
+
+
+def test_refine_empty_cluster_keeps_previous_centroid(spark):
+    # duplicate seeds: cluster 1 can never win an argmin tie, so it
+    # gets no members and must keep its old centroid verbatim
+    df = _emb(spark, [(0, [4, 0]), (1, [4, 0]), (2, [8, 0])])
+    cents = [[4, 0], [4, 0]]
+    new = C._refine_once(df, cents, "vec_id", "embedding")
+    assert new[1] == [4, 0]
+    assert new[0] == [(4 + 4 + 8) // 3, 0]
+
+
+def test_kmeans_profile_exact_counts_and_inertia(spark):
+    # two tight blobs around (0,0) and (100,0); k=2, 1 iter converges
+    df = _emb(
+        spark,
+        [(0, [0, 0]), (1, [2, 0]), (2, [100, 0]), (3, [102, 0]), (4, [98, 0])],
+    )
+    prof = C.kmeans_cluster_profile(df, k=2, iters=1).collect()
+    by = {r.cluster: r for r in prof}
+    # seeds (0,0)/(2,0): blob {2,100,102,98} -> cluster 1, mean 302/4 ->
+    # floor 75; final assignment under ((0,0),(75,0)): {0,1} -> c0 with
+    # dists 0+4, {100,102,98} -> c1 with dists 625+729+529
+    assert by[0].n_vecs == 2 and int(by[0].inertia) == 0 + 4
+    assert by[1].n_vecs == 3 and int(by[1].inertia) == 625 + 729 + 529
+
+
+def test_semdedup_greedy_min_id_drop_chain(spark):
+    # a(10) and b(11) identical, c(12) identical: 11 and 12 both have a
+    # lower-id near-dup -> dropped; 10 survives. d(13) orthogonal, kept.
+    df = _emb(
+        spark,
+        [(10, [7, 0]), (11, [7, 0]), (12, [7, 0]), (13, [0, 9])],
+    )
+    flags = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, k=2, iters=0, tau=(19, 20)).collect()
+    }
+    assert flags == {10: True, 11: False, 12: False, 13: True}
+
+
+def test_semdedup_exact_rational_threshold_boundary(spark):
+    # x=(19,0), y=(19,b) with |y|=20 is impossible on the int grid, but
+    # cos((3,4),(4,3)) = 24/25 = 0.96: >= 19/20 -> drop; cos((3,4),(4,-3))
+    # = 0 -> keep. Same cell is forced with k=1.
+    df = _emb(spark, [(0, [3, 4]), (1, [4, 3]), (2, [4, -3])])
+    flags = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, k=1, iters=0, tau=(19, 20)).collect()
+    }
+    assert flags == {0: True, 1: False, 2: True}
+    # exactly AT the threshold (>= is inclusive): cos = 24/25 with
+    # tau = 24/25 must still drop
+    flags = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, k=1, iters=0, tau=(24, 25)).collect()
+    }
+    assert flags[1] is False
+    # one notch above (cos < tau): kept
+    flags = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, k=1, iters=0, tau=(97, 100)).collect()
+    }
+    assert flags[1] is True
+
+
+def test_semdedup_cell_cap_truncates_and_reports(spark):
+    # cap=2: only the 2 lowest ids are compared; the third identical
+    # vector escapes the drop but the whole cell is flagged truncated
+    df = _emb(spark, [(0, [7, 0]), (1, [7, 0]), (2, [7, 0])])
+    rows = C.semdedup_flags(df, k=1, iters=0, tau=(19, 20), max_cell=2).collect()
+    by = {r.vec_id: r for r in rows}
+    assert by[1].kept is False  # within the capped window
+    assert by[2].kept is True  # escaped: outside the window
+    assert all(r.cell_truncated for r in rows)
+
+
+def test_semdedup_rejects_bad_tau(spark):
+    df = _emb(spark, [(0, [1, 0])])
+    with pytest.raises(ValueError):
+        C.semdedup_flags(df, tau=(0, 5))
+    with pytest.raises(ValueError):
+        C.semdedup_flags(df, tau=(6, 5))
+
+
+def test_prototypes_rounds_match_rank_window(spark):
+    # 6 points, 2 clusters; includes a dist tie inside cluster 0 (ids
+    # 1 and 4 both at dist 1) -> tie breaks to the lower id at rn=2
+    df = _emb(
+        spark,
+        [(0, [0, 0]), (1, [1, 0]), (4, [0, 1]), (5, [3, 0]),
+         (2, [100, 0]), (3, [101, 0])],
+    )
+    assigned = C.assign_clusters(df, [[0, 0], [100, 0]])
+    got = sorted(
+        (r.cluster, r.rn, r.vec_id, r.dist)
+        for r in C.cluster_prototypes(assigned, top=3).collect()
+    )
+    assert got == [
+        (0, 1, 0, 0), (0, 2, 1, 1), (0, 3, 4, 1),
+        (1, 1, 2, 0), (1, 2, 3, 1),
+    ]
+
+
+def test_kernel_and_column_quantization_agree(spark, sf_dir):
+    """The numpy kernel grid and the Column-expression grid must be the
+    same grid — both are floor(float64(v) * 2^20) — on real fixture
+    vectors, not just planted dyadic ones."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    col = {
+        r.vec_id: list(r.xq)
+        for r in emb.select("vec_id", C.quantized_vec(F.col("embedding")).alias("xq")).collect()
+    }
+    import numpy as np
+
+    for r in emb.collect():
+        np_q = C._quantize_np(np.array([r.embedding], dtype=np.float64))[0]
+        assert list(np_q) == col[r.vec_id]
+
+
+# ------------------------------------------------------------------ property
+# hypothesis: the distributed pipeline against O(n^2)/O(nk) python-int
+# references on arbitrary small integer-grid frames (each example runs
+# real Spark jobs, so example counts are deliberately small).
+
+from fractions import Fraction  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_vecs = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _ref_assign(vecs, cents):
+    out = {}
+    for i, v in vecs:
+        dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        d = min(dists)
+        out[i] = (dists.index(d), d)  # first minimal index = lowest cluster
+    return out
+
+
+def _ref_refine(vecs, cents, assign):
+    sums = {}
+    for i, v in vecs:
+        c = assign[i][0]
+        s, n = sums.get(c, ([0] * len(v), 0))
+        sums[c] = ([a + b for a, b in zip(s, v)], n + 1)
+    return [
+        [s // sums[c][1] for s in sums[c][0]] if c in sums else list(cents[c])
+        for c in range(len(cents))
+    ]
+
+
+@given(raw=_vecs, k=st.integers(1, 3), iters=st.integers(0, 2))
+@settings(**_SETTINGS)
+def test_kmeans_matches_python_int_reference(spark, raw, k, iters):
+    vecs = [(i, list(v)) for i, v in enumerate(raw)]
+    if len(vecs) < k:
+        return
+    df = _emb(spark, vecs)
+    assigned, cents = C.kmeans_quantized(df, k=k, iters=iters)
+    ref_c = [list(v) for _, v in sorted(vecs)[:k]]
+    for _ in range(iters):
+        ref_c = _ref_refine(vecs, ref_c, _ref_assign(vecs, ref_c))
+    assert cents == ref_c
+    ref_a = _ref_assign(vecs, ref_c)
+    got = {r.vec_id: (r.cluster, r.dist) for r in assigned.collect()}
+    assert got == ref_a
+
+
+@given(raw=_vecs, num=st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_semdedup_matches_fraction_reference(spark, raw, num):
+    """Greedy drop flags vs an exact-Fraction cosine^2 reference (k=1:
+    one cell, so the reference is the plain lower-id scan)."""
+    tau = (num, 20)
+    vecs = [(i, list(v)) for i, v in enumerate(raw) if v != (0, 0)]
+    if len(vecs) < 2:
+        return
+    df = _emb(spark, vecs)
+    got = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, k=1, iters=0, tau=tau).collect()
+    }
+    t2 = Fraction(num * num, 400)
+    want = {}
+    for j, (jd, jv) in enumerate(vecs):
+        dropped = False
+        for (idn, iv) in vecs[:j]:
+            dot = sum(a * b for a, b in zip(iv, jv))
+            if dot > 0 and Fraction(dot * dot, 1) >= t2 * sum(a * a for a in iv) * sum(
+                a * a for a in jv
+            ):
+                dropped = True
+                break
+        want[jd] = not dropped
+    assert got == want
