@@ -86,14 +86,17 @@ def _vec_matrix(series: pd.Series) -> np.ndarray:
 def _assign_batch(xq: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(cluster, dist) per row: argmin_j ||xq - cent_j||^2, int64-exact.
 
-    np.argmin returns the FIRST minimal index, i.e. ties break toward
-    the lowest cluster id — the same order the SQL twin's
-    ``MIN(ROW(dist, cluster))`` induces.
+    Expansion form ||x||^2 + ||c||^2 - 2<x,c>: the big temp is the
+    (n, k) distance matrix, NOT an (n, k, dim) broadcast cube — at
+    Arrow batch sizes this keeps memory flat even for thousands of
+    cells. All terms are int64 (|<x,c>| <= dim * (2^20)^2 ~ 7e13), so
+    the distances are exact; np.argmin returns the FIRST minimal index,
+    i.e. ties break toward the lowest cluster id — the same order the
+    SQL twin's ``MIN(ROW(dist, cluster))`` induces.
     """
-    # (n, k, dim) broadcast subtract; batches are Arrow-sized (~10k rows)
-    # so the temp stays tens of MB.
-    diff = xq[:, None, :] - cent[None, :, :]
-    dists = np.einsum("nkd,nkd->nk", diff, diff)
+    nx2 = np.einsum("nd,nd->n", xq, xq)
+    c2 = np.einsum("kd,kd->k", cent, cent)
+    dists = nx2[:, None] + c2[None, :] - 2 * (xq @ cent.T)
     idx = dists.argmin(axis=1)
     return idx.astype(np.int32), dists[np.arange(len(idx)), idx]
 
@@ -312,22 +315,33 @@ def semdedup_flags(
         n = len(work)
         kept = np.ones(len(pdf), dtype=bool)
         if n > 1:
-            gram = xq @ xq.T  # int64-exact: |dot| <= dim * (2^20)^2 ~ 7e13
             nx2 = np.einsum("nd,nd->n", xq, xq)
-            # float64 screen with an exact python-int confirmation band:
-            # lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer range, so
-            # near-boundary pairs re-check in arbitrary precision.
-            fl = float(den2) * gram.astype(np.float64) ** 2
-            fr = float(num2) * np.outer(nx2, nx2).astype(np.float64)
-            for j in range(1, n):
-                row_l = fl[j, :j]
-                row_r = fr[j, :j]
-                cand = np.nonzero((gram[j, :j] > 0) & (row_l >= row_r * (1 - 1e-9)))[0]
-                for i in cand:
-                    d = int(gram[j, i])
-                    if d > 0 and _exact_ge(den2 * d, d, num2 * int(nx2[i]) * int(nx2[j])):
-                        kept[j] = False
-                        break
+            # BLOCKWISE gram: a (block x n) strip, never the full cell^2
+            # matrix — memory stays O(block * cell) at any cell size
+            # (the full gram at the 100k cap would be 80 GB). Compute is
+            # still Sigma(cell^2), the algorithm's honest cost; the cap
+            # + a bigger k bound it, not this loop.
+            _BLOCK = 1024
+            for lo in range(1, n, _BLOCK):
+                hi = min(lo + _BLOCK, n)
+                gram = xq[lo:hi] @ xq[:hi].T  # int64-exact, |dot| <= ~7e13
+                # float64 screen with an exact python-int confirmation
+                # band: lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer
+                # range, so near-boundary pairs re-check exactly.
+                fl = float(den2) * gram.astype(np.float64) ** 2
+                fr = float(num2) * np.outer(nx2[lo:hi], nx2[:hi]).astype(np.float64)
+                for j in range(lo, hi):
+                    b = j - lo
+                    cand = np.nonzero(
+                        (gram[b, :j] > 0) & (fl[b, :j] >= fr[b, :j] * (1 - 1e-9))
+                    )[0]
+                    for i in cand:
+                        d = int(gram[b, i])
+                        if d > 0 and _exact_ge(
+                            den2 * d, d, num2 * int(nx2[i]) * int(nx2[j])
+                        ):
+                            kept[j] = False
+                            break
         out = pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy(),
