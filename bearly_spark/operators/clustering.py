@@ -64,6 +64,19 @@ QUANT_SCALE = 1 << 20
 #: bigger k (cells ~ N/k), not a bigger cap.
 MAX_SEMDEDUP_CELL = 100_000
 
+#: Auto-sized k targets cells of about this many vectors: the pair
+#: stage is Sigma(cell^2), so pinning the EXPECTED cell size makes it
+#: ~linear in corpus size (TARGET^2 * N/TARGET work). The 64x probe
+#: (PLANS.md round-10 clustering section) measured the k=8 operating
+#: point at 73.6x wall for 64x data; auto-k restored ~linear scaling.
+SEMDEDUP_TARGET_CELL = 2048
+
+#: Auto-k ceiling: seed collection is a k-row TakeOrdered and each
+#: Lloyd reduction collects k*dim rows — both Theta(k*dim) driver-side,
+#: fine to ~4096 cells (~16 MB at dim 1024). Corpora wanting more cells
+#: should fit on a sample like the IVF index (similarity._kmeans_fit).
+SEMDEDUP_MAX_AUTO_K = 4096
+
 
 def quantized_vec(vec: Column, scale: int = QUANT_SCALE) -> Column:
     """``floor(float64(v) * scale)`` per coordinate, as array<long>.
@@ -267,7 +280,7 @@ def semdedup_flags(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     tau: tuple[int, int] = (19, 20),
     max_cell: int = MAX_SEMDEDUP_CELL,
@@ -282,7 +295,14 @@ def semdedup_flags(
     quantized grid — no sqrt). Keeps exactly the greedy min-id
     representative per near-dup neighborhood, the standard SemDeDup
     policy. Cross-cell near-dups are NOT compared — that recall loss is
-    the algorithm's documented trade (Abbas et al. 2023 §3).
+    the algorithm's documented trade (Abbas et al. 2023 §3), and it
+    grows with k: auto-k (below) buys linear pair work at the price of
+    more cell boundaries.
+
+    ``k=None`` (default) auto-sizes cells to ~SEMDEDUP_TARGET_CELL
+    vectors so the Sigma(cell^2) pair stage stays ~linear in corpus
+    size; pass an explicit ``k`` (the registry twins pin k=8) or
+    ``centroids`` to fix the geometry.
 
     Scale: pair work is Sigma(cell^2) via ``applyInPandas`` per cell;
     cells past ``max_cell`` only compare their ``max_cell`` lowest ids
@@ -297,6 +317,15 @@ def semdedup_flags(
         # stream-equals-batch reference path): skip the fit entirely
         cents = centroids
     else:
+        if k is None:
+            # auto-size k so expected cells stay ~TARGET_CELL: the pair
+            # stage is Sigma(cell^2), so a pinned cell size makes it
+            # ~linear in N. One approx_count_distinct sketch pass, the
+            # same auto-sizing contract as the IVF/banding families.
+            n = df.agg(F.approx_count_distinct(id_col)).collect()[0][0]
+            k = min(
+                max(8, -(-int(n) // SEMDEDUP_TARGET_CELL)), SEMDEDUP_MAX_AUTO_K
+            )
         cents = seed_centroids(df, id_col, vec_col, k)
         for _ in range(iters):
             cents = _refine_once(df, cents, id_col, vec_col)
