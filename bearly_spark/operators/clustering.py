@@ -286,6 +286,7 @@ def semdedup_flags(
     max_cell: int = MAX_SEMDEDUP_CELL,
     observation: Observation | None = None,
     centroids: list[list[int]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup: flag semantic near-duplicates inside k-means cells.
 
@@ -303,6 +304,16 @@ def semdedup_flags(
     vectors so the Sigma(cell^2) pair stage stays ~linear in corpus
     size; pass an explicit ``k`` (the registry twins pin k=8) or
     ``centroids`` to fix the geometry.
+
+    ``n_probe > 1`` repairs cell-boundary recall the IVF way: each
+    vector is STORED under its primary (nearest) cell but COMPARED
+    against lower-id primary members of its ``n_probe`` nearest cells
+    (ranked by exact integer distance, ties -> lower cell). n_probe=1
+    is exactly the classic per-cell rule; the pair stage cost scales
+    ~n_probe-fold. Note the n_probe>1 drop rule is witness="all" and
+    NOT order-chained (a vector is dropped iff ANY lower-id near
+    neighbor is reachable through its probes) — identical to n_probe=1
+    semantics, which also never conditions on the witness's own flag.
 
     Scale: pair work is Sigma(cell^2) via ``applyInPandas`` per cell;
     cells past ``max_cell`` only compare their ``max_cell`` lowest ids
@@ -329,12 +340,16 @@ def semdedup_flags(
         cents = seed_centroids(df, id_col, vec_col, k)
         for _ in range(iters):
             cents = _refine_once(df, cents, id_col, vec_col)
-    # keep_vec: the final assignment carries the vector, so the only
-    # corpus shuffle is the groupBy(cluster) feeding the per-cell stage
-    vecs = assign_clusters(df, cents, id_col, vec_col, keep_vec=True)
 
     num2 = num * num
     den2 = den * den
+    if n_probe > 1:
+        return _semdedup_multiprobe(
+            df, cents, id_col, vec_col, num2, den2, max_cell, n_probe, observation
+        )
+    # keep_vec: the final assignment carries the vector, so the only
+    # corpus shuffle is the groupBy(cluster) feeding the per-cell stage
+    vecs = assign_clusters(df, cents, id_col, vec_col, keep_vec=True)
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
@@ -384,6 +399,117 @@ def semdedup_flags(
     out = vecs.groupBy("cluster").applyInPandas(
         per_cell,
         schema=f"{id_col} long, cluster int, kept boolean, cell_truncated boolean",
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count_if(F.col("cell_truncated")).alias("semdedup_truncated_rows"),
+        )
+    return out
+
+
+def _semdedup_multiprobe(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str,
+    vec_col: str,
+    num2: int,
+    den2: int,
+    max_cell: int,
+    n_probe: int,
+    observation: Observation | None,
+) -> DataFrame:
+    """n_probe>1 pair stage: every vector joins the groups of its
+    ``n_probe`` nearest cells; inside each group it is tested against
+    the LOWER-id vectors whose PRIMARY cell is that group. One explode
+    (xn_probe rows) + one groupBy shuffle + a final min-reduce per id —
+    pair work scales ~n_probe-fold, memory stays blockwise."""
+    cent = np.asarray(cents, dtype=np.int64)
+    p = min(n_probe, len(cent))
+
+    def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            xq = _quantize_np(_vec_matrix(b[vec_col]))
+            nx2 = np.einsum("nd,nd->n", xq, xq)
+            c2 = np.einsum("kd,kd->k", cent, cent)
+            dists = nx2[:, None] + c2[None, :] - 2 * (xq @ cent.T)
+            # stable argsort: ties -> lower cell id, same as the
+            # (dist, cell) ranking the SQL twin states
+            order = np.argsort(dists, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "cluster": order[:, 0].astype(np.int32),
+                    "probes": [row.astype(np.int32) for row in order],
+                    vec_col: b[vec_col],
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_kernel,
+        schema=f"{id_col} long, cluster int, probes array<int>, {vec_col} array<float>",
+    )
+    exploded = assigned.select(
+        id_col,
+        "cluster",
+        vec_col,
+        F.explode("probes").alias("pcell"),
+    ).withColumn("is_home", F.col("pcell") == F.col("cluster"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        home = pdf[pdf["is_home"]]
+        truncated = len(home) > max_cell
+        wit = home.iloc[:max_cell]
+        wid = wit[id_col].to_numpy()
+        w = _quantize_np(_vec_matrix(wit[vec_col])) if len(wit) else None
+        wn2 = np.einsum("nd,nd->n", w, w) if w is not None else None
+        ids = pdf[id_col].to_numpy()
+        kept = np.ones(len(pdf), dtype=bool)
+        if w is not None and len(pdf):
+            xq = _quantize_np(_vec_matrix(pdf[vec_col]))
+            nx2 = np.einsum("nd,nd->n", xq, xq)
+            _BLOCK = 1024
+            for lo in range(0, len(pdf), _BLOCK):
+                hi = min(lo + _BLOCK, len(pdf))
+                gram = xq[lo:hi] @ w.T
+                fl = float(den2) * gram.astype(np.float64) ** 2
+                fr = float(num2) * np.outer(nx2[lo:hi], wn2).astype(np.float64)
+                for j in range(lo, hi):
+                    b = j - lo
+                    lim = np.searchsorted(wid, ids[j])  # witnesses: id < mine
+                    if lim == 0:
+                        continue
+                    cand = np.nonzero(
+                        (gram[b, :lim] > 0)
+                        & (fl[b, :lim] >= fr[b, :lim] * (1 - 1e-9))
+                    )[0]
+                    for i in cand:
+                        d = int(gram[b, i])
+                        if d > 0 and _exact_ge(
+                            den2 * d, d, num2 * int(wn2[i]) * int(nx2[j])
+                        ):
+                            kept[j] = False
+                            break
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "kept": kept,
+                "cell_truncated": np.full(len(pdf), truncated),
+            }
+        )
+
+    per = exploded.groupBy("pcell").applyInPandas(
+        per_group,
+        schema=f"{id_col} long, cluster int, kept boolean, cell_truncated boolean",
+    )
+    out = per.groupBy(id_col).agg(
+        F.max("cluster").alias("cluster"),  # constant within an id
+        F.min("kept").alias("kept"),  # dropped if ANY probed group hit
+        F.max("cell_truncated").alias("cell_truncated"),
     )
     if observation is not None:
         out = out.observe(

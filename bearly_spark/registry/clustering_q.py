@@ -256,6 +256,84 @@ def q_prototypes(spark, sf_dir):
     return C.cluster_prototypes(assigned, top=3)
 
 
+#: Multiprobe plant: HALF-SCALED copies (cosine exactly 1 with their
+#: original, but a different L2 position) — the one transformation that
+#: creates near-dups which can legitimately land in a DIFFERENT k-means
+#: cell, so the probe ranking is load-bearing in the output (at sf0.01
+#: one of 40 halved copies is catchable only through its second probe).
+#: 0.5x on IEEE doubles is exact in both engines.
+_HALF_AUG = """
+    embeddings_aug2 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS embedding
+      FROM embeddings WHERE vec_id < 40
+    )"""
+
+
+@register(
+    "semdedup_multiprobe_embeddings",
+    oracle=f"""
+    WITH {_HALF_AUG},
+    {_kmeans_ctes(fit_src="embeddings_aug2", assign_src="embeddings_aug2")},
+    nx AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(xq, x -> x*x)) AS BIGINT) AS nx2
+      FROM q
+    ),
+    pd AS (
+      SELECT q.vec_id, c.cluster,
+             CAST(list_sum(list_transform(list_zip(q.xq, c.cq),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+      FROM q, c{_ITERS} c
+    ),
+    pr AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+      FROM pd
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM pr pb
+      JOIN af b ON b.vec_id = pb.vec_id
+      JOIN af a ON a.cluster = pb.cluster AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id
+      JOIN nx na ON na.vec_id = a.vec_id
+      JOIN nx nb ON nb.vec_id = b.vec_id
+      WHERE pb.rn <= 2
+        AND CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) > 0
+        AND 400 * CAST(CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) AS HUGEINT)
+              * CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT)
+            >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
+    )
+    SELECT af.vec_id, af.cluster,
+           (af.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept,
+           FALSE AS cell_truncated
+    FROM af
+    """,
+)
+def q_semdedup_multiprobe(spark, sf_dir):
+    """Cross-cell recall repair: SemDeDup at n_probe=2 — each vector is
+    tested against the primary members of its TWO nearest cells. The
+    half-scaled plants make the probe ranking observable in the output
+    (a copy in a foreign cell is only caught through its second probe)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    halved = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(0.5)).alias("embedding"),
+    )
+    aug = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(halved)
+    cents = _fitted_centroids(aug, sf_dir, "aug-half")
+    return C.semdedup_flags(aug, tau=(19, 20), centroids=cents, n_probe=2)
+
+
 @register(
     "semdedup_index_query",
     oracle=f"""

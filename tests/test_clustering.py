@@ -256,3 +256,42 @@ def test_semdedup_matches_fraction_reference(spark, raw, num):
                 break
         want[jd] = not dropped
     assert got == want
+
+
+def test_multiprobe_catches_cross_cell_pair(spark):
+    """u1/u2 sit just either side of the boundary between axis cells
+    with cos ~0.9993: invisible to the classic per-cell rule, caught at
+    n_probe=2 through u2's second probe."""
+    df = _emb(
+        spark,
+        [(0, [1000, 0]), (1, [0, 1000]), (2, [720, 694]), (3, [694, 720])],
+    )
+    cents = [[1000, 0], [0, 1000]]
+    f1 = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, centroids=cents, tau=(19, 20), n_probe=1).collect()
+    }
+    f2 = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in C.semdedup_flags(df, centroids=cents, tau=(19, 20), n_probe=2).collect()
+    }
+    assert f1 == {0: True, 1: True, 2: True, 3: True}  # blind across cells
+    # probe repair: 3 (~2, lower id, foreign cell) drops; its PRIMARY
+    # cell label is still its nearest cell (1)
+    assert f2 == {0: (0, True), 1: (1, True), 2: (0, True), 3: (1, False)}
+
+
+def test_multiprobe_clamps_to_k_and_matches_classic(spark):
+    """k=1: n_probe clamps to the cell count, and the multiprobe code
+    path must reproduce the classic flags exactly (same witnesses)."""
+    df = _emb(spark, [(10, [7, 0]), (11, [7, 0]), (12, [7, 0]), (13, [0, 9])])
+    cents = [[7, 0]]
+    classic = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, centroids=cents, tau=(19, 20), n_probe=1).collect()
+    }
+    multi = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(df, centroids=cents, tau=(19, 20), n_probe=5).collect()
+    }
+    assert multi == classic == {10: True, 11: False, 12: False, 13: True}
