@@ -256,6 +256,66 @@ def q_prototypes(spark, sf_dir):
     return C.cluster_prototypes(assigned, top=3)
 
 
+@register(
+    "d4_prune_embeddings",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_kmeans_ctes(fit_src="embeddings_aug", assign_src="embeddings_aug")},
+    {_NX_AND_DROPPED},
+    ranked AS (
+      SELECT af.vec_id, af.cluster,
+             ROW_NUMBER() OVER (PARTITION BY af.cluster
+                  ORDER BY af.d, af.vec_id) AS rn
+      FROM af
+      WHERE af.vec_id NOT IN (SELECT vec_id FROM dropped)
+    )
+    SELECT af.vec_id, af.cluster,
+           CASE WHEN af.vec_id IN (SELECT vec_id FROM dropped)
+                  THEN 'dup_dropped'
+                WHEN af.vec_id IN (SELECT vec_id FROM ranked WHERE rn <= 2)
+                  THEN 'proto_pruned'
+                ELSE 'kept' END AS action
+    FROM af
+    """,
+)
+def q_d4_prune(spark, sf_dir):
+    """The full D4 pipeline (Tirumala et al. 2023): SemDeDup inside
+    k-means cells, then prune the m most-PROTOTYPICAL survivors per
+    cell (densest-region points contribute least marginal information).
+    Three-way verdict per vector: dup_dropped / proto_pruned / kept.
+    Spark side composes the shipped operators — flags, then the
+    min-extraction prototype rounds restricted to survivors — so the
+    composition itself is what the twin certifies."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    )
+    cents = _fitted_centroids(aug, sf_dir, "aug")
+    flags = C.semdedup_flags(aug, tau=(19, 20), centroids=cents)
+    assigned = C.assign_clusters(aug, cents)
+    kept_assigned = assigned.join(
+        flags.filter(F.col("kept")).select("vec_id"), "vec_id"
+    )
+    protos = C.cluster_prototypes(kept_assigned, top=2).select(
+        "vec_id", F.lit(True).alias("is_proto")
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(flags.select("vec_id", "kept"), "vec_id")
+        .join(F.broadcast(protos), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(~F.col("kept"), F.lit("dup_dropped"))
+            .when(F.col("is_proto"), F.lit("proto_pruned"))
+            .otherwise(F.lit("kept"))
+            .alias("action"),
+        )
+    )
+
+
 #: Multiprobe plant: HALF-SCALED copies (cosine exactly 1 with their
 #: original, but a different L2 position) — the one transformation that
 #: creates near-dups which can legitimately land in a DIFFERENT k-means
