@@ -164,6 +164,11 @@ def assign_clusters(
             if len(b) == 0:
                 continue
             xq = _quantize_np(_vec_matrix(b[vec_col]))
+            if xq.shape[1] != cent.shape[1]:
+                raise ValueError(
+                    f"vector dim {xq.shape[1]} != centroid dim {cent.shape[1]} "
+                    "(did the embedding column change after the fit/build?)"
+                )
             idx, d = _assign_batch(xq, cent)
             out = {id_col: b[id_col].to_numpy(), "cluster": idx, "dist": d}
             if keep_vec:

@@ -90,6 +90,12 @@ def build_semdedup_index(
 
 
 def read_frozen_centroids(spark: SparkSession, index_dir: str) -> list[list[int]]:
+    if not os.path.isdir(f"{index_dir}/centroids"):
+        raise ValueError(
+            f"no semdedup index at {index_dir!r}: run build_semdedup_index first "
+            "(the cell geometry must be frozen before any batch is ingested)"
+        )
+
     def load():
         rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
         return [list(r.cq) for r in rows]

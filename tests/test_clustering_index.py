@@ -189,3 +189,18 @@ def test_streaming_wrapper_drains_and_verdicts_once(spark, sf_dir, tmp_path):
     assert SI.semdedup_index_verdicts(spark, idx).count() == 100
     for d in (idx, ckpt, src):
         shutil.rmtree(d)
+
+
+def test_unbuilt_index_raises_clearly(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="build_semdedup_index first"):
+        SI.upsert_semdedup_batch(_emb(spark, [(1, A)]), 0, _scratch(tmp_path, "missing"))
+
+
+def test_dim_mismatch_raises_clearly(spark):
+    import pytest
+
+    df = _emb(spark, [(0, [1, 2, 3])])  # 3-dim vectors vs 2-dim centroids
+    with pytest.raises(Exception, match="centroid dim"):
+        C.assign_clusters(df, [[1, 2]]).collect()
