@@ -320,6 +320,15 @@ def semdedup_flags(
     neighbor is reachable through its probes) — identical to n_probe=1
     semantics, which also never conditions on the witness's own flag.
 
+    Memory contract: ``applyInPandas`` materializes each CELL in one
+    task, so ``max_cell`` bounds comparisons, not group memory — the
+    cell GEOMETRY bounds memory. auto-k keeps expected cells at
+    ~TARGET_CELL; a skew-degenerate corpus (everything in one cell
+    because everything IS one near-dup ball) still concentrates in one
+    task, the same contract as every capped-bucket family here
+    (``dedup._capped_buckets``) — the Observation reports it rather
+    than hiding it.
+
     Scale: pair work is Sigma(cell^2) via ``applyInPandas`` per cell;
     cells past ``max_cell`` only compare their ``max_cell`` lowest ids
     (drops counted in ``observation`` as ``semdedup_truncated_cells``
