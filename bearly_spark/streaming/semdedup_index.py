@@ -192,32 +192,53 @@ def upsert_semdedup_batch(
         n_n2 = np.einsum("nd,nd->n", n_mat, n_mat)
         kept = np.ones(len(new), dtype=bool)
         work = min(len(new), max_cell)  # cap counts ALL comparisons made
-        for j in range(work):
-            x = n_mat[j]
-            nx2 = int(n_n2[j])
-            hit = False
-            if len(wit_old):
-                dots = w_mat @ x
-                fl = float(den2) * dots.astype(np.float64) ** 2
-                fr = float(num2) * (w_n2.astype(np.float64) * float(nx2))
-                for i in np.nonzero((dots > 0) & (fl >= fr * (1 - 1e-9)))[0]:
-                    d = int(dots[i])
-                    if d > 0 and den2 * d * d >= num2 * int(w_n2[i]) * nx2:
-                        hit = True
-                        break
-            if not hit and j > 0:
-                prior = n_mat[:j] if not use_kept_only else n_mat[:j][kept[:j]]
-                p_n2 = n_n2[:j] if not use_kept_only else n_n2[:j][kept[:j]]
-                if len(prior):
-                    dots = prior @ x
-                    fl = float(den2) * dots.astype(np.float64) ** 2
-                    fr = float(num2) * (p_n2.astype(np.float64) * float(nx2))
-                    for i in np.nonzero((dots > 0) & (fl >= fr * (1 - 1e-9)))[0]:
-                        d = int(dots[i])
-                        if d > 0 and den2 * d * d >= num2 * int(p_n2[i]) * nx2:
-                            hit = True
+
+        def _exact_hit(d: int, wn2_i: int, nx2_j: int) -> bool:
+            return d > 0 and den2 * d * d >= num2 * wn2_i * nx2_j
+
+        # Blockwise strips (one matmul per ~1024 new rows instead of one
+        # matvec per row), same memory discipline as the batch kernel:
+        # peak is O(block * members), never members^2.
+        _B = 1024
+        hit = np.zeros(len(new), dtype=bool)
+        if len(wit_old) and work:
+            # phase 1: vs previously-ingested members (arrival order
+            # precedence — NO id comparison; every old member witnesses)
+            for lo in range(0, work, _B):
+                hi = min(lo + _B, work)
+                gram = n_mat[lo:hi] @ w_mat.T
+                fl = float(den2) * gram.astype(np.float64) ** 2
+                fr = float(num2) * np.outer(n_n2[lo:hi], w_n2).astype(np.float64)
+                for j in range(lo, hi):
+                    b = j - lo
+                    for i in np.nonzero(
+                        (gram[b] > 0) & (fl[b] >= fr[b] * (1 - 1e-9))
+                    )[0]:
+                        if _exact_hit(int(gram[b, i]), int(w_n2[i]), int(n_n2[j])):
+                            hit[j] = True
                             break
-            kept[j] = not hit
+        # phase 2: vs earlier-in-batch rows (id order); under
+        # witness="kept" only rows still kept at their turn witness,
+        # so iterate j in order — prior blocks' flags are final
+        for lo in range(0, work, _B):
+            hi = min(lo + _B, work)
+            gram = n_mat[lo:hi] @ n_mat[:hi].T
+            fl = float(den2) * gram.astype(np.float64) ** 2
+            fr = float(num2) * np.outer(n_n2[lo:hi], n_n2[:hi]).astype(np.float64)
+            for j in range(lo, hi):
+                kept[j] = not hit[j]
+                if hit[j] or j == 0:
+                    continue
+                b = j - lo
+                cand = np.nonzero(
+                    (gram[b, :j] > 0) & (fl[b, :j] >= fr[b, :j] * (1 - 1e-9))
+                )[0]
+                for i in cand:
+                    if use_kept_only and not kept[i]:
+                        continue
+                    if _exact_hit(int(gram[b, i]), int(n_n2[i]), int(n_n2[j])):
+                        kept[j] = False
+                        break
         return pd.DataFrame(
             {
                 id_col: new[id_col].to_numpy(),
