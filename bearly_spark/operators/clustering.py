@@ -233,6 +233,27 @@ def _refine_once(
     return out
 
 
+def lloyd_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Seed + up to ``iters`` integer Lloyd steps, with a FIXPOINT
+    early-stop: once a step returns the same centroids, further steps
+    are exact no-ops (assignment is a pure function of the centroids),
+    so stopping is result-identical to the twin's fixed unroll while
+    skipping the remaining corpus passes."""
+    cents = seed_centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        new = _refine_once(df, cents, id_col, vec_col)
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
 def kmeans_quantized(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -246,9 +267,7 @@ def kmeans_quantized(
     centroids. ``iters`` refinement steps after seed init; each step is
     one narrow corpus pass + a Theta(k*dim) reduction.
     """
-    cents = seed_centroids(df, id_col, vec_col, k)
-    for _ in range(iters):
-        cents = _refine_once(df, cents, id_col, vec_col)
+    cents = lloyd_fit(df, id_col, vec_col, k, iters)
     return assign_clusters(df, cents, id_col, vec_col), cents
 
 
@@ -351,9 +370,7 @@ def semdedup_flags(
             k = min(
                 max(8, -(-int(n) // SEMDEDUP_TARGET_CELL)), SEMDEDUP_MAX_AUTO_K
             )
-        cents = seed_centroids(df, id_col, vec_col, k)
-        for _ in range(iters):
-            cents = _refine_once(df, cents, id_col, vec_col)
+        cents = lloyd_fit(df, id_col, vec_col, k, iters)
 
     num2 = num * num
     den2 = den * den

@@ -48,9 +48,7 @@ def _fitted_centroids(df, sf_dir: str, tag: str, k: int = _K, iters: int = _ITER
         key = None
     if key is not None and key in _FIT_CACHE:
         return _FIT_CACHE[key]
-    cents = C.seed_centroids(df, k=k)
-    for _ in range(iters):
-        cents = C._refine_once(df, cents, "vec_id", "embedding")
+    cents = C.lloyd_fit(df, k=k, iters=iters)
     if key is not None:
         if len(_FIT_CACHE) > 32:
             _FIT_CACHE.clear()
@@ -254,6 +252,37 @@ def q_prototypes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base"))
     return C.cluster_prototypes(assigned, top=3)
+
+
+@register(
+    "semantic_split_embeddings",
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster,
+           CASE WHEN CAST(('0x' || substr(sha256(CAST(cluster AS VARCHAR)), 1, 2))
+                     AS INTEGER) < 204 THEN 'train' ELSE 'test' END AS split
+    FROM af
+    """,
+)
+def q_semantic_split(spark, sf_dir):
+    """Semantic leakage-safe split — the embedding-space face of
+    ``cluster_aware_split_documents``: a paraphrase of an eval item is
+    usually not a lexical near-dup (minhash misses it) but lands in the
+    same k-means cell, so splitting whole CELLS by the first sha256
+    byte of the cell id keeps each semantic neighborhood on one side
+    (5 train / 3 test cells under the k=8 fit). Completes the
+    lexical (exact n-gram) / minhash / semantic decontamination triad
+    with a split-time control."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base"))
+    byte0 = F.conv(
+        F.substring(F.sha2(F.col("cluster").cast("string"), 256), 1, 2), 16, 10
+    ).cast("int")
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        F.when(byte0 < 204, "train").otherwise("test").alias("split"),
+    )
 
 
 @register(

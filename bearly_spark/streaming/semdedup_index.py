@@ -75,9 +75,7 @@ def build_semdedup_index(
     ``iters`` integer Lloyd steps) and write them. The index starts
     with NO members — the fit frame is model-only; ingest it as the
     first micro-batch if its vectors should participate in dedup."""
-    cents = C.seed_centroids(fit_df, id_col, vec_col, k)
-    for _ in range(iters):
-        cents = C._refine_once(fit_df, cents, id_col, vec_col)
+    cents = C.lloyd_fit(fit_df, id_col, vec_col, k, iters)
     spark = fit_df.sparkSession
     rows = [(i, list(map(int, cq))) for i, cq in enumerate(cents)]
     (
