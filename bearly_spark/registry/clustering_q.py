@@ -423,6 +423,32 @@ def q_semdedup_multiprobe(spark, sf_dir):
     return C.semdedup_flags(aug, tau=(19, 20), centroids=cents, n_probe=2)
 
 
+def _semdedup_scratch(spark, sf_dir: str) -> str:
+    """Build (once per fixture mtime) the shared scratch semantic index:
+    frozen centroids fit on the base table, three id-ordered ingests,
+    the planted exact copies arriving last. Both index queries read it."""
+    from bearly_spark.streaming import semdedup_index as SI
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+
+    def build(index_dir: str) -> None:
+        SI.build_semdedup_index(emb, index_dir, k=_K, iters=_ITERS)
+        SI.upsert_semdedup_batch(emb.filter(F.col("vec_id") < 150), 0, index_dir)
+        SI.upsert_semdedup_batch(
+            emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+            1,
+            index_dir,
+        )
+        SI.upsert_semdedup_batch(
+            emb.filter(F.col("vec_id") >= 300).unionByName(copies), 2, index_dir
+        )
+
+    return _scratch_index(sf_dir, "semdedup-idx-v2", "embeddings", build)
+
+
 @register(
     "semdedup_index_query",
     oracle=f"""
@@ -448,24 +474,43 @@ def q_semdedup_index(spark, sf_dir):
     whole persisted-index lifecycle driver-certifiable."""
     from bearly_spark.streaming import semdedup_index as SI
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.filter(F.col("vec_id") < 20).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(100000)
-    )
-
-    def build(index_dir: str) -> None:
-        SI.build_semdedup_index(emb, index_dir, k=_K, iters=_ITERS)
-        SI.upsert_semdedup_batch(emb.filter(F.col("vec_id") < 150), 0, index_dir)
-        SI.upsert_semdedup_batch(
-            emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
-            1,
-            index_dir,
-        )
-        SI.upsert_semdedup_batch(
-            emb.filter(F.col("vec_id") >= 300).unionByName(copies), 2, index_dir
-        )
-
-    d = _scratch_index(sf_dir, "semdedup-idx-v1", "embeddings", build)
+    d = _semdedup_scratch(spark, sf_dir)
     return SI.semdedup_index_verdicts(spark, d).select(
         "vec_id", "cell", "kept", "cell_truncated", F.col("batch").cast("int").alias("batch")
+    )
+
+
+@register(
+    "semdedup_index_stats_query",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_kmeans_ctes(fit_src="embeddings", assign_src="embeddings_aug")}
+    SELECT CAST(CASE WHEN vec_id < 150 THEN 0
+                     WHEN vec_id < 300 THEN 1
+                     ELSE 2 END AS INTEGER) AS batch,
+           cluster AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) AS DECIMAL(38,0)) AS sum_dist,
+           CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_dist,
+           MAX(d) AS max_dist
+    FROM af
+    GROUP BY 1, 2
+    """,
+)
+def q_semdedup_index_stats(spark, sf_dir):
+    """The index's drift log: per-(batch, cell) exact-integer
+    assignment stats under the FROZEN build geometry — counts, summed /
+    floored-mean / max distance to centroid. Shares the scratch index
+    (and its three id-ordered ingests) with ``semdedup_index_query``;
+    the twin restates the stats directly over the union assignment."""
+    from bearly_spark.streaming import semdedup_index as SI
+
+    d = _semdedup_scratch(spark, sf_dir)
+    return SI.semdedup_index_stats(spark, d).select(
+        F.col("batch").cast("int").alias("batch"),
+        "cell",
+        "n_vecs",
+        F.col("sum_dist").cast("decimal(38,0)").alias("sum_dist"),
+        "mean_dist",
+        "max_dist",
     )

@@ -146,11 +146,29 @@ def upsert_semdedup_batch(
 
     assigned = C.assign_clusters(
         batch_df, cents, id_col, vec_col, emit_xq=True
-    ).select(id_col, F.col("cluster").alias("cell"), "xq")
-    assigned = assigned.localCheckpoint(eager=True)  # one kernel pass, reused 3x
+    ).select(id_col, F.col("cluster").alias("cell"), "dist", "xq")
+    assigned = assigned.localCheckpoint(eager=True)  # one kernel pass, reused 4x
     if assigned.isEmpty():
         return  # empty batch writes NOTHING (the sibling's wedge lesson)
     touched = sorted(r.cell for r in assigned.select("cell").distinct().collect())
+    # exact-integer per-cell assignment stats (see the stats write below):
+    # sum as DECIMAL(38,0) so corpus-scale batches cannot wrap int64;
+    # mean = truncating div (dists are non-negative, so trunc == floor)
+    assigned_stats = (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("sum_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            F.col("sum_dist").cast("decimal(38,0)").alias("sum_dist"),
+            F.expr("CAST(sum_dist div n_vecs AS BIGINT)").alias("mean_dist"),
+            "max_dist",
+        )
+    )
 
     existing = _read_members(spark, index_dir, touched, exclude_batch=int(batch_id))
     new_rows = assigned.withColumn("is_new", F.lit(True)).withColumn(
@@ -273,11 +291,34 @@ def upsert_semdedup_batch(
         .partitionBy("batch")
         .parquet(f"{index_dir}/verdicts")
     )
+    # per-batch per-cell assignment stats — the drift signal for the
+    # FROZEN geometry: when arriving data wanders off the build-time
+    # distribution, mean distance-to-centroid rises batch over batch
+    # (the operational cue to refit + rebuild). Exact integers: count,
+    # floored mean, max of the kernel's int64 distances.
+    (
+        assigned_stats.coalesce(1)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{index_dir}/stats")
+    )
 
 
 def semdedup_index_verdicts(spark: SparkSession, index_dir: str) -> DataFrame:
     """All per-batch verdicts: (id, cell, kept, cell_truncated, batch)."""
     return spark.read.parquet(f"{index_dir}/verdicts")
+
+
+def semdedup_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-(batch, cell) assignment stats — the frozen-geometry drift
+    log: (cell, n_vecs, sum_dist, mean_dist, max_dist, batch). A rising
+    mean_dist across batches means arrivals are drifting away from the
+    build-time distribution and the geometry wants a refit+rebuild.
+    sum_dist is a mergeable partial: re-aggregate across batches for
+    any window."""
+    return spark.read.parquet(f"{index_dir}/stats")
 
 
 def streaming_semdedup_index(

@@ -204,3 +204,19 @@ def test_dim_mismatch_raises_clearly(spark):
     df = _emb(spark, [(0, [1, 2, 3])])  # 3-dim vectors vs 2-dim centroids
     with pytest.raises(Exception, match="centroid dim"):
         C.assign_clusters(df, [[1, 2]]).collect()
+
+
+def test_stats_log_exact_and_replay_idempotent(spark, tmp_path):
+    idx = _scratch(tmp_path, "semidx")
+    SI.build_semdedup_index(_emb(spark, [(0, A)]), idx, k=1, iters=0)
+    b = _emb(spark, [(1, A), (2, B)])
+    SI.upsert_semdedup_batch(b, 0, idx)
+    SI.upsert_semdedup_batch(b, 0, idx)  # replay rewrites its own slice
+    rows = SI.semdedup_index_stats(spark, idx).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # dist(A->A)=0; dist(B->A) = 49^2 + 309^2 = 97882 (exact ints)
+    assert (r.cell, r.n_vecs, int(r.sum_dist), r.mean_dist, r.max_dist, r.batch) == (
+        0, 2, 97882, 48941, 97882, 0,
+    )
+    shutil.rmtree(idx)
