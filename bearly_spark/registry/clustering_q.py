@@ -345,6 +345,47 @@ def q_d4_prune(spark, sf_dir):
     )
 
 
+def _semdedup_documents_oracle() -> str:
+    """End-to-end text -> embedding -> semantic-dedup twin: the
+    feature-hashed TF embedding CTE chain (similarity_q's exact md5
+    twin) wrapped as a derived table, fed through the k-means CTEs and
+    the greedy drop rule. Every stage is engine-identical: md5
+    bucketing, integer counts, the one sqrt+ROUND(6) normalization both
+    engines perform on the same doubles, then the 2^20 integer grid."""
+    from bearly_spark.registry.similarity_q import _hashed_embed_oracle
+
+    return f"""
+    WITH hemb AS (
+      SELECT doc_id AS vec_id, embedding
+      FROM ({_hashed_embed_oracle(dim=64, src="documents")}) h
+    ),
+    {_kmeans_ctes(fit_src="hemb", assign_src="hemb")},
+    {_NX_AND_DROPPED}
+    SELECT af.vec_id AS doc_id, af.cluster,
+           (af.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept,
+           FALSE AS cell_truncated
+    FROM af
+    """
+
+
+@register("semdedup_documents_hashed", oracle=_semdedup_documents_oracle)  # lazy
+def q_semdedup_documents(spark, sf_dir):
+    """Model-free semantic dedup of the DOCUMENTS table — the capstone
+    composition: feature-hashed TF embeddings (no external model, pure
+    built-ins) -> integer-grid k-means cells -> greedy SemDeDup flags.
+    The fixture's natural duplicate mass makes it non-vacuous (29 drops
+    at sf0.01). A production pipeline swaps the featurizer for real
+    model embeddings; every stage downstream is unchanged."""
+    from bearly_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = T.hashed_tf_embedding(docs, "doc_id", "text", dim=64)
+    cents = C.lloyd_fit(emb, "doc_id", "embedding", k=_K, iters=_ITERS)
+    return C.semdedup_flags(
+        emb, id_col="doc_id", centroids=cents, tau=(19, 20)
+    )
+
+
 #: Multiprobe plant: HALF-SCALED copies (cosine exactly 1 with their
 #: original, but a different L2 position) — the one transformation that
 #: creates near-dups which can legitimately land in a DIFFERENT k-means
