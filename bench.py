@@ -112,6 +112,9 @@ HEADLINE = [
     # .scratch-cached build (first pass pays build+3 ingests, like the
     # other index entries)
     "semdedup_index_query",
+    # round 10 capstone: docs -> hashed embeddings -> k-means cells ->
+    # SemDeDup, end to end over (doc_id, text) with no external model
+    "semdedup_documents_hashed",
     "embedding_ann_pq",
     # round 6: the composed index — dir-pruned codes scan + id-pruned
     # raw-vector rerank (index built once under .scratch, reused)
