@@ -379,7 +379,12 @@ def q_semdedup_documents(spark, sf_dir):
     from bearly_spark.operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = T.hashed_tf_embedding(docs, "doc_id", "text", dim=64)
+    # pin the featurized frame: the md5 tokenization is the expensive
+    # stage and the fit + flag passes would otherwise recompute it 4x
+    # (lazy checkpoint — the seed TakeOrdered is the materializing job)
+    emb = T.hashed_tf_embedding(docs, "doc_id", "text", dim=64).localCheckpoint(
+        eager=False
+    )
     cents = C.lloyd_fit(emb, "doc_id", "embedding", k=_K, iters=_ITERS)
     return C.semdedup_flags(
         emb, id_col="doc_id", centroids=cents, tau=(19, 20)
