@@ -345,6 +345,41 @@ def q_d4_prune(spark, sf_dir):
     )
 
 
+@register(
+    "cluster_balance_embeddings",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    r AS (
+      SELECT vec_id, cluster,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))
+                             ::UBIGINT AS DOUBLE) / 4503599627370496.0,
+                        vec_id) AS INTEGER) AS mix_rank
+      FROM af)
+    SELECT vec_id, cluster, mix_rank FROM r WHERE mix_rank <= 32
+    """,
+)
+def q_cluster_balance(spark, sf_dir):
+    """Cluster-balanced subsampling — the semantic-diversity step of
+    modern curation (equal representation per embedding-space region,
+    de-biasing head clusters): a UNIFORM target mixture over the k=8
+    k-means cells through the same ``quality.mixture_resample``
+    machinery the language-mixture step uses (32 per cell over a
+    256-vector budget, shared 52-bit md5 draw, WindowGroupLimit rank
+    stop). Composition: clustering assigns the domain column, the
+    existing resampler does the rest."""
+    from bearly_spark.operators.quality import mixture_resample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base")).select(
+        "vec_id", "cluster"
+    )
+    return mixture_resample(
+        assigned, "vec_id", "cluster", {c: 1 / 8 for c in range(8)}, n_target=256
+    )
+
+
 def _semdedup_documents_oracle() -> str:
     """End-to-end text -> embedding -> semantic-dedup twin: the
     feature-hashed TF embedding CTE chain (similarity_q's exact md5
