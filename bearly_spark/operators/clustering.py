@@ -155,7 +155,13 @@ def assign_clusters(
     cent = np.asarray(centroids, dtype=np.int64)
     schema = f"{id_col} long, cluster int, dist long"
     if keep_vec:
-        schema += f", {vec_col} array<float>"
+        # carry the vector in its INPUT type: declaring array<float>
+        # here would silently truncate array<double> embeddings (e.g.
+        # the hashed-TF featurizer's rounded doubles) and the pair
+        # stage would then re-quantize DIFFERENT grid integers than
+        # the SQL twin (floor(v * 2^20) flips on ~2% of 6dp-rounded
+        # coordinates after a float32 roundtrip)
+        schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
     if emit_xq:
         schema += ", xq array<long>"
 
@@ -277,13 +283,18 @@ def kmeans_cluster_profile(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Per-cluster (cluster, n_vecs, inertia) under the final centroids.
 
     inertia is the exact integer sum of quantized squared distances,
     emitted as decimal(38,0) so corpus-scale sums cannot wrap int64.
+    ``centroids`` skips the fit (shared/frozen-fit callers).
     """
-    assigned, _ = kmeans_quantized(df, id_col, vec_col, k, iters)
+    if centroids is not None:
+        assigned = assign_clusters(df, centroids, id_col, vec_col)
+    else:
+        assigned, _ = kmeans_quantized(df, id_col, vec_col, k, iters)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -348,10 +359,12 @@ def semdedup_flags(
     (``dedup._capped_buckets``) — the Observation reports it rather
     than hiding it.
 
-    Scale: pair work is Sigma(cell^2) via ``applyInPandas`` per cell;
-    cells past ``max_cell`` only compare their ``max_cell`` lowest ids
-    (drops counted in ``observation`` as ``semdedup_truncated_cells``
-    like every other capped family).
+    Scale: pair work is Sigma(cell * min(cell, max_cell)) via
+    ``applyInPandas`` per cell; past the cap the WITNESS POOL is
+    truncated to the ``max_cell`` lowest ids while every row is still
+    tested against it — identical to the multiprobe path's rule, so
+    n_probe=1 and n_probe>1 agree on any input. Truncation is reported
+    through ``observation`` like every other capped family.
     """
     num, den = tau
     if not (0 < num <= den):
@@ -384,31 +397,44 @@ def semdedup_flags(
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        truncated = len(pdf) > max_cell
-        work = pdf.iloc[:max_cell]
-        xq = _quantize_np(_vec_matrix(work[vec_col]))
-        n = len(work)
-        kept = np.ones(len(pdf), dtype=bool)
+        n = len(pdf)
+        truncated = n > max_cell
+        # witness POOL is capped at the max_cell lowest ids; every row
+        # is still TESTED (against the capped pool) — the same rule the
+        # multiprobe path applies, so the two paths agree on any input.
+        # Per-row work is thus <= max_cell dots: total cell cost is
+        # O(n * min(n, max_cell)), linear in n past the cap.
+        W = min(n, max_cell)
+        xq = _quantize_np(_vec_matrix(pdf[vec_col]))
+        kept = np.ones(n, dtype=bool)
         if n > 1:
             nx2 = np.einsum("nd,nd->n", xq, xq)
-            # BLOCKWISE gram: a (block x n) strip, never the full cell^2
-            # matrix — memory stays O(block * cell) at any cell size
-            # (the full gram at the 100k cap would be 80 GB). Compute is
-            # still Sigma(cell^2), the algorithm's honest cost; the cap
-            # + a bigger k bound it, not this loop.
+            # BLOCKWISE gram: a (block x W) strip, never the full cell^2
+            # matrix — memory stays O(block * min(cell, cap)) at any
+            # cell size (the full gram at the 100k cap would be 80 GB).
             _BLOCK = 1024
             for lo in range(1, n, _BLOCK):
                 hi = min(lo + _BLOCK, n)
-                gram = xq[lo:hi] @ xq[:hi].T  # int64-exact, |dot| <= ~7e13
+                whi = min(hi, W)
+                gram = xq[lo:hi] @ xq[:whi].T  # int64-exact, |dot| <= ~7e13
                 # float64 screen with an exact python-int confirmation
                 # band: lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer
                 # range, so near-boundary pairs re-check exactly.
                 fl = float(den2) * gram.astype(np.float64) ** 2
-                fr = float(num2) * np.outer(nx2[lo:hi], nx2[:hi]).astype(np.float64)
+                # cast BEFORE the outer product: nx2 ~ 2^40 for
+                # unit-norm 2^20-grid vectors, so the int64 product
+                # (~2^80) silently wraps and a wrapped screen passes
+                # everything — vacuous prefilter, O(cell^2) python
+                # bigint confirms (results stay right; the cost doesn't)
+                fr = float(num2) * np.outer(
+                    nx2[lo:hi].astype(np.float64), nx2[:whi].astype(np.float64)
+                )
                 for j in range(lo, hi):
                     b = j - lo
+                    lim = min(j, W)  # lower-id witnesses, pool-capped
                     cand = np.nonzero(
-                        (gram[b, :j] > 0) & (fl[b, :j] >= fr[b, :j] * (1 - 1e-9))
+                        (gram[b, :lim] > 0)
+                        & (fl[b, :lim] >= fr[b, :lim] * (1 - 1e-9))
                     )[0]
                     for i in cand:
                         d = int(gram[b, i])
@@ -458,13 +484,19 @@ def _semdedup_multiprobe(
     cent = np.asarray(cents, dtype=np.int64)
     p = min(n_probe, len(cent))
 
+    c2 = np.einsum("kd,kd->k", cent, cent)  # hoisted: constant per task
+
     def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b) == 0:
                 continue
             xq = _quantize_np(_vec_matrix(b[vec_col]))
+            if xq.shape[1] != cent.shape[1]:
+                raise ValueError(
+                    f"vector dim {xq.shape[1]} != centroid dim {cent.shape[1]} "
+                    "(did the embedding column change after the fit/build?)"
+                )
             nx2 = np.einsum("nd,nd->n", xq, xq)
-            c2 = np.einsum("kd,kd->k", cent, cent)
             dists = nx2[:, None] + c2[None, :] - 2 * (xq @ cent.T)
             # stable argsort: ties -> lower cell id, same as the
             # (dist, cell) ranking the SQL twin states
@@ -480,7 +512,10 @@ def _semdedup_multiprobe(
 
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign_kernel,
-        schema=f"{id_col} long, cluster int, probes array<int>, {vec_col} array<float>",
+        schema=(
+            f"{id_col} long, cluster int, probes array<int>, "
+            f"{vec_col} {df.schema[vec_col].dataType.simpleString()}"
+        ),
     )
     exploded = assigned.select(
         id_col,
@@ -507,7 +542,10 @@ def _semdedup_multiprobe(
                 hi = min(lo + _BLOCK, len(pdf))
                 gram = xq[lo:hi] @ w.T
                 fl = float(den2) * gram.astype(np.float64) ** 2
-                fr = float(num2) * np.outer(nx2[lo:hi], wn2).astype(np.float64)
+                # float64 BEFORE the product (int64 outer wraps at 2^63)
+                fr = float(num2) * np.outer(
+                    nx2[lo:hi].astype(np.float64), wn2.astype(np.float64)
+                )
                 for j in range(lo, hi):
                     b = j - lo
                     lim = np.searchsorted(wid, ids[j])  # witnesses: id < mine

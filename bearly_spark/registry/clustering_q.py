@@ -33,7 +33,11 @@ _DIM = 64
 #: batch queries (profile / semdedup / prototypes) share one fit per
 #: fixture instead of paying 4 corpus passes each. Keyed on the parquet
 #: file's (path, mtime, size) like streaming.ivf_index._model_cached, so
-#: a refreshed fixture refits.
+#: a refreshed fixture refits. The TAG is the only thing distinguishing
+#: two different augmentations of the same fixture in the key: it must
+#: uniquely NAME the fit frame's construction recipe (hence
+#: "aug-copies-lt20", not "aug") — reusing a tag for a different frame
+#: silently serves the other frame's centroids.
 _FIT_CACHE: dict[tuple, list[list[int]]] = {}
 
 
@@ -146,18 +150,8 @@ c{it} AS (
 )
 def q_kmeans_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _fitted_centroids(emb, sf_dir, "base")
-    assigned = C.assign_clusters(emb, cents)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
-        )
-        .select(
-            "cluster", "n_vecs", F.col("inertia").cast("decimal(38,0)").alias("inertia")
-        )
-        .orderBy("cluster")
+    return C.kmeans_cluster_profile(
+        emb, centroids=_fitted_centroids(emb, sf_dir, "base-raw")
     )
 
 
@@ -228,7 +222,7 @@ def q_semdedup(spark, sf_dir):
             "vec_id", F.col("vec_id") + F.lit(100000)
         )
     )
-    cents = _fitted_centroids(aug, sf_dir, "aug")
+    cents = _fitted_centroids(aug, sf_dir, "aug-copies-lt20")
     return C.semdedup_flags(aug, tau=(19, 20), centroids=cents)
 
 
@@ -250,7 +244,7 @@ def q_prototypes(spark, sf_dir):
     """Top-3 most-prototypical vectors per cluster (D4 prune targets):
     min-(dist,id) extraction rounds, never a per-cluster sort task."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base"))
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base-raw"))
     return C.cluster_prototypes(assigned, top=3)
 
 
@@ -274,7 +268,7 @@ def q_semantic_split(spark, sf_dir):
     lexical (exact n-gram) / minhash / semantic decontamination triad
     with a split-time control."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base"))
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base-raw"))
     byte0 = F.conv(
         F.substring(F.sha2(F.col("cluster").cast("string"), 256), 1, 2), 16, 10
     ).cast("int")
@@ -314,14 +308,17 @@ def q_d4_prune(spark, sf_dir):
     Three-way verdict per vector: dup_dropped / proto_pruned / kept.
     Spark side composes the shipped operators — flags, then the
     min-extraction prototype rounds restricted to survivors — so the
-    composition itself is what the twin certifies."""
+    composition itself is what the twin certifies. (The composition
+    pays the assignment kernel twice — once inside the flags, once for
+    the dist frame; at corpus scale share one ``assign_clusters`` pass
+    and feed both stages from it.)"""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     aug = emb.unionByName(
         emb.filter(F.col("vec_id") < 20).withColumn(
             "vec_id", F.col("vec_id") + F.lit(100000)
         )
     )
-    cents = _fitted_centroids(aug, sf_dir, "aug")
+    cents = _fitted_centroids(aug, sf_dir, "aug-copies-lt20")
     flags = C.semdedup_flags(aug, tau=(19, 20), centroids=cents)
     assigned = C.assign_clusters(aug, cents)
     kept_assigned = assigned.join(
@@ -372,7 +369,7 @@ def q_cluster_balance(spark, sf_dir):
     from bearly_spark.operators.quality import mixture_resample
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base")).select(
+    assigned = C.assign_clusters(emb, _fitted_centroids(emb, sf_dir, "base-raw")).select(
         "vec_id", "cluster"
     )
     return mixture_resample(
@@ -500,7 +497,7 @@ def q_semdedup_multiprobe(spark, sf_dir):
     aug = emb.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     ).unionByName(halved)
-    cents = _fitted_centroids(aug, sf_dir, "aug-half")
+    cents = _fitted_centroids(aug, sf_dir, "aug-half-lt40")
     return C.semdedup_flags(aug, tau=(19, 20), centroids=cents, n_probe=2)
 
 

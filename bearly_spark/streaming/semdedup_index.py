@@ -224,7 +224,10 @@ def upsert_semdedup_batch(
                 hi = min(lo + _B, work)
                 gram = n_mat[lo:hi] @ w_mat.T
                 fl = float(den2) * gram.astype(np.float64) ** 2
-                fr = float(num2) * np.outer(n_n2[lo:hi], w_n2).astype(np.float64)
+                # float64 BEFORE the product (int64 outer wraps at 2^63)
+                fr = float(num2) * np.outer(
+                    n_n2[lo:hi].astype(np.float64), w_n2.astype(np.float64)
+                )
                 for j in range(lo, hi):
                     b = j - lo
                     for i in np.nonzero(
@@ -240,7 +243,9 @@ def upsert_semdedup_batch(
             hi = min(lo + _B, work)
             gram = n_mat[lo:hi] @ n_mat[:hi].T
             fl = float(den2) * gram.astype(np.float64) ** 2
-            fr = float(num2) * np.outer(n_n2[lo:hi], n_n2[:hi]).astype(np.float64)
+            fr = float(num2) * np.outer(
+                n_n2[lo:hi].astype(np.float64), n_n2[:hi].astype(np.float64)
+            )
             for j in range(lo, hi):
                 kept[j] = not hit[j]
                 if hit[j] or j == 0:

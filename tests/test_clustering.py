@@ -116,13 +116,21 @@ def test_semdedup_exact_rational_threshold_boundary(spark):
 
 
 def test_semdedup_cell_cap_truncates_and_reports(spark):
-    # cap=2: only the 2 lowest ids are compared; the third identical
-    # vector escapes the drop but the whole cell is flagged truncated
-    df = _emb(spark, [(0, [7, 0]), (1, [7, 0]), (2, [7, 0])])
+    # cap=2: the WITNESS POOL is ids {0,1}; every row is still tested
+    # against it (the multiprobe-consistent rule), so 1 and 2 both drop
+    # via witness 0, while 3 (orthogonal to the pool, even though it
+    # duplicates capped-out... nothing) stays kept. Whole cell flagged.
+    df = _emb(
+        spark, [(0, [7, 0]), (1, [7, 0]), (2, [7, 0]), (3, [0, 9]), (4, [0, 9])]
+    )
     rows = C.semdedup_flags(df, k=1, iters=0, tau=(19, 20), max_cell=2).collect()
     by = {r.vec_id: r for r in rows}
-    assert by[1].kept is False  # within the capped window
-    assert by[2].kept is True  # escaped: outside the window
+    assert by[1].kept is False  # witness 0, inside the pool
+    assert by[2].kept is False  # tested against the pool despite rank > cap
+    assert by[3].kept is True  # no near-dup inside the pool
+    # 4 duplicates 3, but 3 is OUTSIDE the capped witness pool: the cap
+    # legitimately misses this pair (that's what cell_truncated reports)
+    assert by[4].kept is True
     assert all(r.cell_truncated for r in rows)
 
 
