@@ -631,3 +631,90 @@ def _kaplan_meier_window(tt: DataFrame, total: int) -> DataFrame:
         "n_risk",
         (folded.cast("double") / F.lit(1e12)).alias("survival"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    slack_div: int = 4,
+    h_mul: int = 3,
+    epoch: str = "1992-01-01",
+    max_axis_points: int = 1_000_000,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over a daily series — the
+    monitoring family's missing piece beyond distribution drift
+    (``drift_report``) and pointwise outliers (z/IQR/MAD): CUSUM
+    accumulates small SUSTAINED shifts that no single-point detector
+    sees (Page 1954). Per day, ascending:
+
+        (day_idx, rev_micro, cusum_pos, cusum_neg, alarm)
+
+        s+ <- max(0, s+ + (x - mean - k));  s- <- max(0, s- + (mean - x - k))
+        alarm = s+ > h OR s- > h
+
+    with ``mean`` the series' integer-floored daily mean (micro units),
+    slack ``k = mean // slack_div`` (default 25% — below-slack
+    fluctuation never accumulates) and threshold ``h = mean * h_mul``
+    (default three mean-days of sustained drift) — all EXACT INTEGER
+    arithmetic, so the DuckDB twin (a recursive CTE replaying the
+    identical recurrence) hash-matches bit-for-bit. The reference is
+    the GLOBAL series mean: a genuine level shift therefore alarms on
+    both sides of the cut (pre-shift days drift negative against the
+    shifted-up mean) — the classic single-reference CUSUM picture.
+
+    Scale shape: one Θ(rows) groupBy onto the Θ(days) axis; the
+    strictly-sequential fold then runs DRIVER-side over the collected
+    axis (``take``, no global sort) — the ``kaplan_meier`` doctrine:
+    a per-step-clamped recurrence admits no distributed form that does
+    not serialize somewhere, and axis-sized driver resolution is the
+    honest plan. Past ``max_axis_points`` the axis is refused with a
+    clear error (a daily axis cannot plausibly reach 10^6 points; a
+    finer-grained series should be bucketed first)."""
+    day_idx = F.datediff(F.col(date_col), F.lit(epoch).cast("date")).cast("int")
+    daily = (
+        df.groupBy(day_idx.alias("day_idx"))
+        .agg(
+            F.sum(
+                (F.col(value_col).cast("decimal(18,2)") * F.lit(1_000_000)).cast(
+                    "long"
+                )
+            ).alias("rev_micro")
+        )
+    )
+    pts = daily.take(max_axis_points + 1)
+    if len(pts) > max_axis_points:
+        raise ValueError(
+            f"CUSUM axis exceeds {max_axis_points} points; bucket the series "
+            "to a coarser grain before changepoint detection"
+        )
+    pts = sorted(pts, key=lambda r: r["day_idx"])
+    n = len(pts)
+    total = sum(r["rev_micro"] for r in pts)
+    mean = total // n if n else 0
+    k = mean // slack_div
+    h = mean * h_mul
+    rows, sp, sn = [], 0, 0
+    for r in pts:
+        x = r["rev_micro"]
+        sp = max(0, sp + (x - mean - k))
+        sn = max(0, sn + (mean - x - k))
+        rows.append((r["day_idx"], x, sp, sn, sp > h or sn > h))
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("day_idx", IntegerType()),
+            StructField("rev_micro", LongType()),
+            StructField("cusum_pos", LongType()),
+            StructField("cusum_neg", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)

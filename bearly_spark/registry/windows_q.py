@@ -588,3 +588,56 @@ def q_seasonality(spark, sf_dir):
         .alias("revenue")
     )
     return seasonality_profile(daily, "day", "revenue")
+
+
+@register(
+    "cusum_changepoints_orders",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INTEGER) AS day_idx,
+             CAST(SUM(CAST(CAST(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                      THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))
+                      * 1000000 AS BIGINT)) AS BIGINT) AS rev_micro
+      FROM orders GROUP BY 1),
+    r AS (SELECT day_idx, rev_micro,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS rn FROM d),
+    m AS (SELECT CAST(CAST(SUM(rev_micro) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean
+          FROM r),
+    rec(rn, sp, sn) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT r.rn,
+             GREATEST(CAST(0 AS BIGINT), rec.sp + (r.rev_micro - m.mean - m.mean // 4)),
+             GREATEST(CAST(0 AS BIGINT), rec.sn + (m.mean - r.rev_micro - m.mean // 4))
+      FROM rec JOIN r ON r.rn = rec.rn + 1, m)
+    SELECT r.day_idx, r.rev_micro, rec.sp AS cusum_pos, rec.sn AS cusum_neg,
+           (rec.sp > m.mean * 3 OR rec.sn > m.mean * 3) AS alarm
+    FROM rec JOIN r USING (rn), m WHERE rn >= 1
+    """,
+)
+def q_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection over daily order revenue
+    (``windows.cusum_changepoints``) — the monitoring family's sustained
+    -shift detector beside pointwise z/IQR/MAD. The fixture series is
+    stationary by construction (a tuned CUSUM correctly never alarms),
+    so a LEVEL SHIFT is planted at query level — revenue doubled from
+    1998-01-01, exactly representable in DECIMAL in both engines — and
+    the detector's alarm set over the shifted series is what the twin
+    certifies (first positive alarm ~20 days after the cut at sf0.01;
+    pre-shift days alarm negative against the shifted-up global mean,
+    the classic single-reference CUSUM picture). All integer
+    arithmetic; the twin replays the clamped recurrence as a recursive
+    CTE over the day axis."""
+    from bearly_spark.operators.windows import cusum_changepoints
+
+    od = load_table(spark, sf_dir, "orders")
+    boosted = od.select(
+        "o_orderdate",
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"),
+            F.col("o_totalprice") * F.lit(2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return cusum_changepoints(boosted, "o_orderdate", "price")

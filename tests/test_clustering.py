@@ -303,3 +303,36 @@ def test_multiprobe_clamps_to_k_and_matches_classic(spark):
         for r in C.semdedup_flags(df, centroids=cents, tau=(19, 20), n_probe=5).collect()
     }
     assert multi == classic == {10: True, 11: False, 12: False, 13: True}
+
+
+def test_cusum_changepoints_matches_reference_and_alarms(spark):
+    """8 low days then 8 high days: CUSUM must ramp on both sides of the
+    global-mean reference and cross h on the documented schedule."""
+    import datetime
+
+    from bearly_spark.operators.windows import cusum_changepoints
+
+    base = datetime.date(1992, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), float(10 if i < 8 else 100))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "d date, price double")
+    got = {
+        r.day_idx: (r.rev_micro, r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in cusum_changepoints(df, "d", "price").collect()
+    }
+    # python reference (identical integer recurrence)
+    xs = [10_000_000] * 8 + [100_000_000] * 8
+    mean = sum(xs) // 16
+    k, h = mean // 4, mean * 3
+    sp = sn = 0
+    for i, x in enumerate(xs):
+        sp = max(0, sp + (x - mean - k))
+        sn = max(0, sn + (mean - x - k))
+        assert got[i] == (x, sp, sn, sp > h or sn > h), f"day {i}"
+    # the low regime alarms negative before the cut; the high regime
+    # alarms positive after it: 31.25e6 drift/day vs h=165e6 -> the 6th
+    # day of each regime (index 5 / 13) is the first past the threshold
+    assert got[4][3] is False and got[5][3] is True  # negative side
+    assert got[12][3] is False and got[13][3] is True  # positive side
