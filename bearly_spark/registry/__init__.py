@@ -80,112 +80,89 @@ from bearly_spark.registry import maintenance_q  # noqa: F401,E402
 # driver-contract shim, and this list is the source of truth for it.
 
 PREFIX_ORDER = [
-    # ---- round-10 prefix: 46 of 50 seats are FIRST-EVER driver seats
-    # (r9 verdict #4: 89 registry queries had never been sampled; every
-    # r9-green seat rotates out — its certification is on record — and
-    # the never-sampled backlog drains through the sample instead).
-    # Kept seats: the two reference-parity anchors, q1 (flagship agg)
-    # and ewma_revenue_priority (red 4 rounds — now minimal-surface,
-    # flanked by its three bisect probes).
-    # reference parity (produce_array / produce_stream left driver-green
-    # r1-r9; sum_produce_stream exercises both producers + the sum path)
+    # ---- round-11 prefix. Composition:
+    #  * 3 standing anchors (reference parity x2 + flagship q1);
+    #  * the 3 r10 reds, re-seated on rewritten integer/string
+    #    emission surfaces (anomaly_zscore / kmeans_clusters /
+    #    map_funcs — r10 verdict #1b: every red was a DATE/DECIMAL/
+    #    array OUTPUT-column hash divergence, values judge-verified
+    #    exactly equal);
+    #  * 2 single-type driver-hash probes (ewma_probe_date /
+    #    ewma_probe_decimal — verdict #1a) replacing the three retired
+    #    r10 bisect probes whose table rows are decided;
+    #  * 2 re-certification seats for previously-green queries whose
+    #    compared surface changed in the r11 type sweep
+    #    (gini_customer_revenue, scd2_customer_history);
+    #  * 40 FIRST-EVER seats draining the never-seated backlog
+    #    (verdict #4): the whole r10 late tail, the zero-coverage
+    #    families, and every at-risk query hardened by the sweep.
+    # Backlog after this rotation: 18 (from 58).
     "sum_lineitem_int64",
     "sum_produce_stream",
-    # scan/layout formats (json/xml/partitioned left driver-green r9;
-    # the bucketed layout — never sampled — takes the family seat;
-    # zorder yielded its seat to the semantic-index query: one layout
-    # representative suffices and the Z-order path is oracle-gated +
-    # plan-tested locally)
-    "clustered_scan_lineitem",
-    # TPC-H: q1 stays (flagship scan-agg); nine never-sampled tail
-    # shapes take their first seats (q9/q4 left driver-green r8/r9)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q8_nation_market_share",
-    "q10_returned_items",
-    "q13_customer_order_histogram",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # join family (asof/range/temporal left driver-green r9; the full
-    # outer and the as-of-over-SCD2 form are fresh. cross_join yielded
-    # its seat to the round-10 clustering family — cartesian-of-dims is
-    # the thinnest fresh signal in the block)
-    "full_outer_status_counts",
-    "scd2_asof_customer",
-    # reshape / collect aggregates (grouping-sets family green r9;
-    # pivot carries the reshape seat — unpivot/collect_agg yielded
-    # theirs to the clustering family and wait for r11)
-    "pivot_orders_status",
-    # windows (topk/rfm/attribution/sessionization left green r9; the
-    # median/mode, RANGE frame, gap interpolation, rolling z-score and
-    # seasonality forms are fresh — seasonality also shares the ewma
-    # daily CTE, a bonus bisect signal)
-    "median_mode_orders",
-    "window_range_frame_orders",
-    "interpolate_events",
+    # r10 reds, emission surface rewritten (verdict #1b)
     "anomaly_zscore_orders",
-    "seasonality_orders",
-    # percentile family (percentiles/mad/histogram-depth green r9; the
-    # 25-group distributed-selection regime and the equi-WIDTH
-    # histogram are fresh)
-    "nation_percentiles_lineitem",
-    "histogram_prices_orders",
-    # EWMA bisect block: the minimal-surface main query (red r6-r9)
-    # plus its three diagnostic probes — see registry/windows_q.py
-    "ewma_revenue_priority",
-    "ewma_probe_base",
-    "ewma_probe_lag",
-    "ewma_probe_full",
-    # SQL surface (recursive CTE / q4 decorrelation green r8/r9)
-    "subquery_exists_customers",
-    "pipe_syntax_orders",
-    # scalar function packs (regexp/variant green r9; map funcs fresh)
-    "map_funcs_events",
-    # event analytics (rollup/sessionization green r9; the MATCH-
-    # RECOGNIZE-shaped funnel and rolling active users are fresh)
-    "sequence_pattern_events",
-    "active_users_events",
-    # python extension points (arrow-grouped/UDTF green r9)
-    "arrow_map_charge_buckets",
-    # graph (ppr green r9; star-contraction components, triangles and
-    # local clustering coefficients take first seats)
-    "dedup_components_star",
-    "triangle_count_parts",
-    "local_clustering_parts",
-    # ANN / similarity (ann/ivf/chunk green r9; IVF-PQ residual rerank
-    # and the feature-hashed embedding retrieval are fresh)
-    "ivfpq_residual_query",
-    "hashed_embedding_topk",
-    # semantic clustering / curation (NEW round-10 family: integer-grid
-    # Lloyd k-means, SemDeDup per-cell drops, D4 prototypes — all three
-    # take immediate seats so the new code is driver-certified in the
-    # round it shipped)
     "kmeans_clusters_embeddings",
-    "semdedup_embeddings",
-    "prototypes_embeddings",
-    "semdedup_index_query",
-    # dedup (exact/minhash-pairs/line-dedup/entity/winnow green r9; the
-    # minhash CLUSTER assembly takes the family seat)
-    "dedup_clusters_minhash",
-    # text retrieval (bm25 single + index green r9; multi-query fresh)
-    "bm25_multi_search_documents",
-    # curation packs (c4/mixture/pipeline green r9; the gopher rules,
-    # PII redaction, sequence packing and exact decontamination are
-    # fresh)
-    "gopher_quality_documents",
-    "pii_redact_documents",
-    "pack_sequences_documents",
-    "decontaminate_documents",
-    # multimodal (BMP decode + binary near-dup green r9; the WAV decode
-    # joined post-certification — r9 verdict #3 wants its driver row)
-    "multimodal_wav_decode_features",
-    # table maintenance (scd2/diff/dq/merge green r7-r9; the
-    # incremental hourly→daily rollup maintenance form is fresh)
-    "incremental_rollup_orders",
+    "map_funcs_events",
+    # single-type driver-hash probes (verdict #1a)
+    "ewma_probe_date",
+    "ewma_probe_decimal",
+    # re-certification: green r10 but surface hardened in the sweep
+    "gini_customer_revenue",
+    "scd2_customer_history",
+    # ---- first-ever seats ----
+    # r10 late tail: semantic clustering / curation capstones
+    "semdedup_documents_hashed",
+    "semdedup_multiprobe_embeddings",
+    "d4_prune_embeddings",
+    "cluster_balance_embeddings",
+    "semantic_split_embeddings",
+    "semdedup_index_stats_query",
+    "cusum_changepoints_orders",
+    # layout: the Z-order clustered scan (evicted r10)
+    "zorder_scan_lineitem",
+    # relational zero-coverage shapes
+    "cross_join_priority_status",
+    "unpivot_lineitem_measures",
+    "crosstab_orders",
+    "posexplode_embeddings",
+    # aggregate surfaces
+    "collect_agg_nations",
+    "approx_percentile_lineitem",
+    "misc_agg_orders",
+    "filter_clause_lang_stats",
+    "topn_types_brand",
+    # scalar/SQL surfaces
+    "null_funcs_lineitem",
+    "try_arithmetic_lineitem",
+    "sql_variables_orders",
+    "parameterized_orders",
+    "sql_scripting_orders",
+    # windows
+    "calendar_fill_orders",
+    "window_distribution_orders",
+    "order_streaks_customer",
+    # sampling / maintenance
+    "sample_hash_orders",
+    "table_checksum_orders",
+    "bloom_prefilter_customers",
+    # TPC-H tail
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q16_part_supplier_variety",
+    "q20_promotion_suppliers",
+    # dedup
+    "dedup_keep_representatives",
+    "substring_dedup_clean_documents",
+    "dedup_components",
+    "embedding_dup_clusters",
+    "lsh_saturation_embeddings",
+    "dedup_index_query",
+    # similarity / text
+    "hashed_embedding_documents",
+    "wordcount_tokens",
 ]
+
 
 
 def _apply_prefix_order() -> None:

@@ -199,22 +199,25 @@ def q_nation_percentiles(spark, sf_dir):
 @register(
     "collect_agg_nations",
     oracle="""
-    SELECT r_name, ARRAY_AGG(n_name ORDER BY n_name) AS nations,
+    SELECT r_name,
+           array_to_string(ARRAY_AGG(n_name ORDER BY n_name), ',') AS nations,
            CAST(COUNT(*) AS INTEGER) AS n_nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
 )
 def q_collect_agg(spark, sf_dir):
-    """Sorted collect_list (array_agg) — deterministic via sort_array."""
+    """Sorted collect_list (array_agg) — deterministic via sort_array;
+    emitted comma-joined (the driver harness's canonical sort crashes
+    on array-typed output cells — r10 map_funcs_events finding)."""
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     return (
         nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.size(F.sort_array(F.collect_list("n_name"))).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.size(F.collect_list("n_name")).alias("n_nations"),
         )
     )
 
@@ -331,12 +334,17 @@ def q_approx_percentile(spark, sf_dir):
     """approx_percentile (KLL-style quantile sketch, mergeable partials —
     the 100 TB default; exact_percentiles is the small-data twin). The
     accuracy contract against the exact rank-window form is pinned by
-    tests/test_relational_extra.py."""
+    tests/test_relational_extra.py. The two quantiles are emitted as
+    scalar DOUBLE columns, not an array (array output cells crash the
+    driver harness's canonical sort even on a rows-only check — r10
+    map_funcs_events finding)."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
-            "approx_p50_p95"
-        ),
+        pcts[0].alias("approx_p50"),
+        pcts[1].alias("approx_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -144,7 +144,7 @@ c{it} AS (
     oracle=f"""
     WITH {_kmeans_ctes()}
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(d) AS DECIMAL(38,0)) AS inertia
+           CAST(SUM(d) AS BIGINT) AS inertia
     FROM af GROUP BY cluster ORDER BY cluster
     """,
 )
@@ -568,7 +568,7 @@ def q_semdedup_index(spark, sf_dir):
                      ELSE 2 END AS INTEGER) AS batch,
            cluster AS cell,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(d) AS DECIMAL(38,0)) AS sum_dist,
+           CAST(SUM(d) AS BIGINT) AS sum_dist,
            CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_dist,
            MAX(d) AS max_dist
     FROM af
@@ -584,11 +584,14 @@ def q_semdedup_index_stats(spark, sf_dir):
     from bearly_spark.streaming import semdedup_index as SI
 
     d = _semdedup_scratch(spark, sf_dir)
+    # sum_dist emitted as BIGINT (driver hasher diverges on DECIMAL
+    # surfaces — r10): exact at fixture scale, same bound argument as
+    # kmeans_cluster_profile's inertia guard
     return SI.semdedup_index_stats(spark, d).select(
         F.col("batch").cast("int").alias("batch"),
         "cell",
         "n_vecs",
-        F.col("sum_dist").cast("decimal(38,0)").alias("sum_dist"),
+        F.col("sum_dist").cast("long").alias("sum_dist"),
         "mean_dist",
         "max_dist",
     )

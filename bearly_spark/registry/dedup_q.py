@@ -699,7 +699,8 @@ def q_binary_near_dup(spark, sf_dir):
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              COALESCE(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
                    / GREATEST(length(a.p_name), length(b.p_name), 1), 0.0) AS sim_p_name,
-             COALESCE(CASE WHEN a.p_brand = b.p_brand THEN 1.0 ELSE 0.0 END, 0.0)
+             CAST(COALESCE(CASE WHEN a.p_brand = b.p_brand
+                           THEN 1.0 ELSE 0.0 END, 0.0) AS DOUBLE)
                  AS sim_p_brand,
              COALESCE(GREATEST(0.0, 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
                    / 50.0), 0.0) AS sim_p_size

@@ -83,11 +83,14 @@ def q_table_diff(spark, sf_dir):
                              '|', CAST(o_totalprice AS DECIMAL(18,2)), '|',
                              CAST(o_orderdate AS DATE), '|', o_orderpriority)
                       AS canon FROM orders),
-    h AS (SELECT ('0x' || substr(md5(canon), 1, 16))::UBIGINT AS hv FROM c)
-    SELECT COUNT(*) AS n_rows,
-           CAST(SUM(hv::HUGEINT) % 18446744073709551616::HUGEINT
-                AS DECIMAL(20,0)) AS checksum
-    FROM h
+    h AS (SELECT ('0x' || substr(md5(canon), 1, 16))::UBIGINT AS hv FROM c),
+    s AS (SELECT COUNT(*) AS n_rows,
+                 SUM(hv::HUGEINT) % 18446744073709551616::HUGEINT AS checksum
+          FROM h)
+    SELECT n_rows,
+           CAST(checksum // 4294967296 AS BIGINT) AS checksum_hi,
+           CAST(checksum % 4294967296 AS BIGINT) AS checksum_lo
+    FROM s
     """,
 )
 def q_table_checksum(spark, sf_dir):
@@ -111,7 +114,18 @@ def q_table_checksum(spark, sf_dir):
         F.col("o_orderdate").cast("date"),
         F.col("o_orderpriority"),
     )
-    return table_checksum(od, canon)
+    cs = table_checksum(od, canon)
+    # the mod-2^64 checksum exceeds int64, so the compared surface
+    # splits it into two exact BIGINT halves (DECIMAL outputs diverge
+    # under the driver's hasher — r10 verdict)
+    lo = F.col("checksum") % F.lit(4294967296)
+    return cs.select(
+        "n_rows",
+        ((F.col("checksum") - lo) / F.lit(4294967296))
+        .cast("long")
+        .alias("checksum_hi"),
+        lo.cast("long").alias("checksum_lo"),
+    )
 
 
 @register(
@@ -259,7 +273,11 @@ def q_merge_upsert(spark, sf_dir):
              DATE '1997-03-01' AS valid_from, NULL AS valid_to
       FROM customer WHERE c_custkey % 13 = 0
     )
-    SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(valid_from - DATE '1992-01-01' AS INTEGER) AS valid_from_idx,
+           CAST(valid_to - DATE '1992-01-01' AS INTEGER) AS valid_to_idx
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+          UNION ALL SELECT * FROM v3)
     """,
 )
 def q_scd2_customer(spark, sf_dir):
@@ -272,7 +290,23 @@ def q_scd2_customer(spark, sf_dir):
     version chain. The oracle states the resulting history in closed
     form. Edge semantics (no-op changes dropped, out-of-order changes
     dropped, new-key inserts, latest-per-key collapse) are pinned in
-    tests/test_relational_extra.py."""
+    tests/test_relational_extra.py. The validity DATEs are compared as
+    day indexes since 1992-01-01 (NULL open intervals stay NULL) —
+    DATE output columns diverge under the driver's hasher (r10)."""
+    hist = _scd2_customer_history(spark, sf_dir)
+    epoch = F.lit("1992-01-01").cast("date")
+    return hist.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.datediff("valid_from", epoch).cast("int").alias("valid_from_idx"),
+        F.datediff("valid_to", epoch).cast("int").alias("valid_to_idx"),
+    )
+
+
+def _scd2_customer_history(spark, sf_dir):
+    """The two-apply SCD2 history with its native DATE validity columns
+    — shared by the registry emission above and the as-of reader."""
     cust = load_table(spark, sf_dir, "customer")
     hist = cust.select(
         "c_custkey",
@@ -317,8 +351,7 @@ def q_scd2_asof(spark, sf_dir):
     oracle states the expected as-of state in closed form. This is the
     reproducibility primitive: join facts against the as-of dimension
     and every attribute reads as it did at snapshot time."""
-    cust = load_table(spark, sf_dir, "customer")
-    hist = QUERIES["scd2_customer_history"](spark, sf_dir)
+    hist = _scd2_customer_history(spark, sf_dir)
     return MT.scd2_asof(hist, datetime.date(1996, 1, 1)).select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )

@@ -377,16 +377,39 @@ def _hashed_embed_oracle(dim: int = 64, src: str = "documents") -> str:
     """
 
 
-@register("hashed_embedding_documents", oracle=_hashed_embed_oracle())
+@register(
+    "hashed_embedding_documents",
+    oracle=f"""
+    WITH emb AS ({_hashed_embed_oracle()})
+    SELECT doc_id,
+           array_to_string([CAST(ROUND(v * 1000000) AS BIGINT)
+                            for v in embedding], ',') AS embedding_micro
+    FROM emb
+    """,
+)
 def q_hashed_embedding(spark, sf_dir):
     """Feature-hashed TF embedding (model-free featurizer): turns the
     documents table into an embeddings-shaped (id, vector) table with
     nothing but JVM built-ins — the missing docs->vectors stage that
     closes the corpus -> embedding -> ANN/near-dup pipeline loop. See
     ``text.hashed_tf_embedding`` for the scale notes; oracle is exact
-    because md5 is implemented identically in both engines."""
-    return T.hashed_tf_embedding(
+    because md5 is implemented identically in both engines. The
+    compared surface joins the vector as comma-separated exact micro
+    ints (array cells crash the driver harness's canonical sort and
+    double->string formatting is engine-specific; the 6dp-rounded
+    doubles are bit-equal, so scaling to 1e6 and half-up rounding
+    yields identical integers)."""
+    emb = T.hashed_tf_embedding(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding", lambda v: F.round(v * 1000000).cast("long")
+            ),
+            ",",
+        ).alias("embedding_micro"),
     )
 
 

@@ -160,19 +160,22 @@ def q_array_funcs(spark, sf_dir):
     "map_funcs_events",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
     FROM events WHERE event_id < 200
     """,
 )
 def q_map_funcs(spark, sf_dir):
     """Map-typed column surface: parse the JSON props into map<string,long>,
-    then map_keys / element_at."""
+    then map_keys / element_at. The key list is emitted as a sorted
+    comma-joined STRING, not array<string> — the driver harness's
+    canonical sort crashes on unhashable list cells (r10:
+    ``TypeError: unhashable type: 'list'`` in pandas sort_values)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
 

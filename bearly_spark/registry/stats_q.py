@@ -115,7 +115,8 @@ def q_basket_rules(spark, sf_dir):
                                           * (CAST(s AS DOUBLE) / prev_n))
                  / (prev_n - 1) AS var
       FROM w)
-    SELECT day, revenue, prev_n,
+    SELECT CAST(day - DATE '1992-01-01' AS INTEGER) AS day_idx,
+           CAST(revenue * 100 AS BIGINT) AS revenue_cents, prev_n,
            CASE WHEN prev_n = 7 AND var > 0
                 THEN ROUND((CAST(revenue AS DOUBLE) - m) / sqrt(var), 6) END AS z,
            CASE WHEN prev_n = 7 AND var > 0
@@ -130,7 +131,11 @@ def q_anomaly_zscore(spark, sf_dir):
     day scored against the previous week's mean/std. Daily sums are
     exact DECIMAL (order-independent), the z arithmetic a fixed IEEE
     tree on those sums, so the twin reproduces every 6dp z exactly;
-    zero-variance baselines report NULL, not ±inf."""
+    zero-variance baselines report NULL, not ±inf. The compared
+    surface is integer/double-only (r10 verdict: the driver's hasher
+    diverges on DATE/DECIMAL output columns while values are equal —
+    ``day_idx INT`` = days since 1992-01-01, ``revenue_cents BIGINT``
+    = the exact DECIMAL(18,2) scaled to cents)."""
     from bearly_spark.operators.windows import rolling_zscore
 
     od = load_table(spark, sf_dir, "orders")
@@ -139,7 +144,16 @@ def q_anomaly_zscore(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("revenue")
     )
-    return rolling_zscore(daily, "day", "revenue", n=7, z_thresh=2.5)
+    z = rolling_zscore(daily, "day", "revenue", n=7, z_thresh=2.5)
+    return z.select(
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("int")
+        .alias("day_idx"),
+        (F.col("revenue") * 100).cast("long").alias("revenue_cents"),
+        "prev_n",
+        "z",
+        "is_anomaly",
+    )
 
 
 @register(
@@ -763,7 +777,7 @@ def q_survival_repeat(spark, sf_dir):
                  CAST(SUM(rev) AS DECIMAL(28,2)) AS total,
                  CAST(SUM(i * rev) AS DECIMAL(38,2)) AS weighted
           FROM rk)
-    SELECT n, total,
+    SELECT n, CAST(total * 100 AS BIGINT) AS total_cents,
            (2.0 * CAST(weighted AS DOUBLE))
                / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
@@ -803,9 +817,11 @@ def q_gini(spark, sf_dir):
         F.sum(F.col("i") * F.col("rev")).cast("decimal(38,2)").alias("weighted"),
     )
     n = F.col("n").cast("double")
+    # integer/double-only compared surface (r10 verdict: driver hasher
+    # diverges on DECIMAL output columns) — total emitted as exact cents
     return s.select(
         "n",
-        "total",
+        (F.col("total") * 100).cast("long").alias("total_cents"),
         (
             (F.lit(2.0) * F.col("weighted").cast("double"))
             / (n * F.col("total").cast("double"))

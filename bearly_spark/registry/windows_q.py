@@ -129,7 +129,8 @@ def q_window_range_frame(spark, sf_dir):
     d AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
                  ROUND(SUM(o_totalprice), 2) AS total_price
           FROM orders GROUP BY 1)
-    SELECT cal.day, COALESCE(d.n_orders, 0) AS n_orders,
+    SELECT CAST(cal.day - DATE '1992-01-01' AS INTEGER) AS day_idx,
+           COALESCE(d.n_orders, 0) AS n_orders,
            COALESCE(d.total_price, 0.0) AS total_price
     FROM cal LEFT JOIN d ON cal.day = d.day
     """,
@@ -138,7 +139,10 @@ def q_calendar_fill(spark, sf_dir):
     """Time-series gap fill: generate the full calendar spine with
     sequence()+explode and left-join daily aggregates, so days with no
     orders appear as explicit zeros. The spine is derived distributively
-    (min/max agg -> one-row sequence), never collected to the driver."""
+    (min/max agg -> one-row sequence), never collected to the driver.
+    The spine day is compared as ``day_idx INT`` (days since
+    1992-01-01) — DATE output columns diverge under the driver's
+    hasher (r10 verdict)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -152,7 +156,9 @@ def q_calendar_fill(spark, sf_dir):
         .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
     )
     return cal.join(daily, "day", "left").select(
-        "day",
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("int")
+        .alias("day_idx"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
     )
@@ -466,92 +472,80 @@ def q_ewma_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "ewma_probe_base",
-    oracle=f"""
-    WITH {_EWMA_DAILY_CTE}
-    SELECT priority, day, revenue FROM d
-    """,
-)
-def q_ewma_probe_base(spark, sf_dir):
-    """EWMA-divergence bisect probe 1/3 (diagnostic seat, round 10): the
-    daily-revenue CTE ALONE — ``(priority VARCHAR, day DATE, revenue
-    DECIMAL(18,2))``, no window function anywhere. ``ewma_revenue_
-    priority`` has hash-failed the driver four consecutive rounds while
-    judge-reproducing exactly equal locally, and every window/HUGEINT
-    construct its twin uses is driver-green in OTHER queries — so the
-    divergence lives in a surface invariant across the rewrites: this
-    base aggregation, its DATE/DECIMAL output columns, or the lag
-    machinery. If THIS row goes red, the daily aggregation (or the
-    driver's DATE/DECIMAL handling on this row set) is the culprit; if
-    it stays green the fault is downstream (see probes 2-3)."""
+# Round-10 probe results (decision table, CORRECTNESS_r10.json):
+#   ewma_probe_base  (priority, day DATE, revenue DECIMAL(18,2)) — RED
+#   ewma_probe_lag   (priority, day_idx INT, cents/prev BIGINT)  — GREEN
+#   ewma_probe_full  (base cols + revenue_ewma_micro BIGINT)     — RED
+#   ewma_revenue_priority (int-only surface)                     — GREEN
+# so the divergence is in how the driver's hasher canonicalizes DATE
+# and/or DECIMAL(18,2) OUTPUT columns, not in any computed value (the
+# judge re-ran every red locally: exact equality). The base/lag/full
+# probes are retired from the registry (their table rows are decided;
+# tests/test_rounding_exact.py keeps base pinned as a pytest
+# reference) and round 11 seats the two SINGLE-TYPE probes below to
+# pin which type diverges — note the counter-signals
+# active_users_events (DATE, green r10) and seasonality_orders
+# (DECIMAL(28,2), green r10).
+
+
+def ewma_probe_base(spark, sf_dir):
+    """Retired r10 probe 1/3 (RED): the daily-revenue CTE alone,
+    emitting ``(priority VARCHAR, day DATE, revenue DECIMAL(18,2))``.
+    Kept unregistered as the pytest reference surface."""
     return _ewma_daily(spark, sf_dir)
 
 
+EWMA_PROBE_BASE_SQL = f"""
+    WITH {_EWMA_DAILY_CTE}
+    SELECT priority, day, revenue FROM d
+    """
+
+
 @register(
-    "ewma_probe_lag",
+    "ewma_probe_date",
+    oracle=f"""
+    WITH {_EWMA_DAILY_CTE}
+    SELECT priority, day, CAST(revenue * 100 AS BIGINT) AS cents FROM d
+    """,
+)
+def q_ewma_probe_date(spark, sf_dir):
+    """Single-type bisect probe (round 11, verdict #1a): the
+    driver-green integer surface of ``ewma_probe_lag`` with exactly ONE
+    risky column added back — ``day DATE``. Red here (with
+    ``ewma_probe_decimal`` green) pins the driver-hash divergence to
+    DATE canonicalization on this row set; green means DATE is clean
+    and DECIMAL(18,2) is the culprit."""
+    daily = _ewma_daily(spark, sf_dir)
+    return daily.select(
+        "priority",
+        "day",
+        (F.col("revenue") * 100).cast("long").alias("cents"),
+    )
+
+
+@register(
+    "ewma_probe_decimal",
     oracle=f"""
     WITH {_EWMA_DAILY_CTE}
     SELECT priority, CAST(day - DATE '1992-01-01' AS INTEGER) AS day_idx,
-           CAST(revenue * 100 AS BIGINT) AS cents,
-           lag(CAST(revenue * 100 AS BIGINT), 1)
-               OVER (PARTITION BY priority ORDER BY day) AS prev_cents
-    FROM d
+           revenue FROM d
     """,
 )
-def q_ewma_probe_lag(spark, sf_dir):
-    """EWMA-divergence bisect probe 2/3 (diagnostic seat, round 10): the
-    daily CTE plus ONE integer ``lag()`` over the same (priority, day)
-    window the full query uses — every output column an integer or
-    string (``day_idx``, ``cents``, ``prev_cents`` BIGINT), so a red
-    here with a green probe 1 isolates the lag/window machinery on this
-    exact row set, independent of DATE/DECIMAL output hashing."""
-    from pyspark.sql import Window
-
+def q_ewma_probe_decimal(spark, sf_dir):
+    """Single-type bisect probe (round 11, verdict #1a): the
+    driver-green integer surface with exactly ONE risky column added
+    back — ``revenue DECIMAL(18,2)``. Together with
+    ``ewma_probe_date`` this closes the r10 decision table: exactly one
+    red names the diverging type; both red means each type diverges
+    independently; both green means only the DATE+DECIMAL COMBINATION
+    diverged (r10 base red, both singles green)."""
     daily = _ewma_daily(spark, sf_dir)
-    cents = (F.col("revenue") * 100).cast("long")
-    w = Window.partitionBy("priority").orderBy("day")
     return daily.select(
         "priority",
         F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
         .cast("int")
         .alias("day_idx"),
-        cents.alias("cents"),
-        F.lag(cents, 1).over(w).alias("prev_cents"),
-    )
-
-
-@register(
-    "ewma_probe_full",
-    oracle=f"""
-    WITH {_EWMA_DAILY_CTE},
-    l AS (SELECT priority, day, revenue,
-                 CAST(revenue * 100 AS HUGEINT) AS x0,
-                 {_EWMA_LAGS}
-          FROM d WINDOW w AS (PARTITION BY priority ORDER BY day)),
-    sw AS (SELECT priority, day, revenue,
-                 ({_EWMA_S}) AS s,
-                 ({_EWMA_W}) AS w
-           FROM l)
-    SELECT priority, day, revenue,
-           CAST((2000000 * s + 100 * w) // (200 * w) AS BIGINT)
-               AS revenue_ewma_micro
-    FROM sw
-    """,
-)
-def q_ewma_probe_full(spark, sf_dir):
-    """EWMA-divergence bisect probe 3/3 (diagnostic seat, round 10): the
-    round-9 query surface VERBATIM — ``(priority, day DATE, revenue
-    DECIMAL(18,2), revenue_ewma_micro BIGINT)`` — kept alongside the
-    new minimal-surface ``ewma_revenue_priority`` so the decision table
-    closes: minimal green + this red + probes 1-2 green pins the
-    divergence to the full column COMBINATION; this green means the r10
-    tree as a whole cleared whatever diverged."""
-    from bearly_spark.operators.windows import ewma
-
-    daily = _ewma_daily(spark, sf_dir)
-    return ewma(
-        daily, ["priority"], "day", "revenue", alpha=0.3, span=14, emit="micro"
+        "revenue",
     )
 
 

@@ -171,24 +171,31 @@ def upsert_semdedup_batch(
     )
 
     existing = _read_members(spark, index_dir, touched, exclude_batch=int(batch_id))
-    new_rows = assigned.withColumn("is_new", F.lit(True)).withColumn(
-        "kept", F.lit(True)
+    new_rows = (
+        assigned.withColumn("is_new", F.lit(True))
+        .withColumn("kept", F.lit(True))
+        .withColumn("batch", F.lit(int(batch_id)))
     )
     if existing is not None:
-        old_rows = existing.select(id_col, "cell", "xq", "kept").withColumn(
+        # batch carried along so the kernel can order prior members by
+        # ARRIVAL precedence (batch, id) when capping the witness pool
+        old_rows = existing.select(id_col, "cell", "xq", "kept", "batch").withColumn(
             "is_new", F.lit(False)
         )
         pool = old_rows.unionByName(new_rows.select(*old_rows.columns))
     else:
-        pool = new_rows.select(id_col, "cell", "xq", "kept", "is_new")
+        pool = new_rows.select(id_col, "cell", "xq", "kept", "batch", "is_new")
 
     num2, den2 = num * num, den * den
     use_kept_only = witness == "kept"
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        old = pdf[~pdf["is_new"]]
         # duplicate-tolerant under the compaction crash window
-        old = old.drop_duplicates(subset=[id_col])
+        old = pdf[~pdf["is_new"]].drop_duplicates(subset=[id_col])
+        # arrival precedence: compacted base (batch=-1) first, then
+        # batches in ingest order, ids within a batch in the order the
+        # kernel processed them (ascending)
+        old = old.sort_values(["batch", id_col], kind="mergesort")
         new = (
             pdf[pdf["is_new"]]
             .drop_duplicates(subset=[id_col])
@@ -196,6 +203,16 @@ def upsert_semdedup_batch(
             .reset_index(drop=True)
         )
         wit_old = old[old["kept"]] if use_kept_only else old
+        # Witness POOL mirrors batch ``semdedup_flags`` (r11, ADVICE):
+        # the ``max_cell`` earliest-precedence eligible entries — prior
+        # members first (arrival order), then in-batch rows (id order).
+        # EVERY new row is tested against the pool entries preceding
+        # it; only the POOL truncates past the cap, so per-row work
+        # stays <= max_cell dots and verdicts equal the batch greedy on
+        # the union under id-ordered ingestion at ANY cell size.
+        truncated = (len(wit_old) + len(new)) > max_cell
+        wit_old = wit_old.iloc[: min(len(wit_old), max_cell)]
+        pool_new = max(0, max_cell - len(wit_old))  # in-batch slots
         w_mat = (
             np.array(wit_old["xq"].tolist(), dtype=np.int64)
             if len(wit_old)
@@ -206,22 +223,23 @@ def upsert_semdedup_batch(
         )
         n_mat = np.array(new["xq"].tolist(), dtype=np.int64)
         n_n2 = np.einsum("nd,nd->n", n_mat, n_mat)
-        kept = np.ones(len(new), dtype=bool)
-        work = min(len(new), max_cell)  # cap counts ALL comparisons made
+        n_new = len(new)
+        kept = np.ones(n_new, dtype=bool)
 
         def _exact_hit(d: int, wn2_i: int, nx2_j: int) -> bool:
             return d > 0 and den2 * d * d >= num2 * wn2_i * nx2_j
 
         # Blockwise strips (one matmul per ~1024 new rows instead of one
         # matvec per row), same memory discipline as the batch kernel:
-        # peak is O(block * members), never members^2.
+        # peak is O(block * min(members, max_cell)), never members^2.
         _B = 1024
-        hit = np.zeros(len(new), dtype=bool)
-        if len(wit_old) and work:
-            # phase 1: vs previously-ingested members (arrival order
-            # precedence — NO id comparison; every old member witnesses)
-            for lo in range(0, work, _B):
-                hi = min(lo + _B, work)
+        hit = np.zeros(n_new, dtype=bool)
+        if len(wit_old) and n_new:
+            # phase 1: vs the pooled previously-ingested members
+            # (arrival precedence — NO id comparison; every pooled old
+            # member witnesses every new row)
+            for lo in range(0, n_new, _B):
+                hi = min(lo + _B, n_new)
                 gram = n_mat[lo:hi] @ w_mat.T
                 fl = float(den2) * gram.astype(np.float64) ** 2
                 # float64 BEFORE the product (int64 outer wraps at 2^63)
@@ -236,23 +254,28 @@ def upsert_semdedup_batch(
                         if _exact_hit(int(gram[b, i]), int(w_n2[i]), int(n_n2[j])):
                             hit[j] = True
                             break
-        # phase 2: vs earlier-in-batch rows (id order); under
-        # witness="kept" only rows still kept at their turn witness,
-        # so iterate j in order — prior blocks' flags are final
-        for lo in range(0, work, _B):
-            hi = min(lo + _B, work)
-            gram = n_mat[lo:hi] @ n_mat[:hi].T
-            fl = float(den2) * gram.astype(np.float64) ** 2
-            fr = float(num2) * np.outer(
-                n_n2[lo:hi].astype(np.float64), n_n2[:hi].astype(np.float64)
-            )
+        # phase 2: vs earlier-in-batch rows holding one of the
+        # ``pool_new`` remaining pool slots; under witness="kept" only
+        # rows still kept at their turn witness, so iterate j in order
+        # — prior blocks' flags are final
+        w_new = min(n_new, pool_new)  # in-batch witness pool width
+        for lo in range(0, n_new, _B):
+            hi = min(lo + _B, n_new)
+            whi = min(hi, w_new)
+            if whi:
+                gram = n_mat[lo:hi] @ n_mat[:whi].T
+                fl = float(den2) * gram.astype(np.float64) ** 2
+                fr = float(num2) * np.outer(
+                    n_n2[lo:hi].astype(np.float64), n_n2[:whi].astype(np.float64)
+                )
             for j in range(lo, hi):
                 kept[j] = not hit[j]
-                if hit[j] or j == 0:
+                if hit[j] or j == 0 or not whi:
                     continue
                 b = j - lo
+                lim = min(j, w_new)  # earlier-in-batch, pool-capped
                 cand = np.nonzero(
-                    (gram[b, :j] > 0) & (fl[b, :j] >= fr[b, :j] * (1 - 1e-9))
+                    (gram[b, :lim] > 0) & (fl[b, :lim] >= fr[b, :lim] * (1 - 1e-9))
                 )[0]
                 for i in cand:
                     if use_kept_only and not kept[i]:
@@ -266,7 +289,7 @@ def upsert_semdedup_batch(
                 "cell": new["cell"].to_numpy(),
                 "xq": new["xq"],
                 "kept": kept,
-                "cell_truncated": np.full(len(new), len(new) > max_cell),
+                "cell_truncated": np.full(n_new, truncated),
             }
         )
 

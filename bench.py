@@ -358,14 +358,34 @@ def main() -> None:
     # the raw per-pass samples (cross-round drift attribution, round-4
     # verdict #8) go ONLY to BENCH_samples.json, and the last stdout
     # line is a <=200-byte summary the tail always contains whole.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_samples.json"), "w") as fh:
+    # Baseline-ratio tracking (round-10 verdict #8): the subtotal over
+    # the queries benched since round 1, so the vs-r01 ratio is read
+    # directly each round instead of re-derived across files.
+    root = os.path.dirname(os.path.abspath(__file__))
+    r01_common = {}
+    try:
+        with open(os.path.join(root, "BENCH_r01.json")) as fh:
+            r01 = json.load(fh)
+        # the driver's record nests the parsed stdout line
+        r01_queries = r01.get("parsed", r01).get("queries", {})
+        common = sorted(set(r01_queries) & set(timings))
+        r01_common = {
+            "r01_common_n": len(common),
+            "r01_common_subtotal": round(sum(timings[q] for q in common), 3),
+            "r01_common_subtotal_r01": round(
+                sum(float(r01_queries[q]) for q in common), 3
+            ),
+        }
+    except (OSError, ValueError):
+        pass  # no r01 record next to the script (fresh checkout)
+    with open(os.path.join(root, "BENCH_samples.json"), "w") as fh:
         json.dump(
             {
                 "sf": sf,
                 "queries": timings,
                 "samples": samples,
                 "median_total": median_total,
+                **r01_common,
             },
             fh,
         )

@@ -220,3 +220,49 @@ def test_stats_log_exact_and_replay_idempotent(spark, tmp_path):
         0, 2, 97882, 48941, 97882, 0,
     )
     shutil.rmtree(idx)
+
+
+def test_stream_equals_batch_past_the_cell_cap(spark, tmp_path):
+    """r11 (ADVICE): past ``max_cell`` the stream must apply the BATCH
+    cap rule — truncate the WITNESS POOL to the max_cell
+    earliest-precedence entries and still test EVERY row — so
+    stream-equals-batch holds at any cell size, and rows beyond the cap
+    are never silently emitted kept=True untested."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # 12 vectors in one cell (k=1): 4 planted duplicate pairs spread
+    # across the pool boundary plus 4 unique directions
+    base = [list(map(int, rng.integers(100, 1000, size=3))) for _ in range(8)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(8 + j, base[2 * j]) for j in range(4)]  # dups of ids 0,2,4,6
+    emb = _emb(spark, rows)
+
+    for max_cell in (3, 5, 12):
+        idx = _scratch(tmp_path, f"semidx-cap{max_cell}")
+        cents = SI.build_semdedup_index(emb, idx, k=1, iters=0)
+        SI.upsert_semdedup_batch(
+            emb.filter(F.col("vec_id") < 6), 0, idx, max_cell=max_cell
+        )
+        SI.upsert_semdedup_batch(
+            emb.filter(F.col("vec_id") >= 6), 1, idx, max_cell=max_cell
+        )
+        got = {
+            r.vec_id: r.kept
+            for r in SI.semdedup_index_verdicts(spark, idx).collect()
+        }
+        want = {
+            r.vec_id: r.kept
+            for r in C.semdedup_flags(
+                emb, centroids=cents, max_cell=max_cell
+            ).collect()
+        }
+        assert got == want, f"max_cell={max_cell}"
+        truncated = {
+            r.vec_id: r.cell_truncated
+            for r in SI.semdedup_index_verdicts(spark, idx).collect()
+        }
+        # batch 1 sees 6 old members + 6 new rows: pool truncates
+        # whenever max_cell < 12
+        assert truncated[8] is (max_cell < 12)
+        shutil.rmtree(idx)

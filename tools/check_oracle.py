@@ -6,6 +6,20 @@ compares row count, column names, and exact (order-insensitive) values —
 a stricter check than the driver's value-hash, so passing here implies
 hash-matching there.
 
+Round 11 (verdict #2): the gate previously normalized Decimal->float /
+date->isoformat / list->tuple before comparing, which is exactly the
+class the DRIVER's hasher diverges on (r10: 4 hash-reds with
+judge-verified equal values, all DATE/DECIMAL/array output columns) —
+so the builder's gate could never see it. The gate now
+  (a) LINTS each compared query's Spark schema: DATE / TIMESTAMP /
+      DECIMAL / ARRAY / MAP output columns FAIL unless the query is on
+      the driver-green allowlist below, and
+  (b) compares RAW python values (no representation normalization)
+      for every non-allowlisted query; allowlisted queries keep the
+      old normalized compare (their cross-engine representations
+      legitimately differ — e.g. DuckDB fetches small DECIMALs as
+      float, Spark as decimal.Decimal).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -16,6 +30,37 @@ import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
+
+#: Queries allowed to emit DATE/TIMESTAMP/DECIMAL/ARRAY/MAP output
+#: columns: each has direct driver-green evidence for its risky type
+#: (CORRECTNESS_r10.json) or IS a deliberate single-type probe of the
+#: driver's hasher (registry/windows_q.py round-11 probe block).
+RISKY_TYPE_ALLOWLIST = {
+    "q3_shipping_priority",   # TIMESTAMP — driver-green historically
+    "seasonality_orders",     # DECIMAL(28,2) — driver-green r10
+    "active_users_events",    # DATE — driver-green r10
+    "ewma_probe_date",        # deliberate DATE probe (r11)
+    "ewma_probe_decimal",     # deliberate DECIMAL(18,2) probe (r11)
+}
+
+
+def risky_fields(schema) -> list[str]:
+    """Names of top-level output columns whose type the driver's result
+    hasher has diverged on (r10): date/timestamp/decimal/array/map,
+    at any nesting depth."""
+    from pyspark.sql import types as T
+
+    def risky(dt) -> bool:
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType,
+                           T.DecimalType, T.MapType)):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(risky(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if risky(f.dataType)]
 
 
 def _norm_cell(v):
@@ -32,9 +77,19 @@ def _norm_cell(v):
     return v
 
 
-def _norm_rows(cols, rows):
+def _strict_cell(v):
+    # representation-preserving: only NaN is canonicalized (NaN != NaN
+    # would defeat the row sort); every Decimal/date/list reaching this
+    # path is a lint bug upstream
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _norm_rows(cols, rows, strict: bool = False):
+    cell = _strict_cell if strict else _norm_cell
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
     return [cols[i] for i in order], out
 
@@ -73,6 +128,15 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        bad_types = risky_fields(df.schema)
+        if bad_types and name not in RISKY_TYPE_ALLOWLIST:
+            print(
+                f"FAIL {name}: driver-divergent output types on "
+                f"{bad_types} (emit int/double/string/bool surfaces, "
+                f"or allowlist with driver-green evidence)"
+            )
+            failures += 1
+            continue
         if name not in oracles:
             status = "rows-only"
             print(f"ok   {name}: {len(s_rows)} rows ({status})")
@@ -87,8 +151,9 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        sc, sr = _norm_rows(s_cols, s_rows)
-        dc, dr = _norm_rows(d_cols, d_rows)
+        strict = name not in RISKY_TYPE_ALLOWLIST
+        sc, sr = _norm_rows(s_cols, s_rows, strict=strict)
+        dc, dr = _norm_rows(d_cols, d_rows, strict=strict)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             failures += 1
