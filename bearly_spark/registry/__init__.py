@@ -126,9 +126,11 @@ PREFIX_ORDER = [
     "unpivot_lineitem_measures",
     "crosstab_orders",
     "posexplode_embeddings",
-    # aggregate surfaces
+    # aggregate surfaces (approx_percentile_lineitem is rows-only —
+    # a sketch seat would waste a driver hash slot; the Tukey-fence
+    # outlier query takes the slot instead)
     "collect_agg_nations",
-    "approx_percentile_lineitem",
+    "outliers_iqr_lineitem",
     "misc_agg_orders",
     "filter_clause_lang_stats",
     "topn_types_brand",

@@ -287,3 +287,27 @@ def test_prefix_order_is_the_driver_sample_contract():
     assert list(QUERIES)[:50] == PREFIX_ORDER
     missing_oracle = [n for n in PREFIX_ORDER if n not in ORACLE]
     assert not missing_oracle, missing_oracle
+
+
+def test_readme_registry_counts():
+    """README's registry counts drifted twice (r10 ADVICE): derive them
+    from the registry so the doc can't silently lie."""
+    import os
+    import re
+
+    from bearly_spark.registry import ORACLE, QUERIES
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "README.md")
+    ).read()
+    m = re.search(r"(\d+) named\s+queries", readme)
+    t = re.search(r"(\d+) with DuckDB\s+oracle SQL twins", readme)
+    assert m and int(m.group(1)) == len(QUERIES), (
+        f"README says {m and m.group(1)} named queries, registry has "
+        f"{len(QUERIES)}"
+    )
+    assert t and int(t.group(1)) == len(ORACLE), (
+        f"README says {t and t.group(1)} oracle twins, registry has "
+        f"{len(ORACLE)}"
+    )
