@@ -530,10 +530,15 @@ def _global_order_statistics(
 
 
 #: Below this many rows per group (on average) the grouped selection
-#: path yields to the rank-window form: a one-task sort of <=500k rows
-#: is sub-second, while selection pays 2-3 fixed-cost full scans
-#: (round-11 size gate; see _few_group_order_statistics).
-WINDOW_FORM_MAX_GROUP_ROWS = 500_000
+#: path yields to the rank-window form (round-11 size gate; see
+#: _few_group_order_statistics). Measured crossover on local[32] with
+#: 3 groups (tools/grouped_selection_probe.py sweep, PLANS.md r11):
+#: window wins 1.07s vs 1.75s at 125k rows/group, selection wins
+#: 1.95s vs 2.96s at 500k and 13.4s vs 57.2s at 8M — the cutoff sits
+#: between, and routing a borderline input to selection only costs
+#: constants while routing a huge group to the window form costs an
+#: unbounded single-task sort, so the gate leans low.
+WINDOW_FORM_MAX_GROUP_ROWS = 250_000
 
 
 def _few_group_order_statistics(

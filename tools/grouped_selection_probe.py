@@ -61,9 +61,16 @@ def main() -> None:
     qs = (0.25, 0.5, 0.75, 0.95)
 
     def run_selection():
-        return sorted(
-            map(tuple, aggregate.exact_percentiles(df, ["g"], "v", qs).collect())
-        )
+        # bypass the round-11 small-group gate: this leg must measure
+        # the SELECTION route even below the 500k-rows/group cutoff
+        saved = aggregate.WINDOW_FORM_MAX_GROUP_ROWS
+        aggregate.WINDOW_FORM_MAX_GROUP_ROWS = 0
+        try:
+            return sorted(
+                map(tuple, aggregate.exact_percentiles(df, ["g"], "v", qs).collect())
+            )
+        finally:
+            aggregate.WINDOW_FORM_MAX_GROUP_ROWS = saved
 
     orig = aggregate._few_group_order_statistics
 
