@@ -71,10 +71,12 @@ MAX_SEMDEDUP_CELL = 100_000
 #: point at 73.6x wall for 64x data; auto-k restored ~linear scaling.
 SEMDEDUP_TARGET_CELL = 2048
 
-#: Auto-k ceiling: seed collection is a k-row TakeOrdered and each
-#: Lloyd reduction collects k*dim rows — both Theta(k*dim) driver-side,
-#: fine to ~4096 cells (~16 MB at dim 1024). Corpora wanting more cells
-#: should fit on a sample like the IVF index (similarity._kmeans_fit).
+#: Auto-k ceiling for the FLAT fit: seed collection is a k-row
+#: TakeOrdered and each Lloyd reduction collects k*dim rows — both
+#: Theta(k*dim) driver-side, fine to ~4096 cells (~16 MB at dim 1024).
+#: Corpora wanting more cells use the two-level form
+#: (``hierarchical_fit`` below, round 11): k1*k2 effective cells with
+#: the fine centroids held distributed.
 SEMDEDUP_MAX_AUTO_K = 4096
 
 
@@ -644,3 +646,258 @@ def cluster_prototypes(
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ===================================================================
+# Two-level (hierarchical) k-means: unbounded cell counts
+# ===================================================================
+#
+# The flat fit holds all k centroids on the driver and scores every row
+# against all of them — fine to SEMDEDUP_MAX_AUTO_K (~4096) cells, the
+# r10 verdict's "one honest boundary". Past that (corpora beyond
+# ~k_max * TARGET_CELL ~ 8M vectors) the two-level form keeps scaling:
+# k1 <= 4096 COARSE cells fit with the flat machinery (driver-held,
+# broadcast, zero corpus shuffle), then k2 FINE centroids per coarse
+# cell are fit and held DISTRIBUTED as a (coarse, fine, cq) frame that
+# never concentrates on the driver. Effective cell count k1*k2 (to
+# ~1M cells) with
+#   - driver memory      Theta(k1*dim)        (unchanged),
+#   - per-row assignment Theta((k1+k2)*dim)   (vs Theta(k1*k2*dim) flat),
+#   - fine fit/assign    one corpus shuffle per pass keyed on the
+#     coarse cell (the price of distributed centroids; the SAME key
+#     later feeds SemDeDup's per-cell pair stage, so the partitioning
+#     is reused, and a ``fanout`` salt bounds per-task memory at
+#     O(cell/fanout) — partial sums merge downstream, and assignment
+#     is per-row independent, so salting is exact).
+#
+# Exactness contract is unchanged: integer grid, floor-division means,
+# first-minimal (lowest-index) argmin ties — the DuckDB twin replays
+# the whole two-level fit in SQL (registry/clustering_q._hier_ctes).
+
+
+def _fine_kernel_factory(id_col: str, emit: str):
+    """Shared cogroup kernel: per (coarse [, salt]) group, score the
+    rows against THAT cell's fine centroids. ``emit='partials'`` yields
+    per-(fine, pos) sum/count partials (Lloyd update); ``emit='assign'``
+    yields per-row (id, coarse, fine, dist, xq)."""
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame()
+        if len(right) == 0:
+            raise ValueError(
+                "coarse cell holds rows but no fine centroids — the fine "
+                "fit frame must cover every coarse cell the data lands in "
+                "(fit and assign frames diverged?)"
+            )
+        right = right.sort_values("fine")
+        cent = np.array(right["cq"].tolist(), dtype=np.int64)
+        fines = right["fine"].to_numpy()
+        xq = np.array(left["xq"].tolist(), dtype=np.int64)
+        if xq.shape[1] != cent.shape[1]:
+            raise ValueError(
+                f"vector dim {xq.shape[1]} != fine centroid dim {cent.shape[1]}"
+            )
+        idx, d = _assign_batch(xq, cent)
+        coarse_val = int(left["coarse"].iloc[0])
+        if emit == "assign":
+            return pd.DataFrame(
+                {
+                    id_col: left[id_col].to_numpy(),
+                    "coarse": np.full(len(left), coarse_val, dtype=np.int32),
+                    "fine": fines[idx].astype(np.int32),
+                    "dist": d,
+                    "xq": left["xq"],
+                }
+            )
+        k, dim = cent.shape
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, idx, xq)
+        counts += np.bincount(idx, minlength=k)
+        live = np.nonzero(counts)[0]
+        if len(live) == 0:
+            return pd.DataFrame()
+        return pd.DataFrame(
+            {
+                "coarse": np.full(len(live) * dim, coarse_val, dtype=np.int32),
+                "fine": np.repeat(fines[live].astype(np.int32), dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                "s": sums[live].reshape(-1),
+                "n": np.repeat(counts[live], dim),
+            }
+        )
+
+    return kernel
+
+
+def _salted_cogroup(base: DataFrame, cents: DataFrame, id_col: str, fanout: int):
+    """(grouped rows, grouped centroids) keyed on (coarse, salt): rows
+    split ``fanout`` ways by id, the (small per-cell) centroid set
+    replicated per salt — bounds cogroup task memory at O(cell/fanout)
+    without changing any result (partials merge; assignment is
+    row-independent)."""
+    fanout = max(1, int(fanout))
+    rows = base.withColumn("_salt", F.pmod(F.col(id_col), F.lit(fanout)).cast("int"))
+    spark = base.sparkSession
+    salts = spark.range(fanout).select(F.col("id").cast("int").alias("_salt"))
+    # re-alias the centroid columns: the frame descends from ``base``
+    # (fine seeds), so its attributes carry base's expression ids and
+    # the cogroup would be an ambiguous self-join; Alias mints fresh ids
+    reps = cents.select(
+        *[F.col(c).alias(c) for c in ("coarse", "fine", "cq")]
+    ).crossJoin(salts)
+    return rows.groupby("coarse", "_salt"), reps.groupby("coarse", "_salt")
+
+
+def hierarchical_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    fanout: int = 8,
+) -> tuple[list[list[int]], DataFrame]:
+    """Two-level integer Lloyd fit: (coarse centroids, fine frame).
+
+    Coarse = the flat ``lloyd_fit`` (k1 <= SEMDEDUP_MAX_AUTO_K). Fine
+    seeds are the k2 lowest ids of each coarse cell (WindowGroupLimit —
+    a per-group top-k, no whole-cell sort), then ``iters`` Lloyd steps
+    run for ALL cells simultaneously: one salted cogroup pass emits
+    per-(coarse, fine, pos) partial sums, a groupBy reduces them, and
+    the floor-division mean is computed IN the frame
+    (``(s - pmod(s, n)) div n`` — exact, numerator a multiple of n) —
+    the centroid update never touches the driver. Empty fine clusters
+    keep their previous centroid (left-join + coalesce), mirroring the
+    flat fit and the SQL twin.
+
+    Returns the driver-held coarse list and a localCheckpoint'ed
+    (coarse int, fine int, cq array<long>) frame of <= k1*k2 rows.
+    """
+    from pyspark.sql import Window
+
+    coarse = lloyd_fit(df, id_col, vec_col, k1, iters)
+    base = (
+        assign_clusters(df, coarse, id_col, vec_col, emit_xq=True)
+        .select(id_col, F.col("cluster").alias("coarse"), "xq")
+        .localCheckpoint(eager=True)  # reused by every fine pass
+    )
+    w = Window.partitionBy("coarse").orderBy(id_col)
+    cents = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k2)
+        .select(
+            "coarse",
+            (F.col("_rn") - 1).cast("int").alias("fine"),
+            F.col("xq").alias("cq"),
+        )
+        # the centroid frame re-cogroups against ``base`` (its own
+        # ancestor) every pass: checkpoint the <= k1*k2-row frame to cut
+        # the shared lineage (self-join ambiguity) and to stop each
+        # pass re-running all prior passes
+        .localCheckpoint(eager=True)
+    )
+    kernel = _fine_kernel_factory(id_col, emit="partials")
+    for _ in range(iters):
+        rows_g, cents_g = _salted_cogroup(base, cents, id_col, fanout)
+        partials = rows_g.cogroup(cents_g).applyInPandas(
+            kernel, schema="coarse int, fine int, pos int, s long, n long"
+        )
+        means = (
+            partials.groupBy("coarse", "fine", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .select(
+                "coarse",
+                "fine",
+                "pos",
+                F.expr("(s - pmod(s, n)) div n").cast("long").alias("v"),
+            )
+        )
+        newc = means.groupBy("coarse", "fine").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda x: x["v"],
+            ).alias("cq")
+        )
+        cents = (
+            cents.alias("p")
+            .join(newc.alias("nw"), ["coarse", "fine"], "left")
+            .select(
+                "coarse",
+                "fine",
+                F.coalesce(F.col("nw.cq"), F.col("p.cq")).alias("cq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return coarse, cents
+
+
+def assign_hierarchical(
+    df: DataFrame,
+    coarse: list[list[int]],
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k2: int = 8,
+    fanout: int = 8,
+) -> DataFrame:
+    """Two-level assignment: (id, coarse, fine, cell, dist, xq) with
+    ``cell = coarse * k2 + fine`` (k2 = the NOMINAL fine count — the
+    packing stride, not a per-cell row count). Coarse scoring is the
+    flat map-only broadcast kernel; fine scoring is one salted cogroup
+    against the distributed centroid frame — the corpus shuffles ONCE
+    on the coarse key, and downstream per-cell stages (SemDeDup pair
+    work, profiles) group by the same key."""
+    base = assign_clusters(df, coarse, id_col, vec_col, emit_xq=True).select(
+        id_col, F.col("cluster").alias("coarse"), "xq"
+    )
+    rows_g, cents_g = _salted_cogroup(base, fine, id_col, fanout)
+    out = rows_g.cogroup(cents_g).applyInPandas(
+        _fine_kernel_factory(id_col, emit="assign"),
+        schema=f"{id_col} long, coarse int, fine int, dist long, xq array<long>",
+    )
+    return out.select(
+        id_col,
+        "coarse",
+        "fine",
+        (F.col("coarse") * F.lit(int(k2)) + F.col("fine")).cast("int").alias("cell"),
+        "dist",
+        "xq",
+    )
+
+
+def hierarchical_cluster_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    fanout: int = 8,
+) -> DataFrame:
+    """Per-cell (cell, n_vecs, inertia) under the two-level fit — the
+    flat ``kmeans_cluster_profile`` surface at k1*k2 effective cells,
+    same BIGINT inertia emission and raise-not-wrap int64 guard."""
+    coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
+    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("_inertia_dec"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            F.when(
+                F.col("_inertia_dec") <= F.lit(9223372036854775807),
+                F.col("_inertia_dec").cast("long"),
+            )
+            .otherwise(
+                F.raise_error(F.lit("hier kmeans inertia exceeds int64: split hi/lo"))
+            )
+            .alias("inertia"),
+        )
+        .orderBy("cell")
+    )

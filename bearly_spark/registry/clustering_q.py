@@ -66,6 +66,7 @@ def _kmeans_ctes(
     dim: int = _DIM,
     fit_src: str = "embeddings",
     assign_src: str = "embeddings",
+    final_assign: bool = True,
 ) -> str:
     """WITH-clause body deriving ``af(vec_id, cluster, d)`` — the final
     assignment after ``iters`` integer Lloyd steps — entirely in SQL.
@@ -128,14 +129,15 @@ c{it} AS (
   ) m USING (cluster)
 )"""
         )
-    parts.append(
-        f"""af AS (
+    if final_assign:
+        parts.append(
+            f"""af AS (
   SELECT q.vec_id,
          (MIN({{'d': {dist('q')}, 'c': c.cluster}})).c AS cluster,
          MIN({dist('q')}) AS d
   FROM q, c{iters} c GROUP BY q.vec_id
 )"""
-    )
+        )
     return ",\n".join(parts)
 
 
@@ -594,4 +596,121 @@ def q_semdedup_index_stats(spark, sf_dir):
         F.col("sum_dist").cast("long").alias("sum_dist"),
         "mean_dist",
         "max_dist",
+    )
+
+
+def _hier_ctes(
+    k1: int,
+    k2: int,
+    iters: int,
+    dim: int = _DIM,
+    fit_src: str = "embeddings",
+    assign_src: str = "embeddings",
+) -> str:
+    """WITH-clause body deriving ``haf(vec_id, coarse, fine, d)`` — the
+    TWO-LEVEL assignment after a full hierarchical fit — entirely in
+    SQL, mirroring ``clustering.hierarchical_fit`` /
+    ``assign_hierarchical`` exactly: the flat coarse fit (reused
+    ``_kmeans_ctes`` chain through ``c{iters}``), coarse assignment of
+    the fit rows, fine seeds = the k2 lowest ids per coarse cell,
+    ``iters`` fine Lloyd steps (floor-division means keyed by
+    (coarse, fine), empty clusters keep their previous centroid), then
+    the two-stage argmin for the assign rows (ties -> lowest coarse,
+    then lowest fine — the kernels' first-minimal argmin)."""
+
+    def d2(xs: str, cs: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({xs}, {cs}),"
+            " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    parts = [
+        _kmeans_ctes(
+            k=k1, iters=iters, dim=dim, fit_src=fit_src,
+            assign_src=assign_src, final_assign=False,
+        ),
+        f"""ca AS (
+  SELECT qf.vec_id,
+         (MIN({{'d': {d2('qf.xq', 'c.cq')}, 'c': c.cluster}})).c AS coarse
+  FROM qf, c{iters} c GROUP BY qf.vec_id
+),
+f0 AS (
+  SELECT coarse,
+         CAST(ROW_NUMBER() OVER (PARTITION BY coarse ORDER BY ca.vec_id) - 1
+              AS INTEGER) AS fine,
+         qf.xq AS cq
+  FROM ca JOIN qf USING (vec_id)
+  QUALIFY fine < {k2}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"f{t - 1}"
+        parts.append(
+            f"""fa{t} AS (
+  SELECT ca.vec_id, ca.coarse,
+         (MIN({{'d': {d2('qf.xq', 'fc.cq')}, 'f': fc.fine}})).f AS fine
+  FROM ca JOIN qf USING (vec_id) JOIN {prev} fc ON fc.coarse = ca.coarse
+  GROUP BY ca.vec_id, ca.coarse
+),
+fm{t} AS (
+  SELECT a.coarse, a.fine, i.i AS ord, SUM(qf.xq[i.i]) AS s, COUNT(*) AS n
+  FROM fa{t} a JOIN qf USING (vec_id), range(1, {dim + 1}) i(i)
+  GROUP BY a.coarse, a.fine, i.i
+),
+f{t} AS (
+  SELECT p.coarse, p.fine, COALESCE(m.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN (
+    -- floor division (python's //): subtract the non-negative
+    -- remainder first so trunc == floor (the flat chain's rule)
+    SELECT coarse, fine,
+           list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY ord) AS cq
+    FROM fm{t} GROUP BY coarse, fine
+  ) m ON m.coarse = p.coarse AND m.fine = p.fine
+)"""
+        )
+    parts.append(
+        f"""hca AS (
+  SELECT q.vec_id,
+         (MIN({{'d': {d2('q.xq', 'c.cq')}, 'c': c.cluster}})).c AS coarse
+  FROM q, c{iters} c GROUP BY q.vec_id
+),
+haf AS (
+  SELECT h.vec_id, h.coarse,
+         (MIN({{'d': {d2('q.xq', 'fc.cq')}, 'f': fc.fine}})).f AS fine,
+         MIN({d2('q.xq', 'fc.cq')}) AS d
+  FROM hca h JOIN q USING (vec_id) JOIN f{iters} fc ON fc.coarse = h.coarse
+  GROUP BY h.vec_id, h.coarse
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_HK1, _HK2 = 4, 4
+
+
+@register(
+    "hier_kmeans_embeddings",
+    oracle=f"""
+    WITH {_hier_ctes(_HK1, _HK2, _ITERS)}
+    SELECT CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) AS BIGINT) AS inertia
+    FROM haf GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_hier_kmeans(spark, sf_dir):
+    """Two-level (hierarchical) k-means cell profile — the round-11
+    answer to the flat fit's 4096-cell auto-k ceiling: k1 coarse cells
+    fit flat (driver-held, broadcast, zero corpus shuffle), k2 fine
+    centroids per coarse cell fit and held DISTRIBUTED (the centroid
+    frame never concentrates on the driver), per-row assignment cost
+    Theta((k1+k2)*dim) instead of Theta(k1*k2*dim). The twin replays
+    the ENTIRE two-level fit in SQL (seeds, coarse+fine Lloyd steps,
+    floor-division means, two-stage argmin) — bit-exact integers end
+    to end. k1=1 degenerates to the flat fit (pinned in
+    tests/test_clustering.py); fanout-salted cogroups bound per-task
+    memory without changing any value (also pinned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.hierarchical_cluster_profile(
+        emb, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
     )

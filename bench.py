@@ -115,6 +115,10 @@ HEADLINE = [
     # round 10 capstone: docs -> hashed embeddings -> k-means cells ->
     # SemDeDup, end to end over (doc_id, text) with no external model
     "semdedup_documents_hashed",
+    # round 11: the two-level fit — coarse broadcast + DISTRIBUTED fine
+    # centroids (cogroup passes). A regression here means the fine fit
+    # stopped being one salted cogroup per pass.
+    "hier_kmeans_embeddings",
     "embedding_ann_pq",
     # round 6: the composed index — dir-pruned codes scan + id-pruned
     # raw-vector rerank (index built once under .scratch, reused)

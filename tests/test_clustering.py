@@ -336,3 +336,72 @@ def test_cusum_changepoints_matches_reference_and_alarms(spark):
     # day of each regime (index 5 / 13) is the first past the threshold
     assert got[4][3] is False and got[5][3] is True  # negative side
     assert got[12][3] is False and got[13][3] is True  # positive side
+
+
+def test_hierarchical_k1_1_degenerates_to_flat(spark, sf_dir):
+    """Two-level fit with a single coarse cell must equal the flat fit
+    at k=k2 bit-for-bit: coarse assignment is constant, fine seeds are
+    the k2 globally-lowest ids, and the fine Lloyd steps reduce to the
+    flat steps."""
+    from bearly_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    h = [
+        (r.cell, r.n_vecs, r.inertia)
+        for r in C.hierarchical_cluster_profile(
+            emb, k1=1, k2=8, iters=2, fanout=4
+        ).collect()
+    ]
+    f = [
+        (r.cluster, r.n_vecs, r.inertia)
+        for r in C.kmeans_cluster_profile(emb, k=8, iters=2).collect()
+    ]
+    assert h == f
+
+
+def test_hierarchical_fanout_invariant(spark, sf_dir):
+    """The salt that bounds cogroup task memory must not change any
+    value: partial sums merge and assignment is row-independent."""
+    from bearly_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    runs = [
+        sorted(
+            (r.cell, r.n_vecs, r.inertia)
+            for r in C.hierarchical_cluster_profile(
+                emb, k1=4, k2=4, iters=1, fanout=fo
+            ).collect()
+        )
+        for fo in (1, 8)
+    ]
+    assert runs[0] == runs[1]
+    assert sum(n for _, n, _ in runs[0]) == emb.count()
+
+
+def test_hierarchical_fine_centroids_stay_distributed(spark, sf_dir):
+    """The fine centroid frame is a DataFrame of (coarse, fine, cq) —
+    never a driver list — and covers exactly the non-empty coarse
+    cells with at most k2 fine ids each, densely numbered from 0."""
+    from pyspark.sql import DataFrame
+
+    from bearly_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse, fine = C.hierarchical_fit(emb, k1=4, k2=3, iters=1, fanout=2)
+    assert isinstance(fine, DataFrame)
+    rows = fine.collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r.coarse, []).append(r.fine)
+    for c, fines in by_cell.items():
+        assert sorted(fines) == list(range(len(fines))) and len(fines) <= 3
+    # every vector lands in a (coarse, fine) cell that exists
+    assigned = C.assign_hierarchical(emb, coarse, fine, k2=3, fanout=2)
+    pairs = {(r.coarse, r.fine) for r in assigned.select("coarse", "fine").distinct().collect()}
+    assert pairs <= {(c, f) for c, fines in by_cell.items() for f in fines}
