@@ -332,6 +332,62 @@ def _exact_ge(lhs_a: int, lhs_b: int, rhs: int) -> bool:
     return lhs_a * lhs_b >= rhs
 
 
+def _greedy_drop_sorted(
+    xq: np.ndarray, max_cell: int, num2: int, den2: int
+) -> np.ndarray:
+    """The SemDeDup per-cell greedy-drop kernel over id-PRE-SORTED
+    quantized rows: kept[j] = no earlier row within the capped witness
+    pool clears the exact rational cosine test. Shared by the flat and
+    hierarchical pair stages (the rule, the cap semantics and the
+    blockwise memory discipline must never diverge between them).
+
+    Witness POOL is capped at the max_cell lowest ids; every row is
+    still TESTED against the capped pool — the multiprobe/streaming
+    rule, so all paths agree on any input. Per-row work is <= max_cell
+    dots: total cell cost O(n * min(n, max_cell)), linear past the cap.
+    """
+    n = len(xq)
+    kept = np.ones(n, dtype=bool)
+    if n <= 1:
+        return kept
+    W = min(n, max_cell)
+    nx2 = np.einsum("nd,nd->n", xq, xq)
+    # BLOCKWISE gram: a (block x W) strip, never the full cell^2
+    # matrix — memory stays O(block * min(cell, cap)) at any cell
+    # size (the full gram at the 100k cap would be 80 GB).
+    _BLOCK = 1024
+    for lo in range(1, n, _BLOCK):
+        hi = min(lo + _BLOCK, n)
+        whi = min(hi, W)
+        gram = xq[lo:hi] @ xq[:whi].T  # int64-exact, |dot| <= ~7e13
+        # float64 screen with an exact python-int confirmation band:
+        # lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer range, so
+        # near-boundary pairs re-check exactly.
+        fl = float(den2) * gram.astype(np.float64) ** 2
+        # cast BEFORE the outer product: nx2 ~ 2^40 for unit-norm
+        # 2^20-grid vectors, so the int64 product (~2^80) silently
+        # wraps and a wrapped screen passes everything — vacuous
+        # prefilter, O(cell^2) python bigint confirms (results stay
+        # right; the cost doesn't)
+        fr = float(num2) * np.outer(
+            nx2[lo:hi].astype(np.float64), nx2[:whi].astype(np.float64)
+        )
+        for j in range(lo, hi):
+            b = j - lo
+            lim = min(j, W)  # lower-id witnesses, pool-capped
+            cand = np.nonzero(
+                (gram[b, :lim] > 0) & (fl[b, :lim] >= fr[b, :lim] * (1 - 1e-9))
+            )[0]
+            for i in cand:
+                d = int(gram[b, i])
+                if d > 0 and _exact_ge(
+                    den2 * d, d, num2 * int(nx2[i]) * int(nx2[j])
+                ):
+                    kept[j] = False
+                    break
+    return kept
+
+
 def semdedup_flags(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -418,58 +474,14 @@ def semdedup_flags(
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        truncated = n > max_cell
-        # witness POOL is capped at the max_cell lowest ids; every row
-        # is still TESTED (against the capped pool) — the same rule the
-        # multiprobe path applies, so the two paths agree on any input.
-        # Per-row work is thus <= max_cell dots: total cell cost is
-        # O(n * min(n, max_cell)), linear in n past the cap.
-        W = min(n, max_cell)
         xq = _quantize_np(_vec_matrix(pdf[vec_col]))
-        kept = np.ones(n, dtype=bool)
-        if n > 1:
-            nx2 = np.einsum("nd,nd->n", xq, xq)
-            # BLOCKWISE gram: a (block x W) strip, never the full cell^2
-            # matrix — memory stays O(block * min(cell, cap)) at any
-            # cell size (the full gram at the 100k cap would be 80 GB).
-            _BLOCK = 1024
-            for lo in range(1, n, _BLOCK):
-                hi = min(lo + _BLOCK, n)
-                whi = min(hi, W)
-                gram = xq[lo:hi] @ xq[:whi].T  # int64-exact, |dot| <= ~7e13
-                # float64 screen with an exact python-int confirmation
-                # band: lhs/rhs ~ 1e27-1e30 exceed float64's 2^53 integer
-                # range, so near-boundary pairs re-check exactly.
-                fl = float(den2) * gram.astype(np.float64) ** 2
-                # cast BEFORE the outer product: nx2 ~ 2^40 for
-                # unit-norm 2^20-grid vectors, so the int64 product
-                # (~2^80) silently wraps and a wrapped screen passes
-                # everything — vacuous prefilter, O(cell^2) python
-                # bigint confirms (results stay right; the cost doesn't)
-                fr = float(num2) * np.outer(
-                    nx2[lo:hi].astype(np.float64), nx2[:whi].astype(np.float64)
-                )
-                for j in range(lo, hi):
-                    b = j - lo
-                    lim = min(j, W)  # lower-id witnesses, pool-capped
-                    cand = np.nonzero(
-                        (gram[b, :lim] > 0)
-                        & (fl[b, :lim] >= fr[b, :lim] * (1 - 1e-9))
-                    )[0]
-                    for i in cand:
-                        d = int(gram[b, i])
-                        if d > 0 and _exact_ge(
-                            den2 * d, d, num2 * int(nx2[i]) * int(nx2[j])
-                        ):
-                            kept[j] = False
-                            break
+        kept = _greedy_drop_sorted(xq, max_cell, num2, den2)
         out = pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy(),
                 "cluster": pdf["cluster"].to_numpy(),
                 "kept": kept,
-                "cell_truncated": np.full(len(pdf), truncated),
+                "cell_truncated": np.full(len(pdf), len(pdf) > max_cell),
             }
         )
         return out
@@ -901,3 +913,68 @@ def hierarchical_cluster_profile(
         )
         .orderBy("cell")
     )
+
+
+def semdedup_flags_hier(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    tau: tuple[int, int] = (19, 20),
+    max_cell: int = MAX_SEMDEDUP_CELL,
+    fanout: int = 8,
+    observation: Observation | None = None,
+    fitted: tuple[list[list[int]], DataFrame] | None = None,
+) -> DataFrame:
+    """SemDeDup over the TWO-LEVEL cell geometry — semantic dedup for
+    corpora past the flat fit's 4096-cell auto-k ceiling (above ~8M
+    vectors at the 2048-vector cell target). Identical drop rule to
+    :func:`semdedup_flags` (the shared ``_greedy_drop_sorted`` kernel:
+    exact rational cosine, capped witness pool, every row tested),
+    blocked by (coarse, fine) cell instead of the flat cell. Emits
+    (id, coarse, fine, cell, kept, cell_truncated).
+
+    The corpus shuffles ONCE on the coarse key for fine assignment and
+    the pair stage groups by the derived cell — the same partitioning,
+    so AQE/EnsureRequirements reuses the exchange. ``fitted`` passes a
+    pre-built (coarse, fine_frame) geometry (frozen-fit callers)."""
+    num, den = tau
+    if not (0 < num <= den):
+        raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
+    num2, den2 = num * num, den * den
+    if fitted is not None:
+        coarse, fine = fitted
+    else:
+        coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
+    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        xq = np.array(pdf["xq"].tolist(), dtype=np.int64)
+        kept = _greedy_drop_sorted(xq, max_cell, num2, den2)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "coarse": pdf["coarse"].to_numpy(),
+                "fine": pdf["fine"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": kept,
+                "cell_truncated": np.full(len(pdf), len(pdf) > max_cell),
+            }
+        )
+
+    out = assigned.groupBy("cell").applyInPandas(
+        per_cell,
+        schema=(
+            f"{id_col} long, coarse int, fine int, cell int, "
+            "kept boolean, cell_truncated boolean"
+        ),
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count_if(F.col("cell_truncated")).alias("semdedup_truncated_rows"),
+        )
+    return out

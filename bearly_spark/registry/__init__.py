@@ -121,13 +121,14 @@ PREFIX_ORDER = [
     "cusum_changepoints_orders",
     # layout: the Z-order clustered scan (evicted r10)
     "zorder_scan_lineitem",
-    # relational zero-coverage shapes (posexplode yields its slot to
-    # the round-11 hierarchical k-means — new code seats the round it
-    # ships; posexplode waits with the backlog)
+    # relational zero-coverage shapes (posexplode and crosstab yield
+    # their slots to the round-11 hierarchical clustering pair — new
+    # code seats the round it ships; the reshape family already holds
+    # a pivot certification and both wait with the backlog)
     "cross_join_priority_status",
     "unpivot_lineitem_measures",
-    "crosstab_orders",
     "hier_kmeans_embeddings",
+    "semdedup_hier_embeddings",
     # aggregate surfaces (approx_percentile_lineitem is rows-only —
     # a sketch seat would waste a driver hash slot; the Tukey-fence
     # outlier query takes the slot instead)

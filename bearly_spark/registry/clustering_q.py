@@ -714,3 +714,55 @@ def q_hier_kmeans(spark, sf_dir):
     return C.hierarchical_cluster_profile(
         emb, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
     )
+
+
+@register(
+    "semdedup_hier_embeddings",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_hier_ctes(_HK1, _HK2, _ITERS, fit_src="embeddings_aug",
+                assign_src="embeddings_aug")},
+    nxh AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(xq, x -> x*x)) AS BIGINT) AS nx2
+      FROM q
+    ),
+    droppedh AS (
+      SELECT DISTINCT b.vec_id
+      FROM haf a JOIN haf b
+        ON a.coarse = b.coarse AND a.fine = b.fine AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id
+      JOIN nxh na ON na.vec_id = a.vec_id
+      JOIN nxh nb ON nb.vec_id = b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) > 0
+        AND 400 * CAST(CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) AS HUGEINT)
+              * CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT)
+            >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
+    )
+    SELECT haf.vec_id, CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+           (haf.vec_id NOT IN (SELECT vec_id FROM droppedh)) AS kept,
+           FALSE AS cell_truncated
+    FROM haf
+    """,
+)
+def q_semdedup_hier(spark, sf_dir):
+    """SemDeDup over the TWO-LEVEL cell geometry (round 11) — the
+    semantic-dedup continuation past the flat fit's 4096-cell auto-k
+    ceiling. Same planted-duplicate augmentation and tau = 19/20 drop
+    rule as ``semdedup_embeddings`` (the shared ``_greedy_drop_sorted``
+    kernel guarantees the rule cannot diverge between the flat and
+    hierarchical pair stages); the twin replays the full two-level fit
+    plus the per-(coarse, fine)-cell greedy drop in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    )
+    return C.semdedup_flags_hier(
+        aug, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
+    ).select("vec_id", "cell", "kept", "cell_truncated")

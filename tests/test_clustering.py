@@ -405,3 +405,36 @@ def test_hierarchical_fine_centroids_stay_distributed(spark, sf_dir):
     assigned = C.assign_hierarchical(emb, coarse, fine, k2=3, fanout=2)
     pairs = {(r.coarse, r.fine) for r in assigned.select("coarse", "fine").distinct().collect()}
     assert pairs <= {(c, f) for c, fines in by_cell.items() for f in fines}
+
+
+def test_hier_semdedup_k1_1_equals_flat(spark, sf_dir):
+    """The hierarchical pair stage shares _greedy_drop_sorted with the
+    flat one; with a single coarse cell and the SAME geometry the two
+    paths must emit identical verdicts."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    fitted = C.hierarchical_fit(emb, k1=1, k2=8, iters=2, fanout=4)
+    h = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags_hier(aug, fanout=4, fitted=fitted).collect()
+    }
+    f = {
+        r.vec_id: r.kept
+        for r in C.semdedup_flags(
+            aug, centroids=C.lloyd_fit(emb, k=8, iters=2)
+        ).collect()
+    }
+    assert h == f
+    assert sorted(i for i, k in h.items() if not k) == list(
+        range(100000, 100020)
+    )
