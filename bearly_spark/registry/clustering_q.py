@@ -766,3 +766,34 @@ def q_semdedup_hier(spark, sf_dir):
     return C.semdedup_flags_hier(
         aug, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
     ).select("vec_id", "cell", "kept", "cell_truncated")
+
+
+@register(
+    "hier_prototypes_embeddings",
+    oracle=f"""
+    WITH {_hier_ctes(_HK1, _HK2, _ITERS)},
+    r AS (
+      SELECT CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY coarse, fine
+                  ORDER BY d, vec_id) AS INTEGER) AS rn,
+             vec_id, d AS dist
+      FROM haf
+    )
+    SELECT cell, rn, vec_id, dist FROM r WHERE rn <= 3
+    """,
+)
+def q_hier_prototypes(spark, sf_dir):
+    """D4 prototypes over the TWO-LEVEL geometry — completes the
+    profile / semdedup / prototypes trio past the flat auto-k ceiling.
+    Same min-(dist, id) extraction rounds as the flat seat (zero
+    per-cell sort tasks), keyed by the packed hierarchical cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fine = C.hierarchical_fit(
+        emb, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
+    )
+    assigned = C.assign_hierarchical(
+        emb, coarse, fine, k2=_HK2, fanout=4
+    ).withColumnRenamed("cell", "cluster")
+    return C.cluster_prototypes(assigned, top=3).withColumnRenamed(
+        "cluster", "cell"
+    )
