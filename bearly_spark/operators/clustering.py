@@ -751,14 +751,19 @@ def _salted_cogroup(base: DataFrame, cents: DataFrame, id_col: str, fanout: int)
     row-independent)."""
     fanout = max(1, int(fanout))
     rows = base.withColumn("_salt", F.pmod(F.col(id_col), F.lit(fanout)).cast("int"))
-    spark = base.sparkSession
-    salts = spark.range(fanout).select(F.col("id").cast("int").alias("_salt"))
     # re-alias the centroid columns: the frame descends from ``base``
     # (fine seeds), so its attributes carry base's expression ids and
-    # the cogroup would be an ambiguous self-join; Alias mints fresh ids
+    # the cogroup would be an ambiguous self-join; Alias mints fresh
+    # ids. Replication is an explode of a literal salt array — a
+    # crossJoin against range(fanout) would compile to
+    # BroadcastNestedLoopJoin (flagged by the registry-wide cartesian
+    # sweep); explode is a map-only generate.
     reps = cents.select(
-        *[F.col(c).alias(c) for c in ("coarse", "fine", "cq")]
-    ).crossJoin(salts)
+        *[F.col(c).alias(c) for c in ("coarse", "fine", "cq")],
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(fanout)])
+        ).alias("_salt"),
+    )
     return rows.groupby("coarse", "_salt"), reps.groupby("coarse", "_salt")
 
 

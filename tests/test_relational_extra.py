@@ -155,7 +155,7 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     from bearly_spark.sources.tables import load_table
 
     got = {
-        r.l_returnflag: r.approx_p50_p95
+        r.l_returnflag: (r.approx_p50, r.approx_p95)
         for r in QUERIES["approx_percentile_lineitem"](spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
