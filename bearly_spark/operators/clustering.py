@@ -951,6 +951,10 @@ def semdedup_flags_hier(
     num2, den2 = num * num, den * den
     if fitted is not None:
         coarse, fine = fitted
+        # packing stride comes from the FROZEN geometry, not the k2
+        # arg — a mismatched stride would relabel every packed cell id
+        # (one tiny agg over the <= k1*k2-row checkpointed frame)
+        k2 = (fine.agg(F.max("fine")).first()[0] or 0) + 1
     else:
         coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
     assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)

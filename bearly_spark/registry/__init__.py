@@ -137,8 +137,10 @@ PREFIX_ORDER = [
     "misc_agg_orders",
     "filter_clause_lang_stats",
     "topn_types_brand",
-    # scalar/SQL surfaces
-    "null_funcs_lineitem",
+    # scalar/SQL surfaces (null_funcs yields its slot to the r11
+    # hierarchical ingest index — the scalar pack keeps four other
+    # seats in this block)
+    "semdedup_hier_index_query",
     "try_arithmetic_lineitem",
     "sql_variables_orders",
     "parameterized_orders",

@@ -797,3 +797,85 @@ def q_hier_prototypes(spark, sf_dir):
     return C.cluster_prototypes(assigned, top=3).withColumnRenamed(
         "cluster", "cell"
     )
+
+
+def _semdedup_hier_scratch(spark, sf_dir: str) -> str:
+    """Shared scratch TWO-LEVEL semantic index (round 11): frozen
+    coarse+fine geometry fit on the base table, three id-ordered
+    ingests, planted exact copies arriving last — the hierarchical
+    mirror of ``_semdedup_scratch``."""
+    from bearly_spark.streaming import semdedup_index as SI
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+
+    def build(index_dir: str) -> None:
+        SI.build_hier_semdedup_index(
+            emb, index_dir, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
+        )
+        SI.upsert_semdedup_batch(emb.filter(F.col("vec_id") < 150), 0, index_dir)
+        SI.upsert_semdedup_batch(
+            emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+            1,
+            index_dir,
+        )
+        SI.upsert_semdedup_batch(
+            emb.filter(F.col("vec_id") >= 300).unionByName(copies), 2, index_dir
+        )
+
+    return _scratch_index(sf_dir, "semdedup-hier-idx-v1", "embeddings", build)
+
+
+@register(
+    "semdedup_hier_index_query",
+    oracle=f"""
+    WITH {_SEMDEDUP_AUG},
+    {_hier_ctes(_HK1, _HK2, _ITERS, fit_src="embeddings",
+                assign_src="embeddings_aug")},
+    nxh AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(xq, x -> x*x)) AS BIGINT) AS nx2
+      FROM q
+    ),
+    droppedh AS (
+      SELECT DISTINCT b.vec_id
+      FROM haf a JOIN haf b
+        ON a.coarse = b.coarse AND a.fine = b.fine AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id
+      JOIN nxh na ON na.vec_id = a.vec_id
+      JOIN nxh nb ON nb.vec_id = b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) > 0
+        AND 400 * CAST(CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT) AS HUGEINT)
+              * CAST(list_sum(list_transform(list_zip(qa.xq, qb.xq),
+                 p -> p[1]*p[2])) AS BIGINT)
+            >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
+    )
+    SELECT haf.vec_id, CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+           (haf.vec_id NOT IN (SELECT vec_id FROM droppedh)) AS kept,
+           FALSE AS cell_truncated,
+           CAST(CASE WHEN haf.vec_id < 150 THEN 0
+                     WHEN haf.vec_id < 300 THEN 1
+                     ELSE 2 END AS INTEGER) AS batch
+    FROM haf
+    """,
+)
+def q_semdedup_hier_index(spark, sf_dir):
+    """Semantic dedup AT INGEST over the TWO-LEVEL frozen geometry
+    (round 11): hierarchical mirror of ``semdedup_index_query`` — the
+    coarse centroids broadcast, the fine frame read distributed, three
+    id-ordered micro-batches flagged against everything indexed before
+    them. With witness="all" and id-ordered arrival the verdict log
+    equals the batch hierarchical greedy on the union, which the twin
+    states in SQL (fit_src=embeddings, assign_src=aug)."""
+    from bearly_spark.streaming import semdedup_index as SI
+
+    d = _semdedup_hier_scratch(spark, sf_dir)
+    return SI.semdedup_index_verdicts(spark, d).select(
+        "vec_id", "cell", "kept", "cell_truncated",
+        F.col("batch").cast("int").alias("batch"),
+    )

@@ -87,6 +87,70 @@ def build_semdedup_index(
     return cents
 
 
+def build_hier_semdedup_index(
+    fit_df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    fanout: int = 8,
+) -> None:
+    """Fit and freeze the TWO-LEVEL geometry (round 11): coarse
+    centroids to ``centroids`` (the flat layout — readable by the same
+    reader), the distributed fine frame to ``fine_centroids``, and the
+    packing stride + fanout to ``hier_meta``. Ingest assignment then
+    routes through :func:`clustering.assign_hierarchical` — the index
+    face of semantic dedup past the flat 4096-cell auto-k ceiling.
+    Members still land under ``cell=<packed>/batch=<id>`` so probe
+    reads prune directories identically."""
+    coarse, fine = C.hierarchical_fit(
+        fit_df, id_col, vec_col, k1, k2, iters, fanout
+    )
+    spark = fit_df.sparkSession
+    rows = [(i, list(map(int, cq))) for i, cq in enumerate(coarse)]
+    (
+        spark.createDataFrame(rows, "cell int, cq array<long>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    fine.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/fine_centroids"
+    )
+    # packing stride = the geometry's actual max fine id + 1 (equals k2
+    # unless every coarse cell seeded short) — the batch operator
+    # derives the same stride from a frozen frame, so stream and batch
+    # agree on every packed cell label
+    stride = (fine.agg(F.max("fine")).first()[0] or 0) + 1
+    (
+        spark.createDataFrame([(int(stride), int(fanout))], "k2 int, fanout int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/hier_meta")
+    )
+
+
+def _assign_frozen(
+    spark: SparkSession, index_dir: str, batch_df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, dist, xq) under the index's FROZEN geometry — flat
+    broadcast assignment, or the two-level path when the index was
+    built hierarchical (``fine_centroids`` present)."""
+    cents = read_frozen_centroids(spark, index_dir)
+    if not os.path.isdir(f"{index_dir}/fine_centroids"):
+        return C.assign_clusters(
+            batch_df, cents, id_col, vec_col, emit_xq=True
+        ).select(id_col, F.col("cluster").alias("cell"), "dist", "xq")
+    meta = spark.read.parquet(f"{index_dir}/hier_meta").first()
+    fine = spark.read.parquet(f"{index_dir}/fine_centroids")
+    return C.assign_hierarchical(
+        batch_df, cents, fine, id_col, vec_col,
+        k2=int(meta["k2"]), fanout=int(meta["fanout"]),
+    ).select(id_col, "cell", "dist", "xq")
+
+
 def read_frozen_centroids(spark: SparkSession, index_dir: str) -> list[list[int]]:
     if not os.path.isdir(f"{index_dir}/centroids"):
         raise ValueError(
@@ -142,11 +206,7 @@ def upsert_semdedup_batch(
     if witness not in ("all", "kept"):
         raise ValueError(f"witness must be 'all' or 'kept', got {witness!r}")
     spark = batch_df.sparkSession
-    cents = read_frozen_centroids(spark, index_dir)
-
-    assigned = C.assign_clusters(
-        batch_df, cents, id_col, vec_col, emit_xq=True
-    ).select(id_col, F.col("cluster").alias("cell"), "dist", "xq")
+    assigned = _assign_frozen(spark, index_dir, batch_df, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)  # one kernel pass, reused 4x
     if assigned.isEmpty():
         return  # empty batch writes NOTHING (the sibling's wedge lesson)

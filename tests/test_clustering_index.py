@@ -266,3 +266,46 @@ def test_stream_equals_batch_past_the_cell_cap(spark, tmp_path):
         # whenever max_cell < 12
         assert truncated[8] is (max_cell < 12)
         shutil.rmtree(idx)
+
+
+def test_hier_index_stream_equals_batch(spark, sf_dir, tmp_path):
+    """r11: the ingest index built with the TWO-LEVEL frozen geometry
+    (coarse broadcast + distributed fine centroids) must produce
+    exactly the batch hierarchical verdicts on the union — same
+    contract as the flat index, one geometry level up — including
+    identical packed cell labels (stride derived from the frozen
+    frame on both paths)."""
+    import pyspark.sql.functions as F
+
+    from bearly_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    union = emb.unionByName(copies)
+    idx = _scratch(tmp_path, "hieridx")
+    SI.build_hier_semdedup_index(emb, idx, k1=4, k2=4, iters=2, fanout=4)
+    SI.upsert_semdedup_batch(emb.filter(F.col("vec_id") < 150), 0, idx)
+    SI.upsert_semdedup_batch(
+        emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)), 1, idx
+    )
+    SI.upsert_semdedup_batch(
+        emb.filter(F.col("vec_id") >= 300).unionByName(copies), 2, idx
+    )
+    got = {
+        r.vec_id: (r.cell, r.kept)
+        for r in SI.semdedup_index_verdicts(spark, idx).collect()
+    }
+    fitted = C.hierarchical_fit(emb, k1=4, k2=4, iters=2, fanout=4)
+    want = {
+        r.vec_id: (r.cell, r.kept)
+        for r in C.semdedup_flags_hier(union, fitted=fitted, fanout=4).collect()
+    }
+    assert got == want
+    assert sorted(i for i, (_, k) in got.items() if not k) == list(
+        range(100000, 100020)
+    )
+    shutil.rmtree(idx)
