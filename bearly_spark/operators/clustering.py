@@ -815,6 +815,20 @@ def hierarchical_fit(
         # pass re-running all prior passes
         .localCheckpoint(eager=True)
     )
+    # TOTAL geometry: a coarse cell empty at fit time seeds fine=0 with
+    # the coarse centroid itself, so frozen-geometry assignment can
+    # never meet a cell without fine centroids (a drifted arrival lands
+    # at fine 0 instead of failing the ingest). The placeholder never
+    # refines (no members -> keep-prev), mirroring the SQL twin.
+    spark = df.sparkSession
+    coarse_df = spark.createDataFrame(
+        [(i, list(map(int, c))) for i, c in enumerate(coarse)],
+        "coarse int, cq array<long>",
+    )
+    empty_cells = coarse_df.join(
+        cents.select("coarse").distinct(), "coarse", "left_anti"
+    ).select("coarse", F.lit(0).cast("int").alias("fine"), "cq")
+    cents = cents.unionByName(empty_cells).localCheckpoint(eager=True)
     kernel = _fine_kernel_factory(id_col, emit="partials")
     for _ in range(iters):
         rows_g, cents_g = _salted_cogroup(base, cents, id_col, fanout)

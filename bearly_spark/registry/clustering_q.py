@@ -641,6 +641,11 @@ f0 AS (
          qf.xq AS cq
   FROM ca JOIN qf USING (vec_id)
   QUALIFY fine < {k2}
+  UNION ALL
+  -- total geometry: a coarse cell with no fit members seeds fine=0
+  -- with the coarse centroid itself (the operator's rule)
+  SELECT c.cluster AS coarse, CAST(0 AS INTEGER) AS fine, c.cq
+  FROM c{iters} c WHERE c.cluster NOT IN (SELECT coarse FROM ca)
 )""",
     ]
     for t in range(1, iters + 1):
