@@ -438,3 +438,52 @@ def test_hier_semdedup_k1_1_equals_flat(spark, sf_dir):
     assert sorted(i for i, k in h.items() if not k) == list(
         range(100000, 100020)
     )
+
+
+def _ref_hier(vecs, k1, k2, iters):
+    """Pure-python two-level reference: coarse flat fit, per-cell fine
+    seeds = k2 lowest ids (placeholder = coarse centroid for empty
+    cells), `iters` fine Lloyd steps within each cell, two-stage
+    assignment. Third implementation guarding Spark and the SQL twin
+    against each other."""
+    coarse = [list(v) for _, v in sorted(vecs)[:k1]]
+    for _ in range(iters):
+        coarse = _ref_refine(vecs, coarse, _ref_assign(vecs, coarse))
+    ca = _ref_assign(vecs, coarse)
+    cells = {}
+    for i, v in sorted(vecs):
+        cells.setdefault(ca[i][0], []).append((i, v))
+    fine = {c: [list(v) for _, v in members[:k2]] for c, members in cells.items()}
+    for c in range(len(coarse)):
+        fine.setdefault(c, [list(coarse[c])])
+    for _ in range(iters):
+        for c, members in cells.items():
+            fine[c] = _ref_refine(members, fine[c], _ref_assign(members, fine[c]))
+    out = {}
+    for i, v in vecs:
+        c = _ref_assign([(i, v)], coarse)[i][0]
+        f, d = _ref_assign([(i, v)], fine[c])[i]
+        out[i] = (c, f, d)
+    return coarse, fine, out
+
+
+@given(raw=_vecs, k1=st.integers(1, 3), k2=st.integers(1, 3), iters=st.integers(0, 2))
+@settings(**_SETTINGS)
+def test_hierarchical_matches_python_int_reference(spark, raw, k1, k2, iters):
+    vecs = [(i, list(v)) for i, v in enumerate(raw)]
+    if len(vecs) < k1:
+        return
+    df = _emb(spark, vecs)
+    coarse, fine_df = C.hierarchical_fit(df, k1=k1, k2=k2, iters=iters, fanout=2)
+    ref_coarse, ref_fine, ref_out = _ref_hier(vecs, k1, k2, iters)
+    assert coarse == ref_coarse
+    got_fine = {}
+    for r in fine_df.collect():
+        got_fine.setdefault(r.coarse, {})[r.fine] = list(r.cq)
+    want_fine = {
+        c: {j: list(cq) for j, cq in enumerate(fl)} for c, fl in ref_fine.items()
+    }
+    assert got_fine == want_fine
+    assigned = C.assign_hierarchical(df, coarse, fine_df, k2=k2, fanout=2)
+    got = {r.vec_id: (r.coarse, r.fine, r.dist) for r in assigned.collect()}
+    assert got == ref_out
