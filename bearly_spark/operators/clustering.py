@@ -906,11 +906,16 @@ def hierarchical_cluster_profile(
     k2: int = 8,
     iters: int = 2,
     fanout: int = 8,
+    fitted: tuple[list[list[int]], DataFrame] | None = None,
 ) -> DataFrame:
     """Per-cell (cell, n_vecs, inertia) under the two-level fit — the
     flat ``kmeans_cluster_profile`` surface at k1*k2 effective cells,
-    same BIGINT inertia emission and raise-not-wrap int64 guard."""
-    coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
+    same BIGINT inertia emission and raise-not-wrap int64 guard.
+    ``fitted`` passes a pre-built geometry (shared-fit callers)."""
+    if fitted is not None:
+        coarse, fine = fitted
+    else:
+        coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
     assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)
     return (
         assigned.groupBy("cell")

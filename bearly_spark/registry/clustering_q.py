@@ -692,6 +692,41 @@ haf AS (
 
 _HK1, _HK2 = 4, 4
 
+#: Shared two-level fit per (fixture, tag) — the hierarchical mirror of
+#: ``_FIT_CACHE``: three registry queries fit the same geometry, so the
+#: fit runs once per fixture instead of per query. The fine frame is
+#: stored as COLLECTED rows (<= k1*k2, tiny) and re-created as a
+#: DataFrame per call — caching the DataFrame itself would pin
+#: checkpointed RDDs to one SparkSession.
+_HIER_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
+def _fitted_hier(df, sf_dir: str, tag: str, k1: int = _HK1, k2: int = _HK2,
+                 iters: int = _ITERS, fanout: int = 4):
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime, st.st_size, tag, k1, k2, iters)
+    except OSError:
+        key = None
+    spark = df.sparkSession
+    if key is not None and key in _HIER_CACHE:
+        coarse, fine_rows = _HIER_CACHE[key]
+    else:
+        coarse, fine = C.hierarchical_fit(df, k1=k1, k2=k2, iters=iters,
+                                          fanout=fanout)
+        fine_rows = [(r.coarse, r.fine, list(r.cq)) for r in fine.collect()]
+        if key is not None:
+            if len(_HIER_CACHE) > 32:
+                _HIER_CACHE.clear()
+            _HIER_CACHE[key] = (coarse, fine_rows)
+    fine_df = spark.createDataFrame(
+        fine_rows, "coarse int, fine int, cq array<long>"
+    )
+    return coarse, fine_df
+
 
 @register(
     "hier_kmeans_embeddings",
@@ -717,7 +752,8 @@ def q_hier_kmeans(spark, sf_dir):
     memory without changing any value (also pinned)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return C.hierarchical_cluster_profile(
-        emb, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
+        emb, k2=_HK2, fanout=4,
+        fitted=_fitted_hier(emb, sf_dir, "hier-base"),
     )
 
 
@@ -769,7 +805,7 @@ def q_semdedup_hier(spark, sf_dir):
         )
     )
     return C.semdedup_flags_hier(
-        aug, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
+        aug, fanout=4, fitted=_fitted_hier(aug, sf_dir, "hier-aug-copies-lt20"),
     ).select("vec_id", "cell", "kept", "cell_truncated")
 
 
@@ -793,9 +829,7 @@ def q_hier_prototypes(spark, sf_dir):
     Same min-(dist, id) extraction rounds as the flat seat (zero
     per-cell sort tasks), keyed by the packed hierarchical cell."""
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse, fine = C.hierarchical_fit(
-        emb, k1=_HK1, k2=_HK2, iters=_ITERS, fanout=4
-    )
+    coarse, fine = _fitted_hier(emb, sf_dir, "hier-base")
     assigned = C.assign_hierarchical(
         emb, coarse, fine, k2=_HK2, fanout=4
     ).withColumnRenamed("cell", "cluster")
