@@ -870,16 +870,22 @@ def assign_hierarchical(
     fine: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k2: int = 8,
+    k2: int | None = None,
     fanout: int = 8,
 ) -> DataFrame:
     """Two-level assignment: (id, coarse, fine, cell, dist, xq) with
-    ``cell = coarse * k2 + fine`` (k2 = the NOMINAL fine count — the
-    packing stride, not a per-cell row count). Coarse scoring is the
-    flat map-only broadcast kernel; fine scoring is one salted cogroup
-    against the distributed centroid frame — the corpus shuffles ONCE
-    on the coarse key, and downstream per-cell stages (SemDeDup pair
-    work, profiles) group by the same key."""
+    ``cell = coarse * stride + fine``. The packing stride defaults to
+    the FROZEN FRAME's max fine id + 1 (one tiny agg over the
+    <= k1*k2-row frame) — the single rule every caller (batch operator,
+    registry queries, ingest index, SQL twins) shares, so the same
+    geometry always yields the same packed cell labels; pass ``k2``
+    only to pin an explicit stride. Coarse scoring is the flat map-only
+    broadcast kernel; fine scoring is one salted cogroup against the
+    distributed centroid frame — the corpus shuffles ONCE on the coarse
+    key, and downstream per-cell stages (SemDeDup pair work, profiles)
+    group by the same key."""
+    if k2 is None:
+        k2 = (fine.agg(F.max("fine")).first()[0] or 0) + 1
     base = assign_clusters(df, coarse, id_col, vec_col, emit_xq=True).select(
         id_col, F.col("cluster").alias("coarse"), "xq"
     )
@@ -916,7 +922,7 @@ def hierarchical_cluster_profile(
         coarse, fine = fitted
     else:
         coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
-    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)
+    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, None, fanout)
     return (
         assigned.groupBy("cell")
         .agg(
@@ -970,13 +976,11 @@ def semdedup_flags_hier(
     num2, den2 = num * num, den * den
     if fitted is not None:
         coarse, fine = fitted
-        # packing stride comes from the FROZEN geometry, not the k2
-        # arg — a mismatched stride would relabel every packed cell id
-        # (one tiny agg over the <= k1*k2-row checkpointed frame)
-        k2 = (fine.agg(F.max("fine")).first()[0] or 0) + 1
     else:
         coarse, fine = hierarchical_fit(df, id_col, vec_col, k1, k2, iters, fanout)
-    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, k2, fanout)
+    # packing stride is derived from the frozen frame inside
+    # assign_hierarchical (k2=None) — the shared single rule
+    assigned = assign_hierarchical(df, coarse, fine, id_col, vec_col, None, fanout)
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)

@@ -731,11 +731,12 @@ def _fitted_hier(df, sf_dir: str, tag: str, k1: int = _HK1, k2: int = _HK2,
 @register(
     "hier_kmeans_embeddings",
     oracle=f"""
-    WITH {_hier_ctes(_HK1, _HK2, _ITERS)}
-    SELECT CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+    WITH {_hier_ctes(_HK1, _HK2, _ITERS)},
+    stride AS (SELECT MAX(fine) + 1 AS w FROM f{_ITERS})
+    SELECT CAST(coarse * stride.w + fine AS INTEGER) AS cell,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(d) AS BIGINT) AS inertia
-    FROM haf GROUP BY 1 ORDER BY 1
+    FROM haf, stride GROUP BY 1 ORDER BY 1
     """,
 )
 def q_hier_kmeans(spark, sf_dir):
@@ -784,7 +785,9 @@ def q_hier_kmeans(spark, sf_dir):
                  p -> p[1]*p[2])) AS BIGINT)
             >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
     )
-    SELECT haf.vec_id, CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+    SELECT haf.vec_id,
+           CAST(coarse * (SELECT MAX(fine) + 1 FROM f{_ITERS}) + fine
+                AS INTEGER) AS cell,
            (haf.vec_id NOT IN (SELECT vec_id FROM droppedh)) AS kept,
            FALSE AS cell_truncated
     FROM haf
@@ -813,12 +816,13 @@ def q_semdedup_hier(spark, sf_dir):
     "hier_prototypes_embeddings",
     oracle=f"""
     WITH {_hier_ctes(_HK1, _HK2, _ITERS)},
+    stride AS (SELECT MAX(fine) + 1 AS w FROM f{_ITERS}),
     r AS (
-      SELECT CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+      SELECT CAST(coarse * stride.w + fine AS INTEGER) AS cell,
              CAST(ROW_NUMBER() OVER (PARTITION BY coarse, fine
                   ORDER BY d, vec_id) AS INTEGER) AS rn,
              vec_id, d AS dist
-      FROM haf
+      FROM haf, stride
     )
     SELECT cell, rn, vec_id, dist FROM r WHERE rn <= 3
     """,
@@ -831,7 +835,7 @@ def q_hier_prototypes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fine = _fitted_hier(emb, sf_dir, "hier-base")
     assigned = C.assign_hierarchical(
-        emb, coarse, fine, k2=_HK2, fanout=4
+        emb, coarse, fine, fanout=4
     ).withColumnRenamed("cell", "cluster")
     return C.cluster_prototypes(assigned, top=3).withColumnRenamed(
         "cluster", "cell"
@@ -894,7 +898,9 @@ def _semdedup_hier_scratch(spark, sf_dir: str) -> str:
                  p -> p[1]*p[2])) AS BIGINT)
             >= 361 * CAST(na.nx2 AS HUGEINT) * nb.nx2
     )
-    SELECT haf.vec_id, CAST(coarse * {_HK2} + fine AS INTEGER) AS cell,
+    SELECT haf.vec_id,
+           CAST(coarse * (SELECT MAX(fine) + 1 FROM f{_ITERS}) + fine
+                AS INTEGER) AS cell,
            (haf.vec_id NOT IN (SELECT vec_id FROM droppedh)) AS kept,
            FALSE AS cell_truncated,
            CAST(CASE WHEN haf.vec_id < 150 THEN 0
