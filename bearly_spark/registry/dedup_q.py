@@ -432,7 +432,7 @@ def q_substring_dup_spans(spark, sf_dir):
            CASE WHEN a.head IS NULL THEN d.text
                 ELSE a.head || substr(d.text, a.max_end + 1) END AS cleaned,
            COALESCE(n_spans_removed, 0) AS n_spans_removed,
-           COALESCE(chars_removed, 0) AS chars_removed
+           CAST(COALESCE(chars_removed, 0) AS BIGINT) AS chars_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )

@@ -298,8 +298,10 @@ def q_drift_report(spark, sf_dir):
     f AS (SELECT l_returnflag, ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
                  ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence FROM q)
     SELECT li.l_returnflag, COUNT(*) AS n,
-           SUM(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END) AS n_low,
-           SUM(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
            MIN(lo_fence) AS lo_fence, MIN(hi_fence) AS hi_fence
     FROM lineitem li JOIN f ON li.l_returnflag = f.l_returnflag
     GROUP BY li.l_returnflag

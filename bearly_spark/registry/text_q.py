@@ -258,7 +258,7 @@ def q_vocabulary(spark, sf_dir):
                    SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
             FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1)
     SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
-           COALESCE(n_oov, 0) AS n_oov,
+           CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
            ROUND(CAST(n_oov AS DOUBLE) / NULLIF(n_tokens, 0), 6) AS oov_rate
     FROM documents d LEFT JOIN per USING (doc_id)
     """,

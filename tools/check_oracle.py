@@ -20,6 +20,18 @@ so the builder's gate could never see it. The gate now
       legitimately differ — e.g. DuckDB fetches small DECIMALs as
       float, Spark as decimal.Decimal).
 
+Round 12 (verdict #1): the r11 lint only checked the SPARK half, so
+three seats went driver-red with value-equal rows because the DUCKDB
+twin emitted uncast ``SUM(int)`` -> HUGEINT, which pandas converts to
+float64 while Spark emits int64 — dtype-divergent frames hash apart.
+The gate now also
+  (c) LINTS the DuckDB twin's result types (``rel.types`` — same
+      signal as ``DESCRIBE SELECT * FROM (<oracle>) LIMIT 0``):
+      HUGEINT / DECIMAL / DATE / TIMESTAMP / list / struct / map FAIL
+      outside the allowlist. The judge's r11 sweep of all 230 twins
+      with exactly this check flagged the 3 reds plus the one latent
+      never-seated surface (vocab_oov) and nothing else.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -61,6 +73,28 @@ def risky_fields(schema) -> list[str]:
         return False
 
     return [f.name for f in schema.fields if risky(f.dataType)]
+
+
+#: DuckDB result types whose pandas conversion diverges from the Spark
+#: dtype even when values are equal (HUGEINT/DECIMAL -> float64/object,
+#: DATE/TIMESTAMP -> datetime64, nested -> object-of-list, which crashes
+#: the driver's sort_values). Matched as substrings of str(rel.types[i])
+#: so parameterized forms (DECIMAL(18,2), VARCHAR[]) are caught too.
+_DUCK_RISKY = (
+    "HUGEINT", "DECIMAL", "DATE", "TIMESTAMP", "STRUCT", "MAP(", "[]",
+)
+
+
+def duck_risky_fields(cols, types) -> list[str]:
+    """Names of DuckDB twin output columns whose fetched type the
+    driver's pandas-based hasher diverges on (round-12 gate half:
+    the r11 reds were all value-equal HUGEINT surfaces)."""
+    out = []
+    for name, t in zip(cols, types):
+        ts = str(t).upper()
+        if any(tok in ts for tok in _DUCK_RISKY):
+            out.append(f"{name}:{ts}")
+    return out
 
 
 def _norm_cell(v):
@@ -146,9 +180,20 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
+            d_types = rel.types
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        bad_duck = duck_risky_fields(d_cols, d_types)
+        if bad_duck and name not in RISKY_TYPE_ALLOWLIST:
+            print(
+                f"FAIL {name}: driver-divergent ORACLE result types on "
+                f"{bad_duck} (CAST to BIGINT/DOUBLE/VARCHAR in the "
+                f"twin's final SELECT, or allowlist with driver-green "
+                f"evidence)"
+            )
             failures += 1
             continue
         strict = name not in RISKY_TYPE_ALLOWLIST
