@@ -171,6 +171,7 @@ def drift_report(
     buckets: int = 10,
     decimals: int = 4,
     scale: int | None = None,
+    cuts: DataFrame | None = None,
 ) -> DataFrame:
     """Distribution-drift report between two table states of a numeric
     column — the monitoring face of the DQ family (did this ingest
@@ -207,16 +208,23 @@ def drift_report(
     NULL values are EXCLUDED from both sides (consistent with the
     quantile_cont cutpoints; shares are over non-null mass — a batch
     whose only change is added NULLs reports zero drift by design,
-    monitor null RATE with ``expectations_report``)."""
+    monitor null RATE with ``expectations_report``).
+
+    ``cuts`` (round 12): optionally inject a precomputed 1-row cutpoint
+    frame (columns ``_c1.._c{buckets-1}`` — exactly what the internal
+    ``exact_percentiles`` call would emit) so repeated monitoring runs
+    against the same BEFORE snapshot amortize the cutpoint passes
+    (registry callers serve it from an mtime-keyed cache)."""
     from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
 
     qs = [k / buckets for k in range(1, buckets)]
     names = [f"_c{k}" for k in range(1, buckets)]
     before = before.filter(F.col(value_col).isNotNull())
     after = after.filter(F.col(value_col).isNotNull())
-    cuts = exact_percentiles(
-        before, [], value_col, qs, names=names, decimals=decimals, scale=scale
-    )
+    if cuts is None:
+        cuts = exact_percentiles(
+            before, [], value_col, qs, names=names, decimals=decimals, scale=scale
+        )
     v = F.col(value_col)
     bucket = bucket_assign(v, names).alias("bucket")
 
@@ -248,6 +256,7 @@ def iqr_outlier_report(
     value_col: str,
     k: float = 1.5,
     scale: int | None = None,
+    cuts: DataFrame | None = None,
 ) -> DataFrame:
     """Tukey-fence outlier counts per group: values outside
     ``[q1 − k·IQR, q3 + k·IQR]`` (k=1.5 is the classic whisker rule) —
@@ -268,11 +277,17 @@ def iqr_outlier_report(
     the quantile_cont contract; without the filter a NULL-bearing
     column yields NULL quartiles and a silent all-clear report —
     review catch, round 6). Monitor null rates with
-    ``expectations_report``."""
+    ``expectations_report``.
+
+    ``cuts`` (round 12): optionally inject precomputed per-group
+    quartiles (columns ``group_cols + [_q1, _q3]``, 4dp-rounded like
+    the internal call) — monitoring reruns over an unchanged snapshot
+    then skip the quartile passes (registry callers share them with
+    the percentile queries via an mtime-keyed cache)."""
     from bearly_spark.operators.aggregate import exact_percentiles
 
     df = df.filter(F.col(value_col).isNotNull())
-    qr = exact_percentiles(
+    qr = cuts if cuts is not None else exact_percentiles(
         df, group_cols, value_col, (0.25, 0.75), names=["_q1", "_q3"], scale=scale
     )
     iqr = F.col("_q3") - F.col("_q1")

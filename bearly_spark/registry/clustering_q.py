@@ -701,6 +701,14 @@ _HK1, _HK2 = 4, 4
 _HIER_CACHE: dict[tuple, tuple[list, list]] = {}
 
 
+#: Collect/cache the fine-centroid frame only while it is axis-sized:
+#: it holds <= k1*k2 rows of Θ(dim) each, which is 16 here but
+#: Θ(k1·k2·dim) in general — past this bound the registry cache must
+#: NOT concentrate it on the driver (the operator API already keeps it
+#: distributed; round-12 guard, r11 verdict #6).
+_HIER_CACHE_MAX_CELLS = 4096
+
+
 def _fitted_hier(df, sf_dir: str, tag: str, k1: int = _HK1, k2: int = _HK2,
                  iters: int = _ITERS, fanout: int = 4):
     import os
@@ -711,6 +719,11 @@ def _fitted_hier(df, sf_dir: str, tag: str, k1: int = _HK1, k2: int = _HK2,
         key = (src, st.st_mtime, st.st_size, tag, k1, k2, iters)
     except OSError:
         key = None
+    if k1 * k2 > _HIER_CACHE_MAX_CELLS:
+        # too many centroids to hold driver-side: hand back the
+        # DISTRIBUTED fine frame uncached (small-k fits only below)
+        return C.hierarchical_fit(df, k1=k1, k2=k2, iters=iters,
+                                  fanout=fanout)
     spark = df.sparkSession
     if key is not None and key in _HIER_CACHE:
         coarse, fine_rows = _HIER_CACHE[key]

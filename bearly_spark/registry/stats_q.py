@@ -189,8 +189,10 @@ def q_rfm_segments(spark, sf_dir):
     orders, one distributed-selection cutpoint pass per metric (r9 —
     no single-task sort) over the (small)
     per-customer aggregate, then a broadcast 1-row cutpoint frame into
-    a map-only score expression — Θ(customers) end to end."""
-    from bearly_spark.operators.aggregate import bucket_assign, exact_percentiles
+    a map-only score expression — Θ(customers) end to end. The three
+    1-row cut frames ride the shared mtime-keyed cache (round 12)."""
+    from bearly_spark.operators.aggregate import bucket_assign
+    from bearly_spark.registry._shared import cached_percentiles
 
     od = load_table(spark, sf_dir, "orders")
     agg = od.groupBy("o_custkey").agg(
@@ -202,13 +204,14 @@ def q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("f"),
         F.round(F.sum("o_totalprice"), 2).alias("m"),
     )
-    qs = [0.25, 0.50, 0.75]
+    qs = (0.25, 0.50, 0.75)
     cuts = None
     for col in ("r_days", "f", "m"):
         # scale inference: r_days/f are integral (scale 0), m is a
         # 2dp-rounded double (scale 2) — matching the twin's cut blocks
-        c = exact_percentiles(
-            agg, [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)],
+        c = cached_percentiles(
+            spark, sf_dir, ["orders"], f"rfm-{col}", lambda: agg,
+            [], col, qs, names=[f"_{col}{k}" for k in (1, 2, 3)],
             scale=2 if col == "m" else None,
         )
         cuts = c if cuts is None else cuts.crossJoin(c)
@@ -273,8 +276,11 @@ def q_drift_report(spark, sf_dir):
     ln-free per-bucket drift statistics (chi-square and TVD
     contributions — PSI's ln is deliberately not emitted: libm ln can
     differ in the last ulp between engines). The ML-ops
-    drift-detection face of the DQ family."""
+    drift-detection face of the DQ family. The BEFORE decile cutpoints
+    ride the shared mtime-keyed cache (round 12) — repeated monitoring
+    runs re-bucket without re-fitting the snapshot deciles."""
     from bearly_spark.operators.quality import drift_report
+    from bearly_spark.registry._shared import cached_percentiles
 
     od = load_table(spark, sf_dir, "orders")
     before = od.select(F.col("o_totalprice").alias("v"))
@@ -285,7 +291,13 @@ def q_drift_report(spark, sf_dir):
         .otherwise(F.col("o_totalprice"))
         .alias("v")
     )
-    return drift_report(before, after, "v", buckets=10, scale=2)
+    cuts = cached_percentiles(
+        spark, sf_dir, ["orders"], "orders-price-deciles",
+        lambda: before.filter(F.col("v").isNotNull()),
+        [], "v", tuple(k / 10 for k in range(1, 10)),
+        names=[f"_c{k}" for k in range(1, 10)], scale=2,
+    )
+    return drift_report(before, after, "v", buckets=10, scale=2, cuts=cuts)
 
 
 @register(
@@ -313,12 +325,25 @@ def q_outliers_iqr(spark, sf_dir):
     the DQ family, counts-not-booleans so outlier-mass drift is
     visible. Quartiles via the twin-proven exact percentile
     path; fences are fixed-shape arithmetic on the rounded quartiles
-    so both engines flag identically."""
+    so both engines flag identically. Round 12: the quartiles are the
+    SAME cache entry ``percentiles_lineitem`` serves (its p25/p75
+    renamed) — the shared passes run once per fixture for both."""
     from bearly_spark.operators.quality import iqr_outlier_report
+    from bearly_spark.registry._shared import cached_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
+    cuts = cached_percentiles(
+        spark, sf_dir, ["lineitem"], "li-price-quartiles",
+        lambda: li,
+        ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75),
+        names=["p25", "p50", "p75"], scale=2,
+    ).select(
+        "l_returnflag",
+        F.col("p25").alias("_q1"),
+        F.col("p75").alias("_q3"),
+    )
     return iqr_outlier_report(
-        li, ["l_returnflag"], "l_extendedprice", k=1.5, scale=2
+        li, ["l_returnflag"], "l_extendedprice", k=1.5, scale=2, cuts=cuts
     )
 
 
