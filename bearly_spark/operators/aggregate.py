@@ -607,11 +607,16 @@ def _few_group_order_statistics(
         if len(group_cols) == 1
         else F.struct(*group_cols)
     )
+    # approx_count_distinct over the bare 1-col fast path skips NULL
+    # keys (a struct key would not), but groupBy keeps a NULL group —
+    # a has-null flag rides the same scan for free and adds it back,
+    # so both gates see the true group count (r11 ADVICE).
     probe = sv_g.agg(
         F.approx_count_distinct(gkey, rsd=0.05).alias("c"),
         F.count(F.lit(1)).alias("n"),
+        F.max(gkey.isNull()).alias("has_null_key"),
     ).first()
-    est = probe["c"]
+    est = probe["c"] + (1 if probe["has_null_key"] else 0)
     if est > 1.2 * max_groups:
         return None
     # Small-group gate (round 11, verdict #5): when the AVERAGE group

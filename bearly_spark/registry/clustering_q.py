@@ -587,13 +587,21 @@ def q_semdedup_index_stats(spark, sf_dir):
 
     d = _semdedup_scratch(spark, sf_dir)
     # sum_dist emitted as BIGINT (driver hasher diverges on DECIMAL
-    # surfaces — r10): exact at fixture scale, same bound argument as
-    # kmeans_cluster_profile's inertia guard
+    # surfaces — r10): exact at fixture scale, same raise-not-NULL
+    # guard as kmeans_cluster_profile's inertia (r11 ADVICE: the bare
+    # non-ANSI decimal->long cast would go NULL silently past int64)
     return SI.semdedup_index_stats(spark, d).select(
         F.col("batch").cast("int").alias("batch"),
         "cell",
         "n_vecs",
-        F.col("sum_dist").cast("long").alias("sum_dist"),
+        F.when(
+            F.col("sum_dist") <= F.lit(9223372036854775807),
+            F.col("sum_dist").cast("long"),
+        )
+        .otherwise(
+            F.raise_error(F.lit("sum_dist exceeds int64: split hi/lo"))
+        )
+        .alias("sum_dist"),
         "mean_dist",
         "max_dist",
     )

@@ -270,7 +270,16 @@ def upsert_semdedup_batch(
         # it; only the POOL truncates past the cap, so per-row work
         # stays <= max_cell dots and verdicts equal the batch greedy on
         # the union under id-ordered ingestion at ANY cell size.
-        truncated = (len(wit_old) + len(new)) > max_cell
+        #
+        # ``cell_truncated`` counts ALL members (kept or not) against
+        # the cap — the batch kernel's definition — so the flag means
+        # the same thing in both witness modes (r11 ADVICE: deriving it
+        # from the kept-filtered pool understated truncation under
+        # witness="kept"). The kept-mode POOL, by contrast, is
+        # DELIBERATELY the first max_cell *eligible* (kept) members:
+        # the mode's contract is "dropped vectors never witness", so a
+        # dropped member must not occupy a witness slot either.
+        truncated = (len(old) + len(new)) > max_cell
         wit_old = wit_old.iloc[: min(len(wit_old), max_cell)]
         pool_new = max(0, max_cell - len(wit_old))  # in-batch slots
         w_mat = (
