@@ -1010,3 +1010,173 @@ def semdedup_flags_hier(
             F.count_if(F.col("cell_truncated")).alias("semdedup_truncated_rows"),
         )
     return out
+
+
+# ===================================================================
+# PCA: top principal direction by exact-integer gram + power iteration
+# (round 12 — the decorrelation/whitening prep step before IVF/PQ/
+# SemDeDup on real embedding corpora; no counterpart in the reference
+# engine, same capability-superset mandate as the rest of this module)
+# ===================================================================
+
+#: Power-iterate renormalization scale: after each multiply the vector
+#: is requantized to <= 10^6 (half-up, exact rational) so every
+#: iterate stays an exact integer vector in both engines.
+PCA_ITERATE_SCALE = 6
+
+#: Driver-side gram bound: the operator collects the dim x dim exact
+#: gram (Theta(dim^2) ints). 4096 dims = 16M entries ~ 128 MB — the
+#: same axis-sized-collect budget as the flat k-means fit; past it,
+#: reduce dimensionality first (hash projection) or block the gram.
+PCA_MAX_DIM = 4096
+
+
+def _rational_micro_py(num: int, den: int, digits: int) -> int:
+    """Python twin of ``rounding.rational_micro`` over exact ints —
+    half-up ``digits``-dp quantization of num/den by TRUNCATING
+    integral division (Spark ``div`` / DuckDB ``//`` semantics; python
+    ``//`` floors, hence the sign fold)."""
+    a = 2 * 10**digits * num + den
+    b = 2 * den
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> list[list[int]]:
+    """The exact integer gram ``G = sum_n xq xq^T`` over the quantized
+    vectors, collected driver-side as dim x dim python ints.
+
+    One fully-parallel pass: each Arrow batch emits its partial gram as
+    dim*(dim+1)/2 upper-triangle rows (int64-exact — per-batch row
+    count is capped so |sum| <= rows * QUANT_SCALE^2 stays far from
+    2^63), a single mergeable groupBy(i,j) SUM combines partials
+    map-side, and only Theta(dim^2) rows reach the driver. No
+    row-count-sized collect, no shuffle of the corpus itself — the
+    shuffle volume is partitions * dim^2 partial rows.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim > PCA_MAX_DIM:
+        raise ValueError(
+            f"gram_matrix: dim {dim} > PCA_MAX_DIM {PCA_MAX_DIM} — "
+            "block the gram or reduce dimensionality first"
+        )
+    iu = np.triu_indices(dim)
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xq = _quantize_np(_vec_matrix(pdf[vec_col]))
+            # int64 overflow headroom: |partial| <= rows * max|xq|^2;
+            # chunk so each partial matmul stays exact
+            max_abs = int(np.abs(xq).max()) or 1
+            step = max(1, int((2**62) // (max_abs * max_abs)))
+            acc = np.zeros((dim, dim), dtype=object)
+            for lo in range(0, len(xq), step):
+                blk = xq[lo : lo + step]
+                acc += blk.T.astype(np.int64) @ blk
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int32),
+                    "j": iu[1].astype(np.int32),
+                    "g": [int(acc[a, b]) for a, b in zip(*iu)],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partial, schema="i int, j int, g decimal(38,0)")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        g = int(r["g"])
+        G[r["i"]][r["j"]] = g
+        G[r["j"]][r["i"]] = g
+    return G
+
+
+def pca_power_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 6,
+    dim: int | None = None,
+) -> dict:
+    """Top principal direction of the quantized embedding corpus by
+    ``iters`` fixed power-iteration steps over the exact gram — every
+    compared quantity an exact integer or an exact rational, so the
+    SQL twin replays it bit-for-bit (no IEEE arithmetic anywhere).
+
+    The iterate starts at the all-ones vector (scaled 10^6) and after
+    each exact multiply ``g v`` renormalizes by the max-abs component
+    with the half-up rational quantization (``_rational_micro_py``, the
+    engine-portable div). The result is therefore THE ``iters``-step
+    power iterate — a deterministic spec in itself — which converges
+    to the dominant eigendirection at rate (lambda2/lambda1)^t.
+
+    Returns dict with:
+      ``loadings``  — the direction, ints scaled 10^6 (max-abs = 1e6);
+      ``rayleigh_num``/``rayleigh_den`` — exact v^T G v / v^T v rational
+        (the eigenvalue estimate in quant^2 units);
+      ``ev_share_num``/``ev_share_den`` — exact (v^T G v) / (v^T v
+        * trace G): the explained-variance share of the direction.
+
+    Scale: one gram pass (Theta(dim^2) mergeable aggregate), then
+    Theta(iters * dim^2) driver arithmetic — no further cluster work.
+    100 TB posture: the corpus is scanned once; nothing row-sized moves.
+    """
+    G = gram_matrix(df, vec_col, dim)
+    d = len(G)
+    s = 10**PCA_ITERATE_SCALE
+    v = [s] * d
+    for _ in range(iters):
+        gv = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in gv)
+        if m == 0:
+            break  # zero matrix: keep the current iterate
+        v = [_rational_micro_py(x, m, PCA_ITERATE_SCALE) for x in gv]
+    vgv = sum(v[i] * G[i][j] * v[j] for i in range(d) for j in range(d))
+    vv = sum(x * x for x in v)
+    tr = sum(G[i][i] for i in range(d))
+    return {
+        "loadings": v,
+        "rayleigh_num": vgv,
+        "rayleigh_den": vv,
+        "ev_share_num": vgv,
+        "ev_share_den": vv * tr,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    loadings: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer projection of every vector onto a fitted
+    direction: ``proj = sum_i xq[i] * loadings[i]`` (BIGINT — bounded
+    by dim * QUANT_SCALE * 10^6 ~ 7e13 at dim 64, raise-guarded).
+    Map-only: the loadings ride the plan as an array literal; no
+    shuffle, no driver round-trip per row."""
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in loadings])
+    prod = F.zip_with(
+        quantized_vec(F.col(vec_col)), arr, lambda a, b: a * b
+    )
+    proj = F.aggregate(
+        prod, F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(
+            (proj <= F.lit(9223372036854775807))
+            & (proj >= F.lit(-9223372036854775807)),
+            proj.cast("long"),
+        )
+        .otherwise(F.raise_error(F.lit("pca projection exceeds int64")))
+        .alias("proj"),
+    )

@@ -731,3 +731,172 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("lift"), "w1", "w2").limit(top_n)
+
+
+# ===================================================================
+# BPE merge learning (round 12) — distributed tokenizer prep: the
+# Sennrich-2016 construction done Spark-first. Pair counting and merge
+# application run over the DISTINCT-WORD frame (Theta(vocab), not
+# Theta(corpus)): the corpus is scanned once for word frequencies, and
+# each merge round is two wordcount-shaped shuffles over the vocab plus
+# a map-only string replace — the shape that survives 100 TB, where
+# vocab << corpus. No counterpart in the reference engine (capability
+# superset, SURVEY §2.3 text family).
+# ===================================================================
+
+#: Symbol-sequence delimiter. Words containing it are excluded from
+#: BPE learning and segmentation (they would corrupt the boundary
+#: encoding); the oracle applies the same filter.
+BPE_DELIM = "|"
+
+
+def _bpe_word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — one corpus
+    scan + one wordcount shuffle; every later BPE round touches only
+    this (distinct-word-sized) frame."""
+    return (
+        df.select(
+            F.explode(word_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w")
+        )
+        .select(F.lower(F.col("w")).alias("word"))
+        .filter(~F.col("word").contains(BPE_DELIM))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_initial_symbols(words: DataFrame) -> DataFrame:
+    """word -> '|c|h|a|r|s|' boundary-delimited symbol string. The
+    sentinel delimiters make every merge a plain non-overlapping
+    left-to-right string replace of '|a|b|' with '|ab|' — identical
+    semantics in java String.replace and DuckDB replace (pinned by
+    tests on the '|a|a|a|' chain case)."""
+    return words.withColumn(
+        "sym",
+        F.concat(
+            F.lit(BPE_DELIM),
+            F.array_join(
+                F.regexp_extract_all(F.col("word"), F.lit("."), 0), BPE_DELIM
+            ),
+            F.lit(BPE_DELIM),
+        ),
+    )
+
+
+def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair frequencies weighted by word
+    frequency — slice/zip/explode (JVM-side), one wordcount shuffle
+    over Theta(vocab * word_len) pair rows."""
+    sy = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != F.lit(""))
+    n = F.size(sy)
+    pairs = F.arrays_zip(
+        F.slice(sy, 1, n - 1).alias("a"), F.slice(sy, 2, n - 1).alias("b")
+    )
+    return (
+        syms.select("freq", F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 8) -> list[dict]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table as axis-sized driver rows, each
+    ``{step, left, right, merged, pair_count}``.
+
+    Each round: count adjacent symbol pairs over the distinct-word
+    frame, take the (count DESC, pair ASC)-deterministic argmax (a
+    1-row TakeOrdered collect — a convergence-style axis reduction),
+    apply the merge as a map-only replace, and localCheckpoint to stop
+    lineage growth across rounds. Rounds whose vocabulary has no pairs
+    left stop early.
+    """
+    syms = _bpe_initial_symbols(_bpe_word_freqs(df, text_col))
+    syms = syms.localCheckpoint(eager=False)
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(syms)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append(
+            {
+                "step": step,
+                "left": a,
+                "right": b,
+                "merged": a + b,
+                "pair_count": cnt,
+            }
+        )
+        syms = syms.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{BPE_DELIM}{a}{BPE_DELIM}{b}{BPE_DELIM}"),
+                F.lit(f"{BPE_DELIM}{a}{b}{BPE_DELIM}"),
+            ),
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_apply_merges(syms: DataFrame, merges: list[dict]) -> DataFrame:
+    """Apply a learned merge table to a symbol frame (map-only: one
+    chained replace expression, merges in step order)."""
+    col = F.col("sym")
+    for m in sorted(merges, key=lambda m: m["step"]):
+        col = F.replace(
+            col,
+            F.lit(f"{BPE_DELIM}{m['left']}{BPE_DELIM}{m['right']}{BPE_DELIM}"),
+            F.lit(f"{BPE_DELIM}{m['merged']}{BPE_DELIM}"),
+        )
+    return syms.withColumn("sym", col)
+
+
+def bpe_segment_stats(
+    df: DataFrame, id_col: str, text_col: str, merges: list[dict]
+) -> DataFrame:
+    """Per-document segmentation stats under a learned merge table:
+    ``(id, n_words, n_chars, n_symbols)`` — the compression diagnostic
+    that decides whether a vocab is worth shipping (chars/symbols ~
+    bytes-per-token). The merge table is applied to the DISTINCT-WORD
+    frame (Theta(vocab) replaces), then docs re-join their words
+    against the broadcast-sized (word, n_sym) map: the corpus pays one
+    tokenize + one broadcast join + one regroup, never a per-row
+    Python call. Words containing the delimiter are excluded from the
+    counts (same filter as learning)."""
+    vocab = bpe_apply_merges(
+        _bpe_initial_symbols(_bpe_word_freqs(df, text_col)), merges
+    ).select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != F.lit(""))
+        ).alias("n_sym"),
+        F.length("word").alias("n_chr"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    ).select(id_col, F.lower(F.col("w")).alias("word")).filter(
+        ~F.col("word").contains(BPE_DELIM)
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chr").alias("n_chars"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_symbols", F.lit(0)).cast("long").alias("n_symbols"),
+    )

@@ -945,3 +945,145 @@ def q_semdedup_hier_index(spark, sf_dir):
         "vec_id", "cell", "kept", "cell_truncated",
         F.col("batch").cast("int").alias("batch"),
     )
+
+
+# ===================================================================
+# PCA (round 12): top principal direction by exact-integer gram +
+# power iteration — the decorrelation prep step before IVF/PQ/SemDeDup
+# on real embedding corpora. Every compared quantity is an exact
+# integer or an exact rational (no IEEE arithmetic anywhere), so the
+# twin replays the whole fit bit-for-bit: same quantization, same
+# HUGEINT gram, same max-abs renormalization via the shared half-up
+# integral division (rounding.rational_micro / _rational_micro_py).
+# ===================================================================
+
+_PCA_ITERS = 6
+
+
+def _pca_ctes(iters: int = _PCA_ITERS, dim: int = _DIM) -> str:
+    """WITH-clause body deriving g (the exact gram) and v{iters} (the
+    final integer power iterate) — ``clustering.pca_power_fit`` in SQL."""
+    from bearly_spark.operators.rounding import rational_micro_sql
+
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {float(C.QUANT_SCALE)}) AS BIGINT))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"""g AS (
+  SELECT i.r AS i, j.r AS j,
+         CAST(SUM(CAST(xq[i.r + 1] AS HUGEINT) * xq[j.r + 1]) AS HUGEINT) AS g
+  FROM q, range({dim}) i(r), range({dim}) j(r) GROUP BY 1, 2
+)""",
+        f"v0 AS (SELECT r AS i, CAST(1000000 AS HUGEINT) AS val"
+        f" FROM range({dim}) t(r))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""gv{t} AS (SELECT g.i AS i, SUM(g.g * v.val) AS gv
+        FROM g JOIN v{t - 1} v ON g.j = v.i GROUP BY 1),
+m{t} AS (SELECT MAX(ABS(gv)) AS m FROM gv{t}),
+v{t} AS (SELECT i, {rational_micro_sql('gv', 'm', C.PCA_ITERATE_SCALE)} AS val
+         FROM gv{t}, m{t})"""
+        )
+    return ",\n".join(parts)
+
+
+#: Fitted direction per (embeddings.parquet mtime) — the power/project
+#: queries share one gram pass per fixture; the fit is axis-sized
+#: (dim ints + two exact rationals), same budget class as _FIT_CACHE.
+_PCA_CACHE: dict[tuple, dict] = {}
+
+
+def _fitted_pca(spark, sf_dir: str) -> dict:
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime, st.st_size, _PCA_ITERS)
+    except OSError:
+        key = None
+    if key is not None and key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    fit = C.pca_power_fit(
+        load_table(spark, sf_dir, "embeddings"), iters=_PCA_ITERS
+    )
+    if key is not None:
+        if len(_PCA_CACHE) > 32:
+            _PCA_CACHE.clear()
+        _PCA_CACHE[key] = fit
+    return fit
+
+
+def _pca_power_oracle() -> str:
+    from bearly_spark.operators.rounding import rational_round_sql
+
+    return f"""
+    WITH {_pca_ctes()},
+    tr AS (SELECT SUM(g) AS tr FROM g WHERE i = j),
+    vv AS (SELECT SUM(val * val) AS vv FROM v{_PCA_ITERS}),
+    vgv AS (SELECT SUM(vi.val * g.g * vj.val) AS vgv
+            FROM g JOIN v{_PCA_ITERS} vi ON g.i = vi.i
+                   JOIN v{_PCA_ITERS} vj ON g.j = vj.i)
+    SELECT CAST(v.i AS INTEGER) AS component,
+           CAST(v.val AS BIGINT) AS loading,
+           {rational_round_sql('vgv.vgv', 'vv.vv * tr.tr', 6)} AS ev_share
+    FROM v{_PCA_ITERS} v, vgv, vv, tr
+    ORDER BY component
+    """
+
+
+@register("pca_power_embeddings", oracle=_pca_power_oracle())
+def q_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding corpus
+    (``clustering.pca_power_fit``): {iters} exact-integer power-
+    iteration steps over the distributed gram (one mergeable
+    Theta(dim^2) aggregate pass — the corpus never shuffles), max-abs
+    renormalization by the shared half-up integral division, loadings
+    scaled 10^6. ``ev_share`` is the exact rational
+    v'Gv / (v'v * trace G) — the explained-variance share the
+    direction captures (the go/no-go diagnostic for whitening before
+    IVF/PQ). Fit served from the mtime-keyed cache shared with
+    ``pca_project_embeddings``."""
+    from bearly_spark.operators.clustering import _rational_micro_py
+    from bearly_spark.registry._shared import _values_frame
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    fit = _fitted_pca(spark, sf_dir)
+    ev = (
+        _rational_micro_py(fit["ev_share_num"], fit["ev_share_den"], 6)
+        / 1_000_000.0
+    )
+    rows = [(i, int(v), ev) for i, v in enumerate(fit["loadings"])]
+    schema = StructType([
+        StructField("component", IntegerType()),
+        StructField("loading", LongType()),
+        StructField("ev_share", DoubleType()),
+    ])
+    return _values_frame(spark, rows, schema)
+
+
+@register(
+    "pca_project_embeddings",
+    oracle=f"""
+    WITH {_pca_ctes()}
+    SELECT q.vec_id,
+           CAST(SUM(CAST(q.xq[v.i + 1] AS HUGEINT) * v.val) AS BIGINT) AS proj
+    FROM q, v{_PCA_ITERS} v
+    GROUP BY q.vec_id
+    """,
+)
+def q_pca_project(spark, sf_dir):
+    """Exact integer projection of every embedding onto the fitted top
+    direction (``clustering.pca_project``): map-only — the dim loadings
+    ride the plan as an array literal, no shuffle, no per-row driver
+    work. The 1-D projection is the sort key for projection-bucketed
+    near-dup blocking and the input to scalar quantile splits."""
+    fit = _fitted_pca(spark, sf_dir)
+    return C.pca_project(
+        load_table(spark, sf_dir, "embeddings"), fit["loadings"]
+    )

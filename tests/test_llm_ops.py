@@ -1449,3 +1449,128 @@ def test_c4_rules_planted(spark):
     # NULL text coalesces to '' and fails everything
     assert got[5]["n_kept_lines"] == 0 and not got[5]["passes_c4"]
     assert got[5]["clean_text"] == ""
+
+
+# ===================================================================
+# Round 12: BPE merge learning + PCA power iteration
+# ===================================================================
+
+
+def test_bpe_learn_planted_corpus(spark):
+    """Hand-checkable corpus: 'aaab' x3 + 'ab' x2. Char pairs:
+    (a,a): 2 per 'aaab' word x freq 3 = 6; (a,b): 1x3 + 1x2 = 5.
+    First merge must be ('a','a') -> 'aa' (count 6); after it 'aaab'
+    is |aa|a|b| (greedy leftmost non-overlap), so round 2 counts
+    (aa,a)=3, (a,b)=5 -> second merge ('a','b')."""
+    from bearly_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    merges = T.bpe_learn(docs, "text", n_merges=2)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in merges] == [
+        ("a", "a", 6),
+        ("a", "b", 5),
+    ]
+
+
+def test_bpe_chain_replace_semantics_match_duckdb(spark):
+    """The merge step is a plain non-overlapping left-to-right replace;
+    the '|a|a|a|' chain is the case where conventions could diverge —
+    pin Spark's java String.replace against DuckDB's replace."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    cases = ["|a|a|a|", "|a|a|a|a|", "|x|a|a|", "|a|b|a|b|"]
+    spark_out = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(F.replace(F.col("s"), F.lit("|a|a|"), F.lit("|aa|")).alias("r"))
+        .collect()
+    )
+    duck_out = [
+        duckdb.sql(f"SELECT replace('{c}', '|a|a|', '|aa|')").fetchone()[0]
+        for c in cases
+    ]
+    assert [r["r"] for r in spark_out] == duck_out
+
+
+def test_bpe_segment_stats_counts(spark):
+    from bearly_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaab ab"), (1, None), (2, "zz|z aaab")],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_learn(docs, "text", n_merges=1)  # merges (a,a)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_symbols"])
+        for r in T.bpe_segment_stats(docs, "doc_id", "text", merges).collect()
+    }
+    # 'aaab' -> |aa|a|b| = 3 symbols, 'ab' -> 2; doc 2's 'zz|z' is
+    # delimiter-excluded from words/chars/symbols alike
+    assert got[0] == (2, 6, 5)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (1, 4, 3)
+
+
+def test_pca_power_fit_planted_direction(spark):
+    """A corpus living on one axis: the dominant direction must be that
+    axis, loadings +-10^6 there and ~0 elsewhere, ev_share ~ 1."""
+    from bearly_spark.operators import clustering as C
+
+    rows = [(i, [0.9, 0.0, 0.0, 0.0]) for i in range(6)] + [
+        (6, [0.0, 0.01, 0.0, 0.0]),
+        (7, [0.0, 0.0, -0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fit = C.pca_power_fit(df, iters=6)
+    v = fit["loadings"]
+    assert abs(v[0]) == 1_000_000
+    assert all(abs(x) < 1_000 for x in v[1:])
+    share = fit["ev_share_num"] / fit["ev_share_den"]
+    assert share > 0.999
+
+
+def test_pca_power_fit_is_deterministic_and_exact(spark, sf_dir):
+    """Same fixture, two fits -> identical integer loadings (the whole
+    pipeline is exact arithmetic; any nondeterminism would also break
+    the SQL twin)."""
+    from bearly_spark.operators import clustering as C
+    from bearly_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = C.pca_power_fit(emb, iters=3)
+    b = C.pca_power_fit(emb.repartition(7), iters=3)
+    assert a["loadings"] == b["loadings"]
+    assert a["rayleigh_num"] == b["rayleigh_num"]
+
+
+def test_pca_project_matches_python_dot(spark):
+    from bearly_spark.operators import clustering as C
+
+    rows = [(0, [0.5, -0.25]), (1, [0.125, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    loadings = [1_000_000, -500_000]
+    got = {r["vec_id"]: r["proj"] for r in C.pca_project(df, loadings).collect()}
+    import math
+
+    q = 1 << 20
+    for vid, vec in rows:
+        xq = [math.floor(float(x) * q) for x in vec]
+        assert got[vid] == xq[0] * loadings[0] + xq[1] * loadings[1]
+
+
+def test_gram_matrix_exact_and_symmetric(spark):
+    from bearly_spark.operators import clustering as C
+    import math
+
+    rows = [(0, [0.5, -0.25, 0.75]), (1, [0.1, 0.2, -0.3]), (2, [0.0, 0.9, 0.01])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    G = C.gram_matrix(df.repartition(3))
+    q = 1 << 20
+    xq = [[math.floor(float(x) * q) for x in vec] for _, vec in rows]
+    for i in range(3):
+        for j in range(3):
+            assert G[i][j] == sum(r[i] * r[j] for r in xq)
+            assert G[i][j] == G[j][i]
