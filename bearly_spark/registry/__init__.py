@@ -80,94 +80,91 @@ from bearly_spark.registry import maintenance_q  # noqa: F401,E402
 # driver-contract shim, and this list is the source of truth for it.
 
 PREFIX_ORDER = [
-    # ---- round-11 prefix. Composition:
+    # ---- round-12 prefix. Composition:
     #  * 3 standing anchors (reference parity x2 + flagship q1);
-    #  * the 3 r10 reds, re-seated on rewritten integer/string
-    #    emission surfaces (anomaly_zscore / kmeans_clusters /
-    #    map_funcs — r10 verdict #1b: every red was a DATE/DECIMAL/
-    #    array OUTPUT-column hash divergence, values judge-verified
-    #    exactly equal);
-    #  * 2 single-type driver-hash probes (ewma_probe_date /
-    #    ewma_probe_decimal — verdict #1a) replacing the three retired
-    #    r10 bisect probes whose table rows are decided;
-    #  * 2 re-certification seats for previously-green queries whose
-    #    compared surface changed in the r11 type sweep
-    #    (gini_customer_revenue, scd2_customer_history);
-    #  * 40 FIRST-EVER seats draining the never-seated backlog
-    #    (verdict #4): the whole r10 late tail, the zero-coverage
-    #    families, and every at-risk query hardened by the sweep.
-    # Backlog after this rotation: 18 (from 58).
+    #  * the 3 r11 reds re-seated after the oracle-side BIGINT casts
+    #    (r11 verdict #1: every red was a value-equal HUGEINT twin
+    #    surface — q12 / outliers_iqr / substring_dedup_clean);
+    #  * 2 stale-record re-seats (verdict #3): embedding_near_dup and
+    #    embedding_ann_ivf only ever held no_oracle seats (r01/r02);
+    #    their r3/r5 full-pipeline twins get driver-certified now;
+    #  * ALL 20 remaining seatable never-seated queries (verdict #4) —
+    #    after this rotation the never-seated backlog is exactly the
+    #    rows-only sketch pair (approx_percentile / events_hll), which
+    #    by policy never takes a hash slot;
+    #  * 4 new-this-round queries (BPE merges/segment, PCA power/
+    #    project — new code seats the round it ships);
+    #  * 5 re-certification seats for queries whose emission path
+    #    changed this round (shared-cutpoint literal frames:
+    #    percentiles / nation_percentiles / rfm; the sum_dist overflow
+    #    guard: semdedup_index_stats; drift_report's injected cuts
+    #    rides with its first-ever seat above);
+    #  * 13 re-certifications of r01-only seats (their records predate
+    #    the strict gate and the driver's current hasher).
+    # The r11 single-type probes are RETIRED from the prefix (verdict
+    # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
+    # diverges — SURVEY §18); both stay registered for the local gate.
     "sum_lineitem_int64",
     "sum_produce_stream",
     "q1_pricing_summary",
-    # r10 reds, emission surface rewritten (verdict #1b)
-    "anomaly_zscore_orders",
-    "kmeans_clusters_embeddings",
-    "map_funcs_events",
-    # single-type driver-hash probes (verdict #1a)
-    "ewma_probe_date",
-    "ewma_probe_decimal",
-    # re-certification: green r10 but surface hardened in the sweep
-    "gini_customer_revenue",
-    "scd2_customer_history",
-    # ---- first-ever seats ----
-    # r10 late tail: semantic clustering / curation capstones
-    "semdedup_documents_hashed",
-    "semdedup_multiprobe_embeddings",
-    "d4_prune_embeddings",
-    "cluster_balance_embeddings",
-    "semantic_split_embeddings",
-    "semdedup_index_stats_query",
-    "cusum_changepoints_orders",
-    # layout: the Z-order clustered scan (evicted r10)
-    "zorder_scan_lineitem",
-    # relational zero-coverage shapes (posexplode and crosstab yield
-    # their slots to the round-11 hierarchical clustering pair — new
-    # code seats the round it ships; the reshape family already holds
-    # a pivot certification and both wait with the backlog)
-    "cross_join_priority_status",
-    "unpivot_lineitem_measures",
-    "hier_kmeans_embeddings",
-    "semdedup_hier_embeddings",
-    # aggregate surfaces (approx_percentile_lineitem is rows-only —
-    # a sketch seat would waste a driver hash slot; the Tukey-fence
-    # outlier query takes the slot instead)
-    "collect_agg_nations",
-    "outliers_iqr_lineitem",
-    "misc_agg_orders",
-    "filter_clause_lang_stats",
-    "topn_types_brand",
-    # scalar/SQL surfaces (null_funcs yields its slot to the r11
-    # hierarchical ingest index — the scalar pack keeps four other
-    # seats in this block)
-    "semdedup_hier_index_query",
-    "try_arithmetic_lineitem",
-    "sql_variables_orders",
-    "parameterized_orders",
-    "sql_scripting_orders",
-    # windows
-    "calendar_fill_orders",
-    "window_distribution_orders",
-    "order_streaks_customer",
-    # sampling / maintenance
-    "sample_hash_orders",
-    "table_checksum_orders",
-    "bloom_prefilter_customers",
-    # TPC-H tail
-    "q11_important_part_value",
+    # r11 reds, oracle emission cast to BIGINT (verdict #1)
     "q12_late_shipment_priority",
-    "q16_part_supplier_variety",
-    "q20_promotion_suppliers",
-    # dedup
-    "dedup_keep_representatives",
+    "outliers_iqr_lineitem",
     "substring_dedup_clean_documents",
-    "dedup_components",
-    "embedding_dup_clusters",
-    "lsh_saturation_embeddings",
-    "dedup_index_query",
-    # similarity / text
-    "hashed_embedding_documents",
-    "wordcount_tokens",
+    # stale no_oracle records from r01/r02 (verdict #3)
+    "embedding_near_dup",
+    "embedding_ann_ivf",
+    # ---- first-ever seats: the whole remaining seatable backlog ----
+    # relational / scalar shapes
+    "posexplode_embeddings",
+    "null_funcs_lineitem",
+    "crosstab_orders",
+    # text block
+    "bigram_quality_documents",
+    "vocabulary_documents",
+    "vocab_oov_documents",
+    "chunk_documents_windows",
+    "repetition_quality_documents",
+    # curation splits / caps / decontamination
+    "decontaminate_bm25_documents",
+    "cluster_aware_split_documents",
+    "decontaminate_embedding",
+    "stratified_sample_documents",
+    "cap_per_source_documents",
+    "negative_samples_documents",
+    # clustering / mining tail
+    "hier_prototypes_embeddings",
+    "basket_rules_lineitem",
+    # DQ block (zero driver coverage until now)
+    "drift_report_orders",
+    "drift_categorical_orders",
+    "skew_report_lineitem",
+    "standardize_lineitem",
+    # ---- new this round (seat the round they ship) ----
+    "bpe_merges_documents",
+    "bpe_segment_documents",
+    "pca_power_embeddings",
+    "pca_project_embeddings",
+    # ---- re-certification: emission path changed this round ----
+    "percentiles_lineitem",
+    "nation_percentiles_lineitem",
+    "rfm_segments_customer",
+    "semdedup_index_stats_query",
+    # ---- re-certification: r01-only records (pre-strict-gate) ----
+    "join_revenue_by_nation",
+    "semi_join_big_spenders",
+    "anti_join_no_pending_orders",
+    "outer_join_order_counts",
+    "broadcast_join_part_agg",
+    "top_orders_by_price",
+    "set_except_custkeys",
+    "set_union_ids",
+    "distinct_agg_customer",
+    "rollup_orders",
+    "cube_orders",
+    "window_order_gaps",
+    "math_funcs_lineitem",
+    "lang_id_distribution",
 ]
 
 

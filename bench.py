@@ -216,6 +216,15 @@ HEADLINE = [
     # round 10: the mid-cardinality (25-group) distributed-selection
     # percentile regime
     "nation_percentiles_lineitem",
+    # round 12: BPE tokenizer prep (fit = 8 vocab-sized merge rounds,
+    # paid on the first pass and mtime-cached like the index builds;
+    # segment = the per-pass tokenize + broadcast join + regroup) and
+    # exact-integer PCA (gram pass on first call; projection is the
+    # map-only per-pass work)
+    "bpe_merges_documents",
+    "bpe_segment_documents",
+    "pca_power_embeddings",
+    "pca_project_embeddings",
 ]
 
 
