@@ -900,3 +900,33 @@ def bpe_segment_stats(
         F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
         F.coalesce("n_symbols", F.lit(0)).cast("long").alias("n_symbols"),
     )
+
+
+def bpe_symbol_inventory(
+    df: DataFrame, text_col: str, merges: list[dict], top_v: int = 50
+) -> DataFrame:
+    """The post-merge subword inventory — the vocabulary you would
+    actually ship with the merges: ``(symbol, freq, rank)`` for the
+    ``top_v`` most frequent symbols, freq = corpus occurrences
+    (symbol count per word × word frequency). Deterministic ties
+    (freq DESC, symbol ASC). Same Theta(vocab) shape as learning: the
+    corpus was already reduced to (word, freq); symbols explode off
+    the distinct-word frame and one wordcount shuffle + TakeOrdered
+    finishes it."""
+    from pyspark.sql import Window
+
+    syms = bpe_apply_merges(
+        _bpe_initial_symbols(_bpe_word_freqs(df, text_col)), merges
+    )
+    sy = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != F.lit(""))
+    counted = (
+        syms.select("freq", F.explode(sy).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "symbol")
+    return (
+        counted.orderBy(F.desc("freq"), "symbol")
+        .limit(top_v)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -143,6 +143,7 @@ PREFIX_ORDER = [
     # ---- new this round (seat the round they ship) ----
     "bpe_merges_documents",
     "bpe_segment_documents",
+    "bpe_vocabulary_documents",
     "pca_power_embeddings",
     "pca_project_embeddings",
     # ---- re-certification: emission path changed this round ----
@@ -161,7 +162,8 @@ PREFIX_ORDER = [
     "set_union_ids",
     "distinct_agg_customer",
     "rollup_orders",
-    "cube_orders",
+    # (cube_orders waits for r13 — rollup already re-certifies the
+    # grouping-analytics family; its slot goes to bpe_vocabulary)
     "window_order_gaps",
     "math_funcs_lineitem",
     "lang_id_distribution",

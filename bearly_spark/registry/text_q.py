@@ -627,3 +627,32 @@ def q_bpe_segment(spark, sf_dir):
     return T.bpe_segment_stats(
         docs, "doc_id", "text", _bpe_merges_cached(spark, sf_dir)
     )
+
+
+@register(
+    "bpe_vocabulary_documents",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_MERGES)},
+    inv AS (SELECT sym_s AS symbol, CAST(SUM(freq) AS BIGINT) AS freq
+            FROM (SELECT freq,
+                         unnest(list_filter(string_split(sym, '|'),
+                                            x -> x <> '')) AS sym_s
+                  FROM s{_BPE_MERGES})
+            GROUP BY 1)
+    SELECT symbol, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, symbol) AS INTEGER)
+               AS rank
+    FROM inv ORDER BY freq DESC, symbol LIMIT 50
+    """,
+)
+def q_bpe_vocabulary(spark, sf_dir):
+    """The post-merge subword inventory (``text.bpe_symbol_inventory``):
+    top-50 symbols by corpus frequency under the learned merges — the
+    vocabulary you'd actually ship beside the merge table.
+    Deterministic ties (freq DESC, symbol ASC); symbols explode off the
+    distinct-word frame (Theta(vocab)), one wordcount shuffle +
+    TakeOrdered. Shares the mtime-keyed merge-table cache."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_symbol_inventory(
+        docs, "text", _bpe_merges_cached(spark, sf_dir), top_v=50
+    )
