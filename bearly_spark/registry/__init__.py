@@ -92,14 +92,15 @@ PREFIX_ORDER = [
     #    after this rotation the never-seated backlog is exactly the
     #    rows-only sketch pair (approx_percentile / events_hll), which
     #    by policy never takes a hash slot;
-    #  * 4 new-this-round queries (BPE merges/segment, PCA power/
-    #    project — new code seats the round it ships);
+    #  * new-this-round queries (BPE merges/segment/vocabulary, PCA
+    #    power/project, the commit-log table family — new code seats
+    #    the round it ships);
     #  * 5 re-certification seats for queries whose emission path
     #    changed this round (shared-cutpoint literal frames:
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 13 re-certifications of r01-only seats (their records predate
+    #  * 9 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -146,6 +147,16 @@ PREFIX_ORDER = [
     "bpe_vocabulary_documents",
     "pca_power_embeddings",
     "pca_project_embeddings",
+    # commit-log table format (sources/txlog) — the object-store table
+    # layer: versioned read, time travel, stats skipping, compaction.
+    # Their 4 slots come from r01-only re-certs whose FAMILIES already
+    # re-certified green in r11 through other seats (set ops via
+    # set_except, anti-join via q16/q20's anti shapes, scalar math via
+    # try_arithmetic, window navigation via order_streaks/cusum).
+    "txlog_read_orders",
+    "txlog_time_travel_orders",
+    "txlog_skipping_orders",
+    "txlog_compact_orders",
     # ---- re-certification: emission path changed this round ----
     "percentiles_lineitem",
     "nation_percentiles_lineitem",
@@ -154,18 +165,16 @@ PREFIX_ORDER = [
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "join_revenue_by_nation",
     "semi_join_big_spenders",
-    "anti_join_no_pending_orders",
     "outer_join_order_counts",
     "broadcast_join_part_agg",
     "top_orders_by_price",
     "set_except_custkeys",
-    "set_union_ids",
     "distinct_agg_customer",
     "rollup_orders",
     # (cube_orders waits for r13 — rollup already re-certifies the
-    # grouping-analytics family; its slot goes to bpe_vocabulary)
-    "window_order_gaps",
-    "math_funcs_lineitem",
+    # grouping-analytics family; its slot goes to bpe_vocabulary.
+    # anti_join_no_pending / set_union_ids / math_funcs / window_order_
+    # gaps wait for r13 — their slots went to the txlog family above.)
     "lang_id_distribution",
 ]
 

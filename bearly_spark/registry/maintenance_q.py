@@ -24,6 +24,7 @@ from bearly_spark.operators import text as T
 from bearly_spark.operators import windows as W
 from bearly_spark.operators.aggregate import grouped_agg, sum_int64
 from bearly_spark.producers import produce_array, produce_stream
+from bearly_spark.sources import txlog as TXL
 from bearly_spark.sources.tables import events_with_timestamp, load_table
 
 from bearly_spark.registry._core import ORACLE, QUERIES, register  # noqa: F401
@@ -413,3 +414,223 @@ def q_incremental_rollup(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_o_totalprice").cast("double").alias("total_price"),
     )
+
+
+# ===================================================================
+# Commit-log table format (sources/txlog): versioned reads, time
+# travel, stats-based file skipping, compaction — the object-store
+# table layer (Delta/Iceberg pattern) over an orders-derived fixture
+# ===================================================================
+
+#: Version layout of the txlog fixtures: v1 = first 3 distinct order
+#: years, v2 = next 2, v3 = the rest. Oracles state the same chunks
+#: rank-based (DISTINCT year ... ORDER BY y LIMIT/OFFSET), so the
+#: split is closed-form at every SF without hard-coded years.
+_TXLOG_YEAR_CHUNKS = (3, 2)
+
+#: Money aggregate both engines compute exactly: per-row decimal cast
+#: makes the SUM order-independent, so the 2dp round is noise-free.
+_TX_PRICE_SQL = "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)"
+
+
+def _tx_price_col():
+    return F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+    )
+
+
+def _txlog_orders_fixture(
+    spark, sf_dir: str, name: str, compacted: bool = False
+) -> tuple[str, list[int]]:
+    """Build (once per orders.parquet mtime) a commit-log table from
+    orders: one commit per year-chunk, one data FILE per year (each
+    year arrives as its own single-partition member of the union, and
+    Spark writes one file per partition), so every file's
+    ``o_datekey`` footer stats span exactly its year and pruning
+    decisions are deterministic at every SF. Returns (path, years)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/{name}"
+    marker = _Path(path) / "_fixture.json"
+    want = {
+        "mtime": _os.path.getmtime(f"{sf_dir}/orders.parquet"),
+        "compacted": compacted,
+    }
+    if marker.is_file():
+        got = _json.loads(marker.read_text())
+        if {k: got.get(k) for k in want} == want:
+            return path, got["years"]
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        )
+        .cast("int")
+        .alias("o_datekey"),
+    )
+    years = [
+        r["y"]
+        for r in orders.select(F.year(F.to_date(F.col("o_datekey").cast("string"), "yyyyMMdd")).alias("y"))
+        .distinct()
+        .orderBy("y")
+        .collect()
+    ]
+    a, b = _TXLOG_YEAR_CHUNKS
+    for chunk in (years[:a], years[a : a + b], years[a + b :]):
+        if not chunk:
+            continue
+        per_year = [
+            orders.filter(
+                (F.col("o_datekey") >= y * 10000)
+                & (F.col("o_datekey") <= y * 10000 + 1231)
+            ).coalesce(1)
+            for y in chunk
+        ]
+        TXL.write_table(per_year, path, stats_cols=["o_datekey"])
+    if compacted:
+        TXL.compact(
+            spark, path, target_files=2, stats_cols=["o_datekey"], order_by=["o_datekey"]
+        )
+    marker.write_text(_json.dumps({**want, "years": years}))
+    return path, years
+
+
+@register(
+    "txlog_read_orders",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_read(spark, sf_dir):
+    """Snapshot read of the commit-log table (``sources/txlog``): three
+    commits of orders (chunked by year) replayed from the JSON log into
+    one live file set — the Delta/Iceberg pattern where the LOG, not a
+    directory listing, is the source of truth (object-store safe, no
+    eventual-consistency hazard). The read must see exactly the union
+    of all three commits, i.e. all of orders."""
+    path, _ = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    return (
+        TXL.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_time_travel_orders",
+    oracle=f"""
+    WITH yrs AS (
+        SELECT DISTINCT year(o_orderdate) AS y FROM orders ORDER BY y LIMIT 3
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (SELECT y FROM yrs)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_time_travel(spark, sf_dir):
+    """Time travel: reading VERSION 1 of the commit-log table replays
+    only the create commit, so the result is exactly the first
+    year-chunk (rank-based first 3 distinct order years — the oracle
+    states the same chunk in closed form). Old versions stay readable
+    because commits only de-reference files, never rewrite them."""
+    path, _ = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    return (
+        TXL.read_table(spark, path, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_skipping_orders",
+    oracle=f"""
+    WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+         tgt AS (SELECT y FROM yrs ORDER BY y LIMIT 1 OFFSET 1)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs
+            WHERE y = (SELECT y FROM tgt)) AS n_files_scanned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs) AS n_files_total
+    FROM orders
+    WHERE year(o_orderdate) = (SELECT y FROM tgt)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_txlog_skipping(spark, sf_dir):
+    """Stats-based file skipping: the fixture holds one file per order
+    year (footer min/max of ``o_datekey`` span exactly that year), so a
+    one-year range predicate must plan exactly ONE of the live files —
+    the logged-stats pruning that stands in for partition pruning when
+    the table is not partitioned on the predicate column. The planned
+    file counts are emitted alongside the aggregate; the oracle states
+    them in data terms (files == distinct years by construction). The
+    predicate is re-applied row-level, so pruning is an I/O
+    optimization, never a correctness dependence."""
+    path, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    y = years[1]
+    where = {"o_datekey": (y * 10000, y * 10000 + 1231)}
+    scanned, total = TXL.plan_files(path, where=where)
+    return (
+        TXL.read_table(spark, path, where=where)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn("n_files_scanned", F.lit(len(scanned)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(total).cast("bigint"))
+    )
+
+
+@register(
+    "txlog_compact_orders",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price,
+           {_TX_PRICE_SQL} AS total_price_precompact
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_compact(spark, sf_dir):
+    """Compaction with history: OPTIMIZE rewrites the live set into two
+    range-clustered files in ONE commit (adds + removes); the data must
+    be bit-identical, and the pre-compaction version must still time
+    travel because its files remain until vacuum. Both reads are
+    emitted side by side — the oracle states the same aggregate twice,
+    which is exactly the invariant compaction promises."""
+    path, _ = _txlog_orders_fixture(
+        spark, sf_dir, "orders_txlog_compacted", compacted=True
+    )
+    latest = (
+        TXL.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+    )
+    pre = (
+        TXL.read_table(spark, path, version=3)
+        .groupBy("o_orderstatus")
+        .agg(_tx_price_col().alias("total_price_precompact"))
+    )
+    return latest.join(pre, "o_orderstatus")

@@ -1,0 +1,502 @@
+"""Commit-log table format: versioned parquet with stats-based file skipping.
+
+The reference engine is read-only (``bearly_ext.cc:9-214`` never writes),
+and this repo already maintains tables two ways: in-place atomic swaps
+with hard-linked history trees (``operators/maintenance.snapshot_table``)
+and copy-on-write MERGE (``operators/maintenance.merge_into``). Both
+lean on a POSIX filesystem (hard links, ``RENAME_EXCHANGE``). At 100 TB
+the table usually lives on an object store with neither, and a version
+is too big to materialize as a directory tree per revision. The standard
+public answer (Delta Lake's ``_delta_log``, Iceberg's snapshot
+manifests) is a **commit log**: the table IS an ordered sequence of
+immutable JSON commits, each listing the data files it adds and removes
+plus per-file column min/max stats. This module implements that design
+on plain parquet, Spark-first:
+
+- **Atomic, optimistic commits** — a commit is one ``link(tmp, final)``
+  of ``_txlog/<version>.json`` (creation is exclusive: two writers
+  racing on the same version means exactly one wins). Appends retry
+  with the next version (append/append never logically conflicts);
+  ``overwrite``/``compact`` pin the version they read and raise
+  :class:`TxConflict` if anything committed since (their file-removal
+  set would be stale).
+- **Time travel for free** — a read at version ``v`` replays commits
+  ``<= v``; old data files are never modified, only de-referenced, so
+  every historical version stays readable until :func:`vacuum`.
+- **O(1)-amortized log replay** — every ``_CHECKPOINT_EVERY``-th commit
+  also writes a checkpoint (the materialized live-file set), so replay
+  reads at most one checkpoint + ``_CHECKPOINT_EVERY`` commits, not the
+  whole history (Delta's ``_last_checkpoint`` pattern).
+- **Data skipping** — per-file min/max/null-count stats are harvested
+  from the parquet FOOTERS at commit time (pyarrow metadata reads: zero
+  data bytes, O(files) driver-side metadata ops — the same cost class
+  as writing the log entry itself). :func:`read_table` takes
+  conjunctive range predicates and plans only the files whose stats
+  can match; the predicate is re-applied row-level in Spark, so
+  pruning is a pure I/O optimization, never a correctness dependence.
+  A file whose every row is NULL in the predicate column is pruned too
+  (range predicates never match NULL).
+- **Compaction that keeps history** — :func:`compact` rewrites the live
+  set into ``target_files`` files as one commit (adds + removes);
+  pre-compaction versions still time-travel because their files remain
+  on disk until vacuumed.
+
+Scale posture: all data movement is Spark jobs over the referenced
+files; the driver touches only O(files-per-commit) metadata (footer
+stats, JSON) — exactly the division of labor the public lakehouse
+formats use. Readers never list the data directory (no eventual-
+consistency hazard); the log is the single source of truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+_CHECKPOINT_EVERY = 10
+#: Stats are harvested and compared only for these parquet logical
+#: types; anything else is recorded as absent and never pruned on
+#: (safe: a file without usable stats is always scanned).
+_STATS_SAFE = (int, float, str, bool)
+
+
+class TxConflict(RuntimeError):
+    """A concurrent commit invalidated this transaction's read version."""
+
+
+# -------------------------------------------------------------------
+# Log primitives
+# -------------------------------------------------------------------
+
+
+def _root(path: str) -> Path:
+    return Path(path).resolve()
+
+
+def _log_path(root: Path) -> Path:
+    return root / _LOG_DIR
+
+
+def _commit_file(root: Path, version: int) -> Path:
+    return _log_path(root) / f"{version:020d}.json"
+
+
+def _checkpoint_file(root: Path, version: int) -> Path:
+    return _log_path(root) / f"chk-{version:020d}.json"
+
+
+def _atomic_create(dst: Path, payload: dict) -> bool:
+    """Write ``payload`` to ``dst`` atomically and EXCLUSIVELY: the
+    bytes are fully written to a temp file first, then ``os.link``
+    publishes them (fails if ``dst`` exists — the optimistic-
+    concurrency primitive). Returns False when the version was taken."""
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dst.parent / f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, dst)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _versions(root: Path) -> list[int]:
+    log = _log_path(root)
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.stem) for p in log.iterdir() if p.suffix == ".json" and p.stem.isdigit()
+    )
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version (0 = never created)."""
+    vs = _versions(_root(path))
+    return vs[-1] if vs else 0
+
+
+def _read_json(p: Path) -> dict:
+    with open(p) as f:
+        return json.load(f)
+
+
+def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict]:
+    """Replay the log up to ``version``: returns (live files keyed by
+    relative path, the commit dict at ``version``). Starts from the
+    newest checkpoint <= version, so replay work is bounded by
+    ``_CHECKPOINT_EVERY`` commits regardless of table age."""
+    vs = _versions(root)
+    if version not in vs:
+        raise ValueError(f"no version {version} in {root} (have {vs or 'none'})")
+    log = _log_path(root)
+    chks = sorted(
+        int(p.stem.split("-")[1])
+        for p in log.iterdir()
+        if p.name.startswith("chk-") and p.suffix == ".json"
+    )
+    start_chk = max((c for c in chks if c <= version), default=None)
+    live: dict[str, dict] = {}
+    if start_chk is not None:
+        live = dict(_read_json(_checkpoint_file(root, start_chk))["live"])
+        replay_from = start_chk + 1
+    else:
+        replay_from = vs[0]
+    last = None
+    for v in vs:
+        if v > version:
+            break
+        last = v
+        if v < replay_from:
+            continue
+        c = _read_json(_commit_file(root, v))
+        for rel in c.get("remove", []):
+            live.pop(rel, None)
+        for entry in c.get("add", []):
+            live[entry["path"]] = entry
+    return live, _read_json(_commit_file(root, last))
+
+
+def _schema_at(root: Path, version: int) -> StructType:
+    _, commit = _live_at(root, version)
+    return StructType.fromJson(json.loads(commit["schema"]))
+
+
+# -------------------------------------------------------------------
+# Stats harvesting (parquet footers — metadata-only, no data scan)
+# -------------------------------------------------------------------
+
+
+def _json_stat(v):
+    return v if isinstance(v, _STATS_SAFE) else None
+
+
+def _file_entry(root: Path, fp: Path, stats_cols: list[str]) -> dict:
+    """One log entry for a data file: rows + per-column min/max/nulls
+    aggregated over the file's row-group footer statistics. Footer
+    reads touch zero data pages; at cluster scale this loop would ride
+    a tiny Spark job over the file list, but it is the same O(files)
+    metadata cost class as writing the commit itself."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    stats: dict[str, dict] = {}
+    for col in stats_cols:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        nulls = 0
+        usable = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is None or not s.has_min_max:
+                # a row group can legitimately lack min/max (e.g. all
+                # nulls); only null_count remains trustworthy then
+                if s is not None and s.null_count is not None:
+                    nulls += s.null_count
+                    if s.null_count == md.row_group(rg).num_rows:
+                        continue
+                usable = False
+                continue
+            mn, mx = _json_stat(s.min), _json_stat(s.max)
+            if mn is None or mx is None:
+                usable = False
+            else:
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            nulls += s.null_count or 0
+        entry: dict = {"nulls": nulls}
+        if usable and lo is not None:
+            entry["min"], entry["max"] = lo, hi
+        stats[col] = entry
+    return {
+        "path": str(fp.relative_to(root)),
+        "rows": md.num_rows,
+        "stats": stats,
+    }
+
+
+def _write_data_files(df: DataFrame, root: Path, stats_cols: list[str]) -> list[dict]:
+    """Write ``df`` into the data dir under a fresh commit token and
+    return the add-entries. Files are invisible to readers until a
+    commit references them, so a crash here leaks only unreferenced
+    bytes (vacuum reclaims them)."""
+    token = uuid.uuid4().hex[:12]
+    staging = root / f".staging-{token}"
+    df.write.mode("overwrite").parquet(str(staging))
+    parts = sorted(
+        p for p in staging.iterdir() if p.suffix == ".parquet" and p.name[0] not in "._"
+    )
+    data_dir = root / _DATA_DIR
+    data_dir.mkdir(parents=True, exist_ok=True)
+    entries = []
+    for i, p in enumerate(parts):
+        dst = data_dir / f"c{token}-{i:05d}.parquet"
+        os.replace(p, dst)
+        entries.append(_file_entry(root, dst, stats_cols))
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+# -------------------------------------------------------------------
+# Commit protocol
+# -------------------------------------------------------------------
+
+
+def _commit(
+    root: Path,
+    operation: str,
+    schema_json: str,
+    add: list[dict],
+    remove: list[str],
+    expected_version: int | None,
+    retries: int = 20,
+) -> int:
+    """Publish one commit. ``expected_version`` pins optimistic
+    concurrency: None = append semantics (retry under the next free
+    version — appends never logically conflict); an int = the version
+    this transaction read, and any interleaved commit raises
+    :class:`TxConflict` (its remove-set would be stale)."""
+    for _ in range(retries):
+        current = max(_versions(root), default=0)
+        if expected_version is not None and current != expected_version:
+            raise TxConflict(
+                f"table advanced to v{current} (expected v{expected_version})"
+            )
+        v = current + 1
+        payload = {
+            "version": v,
+            "operation": operation,
+            "schema": schema_json,
+            "add": add,
+            "remove": remove,
+            "ts": time.time(),
+        }
+        if _atomic_create(_commit_file(root, v), payload):
+            if v % _CHECKPOINT_EVERY == 0:
+                live, _ = _live_at(root, v)
+                _atomic_create(_checkpoint_file(root, v), {"live": live})
+            return v
+        if expected_version is not None:
+            raise TxConflict(f"lost the race for v{v}")
+    raise TxConflict(f"gave up after {retries} commit attempts")
+
+
+def _check_schema(existing: StructType, incoming: StructType) -> None:
+    if [(f.name, f.dataType) for f in existing.fields] != [
+        (f.name, f.dataType) for f in incoming.fields
+    ]:
+        raise ValueError(
+            f"schema mismatch: table has {existing.simpleString()}, "
+            f"append brings {incoming.simpleString()}"
+        )
+
+
+def write_table(
+    df: DataFrame | list[DataFrame],
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to the table at ``path``. ``mode='append'`` adds
+    files (never conflicts; retries under concurrent writers);
+    ``mode='overwrite'`` replaces the live set in one commit (raises
+    :class:`TxConflict` if anything commits in between). The first
+    commit creates the table. A LIST of same-schema DataFrames lands
+    as one atomic commit with each member writing its own file group —
+    the many-tasks-one-transaction shape of real ingestion (and the
+    way to pin file boundaries: Catalyst is free to collapse a single
+    unioned plan into fewer partitions than its branches). Returns the
+    committed version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parts = list(df) if isinstance(df, (list, tuple)) else [df]
+    if not parts:
+        raise ValueError("need at least one DataFrame to commit")
+    for extra in parts[1:]:
+        _check_schema(parts[0].schema, extra.schema)
+    root = _root(path)
+    root.mkdir(parents=True, exist_ok=True)
+    stats_cols = list(stats_cols or [])
+    current = max(_versions(root), default=0)
+    if current and mode == "append":
+        _check_schema(_schema_at(root, current), parts[0].schema)
+    add = [e for p in parts for e in _write_data_files(p, root, stats_cols)]
+    df = parts[0]
+    remove: list[str] = []
+    expected = None
+    if mode == "overwrite":
+        if current:
+            live, _ = _live_at(root, current)
+            remove = sorted(live)
+        expected = current
+    return _commit(
+        root,
+        "create" if current == 0 else mode,
+        df.schema.json(),
+        add,
+        remove,
+        expected,
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    stats_cols: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> int:
+    """Rewrite the live set into ``target_files`` files (optionally
+    range-clustered on ``order_by`` so stats-skipping bites harder
+    post-compaction) as ONE commit. Data is bit-identical; every
+    pre-compaction version still time-travels until vacuumed."""
+    root = _root(path)
+    current = max(_versions(root), default=0)
+    if not current:
+        raise ValueError(f"no table at {path}")
+    live, _ = _live_at(root, current)
+    df = read_table(spark, path, version=current)
+    df = (
+        df.repartitionByRange(target_files, *order_by)
+        if order_by
+        else df.repartition(target_files)
+    )
+    add = _write_data_files(df, root, list(stats_cols or []))
+    return _commit(
+        root, "compact", df.schema.json(), add, sorted(live), expected_version=current
+    )
+
+
+# -------------------------------------------------------------------
+# Read path
+# -------------------------------------------------------------------
+
+
+def _overlaps(entry: dict, col: str, lo, hi) -> bool:
+    """Can any row of this file satisfy lo <= col <= hi? Missing or
+    non-comparable stats keep the file (pruning must be sound)."""
+    st = entry.get("stats", {}).get(col)
+    if st is None:
+        return True
+    if st.get("nulls") == entry["rows"]:
+        return False  # every value NULL: a range predicate matches none
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+def plan_files(
+    path: str, version: int | None = None, where: dict | None = None
+) -> tuple[list[str], int]:
+    """The scan plan: (relative paths that survive stats pruning, total
+    live file count). ``where`` maps column -> (lo, hi) inclusive
+    bounds (either side None = unbounded)."""
+    root = _root(path)
+    v = version if version is not None else max(_versions(root), default=0)
+    live, _ = _live_at(root, v)
+    survivors = sorted(
+        rel
+        for rel, entry in live.items()
+        if all(_overlaps(entry, c, lo, hi) for c, (lo, hi) in (where or {}).items())
+    )
+    return survivors, len(live)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """Snapshot read at ``version`` (default: latest). ``where`` range
+    predicates prune files via the logged stats AND are re-applied
+    row-level, so the result is exact regardless of stats quality.
+    Raises if a referenced file was vacuumed away (loud, not silent)."""
+    root = _root(path)
+    v = version if version is not None else max(_versions(root), default=0)
+    files, _ = plan_files(path, v, where)
+    missing = [rel for rel in files if not (root / rel).is_file()]
+    if missing:
+        raise ValueError(
+            f"version {v} of {path} references vacuumed files: {missing[:3]}"
+        )
+    schema = _schema_at(root, v)
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in files])
+    for col, (lo, hi) in (where or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def history(path: str) -> list[dict]:
+    """Commit audit trail: version, operation, files/rows added,
+    files removed — the metadata view a 100 TB operator actually
+    watches (is compaction keeping up with ingest?)."""
+    root = _root(path)
+    out = []
+    for v in _versions(root):
+        c = _read_json(_commit_file(root, v))
+        out.append(
+            {
+                "version": v,
+                "operation": c["operation"],
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+                "rows_added": sum(e["rows"] for e in c.get("add", [])),
+            }
+        )
+    return out
+
+
+def vacuum(path: str, keep_from_version: int) -> list[str]:
+    """Delete data files not referenced by ANY version >=
+    ``keep_from_version``. Versions older than that stop being
+    readable (reads fail loudly); newer time travel is unaffected.
+    Returns the deleted relative paths."""
+    root = _root(path)
+    vs = [v for v in _versions(root) if v >= keep_from_version]
+    if not vs:
+        raise ValueError(f"keep_from_version={keep_from_version} retains no versions")
+    referenced: set[str] = set()
+    for v in vs:
+        live, _ = _live_at(root, v)
+        referenced.update(live)
+    data_dir = root / _DATA_DIR
+    deleted = []
+    if data_dir.is_dir():
+        for p in sorted(data_dir.iterdir()):
+            rel = str(p.relative_to(root))
+            if p.suffix == ".parquet" and rel not in referenced:
+                p.unlink()
+                deleted.append(rel)
+    return deleted

@@ -225,6 +225,13 @@ HEADLINE = [
     "bpe_segment_documents",
     "pca_power_embeddings",
     "pca_project_embeddings",
+    # round 12: the commit-log table layer — full-table log-replay read
+    # (fixture built + committed on the first pass, mtime-cached) and
+    # the stats-skipping read (plans 1 of 7 files from logged footer
+    # min/max before Spark ever lists a path). A regression here means
+    # log replay or footer pruning stopped being metadata-only.
+    "txlog_read_orders",
+    "txlog_skipping_orders",
 ]
 
 
