@@ -902,6 +902,101 @@ def bpe_segment_stats(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[dict],
+    max_tokens: int = 40,
+) -> DataFrame:
+    """Encode documents under a learned merge table: the first
+    ``max_tokens`` tokens of each document as
+    ``(id, pos, symbol, token_id)`` rows — the tokenizer APPLICATION
+    step (learn → segment stats → encode), i.e. what actually feeds a
+    training pipeline. ``token_id`` is the symbol's rank in the full
+    post-merge corpus inventory (freq DESC, symbol ASC — the vocab you
+    would ship beside the merges), so ids are deterministic and dense.
+
+    Scale shape: the merge table applies to the DISTINCT-WORD frame
+    (Θ(vocab) replaces, never the corpus); documents pay one tokenize
+    + one broadcast (word → symbol-array) join + one broadcast
+    (symbol → id) join. Global token positions come from a cumulative
+    per-word symbol-count window keyed by document — a per-document
+    sort, never a global one. Words containing the delimiter are
+    excluded (same filter as learning)."""
+    from pyspark.sql import Window
+
+    merged = bpe_apply_merges(
+        _bpe_initial_symbols(_bpe_word_freqs(df, text_col)), merges
+    )
+    sy = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != F.lit(""))
+    vocab = merged.select("word", sy.alias("syms"), F.size(sy).alias("n_sym"))
+    # The inventory is AXIS-sized (<= alphabet + len(merges) symbols),
+    # so it ranks on the driver and returns as a JVM literal — a global
+    # row_number window here would plan the one-task
+    # Sort-over-Exchange-SinglePartition this repo bans outright.
+    inv_rows = (
+        merged.select("freq", F.explode(sy).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("freq"))
+        .collect()
+    )
+    ranked = sorted(inv_rows, key=lambda r: (-r["freq"], r["symbol"]))
+    if not ranked:  # no encodable words anywhere in the corpus
+        return df.limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("pos"),
+            F.lit("").alias("symbol"),
+            F.lit(0).cast("int").alias("token_id"),
+        )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r["symbol"]).alias("symbol"),
+                F.lit(i + 1).cast("int").alias("token_id"),
+            )
+            for i, r in enumerate(ranked)
+        ]
+    )
+    inventory = (
+        df.sparkSession.range(1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.symbol", "p.token_id")
+    )
+    kept = F.filter(
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda x: ~F.lower(x).contains(BPE_DELIM),
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(kept).alias("wpos", "w")
+    ).select(id_col, "wpos", F.lower(F.col("w")).alias("word"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(F.broadcast(vocab), "word")
+        .withColumn("offset", F.coalesce(F.sum("n_sym").over(w), F.lit(0)))
+        # a word whose tokens all start past the cap contributes nothing
+        .filter(F.col("offset") < max_tokens)
+        .select(
+            id_col,
+            "offset",
+            F.posexplode(F.col("syms")).alias("spos", "symbol"),
+        )
+        .select(
+            id_col,
+            (F.col("offset") + F.col("spos") + 1).cast("int").alias("pos"),
+            "symbol",
+        )
+        .filter(F.col("pos") <= max_tokens)
+    )
+    return placed.join(F.broadcast(inventory), "symbol").select(
+        id_col, "pos", "symbol", "token_id"
+    )
+
+
 def bpe_symbol_inventory(
     df: DataFrame, text_col: str, merges: list[dict], top_v: int = 50
 ) -> DataFrame:

@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 9 re-certifications of r01-only seats (their records predate
+    #  * 7 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -157,6 +157,12 @@ PREFIX_ORDER = [
     "txlog_time_travel_orders",
     "txlog_skipping_orders",
     "txlog_compact_orders",
+    # tokenizer application + ANN quality eval (r12) — their 2 slots
+    # come from r01-only re-certs covered by greener family seats
+    # (top-k via topn_types_brand green r11, plain distinct-agg via
+    # collect_agg/misc_agg green r11).
+    "bpe_encode_documents",
+    "ann_recall_embeddings",
     # ---- re-certification: emission path changed this round ----
     "percentiles_lineitem",
     "nation_percentiles_lineitem",
@@ -167,14 +173,13 @@ PREFIX_ORDER = [
     "semi_join_big_spenders",
     "outer_join_order_counts",
     "broadcast_join_part_agg",
-    "top_orders_by_price",
     "set_except_custkeys",
-    "distinct_agg_customer",
     "rollup_orders",
     # (cube_orders waits for r13 — rollup already re-certifies the
     # grouping-analytics family; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
-    # gaps wait for r13 — their slots went to the txlog family above.)
+    # gaps / top_orders_by_price / distinct_agg_customer wait for r13 —
+    # their slots went to the txlog / bpe_encode / ann_recall seats.)
     "lang_id_distribution",
 ]
 

@@ -656,3 +656,58 @@ def q_bpe_vocabulary(spark, sf_dir):
     return T.bpe_symbol_inventory(
         docs, "text", _bpe_merges_cached(spark, sf_dir), top_v=50
     )
+
+
+@register(
+    "bpe_encode_documents",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_MERGES)},
+    v AS (SELECT word,
+                 list_filter(string_split(sym, '|'), x -> x <> '') AS sy
+          FROM s{_BPE_MERGES}),
+    inv AS (SELECT symbol,
+                   CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, symbol)
+                        AS INTEGER) AS token_id
+            FROM (SELECT sym_s AS symbol, SUM(freq) AS freq
+                  FROM (SELECT freq,
+                               unnest(list_filter(string_split(sym, '|'),
+                                                  x -> x <> '')) AS sym_s
+                        FROM s{_BPE_MERGES})
+                  GROUP BY 1)),
+    tok AS (SELECT doc_id, unnest(arr) AS word,
+                   generate_subscripts(arr, 1) AS wpos
+            FROM (SELECT doc_id,
+                         [lower(x) for x in
+                          string_split_regex(coalesce(text, ''), '\\s+')
+                          if x <> '' and lower(x) NOT LIKE '%|%'] AS arr
+                  FROM documents)),
+    placed AS (SELECT doc_id, wpos, sy,
+                      COALESCE(SUM(len(sy)) OVER (
+                          PARTITION BY doc_id ORDER BY wpos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+               FROM tok JOIN v USING (word)),
+    syms AS (SELECT doc_id,
+                    CAST(off + generate_subscripts(sy, 1) AS INTEGER) AS pos,
+                    unnest(sy) AS symbol
+             FROM placed WHERE off < 40)
+    SELECT doc_id, pos, symbol, token_id
+    FROM syms JOIN inv USING (symbol)
+    WHERE pos <= 40
+    """,
+)
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (``text.bpe_encode``): the first 40 tokens
+    of every document under the learned merge table, as
+    (doc_id, pos, symbol, token_id) rows with ids = full-inventory
+    ranks (freq DESC, symbol ASC). Completes the BPE story:
+    learn (bpe_merges) -> compression diagnostic (bpe_segment) ->
+    vocabulary (bpe_vocabulary) -> ENCODE, which is what feeds
+    training. Corpus cost: one tokenize + two broadcast joins + a
+    per-document cumulative window; merges never touch the corpus
+    (Theta(vocab) replaces on the distinct-word frame). Shares the
+    mtime-keyed merge-table fit cache."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_encode(
+        docs, "doc_id", "text", _bpe_merges_cached(spark, sf_dir), max_tokens=40
+    )

@@ -232,6 +232,12 @@ HEADLINE = [
     # log replay or footer pruning stopped being metadata-only.
     "txlog_read_orders",
     "txlog_skipping_orders",
+    # round 12 (late): tokenizer application (per-doc token rows under
+    # the cached merge table — tokenize + 2 broadcast joins + a
+    # per-doc cumulative window) and the ANN quality eval (IVF vs
+    # exact brute force; the exact arm dominates the time)
+    "bpe_encode_documents",
+    "ann_recall_embeddings",
 ]
 
 

@@ -1514,6 +1514,47 @@ def test_bpe_segment_stats_counts(spark):
     assert got[2] == (1, 4, 3)
 
 
+def test_bpe_encode_planted_corpus(spark):
+    """Encode under one learned merge (fit on 'aaab aaab aaab ab ab'
+    => merge (a,a) -> 'aa'): doc tokens are aaab->|aa|a|b|, ab->|a|b|
+    in word order. The token-id inventory is built from the ENCODED
+    frame (docs): post-merge freqs b=3, a=2, aa=1 -> ranks
+    (freq DESC, sym ASC): b=1, a=2, aa=3."""
+    from bearly_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaab ab"), (1, None), (2, "zz|z b")],
+        "doc_id long, text string",
+    )
+    fit = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    merges = T.bpe_learn(fit, "text", n_merges=1)
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["symbol"], r["token_id"])
+        for r in T.bpe_encode(docs, "doc_id", "text", merges).collect()
+    )
+    # doc 0: aaab = aa,a,b then ab = a,b; doc 1 empty; doc 2 keeps
+    # only 'b' (the delimiter word is excluded)
+    assert rows == [
+        (0, 1, "aa", 3),
+        (0, 2, "a", 2),
+        (0, 3, "b", 1),
+        (0, 4, "a", 2),
+        (0, 5, "b", 1),
+        (2, 1, "b", 1),
+    ]
+
+
+def test_bpe_encode_cap_truncates_positions(spark):
+    from bearly_spark.operators import text as T
+
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    merges = T.bpe_learn(docs, "text", n_merges=0) or []
+    rows = T.bpe_encode(docs, "doc_id", "text", merges, max_tokens=3).collect()
+    assert sorted(r["pos"] for r in rows) == [1, 2, 3]
+
+
 def test_pca_power_fit_planted_direction(spark):
     """A corpus living on one axis: the dominant direction must be that
     axis, loadings +-10^6 there and ~0 elsewhere, ev_share ~ 1."""
