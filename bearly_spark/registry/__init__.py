@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 7 re-certifications of r01-only seats (their records predate
+    #  * 6 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -157,6 +157,7 @@ PREFIX_ORDER = [
     "txlog_time_travel_orders",
     "txlog_skipping_orders",
     "txlog_compact_orders",
+    "txlog_changes_orders",
     # tokenizer application + ANN quality eval (r12) — their 2 slots
     # come from r01-only re-certs covered by greener family seats
     # (top-k via topn_types_brand green r11, plain distinct-agg via
@@ -170,7 +171,6 @@ PREFIX_ORDER = [
     "semdedup_index_stats_query",
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "join_revenue_by_nation",
-    "semi_join_big_spenders",
     "outer_join_order_counts",
     "broadcast_join_part_agg",
     "set_except_custkeys",
@@ -178,8 +178,10 @@ PREFIX_ORDER = [
     # (cube_orders waits for r13 — rollup already re-certifies the
     # grouping-analytics family; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
-    # gaps / top_orders_by_price / distinct_agg_customer wait for r13 —
-    # their slots went to the txlog / bpe_encode / ann_recall seats.)
+    # gaps / top_orders_by_price / distinct_agg_customer /
+    # semi_join_big_spenders wait for r13 — their slots went to the
+    # txlog family / bpe_encode / ann_recall seats; every displaced
+    # family keeps a greener r11 representative.)
     "lang_id_distribution",
 ]
 

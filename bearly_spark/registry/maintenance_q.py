@@ -634,3 +634,35 @@ def q_txlog_compact(spark, sf_dir):
         .agg(_tx_price_col().alias("total_price_precompact"))
     )
     return latest.join(pre, "o_orderstatus")
+
+
+@register(
+    "txlog_changes_orders",
+    oracle="""
+    WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+         tgt AS (SELECT y FROM yrs ORDER BY y LIMIT 2 OFFSET 3)
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate) AS INTEGER) AS o_datekey,
+           CAST(2 AS INTEGER) AS change_version,
+           'insert' AS change_type
+    FROM orders WHERE year(o_orderdate) IN (SELECT y FROM tgt)
+    """,
+)
+def q_txlog_changes(spark, sf_dir):
+    """Change data feed over the commit-log table
+    (``txlog.read_changes``): the logical row changes committed in
+    version 2 — exactly the second year-chunk as inserts (versions are
+    the fixture contract, so the twin states the chunk rank-based and
+    the version as the literal it must be). The incremental-consumer
+    primitive: downstream jobs reprocess Θ(delta) by reading ONLY the
+    files the picked commits added/removed — compaction emits nothing
+    because it is logically a no-op, which only a log (never a file
+    listing) can know."""
+    path, _ = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    return TXL.read_changes(spark, path, from_version=1, to_version=2).select(
+        "o_orderkey",
+        "o_datekey",
+        F.col("_change_version").alias("change_version"),
+        F.col("_change_type").alias("change_type"),
+    )

@@ -267,12 +267,15 @@ def _commit(
     remove: list[str],
     expected_version: int | None,
     retries: int = 20,
+    batch_tag: str | None = None,
 ) -> int:
     """Publish one commit. ``expected_version`` pins optimistic
     concurrency: None = append semantics (retry under the next free
     version — appends never logically conflict); an int = the version
     this transaction read, and any interleaved commit raises
-    :class:`TxConflict` (its remove-set would be stale)."""
+    :class:`TxConflict` (its remove-set would be stale).
+    ``batch_tag`` stamps the commit with an idempotency token (the
+    streaming-ingest dedup key — Delta's txn/appId pattern)."""
     for _ in range(retries):
         current = max(_versions(root), default=0)
         if expected_version is not None and current != expected_version:
@@ -288,6 +291,8 @@ def _commit(
             "remove": remove,
             "ts": time.time(),
         }
+        if batch_tag is not None:
+            payload["batch_tag"] = batch_tag
         if _atomic_create(_commit_file(root, v), payload):
             if v % _CHECKPOINT_EVERY == 0:
                 live, _ = _live_at(root, v)
@@ -313,6 +318,7 @@ def write_table(
     path: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    batch_tag: str | None = None,
 ) -> int:
     """Commit ``df`` to the table at ``path``. ``mode='append'`` adds
     files (never conflicts; retries under concurrent writers);
@@ -353,6 +359,7 @@ def write_table(
         add,
         remove,
         expected,
+        batch_tag=batch_tag,
     )
 
 
@@ -476,6 +483,87 @@ def history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: the logical row changes committed in versions
+    ``(from_version, to_version]`` — the incremental-consumer primitive
+    (downstream jobs re-process Θ(delta), never Θ(table)). Per commit:
+    ``create``/``append`` emit their added files' rows as ``insert``;
+    ``overwrite`` emits its adds as ``insert`` AND the files it removed
+    as ``delete`` (their bytes are still on disk until vacuum);
+    ``compact`` emits NOTHING (it is physically large but logically a
+    no-op — exactly why consumers must read the LOG, not the file
+    listing). Output = table columns + ``_change_version`` (int) +
+    ``_change_type`` ('insert'|'delete')."""
+    root = _root(path)
+    vs = _versions(root)
+    hi = to_version if to_version is not None else (vs[-1] if vs else 0)
+    picked = [v for v in vs if from_version < v <= hi]
+    if not picked and from_version not in (*vs, 0):
+        raise ValueError(f"no version {from_version} in {root}")
+    schema = _schema_at(root, hi) if vs else None
+    chunks = []
+    for v in picked:
+        c = _read_json(_commit_file(root, v))
+        op = c["operation"]
+        if op == "compact":
+            continue
+        sides = [("insert", [e["path"] for e in c.get("add", [])])]
+        if op == "overwrite":
+            sides.append(("delete", list(c.get("remove", []))))
+        for change_type, rels in sides:
+            if not rels:
+                continue
+            missing = [rel for rel in rels if not (root / rel).is_file()]
+            if missing:
+                raise ValueError(
+                    f"changes of v{v} reference vacuumed files: {missing[:3]}"
+                )
+            chunks.append(
+                spark.read.schema(schema)
+                .parquet(*[str(root / rel) for rel in rels])
+                .withColumn("_change_version", F.lit(v).cast("int"))
+                .withColumn("_change_type", F.lit(change_type))
+            )
+    if not chunks:
+        if schema is None:
+            raise ValueError(f"no table at {path}")
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_version", F.lit(0).cast("int"))
+            .withColumn("_change_type", F.lit(""))
+        )
+    out = chunks[0]
+    for extra in chunks[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def append_stream(changes, path: str, stats_cols: list[str] | None = None):
+    """Streaming ingestion into a commit-log table: each micro-batch
+    lands as ONE atomic append commit stamped with an idempotency tag
+    (``stream-<batch_id>`` — Delta's txn/appId pattern), so replaying a
+    batch after a crash is a metadata no-op: the tag is found in the
+    log (scanned newest-first; replays are recent by construction) and
+    the batch is skipped without writing a byte. Returns the
+    ``DataStreamWriter`` (caller starts it)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"stream-{batch_id}"
+        root = _root(path)
+        if _log_path(root).is_dir():
+            for v in reversed(_versions(root)):
+                if _read_json(_commit_file(root, v)).get("batch_tag") == tag:
+                    return
+        write_table(batch_df, path, stats_cols=stats_cols, batch_tag=tag)
+
+    return changes.writeStream.foreachBatch(process)
 
 
 def vacuum(path: str, keep_from_version: int) -> list[str]:

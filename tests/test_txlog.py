@@ -214,3 +214,78 @@ def test_multipart_schema_mismatch_raises(spark, table):
     bad = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="schema mismatch"):
         TX.write_table([good, bad], table)
+
+
+def test_read_changes_per_commit(spark, table):
+    TX.write_table(_rows(spark, 0, 3), table)
+    TX.write_table(_rows(spark, 3, 6), table)
+    TX.write_table(_rows(spark, 100, 102, cat="b"), table, mode="overwrite")
+
+    ins12 = TX.read_changes(spark, table, 0, 2)
+    assert sorted(
+        (r["k"], r["_change_version"], r["_change_type"]) for r in ins12.collect()
+    ) == [(k, 1 if k < 3 else 2, "insert") for k in range(6)]
+
+    ch3 = TX.read_changes(spark, table, 2)
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in ch3.collect()
+    )
+    assert got == [(k, "delete") for k in range(6)] + [
+        (100, "insert"),
+        (101, "insert"),
+    ]
+
+    # compaction is logically a no-op: the feed must emit nothing
+    TX.compact(spark, table, target_files=1)
+    assert TX.read_changes(spark, table, 3).count() == 0
+
+
+def test_read_changes_empty_range_keeps_schema(spark, table):
+    TX.write_table(_rows(spark, 0, 3), table)
+    df = TX.read_changes(spark, table, 1)
+    assert df.columns == ["k", "v", "cat", "_change_version", "_change_type"]
+    assert df.count() == 0
+
+
+def test_append_stream_commits_batches_and_skips_replays(
+    spark, tmp_path_factory
+):
+    import shutil
+
+    base = tmp_path_factory.mktemp("txstream")
+    src = base / "src"
+    src.mkdir()
+    table = str(base / "table")
+    _rows(spark, 0, 4).coalesce(1).write.parquet(str(base / "seed_a"))
+    _rows(spark, 4, 7).coalesce(1).write.parquet(str(base / "seed_b"))
+    shutil.copy(
+        next((base / "seed_a").glob("*.parquet")), src / "a.parquet"
+    )
+    shutil.copy(
+        next((base / "seed_b").glob("*.parquet")), src / "b.parquet"
+    )
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(_rows(spark, 0, 1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            TX.append_stream(stream, table, stats_cols=["k"])
+            .option("checkpointLocation", str(base / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain("ck1")
+    assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 7))
+    h = TX.history(table)
+    assert len(h) == 2 and all(x["operation"] in ("create", "append") for x in h)
+
+    # a FRESH checkpoint replays batch ids 0..1 over the same files:
+    # the idempotency tags must skip both without writing anything
+    drain("ck2")
+    assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 7))
+    assert len(TX.history(table)) == 2
