@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 6 re-certifications of r01-only seats (their records predate
+    #  * 5 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -164,6 +164,7 @@ PREFIX_ORDER = [
     # collect_agg/misc_agg green r11).
     "bpe_encode_documents",
     "ann_recall_embeddings",
+    "pack_bpe_documents",
     # ---- re-certification: emission path changed this round ----
     "percentiles_lineitem",
     "nation_percentiles_lineitem",
@@ -172,16 +173,17 @@ PREFIX_ORDER = [
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "join_revenue_by_nation",
     "outer_join_order_counts",
-    "broadcast_join_part_agg",
     "set_except_custkeys",
     "rollup_orders",
     # (cube_orders waits for r13 — rollup already re-certifies the
     # grouping-analytics family; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
     # gaps / top_orders_by_price / distinct_agg_customer /
-    # semi_join_big_spenders wait for r13 — their slots went to the
-    # txlog family / bpe_encode / ann_recall seats; every displaced
-    # family keeps a greener r11 representative.)
+    # semi_join_big_spenders / broadcast_join_part_agg wait for r13 —
+    # their slots went to the txlog family / bpe_encode / ann_recall /
+    # pack_bpe seats; every displaced family keeps a greener r11
+    # representative (broadcast joins are additionally plan-asserted
+    # every round via q5's BroadcastHashJoin pin).
     "lang_id_distribution",
 ]
 

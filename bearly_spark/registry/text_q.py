@@ -711,3 +711,66 @@ def q_bpe_encode(spark, sf_dir):
     return T.bpe_encode(
         docs, "doc_id", "text", _bpe_merges_cached(spark, sf_dir), max_tokens=40
     )
+
+
+@register(
+    "pack_bpe_documents",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_MERGES)},
+    v AS (SELECT word,
+                 len(list_filter(string_split(sym, '|'), x -> x <> ''))
+                     AS n_sym
+          FROM s{_BPE_MERGES}),
+    tok AS (SELECT doc_id, word FROM (
+              SELECT doc_id, lower(t) AS word
+              FROM (SELECT doc_id,
+                           unnest([x for x in
+                                   string_split_regex(coalesce(text, ''), '\\s+')
+                                   if x <> '']) AS t
+                    FROM documents))
+            WHERE word NOT LIKE '%|%'),
+    per AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+            FROM tok JOIN v USING (word) GROUP BY 1),
+    t AS (SELECT d.doc_id, d.lang, COALESCE(per.n_toks, 0) AS n_toks
+          FROM documents d LEFT JOIN per USING (doc_id)),
+    c AS (SELECT lang, doc_id, n_toks,
+                 COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS prior
+          FROM t)
+    SELECT lang, CAST(FLOOR(prior / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tokens_total
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def q_pack_bpe(spark, sf_dir):
+    """Sequence packing under the LEARNED tokenizer — the capstone
+    composition ``bpe_learn`` -> ``bpe_segment_stats`` ->
+    cumulative-token packing: context windows are budgeted in REAL
+    post-merge token counts instead of ``pack_sequences_documents``'s
+    whitespace proxy (the two disagree exactly where it costs money —
+    long words split into many subwords). Same scale shape as both
+    parents: Θ(vocab) merge replays, one tokenize + broadcast join for
+    the counts, a per-lang (per-shard) window for the packing. Shares
+    the mtime-keyed merge-table fit cache."""
+    from pyspark.sql import Window as SW
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = T.bpe_segment_stats(
+        docs, "doc_id", "text", _bpe_merges_cached(spark, sf_dir)
+    ).select("doc_id", F.col("n_symbols").alias("n_toks"))
+    t = docs.select("doc_id", "lang").join(seg, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce("n_toks", F.lit(0)).alias("n_toks")
+    )
+    w = (
+        SW.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(SW.unboundedPreceding, -1)
+    )
+    c = t.withColumn("prior", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    return c.groupBy(
+        "lang", F.floor(F.col("prior") / 2048).cast("long").alias("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("tokens_total"),
+    )
