@@ -926,9 +926,13 @@ def bpe_encode(
     excluded (same filter as learning)."""
     from pyspark.sql import Window
 
+    # localCheckpoint the post-merge distinct-word frame (the same
+    # pattern as bpe_learn): the inventory collect below materializes
+    # it once, and the vocab broadcast join reuses that result instead
+    # of re-scanning the corpus and replaying every merge
     merged = bpe_apply_merges(
         _bpe_initial_symbols(_bpe_word_freqs(df, text_col)), merges
-    )
+    ).localCheckpoint(eager=False)
     sy = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != F.lit(""))
     vocab = merged.select("word", sy.alias("syms"), F.size(sy).alias("n_sym"))
     # The inventory is AXIS-sized (<= alphabet + len(merges) symbols),

@@ -148,20 +148,21 @@ PREFIX_ORDER = [
     "pca_power_embeddings",
     "pca_project_embeddings",
     # commit-log table format (sources/txlog) — the object-store table
-    # layer: versioned read, time travel, stats skipping, compaction.
-    # Their 4 slots come from r01-only re-certs whose FAMILIES already
-    # re-certified green in r11 through other seats (set ops via
-    # set_except, anti-join via q16/q20's anti shapes, scalar math via
-    # try_arithmetic, window navigation via order_streaks/cusum).
+    # layer: versioned read, time travel, stats skipping, compaction,
+    # change feed. These 5 slots plus the 3 below (bpe_encode /
+    # ann_recall / pack_bpe) come from the 8 displaced r01-only
+    # re-certs listed at the end of this list; every displaced FAMILY
+    # keeps a greener r11 representative (set ops via set_except,
+    # anti/semi joins via q16/q20's shapes, scalar math via
+    # try_arithmetic, window navigation via order_streaks/cusum,
+    # top-k via topn_types_brand, broadcast joins via q5's plan pin).
     "txlog_read_orders",
     "txlog_time_travel_orders",
     "txlog_skipping_orders",
     "txlog_compact_orders",
     "txlog_changes_orders",
-    # tokenizer application + ANN quality eval (r12) — their 2 slots
-    # come from r01-only re-certs covered by greener family seats
-    # (top-k via topn_types_brand green r11, plain distinct-agg via
-    # collect_agg/misc_agg green r11).
+    # tokenizer application + ANN quality eval + BPE packing capstone
+    # (r12; slot accounting in the txlog comment above)
     "bpe_encode_documents",
     "ann_recall_embeddings",
     "pack_bpe_documents",

@@ -108,6 +108,14 @@ def _atomic_create(dst: Path, payload: dict) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, dst)
+        # fsync the DIRECTORY too: without it a crash can drop this
+        # dirent while a later commit's survives, leaving a hole the
+        # replay would silently skip over
+        dfd = os.open(dst.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return True
     except FileExistsError:
         return False
@@ -174,6 +182,37 @@ def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict]:
 def _schema_at(root: Path, version: int) -> StructType:
     _, commit = _live_at(root, version)
     return StructType.fromJson(json.loads(commit["schema"]))
+
+
+def _tags_at(root: Path, version: int) -> dict[str, int]:
+    """batch_tag -> version for every tagged commit <= ``version``,
+    resolved like the live set: the newest checkpoint's accumulated tag
+    map plus the commits after it — so the streaming-ingest replay
+    check reads O(checkpoint cadence) files, not O(table age)."""
+    vs = _versions(root)
+    log = _log_path(root)
+    chks = sorted(
+        int(p.stem.split("-")[1])
+        for p in log.iterdir()
+        if p.name.startswith("chk-") and p.suffix == ".json"
+    )
+    tags: dict[str, int] = {}
+    replay_from = vs[0] if vs else 1
+    for c in (c for c in sorted(chks, reverse=True) if c <= version):
+        payload = _read_json(_checkpoint_file(root, c))
+        if "tags" in payload:  # older checkpoints predate the tag map
+            tags = dict(payload["tags"])
+            replay_from = c + 1
+            break
+    for v in vs:
+        if v > version:
+            break
+        if v < replay_from:
+            continue
+        tag = _read_json(_commit_file(root, v)).get("batch_tag")
+        if tag is not None:
+            tags[tag] = v
+    return tags
 
 
 # -------------------------------------------------------------------
@@ -268,6 +307,7 @@ def _commit(
     expected_version: int | None,
     retries: int = 20,
     batch_tag: str | None = None,
+    check_append_schema: bool = False,
 ) -> int:
     """Publish one commit. ``expected_version`` pins optimistic
     concurrency: None = append semantics (retry under the next free
@@ -275,7 +315,11 @@ def _commit(
     this transaction read, and any interleaved commit raises
     :class:`TxConflict` (its remove-set would be stale).
     ``batch_tag`` stamps the commit with an idempotency token (the
-    streaming-ingest dedup key — Delta's txn/appId pattern)."""
+    streaming-ingest dedup key — Delta's txn/appId pattern).
+    ``check_append_schema`` revalidates the incoming schema against the
+    CURRENT latest version inside the retry loop — an append's
+    pre-write check races the (slow) data write, and an interleaved
+    overwrite could change the table schema under it."""
     for _ in range(retries):
         current = max(_versions(root), default=0)
         if expected_version is not None and current != expected_version:
@@ -293,10 +337,18 @@ def _commit(
         }
         if batch_tag is not None:
             payload["batch_tag"] = batch_tag
+        if check_append_schema and current:
+            _check_schema(
+                _schema_at(root, current),
+                StructType.fromJson(json.loads(schema_json)),
+            )
         if _atomic_create(_commit_file(root, v), payload):
             if v % _CHECKPOINT_EVERY == 0:
                 live, _ = _live_at(root, v)
-                _atomic_create(_checkpoint_file(root, v), {"live": live})
+                _atomic_create(
+                    _checkpoint_file(root, v),
+                    {"live": live, "tags": _tags_at(root, v)},
+                )
             return v
         if expected_version is not None:
             raise TxConflict(f"lost the race for v{v}")
@@ -360,6 +412,7 @@ def write_table(
         remove,
         expected,
         batch_tag=batch_tag,
+        check_append_schema=(mode == "append"),
     )
 
 
@@ -417,21 +470,30 @@ def _overlaps(entry: dict, col: str, lo, hi) -> bool:
     return True
 
 
+def _plan(
+    root: Path, version: int | None, where: dict | None
+) -> tuple[list[str], int, dict]:
+    """One log replay serving the whole read path: (surviving relative
+    paths, total live file count, the commit dict at the version —
+    which carries the schema, so readers don't replay twice)."""
+    v = version if version is not None else max(_versions(root), default=0)
+    live, commit = _live_at(root, v)
+    survivors = sorted(
+        rel
+        for rel, entry in live.items()
+        if all(_overlaps(entry, c, lo, hi) for c, (lo, hi) in (where or {}).items())
+    )
+    return survivors, len(live), commit
+
+
 def plan_files(
     path: str, version: int | None = None, where: dict | None = None
 ) -> tuple[list[str], int]:
     """The scan plan: (relative paths that survive stats pruning, total
     live file count). ``where`` maps column -> (lo, hi) inclusive
     bounds (either side None = unbounded)."""
-    root = _root(path)
-    v = version if version is not None else max(_versions(root), default=0)
-    live, _ = _live_at(root, v)
-    survivors = sorted(
-        rel
-        for rel, entry in live.items()
-        if all(_overlaps(entry, c, lo, hi) for c, (lo, hi) in (where or {}).items())
-    )
-    return survivors, len(live)
+    files, total, _ = _plan(_root(path), version, where)
+    return files, total
 
 
 def read_table(
@@ -445,14 +507,14 @@ def read_table(
     row-level, so the result is exact regardless of stats quality.
     Raises if a referenced file was vacuumed away (loud, not silent)."""
     root = _root(path)
-    v = version if version is not None else max(_versions(root), default=0)
-    files, _ = plan_files(path, v, where)
+    files, _, commit = _plan(root, version, where)
+    v = commit["version"]
     missing = [rel for rel in files if not (root / rel).is_file()]
     if missing:
         raise ValueError(
             f"version {v} of {path} references vacuumed files: {missing[:3]}"
         )
-    schema = _schema_at(root, v)
+    schema = StructType.fromJson(json.loads(commit["schema"]))
     if not files:
         df = spark.createDataFrame([], schema)
     else:
@@ -500,23 +562,57 @@ def read_changes(
     ``compact`` emits NOTHING (it is physically large but logically a
     no-op — exactly why consumers must read the LOG, not the file
     listing). Output = table columns + ``_change_version`` (int) +
-    ``_change_type`` ('insert'|'delete')."""
+    ``_change_type`` ('insert'|'delete'). A ``to_version`` past the
+    log is clamped to the latest version. If the picked range spans a
+    SCHEMA change (an overwrite with different columns), the feed
+    raises instead of silently reading old files under the new schema
+    — split the range at the overwrite to consume it."""
     root = _root(path)
     vs = _versions(root)
     hi = to_version if to_version is not None else (vs[-1] if vs else 0)
+    hi = min(hi, vs[-1]) if vs else 0
     picked = [v for v in vs if from_version < v <= hi]
     if not picked and from_version not in (*vs, 0):
         raise ValueError(f"no version {from_version} in {root}")
     schema = _schema_at(root, hi) if vs else None
+    schema_fields = (
+        [(f.name, f.dataType) for f in schema.fields] if schema else None
+    )
+
+    def _guard_schema(commit: dict, v: int) -> None:
+        got = StructType.fromJson(json.loads(commit["schema"]))
+        if [(f.name, f.dataType) for f in got.fields] != schema_fields:
+            raise ValueError(
+                f"change feed spans a schema change at v{v} "
+                f"({got.simpleString()} vs {schema.simpleString()}); "
+                "split the range there"
+            )
+
     chunks = []
+    prev_commit = None
     for v in picked:
         c = _read_json(_commit_file(root, v))
         op = c["operation"]
         if op == "compact":
+            prev_commit = c
             continue
+        _guard_schema(c, v)
         sides = [("insert", [e["path"] for e in c.get("add", [])])]
         if op == "overwrite":
+            # the removed files were written under the PREVIOUS schema
+            if prev_commit is None and v - 1 in vs:
+                _, prev_commit = _live_at(root, v - 1)
+            if prev_commit is not None:
+                old = StructType.fromJson(json.loads(prev_commit["schema"]))
+                if [(f.name, f.dataType) for f in old.fields] != schema_fields:
+                    raise ValueError(
+                        f"v{v} overwrote the table with a different schema; "
+                        f"its delete feed ({old.simpleString()}) cannot be "
+                        f"represented under {schema.simpleString()} — use "
+                        f"read_table(version={v - 1}) for the removed rows"
+                    )
             sides.append(("delete", list(c.get("remove", []))))
+        prev_commit = c
         for change_type, rels in sides:
             if not rels:
                 continue
@@ -545,32 +641,48 @@ def read_changes(
     return out
 
 
-def append_stream(changes, path: str, stats_cols: list[str] | None = None):
+def append_stream(
+    changes,
+    path: str,
+    stats_cols: list[str] | None = None,
+    app_id: str = "stream",
+):
     """Streaming ingestion into a commit-log table: each micro-batch
     lands as ONE atomic append commit stamped with an idempotency tag
-    (``stream-<batch_id>`` — Delta's txn/appId pattern), so replaying a
-    batch after a crash is a metadata no-op: the tag is found in the
-    log (scanned newest-first; replays are recent by construction) and
-    the batch is skipped without writing a byte. Returns the
+    (``<app_id>-<batch_id>`` — Delta's (appId, version) txn pattern),
+    so replaying a batch after a crash is a metadata no-op: the tag is
+    found in the log and the batch is skipped without writing a byte.
+    DISTINCT streams writing to one table MUST pass distinct
+    ``app_id``s — both restart their batch ids at 0, and colliding
+    tags would silently drop one stream's batches. The tag lookup
+    reads the newest checkpoint's accumulated tag map plus the commits
+    after it (O(checkpoint cadence), not O(table age)). Returns the
     ``DataStreamWriter`` (caller starts it)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        tag = f"stream-{batch_id}"
+        tag = f"{app_id}-{batch_id}"
         root = _root(path)
         if _log_path(root).is_dir():
-            for v in reversed(_versions(root)):
-                if _read_json(_commit_file(root, v)).get("batch_tag") == tag:
-                    return
+            vs = _versions(root)
+            if vs and tag in _tags_at(root, vs[-1]):
+                return
         write_table(batch_df, path, stats_cols=stats_cols, batch_tag=tag)
 
     return changes.writeStream.foreachBatch(process)
 
 
-def vacuum(path: str, keep_from_version: int) -> list[str]:
+def vacuum(
+    path: str, keep_from_version: int, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files not referenced by ANY version >=
     ``keep_from_version``. Versions older than that stop being
     readable (reads fail loudly); newer time travel is unaffected.
-    Returns the deleted relative paths."""
+    Files younger than ``min_age_seconds`` are NEVER deleted even if
+    unreferenced — an in-flight writer moves its files into ``data/``
+    BEFORE publishing the commit that references them, and reaping
+    that window would corrupt the commit it is about to make (the
+    same retention guard Delta's VACUUM applies). Returns the deleted
+    relative paths."""
     root = _root(path)
     vs = [v for v in _versions(root) if v >= keep_from_version]
     if not vs:
@@ -580,11 +692,16 @@ def vacuum(path: str, keep_from_version: int) -> list[str]:
         live, _ = _live_at(root, v)
         referenced.update(live)
     data_dir = root / _DATA_DIR
+    cutoff = time.time() - min_age_seconds
     deleted = []
     if data_dir.is_dir():
         for p in sorted(data_dir.iterdir()):
             rel = str(p.relative_to(root))
-            if p.suffix == ".parquet" and rel not in referenced:
+            if (
+                p.suffix == ".parquet"
+                and rel not in referenced
+                and p.stat().st_mtime <= cutoff
+            ):
                 p.unlink()
                 deleted.append(rel)
     return deleted

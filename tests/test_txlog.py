@@ -151,7 +151,9 @@ def test_compact_preserves_data_and_history(spark, table):
 def test_vacuum_reclaims_only_unreferenced(spark, table):
     TX.write_table(_rows(spark, 0, 5).coalesce(1), table)
     TX.write_table(_rows(spark, 100, 103, cat="b"), table, mode="overwrite")
-    deleted = TX.vacuum(table, keep_from_version=2)
+    # the retention guard protects fresh files (in-flight writer window)
+    assert TX.vacuum(table, keep_from_version=2) == []
+    deleted = TX.vacuum(table, keep_from_version=2, min_age_seconds=0)
     assert deleted  # v1's files are unreferenced from v2 on
     assert _collect(TX.read_table(spark, table)) == _collect(
         _rows(spark, 100, 103, cat="b")
@@ -289,3 +291,99 @@ def test_append_stream_commits_batches_and_skips_replays(
     drain("ck2")
     assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 7))
     assert len(TX.history(table)) == 2
+
+
+def test_read_changes_raises_across_schema_change(spark, table):
+    TX.write_table(_rows(spark, 0, 3), table)
+    reshaped = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("x").alias("note")
+    )
+    TX.write_table(reshaped, table, mode="overwrite")
+    with pytest.raises(ValueError, match="schema change"):
+        TX.read_changes(spark, table, 0)
+    # the schema-changing overwrite's delete feed is unrepresentable
+    # under the new schema: loud error pointing at the old version
+    with pytest.raises(ValueError, match="read_table"):
+        TX.read_changes(spark, table, 1)
+    # a range strictly before the change reads fine under its schema
+    assert TX.read_changes(spark, table, 0, 1).count() == 3
+
+
+def test_read_changes_clamps_past_latest(spark, table):
+    TX.write_table(_rows(spark, 0, 3), table)
+    TX.write_table(_rows(spark, 3, 5), table)
+    assert TX.read_changes(spark, table, 1, to_version=999).count() == 2
+
+
+def test_append_schema_recheck_at_commit_time(spark, table):
+    """An append whose pre-write check passed must still fail at commit
+    if an interleaved overwrite changed the table schema."""
+    TX.write_table(_rows(spark, 0, 3), table)
+    root = TX._root(table)
+    # simulate: data files staged under the OLD schema, then an
+    # overwrite lands, then the append tries to commit
+    add = TX._write_data_files(_rows(spark, 3, 5), root, [])
+    reshaped = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("x").alias("note")
+    )
+    TX.write_table(reshaped, table, mode="overwrite")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        TX._commit(
+            root,
+            "append",
+            _rows(spark, 0, 1).schema.json(),
+            add,
+            [],
+            expected_version=None,
+            check_append_schema=True,
+        )
+
+
+def test_tag_map_rides_checkpoints(spark, table):
+    """12 tagged commits cross the checkpoint cadence: the tag lookup
+    must resolve from the checkpoint's accumulated map plus the tail,
+    and see every tag."""
+    for i in range(12):
+        TX.write_table(
+            _rows(spark, i * 2, i * 2 + 2), table, batch_tag=f"app-{i}"
+        )
+    root = TX._root(table)
+    assert TX._checkpoint_file(root, 10).is_file()
+    tags = TX._tags_at(root, 12)
+    assert tags == {f"app-{i}": i + 1 for i in range(12)}
+    # version-bounded view excludes later tags
+    assert "app-11" not in TX._tags_at(root, 11)
+
+
+def test_append_stream_distinct_app_ids_do_not_collide(
+    spark, tmp_path_factory
+):
+    import shutil
+
+    base = tmp_path_factory.mktemp("txstream2")
+    src_a, src_b = base / "a", base / "b"
+    src_a.mkdir(), src_b.mkdir()
+    table = str(base / "table")
+    _rows(spark, 0, 4).coalesce(1).write.parquet(str(base / "seed_a"))
+    _rows(spark, 4, 7).coalesce(1).write.parquet(str(base / "seed_b"))
+    shutil.copy(next((base / "seed_a").glob("*.parquet")), src_a / "a.parquet")
+    shutil.copy(next((base / "seed_b").glob("*.parquet")), src_b / "b.parquet")
+
+    def drain(src, ck, app):
+        stream = (
+            spark.readStream.schema(_rows(spark, 0, 1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            TX.append_stream(stream, table, app_id=app)
+            .option("checkpointLocation", str(base / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # both streams start at batch_id 0; distinct app ids keep both
+    drain(src_a, "ck_a", "appA")
+    drain(src_b, "ck_b", "appB")
+    assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 7))
