@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 5 re-certifications of r01-only seats (their records predate
+    #  * 4 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -149,18 +149,20 @@ PREFIX_ORDER = [
     "pca_project_embeddings",
     # commit-log table format (sources/txlog) — the object-store table
     # layer: versioned read, time travel, stats skipping, compaction,
-    # change feed. These 5 slots plus the 3 below (bpe_encode /
-    # ann_recall / pack_bpe) come from the 8 displaced r01-only
-    # re-certs listed at the end of this list; every displaced FAMILY
-    # keeps a greener r11 representative (set ops via set_except,
-    # anti/semi joins via q16/q20's shapes, scalar math via
-    # try_arithmetic, window navigation via order_streaks/cusum,
-    # top-k via topn_types_brand, broadcast joins via q5's plan pin).
+    # change feed, row-level CoW delete. These 6 slots plus the 3
+    # below (bpe_encode / ann_recall / pack_bpe) come from the 9
+    # displaced r01-only re-certs listed at the end of this list;
+    # every displaced FAMILY keeps a greener r11 representative (set
+    # ops via set_except, anti/semi joins via q16/q20's shapes, scalar
+    # math via try_arithmetic, window navigation via order_streaks/
+    # cusum, top-k via topn_types_brand, broadcast joins via q5's plan
+    # pin, outer joins via calendar_fill/scd2's outer shapes).
     "txlog_read_orders",
     "txlog_time_travel_orders",
     "txlog_skipping_orders",
     "txlog_compact_orders",
     "txlog_changes_orders",
+    "txlog_delete_orders",
     # tokenizer application + ANN quality eval + BPE packing capstone
     # (r12; slot accounting in the txlog comment above)
     "bpe_encode_documents",
@@ -173,18 +175,16 @@ PREFIX_ORDER = [
     "semdedup_index_stats_query",
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "join_revenue_by_nation",
-    "outer_join_order_counts",
     "set_except_custkeys",
     "rollup_orders",
     # (cube_orders waits for r13 — rollup already re-certifies the
     # grouping-analytics family; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
     # gaps / top_orders_by_price / distinct_agg_customer /
-    # semi_join_big_spenders / broadcast_join_part_agg wait for r13 —
-    # their slots went to the txlog family / bpe_encode / ann_recall /
-    # pack_bpe seats; every displaced family keeps a greener r11
-    # representative (broadcast joins are additionally plan-asserted
-    # every round via q5's BroadcastHashJoin pin).
+    # semi_join_big_spenders / broadcast_join_part_agg /
+    # outer_join_order_counts wait for r13 — their slots went to the
+    # txlog family / bpe_encode / ann_recall / pack_bpe seats (slot
+    # ledger in the txlog comment above).
     "lang_id_distribution",
 ]
 

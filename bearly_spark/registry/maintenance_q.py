@@ -666,3 +666,67 @@ def q_txlog_changes(spark, sf_dir):
         F.col("_change_version").alias("change_version"),
         F.col("_change_type").alias("change_type"),
     )
+
+
+@register(
+    "txlog_delete_orders",
+    oracle=f"""
+    WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+         tgt AS (SELECT y FROM yrs ORDER BY y LIMIT 1 OFFSET 1)
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs
+            WHERE y = (SELECT y FROM tgt)) AS files_rewritten,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs) AS files_total
+    FROM orders
+    WHERE NOT (year(o_orderdate) = (SELECT y FROM tgt)
+               AND month(o_orderdate) <= 6)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_delete(spark, sf_dir):
+    """Row-level DELETE on the commit-log table
+    (``txlog.delete_where``): remove the first half of the second
+    order year as ONE copy-on-write commit whose rewrite is
+    STATS-PRUNED to the single file that can contain matches — the
+    takedown/opt-out primitive at 100 TB (Θ(affected files), never
+    Θ(table), when the layout clusters the predicate column). The
+    rewrite stats are emitted beside the post-delete aggregate; the
+    oracle states both in data terms (files == distinct years by
+    construction, exactly one year is touched). Pre-delete versions
+    still time-travel; the change feed shows the file-granular
+    delete+reinsert."""
+    import json as _json
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    base, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_txlog_deleted"
+    marker = _Path(path) / "_delete_done.json"
+    base_marker = (_Path(base) / "_fixture.json").read_text()
+    y = years[1]
+    if not (marker.is_file() and marker.read_text() == base_marker):
+        _shutil.rmtree(path, ignore_errors=True)
+        _shutil.copytree(base, path)
+        (_Path(path) / "_fixture.json").unlink()
+        _, stats = TXL.delete_where(
+            spark,
+            path,
+            {"o_datekey": (y * 10000, y * 10000 + 630)},
+            stats_cols=["o_datekey"],
+        )
+        (_Path(path) / "_delete_stats.json").write_text(_json.dumps(stats))
+        marker.write_text(base_marker)
+    stats = _json.loads((_Path(path) / "_delete_stats.json").read_text())
+    return (
+        TXL.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(stats["files_rewritten"]).cast("bigint")
+        )
+        .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
+    )

@@ -547,6 +547,61 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    where: dict,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, dict]:
+    """Row-level DELETE as a copy-on-write commit with STATS-PRUNED
+    rewrite: only the files whose logged min/max can contain a matching
+    row are read and rewritten (minus the matching rows); every other
+    file rides along untouched — Θ(affected files), never Θ(table),
+    the property that makes takedown/opt-out deletes viable at 100 TB
+    when the table is clustered on the predicate column (compact with
+    ``order_by`` produces exactly that layout). ``where`` is the same
+    conjunctive range-predicate dict the readers use; rows with NULL in
+    a predicate column never match and are KEPT. Returns
+    ``(version, stats)`` with files_rewritten/files_total/rows_kept;
+    a delete that touches no file commits nothing. Conflicts with any
+    interleaved commit (its remove-set would be stale)."""
+    root = _root(path)
+    current = max(_versions(root), default=0)
+    if not current:
+        raise ValueError(f"no table at {path}")
+    touched, total, commit = _plan(root, current, where)
+    if not touched:
+        return current, {
+            "files_rewritten": 0,
+            "files_total": total,
+            "rows_kept": 0,
+        }
+    schema = StructType.fromJson(json.loads(commit["schema"]))
+    df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in touched])
+    cond = F.lit(True)
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    # NULL in a predicate column -> the row does not match -> keep it
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+    add = _write_data_files(kept, root, list(stats_cols or []))
+    v = _commit(
+        root,
+        "delete",
+        commit["schema"],
+        add,
+        sorted(touched),
+        expected_version=current,
+    )
+    return v, {
+        "files_rewritten": len(touched),
+        "files_total": total,
+        "rows_kept": sum(e["rows"] for e in add),
+    }
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -557,11 +612,13 @@ def read_changes(
     ``(from_version, to_version]`` — the incremental-consumer primitive
     (downstream jobs re-process Θ(delta), never Θ(table)). Per commit:
     ``create``/``append`` emit their added files' rows as ``insert``;
-    ``overwrite`` emits its adds as ``insert`` AND the files it removed
-    as ``delete`` (their bytes are still on disk until vacuum);
-    ``compact`` emits NOTHING (it is physically large but logically a
-    no-op — exactly why consumers must read the LOG, not the file
-    listing). Output = table columns + ``_change_version`` (int) +
+    ``overwrite`` and ``delete`` emit their adds as ``insert`` AND the
+    files they removed as ``delete`` (bytes stay on disk until vacuum;
+    for a row-level delete the net effect — remove the old file rows,
+    re-insert the kept ones — is the standard file-granular CDF
+    approximation); ``compact`` emits NOTHING (it is physically large
+    but logically a no-op — exactly why consumers must read the LOG,
+    not the file listing). Output = table columns + ``_change_version`` (int) +
     ``_change_type`` ('insert'|'delete'). A ``to_version`` past the
     log is clamped to the latest version. If the picked range spans a
     SCHEMA change (an overwrite with different columns), the feed
@@ -598,7 +655,7 @@ def read_changes(
             continue
         _guard_schema(c, v)
         sides = [("insert", [e["path"] for e in c.get("add", [])])]
-        if op == "overwrite":
+        if op in ("overwrite", "delete"):
             # the removed files were written under the PREVIOUS schema
             if prev_commit is None and v - 1 in vs:
                 _, prev_commit = _live_at(root, v - 1)

@@ -387,3 +387,70 @@ def test_append_stream_distinct_app_ids_do_not_collide(
     drain(src_a, "ck_a", "appA")
     drain(src_b, "ck_b", "appB")
     assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 7))
+
+
+def test_delete_where_prunes_rewrite_to_touched_files(spark, table):
+    for lo in (0, 100, 200, 300):
+        TX.write_table(
+            _rows(spark, lo, lo + 50).coalesce(1), table, stats_cols=["k"]
+        )
+    files_before, _ = TX.plan_files(table)
+    v, stats = TX.delete_where(
+        spark, table, {"k": (120, 140)}, stats_cols=["k"]
+    )
+    assert v == 5
+    assert stats["files_rewritten"] == 1 and stats["files_total"] == 4
+    assert stats["rows_kept"] == 50 - 21  # 120..140 inclusive deleted
+    files_after, _ = TX.plan_files(table)
+    # the three untouched files are byte-identical (same names survive)
+    assert len(set(files_before) & set(files_after)) == 3
+    got = _collect(TX.read_table(spark, table))
+    want = _collect(
+        _rows(spark, 0, 50)
+        .union(_rows(spark, 100, 120))
+        .union(_rows(spark, 141, 150))
+        .union(_rows(spark, 200, 250))
+        .union(_rows(spark, 300, 350))
+    )
+    assert got == want
+    # pre-delete version still time-travels
+    assert len(_collect(TX.read_table(spark, table, version=4))) == 200
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    nulls = spark.range(2).select(
+        F.lit(None).cast("long").alias("k"),
+        F.col("id").alias("v"),
+        F.lit("n").alias("cat"),
+    )
+    TX.write_table([_rows(spark, 0, 5).coalesce(1), nulls.coalesce(1)], table)
+    v, stats = TX.delete_where(spark, table, {"k": (0, 100)})
+    # no stats were logged, so BOTH files count as touched; the null
+    # rows never match the range predicate and survive the rewrite
+    assert stats["files_rewritten"] == 2
+    rows = TX.read_table(spark, table).collect()
+    assert sorted(r["v"] for r in rows) == [0, 1]
+    assert all(r["k"] is None for r in rows)
+
+
+def test_delete_where_noop_commits_nothing(spark, table):
+    TX.write_table(_rows(spark, 0, 5).coalesce(1), table, stats_cols=["k"])
+    v, stats = TX.delete_where(spark, table, {"k": (1000, 2000)})
+    assert v == 1 and stats["files_rewritten"] == 0
+    assert TX.latest_version(table) == 1
+
+
+def test_delete_shows_in_change_feed(spark, table):
+    TX.write_table(_rows(spark, 0, 4).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where(spark, table, {"k": (1, 2)}, stats_cols=["k"])
+    ch = TX.read_changes(spark, table, 1)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    # file-granular CDF: old file rows out, kept rows back in
+    assert got == [
+        (0, "delete"),
+        (0, "insert"),
+        (1, "delete"),
+        (2, "delete"),
+        (3, "delete"),
+        (3, "insert"),
+    ]
