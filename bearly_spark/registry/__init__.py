@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 4 re-certifications of r01-only seats (their records predate
+    #  * 3 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -149,9 +149,9 @@ PREFIX_ORDER = [
     "pca_project_embeddings",
     # commit-log table format (sources/txlog) — the object-store table
     # layer: versioned read, time travel, stats skipping, compaction,
-    # change feed, row-level CoW delete. These 6 slots plus the 3
-    # below (bpe_encode / ann_recall / pack_bpe) come from the 9
-    # displaced r01-only re-certs listed at the end of this list;
+    # change feed, row-level CoW delete, pruned-zone MERGE. These 7
+    # slots plus the 3 below (bpe_encode / ann_recall / pack_bpe) come
+    # from the 10 displaced r01-only re-certs listed at the end;
     # every displaced FAMILY keeps a greener r11 representative (set
     # ops via set_except, anti/semi joins via q16/q20's shapes, scalar
     # math via try_arithmetic, window navigation via order_streaks/
@@ -163,6 +163,7 @@ PREFIX_ORDER = [
     "txlog_compact_orders",
     "txlog_changes_orders",
     "txlog_delete_orders",
+    "txlog_merge_orders",
     # tokenizer application + ANN quality eval + BPE packing capstone
     # (r12; slot accounting in the txlog comment above)
     "bpe_encode_documents",
@@ -174,7 +175,6 @@ PREFIX_ORDER = [
     "rfm_segments_customer",
     "semdedup_index_stats_query",
     # ---- re-certification: r01-only records (pre-strict-gate) ----
-    "join_revenue_by_nation",
     "set_except_custkeys",
     "rollup_orders",
     # (cube_orders waits for r13 — rollup already re-certifies the
@@ -182,9 +182,10 @@ PREFIX_ORDER = [
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
     # gaps / top_orders_by_price / distinct_agg_customer /
     # semi_join_big_spenders / broadcast_join_part_agg /
-    # outer_join_order_counts wait for r13 — their slots went to the
-    # txlog family / bpe_encode / ann_recall / pack_bpe seats (slot
-    # ledger in the txlog comment above).
+    # outer_join_order_counts / join_revenue_by_nation wait for r13 —
+    # their slots went to the txlog family / bpe_encode / ann_recall /
+    # pack_bpe seats (slot ledger in the txlog comment above; plain
+    # equi-joins are additionally certified via q11/q12/q16/q20 green).
     "lang_id_distribution",
 ]
 

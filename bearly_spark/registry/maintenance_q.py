@@ -730,3 +730,87 @@ def q_txlog_delete(spark, sf_dir):
         )
         .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
     )
+
+
+@register(
+    "txlog_merge_orders",
+    oracle=f"""
+    WITH y1 AS (SELECT MIN(year(o_orderdate)) AS y FROM orders),
+    aug AS (
+      SELECT o_orderstatus,
+             o_totalprice
+             + CASE WHEN year(o_orderdate) = (SELECT y FROM y1)
+                     AND month(o_orderdate) = 3 THEN 100.0 ELSE 0.0 END AS p
+      FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice + 100.0
+      FROM orders
+      WHERE year(o_orderdate) = (SELECT y FROM y1)
+        AND month(o_orderdate) = 3
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS total_price,
+           (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+            FROM orders WHERE year(o_orderdate) = (SELECT y FROM y1))
+               AS files_rewritten,
+           (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+            FROM orders) AS files_total
+    FROM aug GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_merge(spark, sf_dir):
+    """UPSERT on the commit-log table (``txlog.merge_into_table``):
+    month 3 of the first order year gets a +100 price revision (update
+    arm) AND a re-keyed copy of the same rows (insert arm), as ONE
+    copy-on-write commit whose rewrite is pruned by the verified prune
+    zone to the single year file that can hold a match — the
+    crawl-refresh primitive (revised documents replace, new documents
+    insert, cost Θ(affected files)). The oracle states the post-merge
+    state and the pruning in data terms (files == distinct years;
+    exactly one year is touched)."""
+    import json as _json
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    base, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_txlog_merged"
+    marker = _Path(path) / "_merge_done.json"
+    base_marker = (_Path(base) / "_fixture.json").read_text()
+    y = years[0]
+    zone = (y * 10000 + 301, y * 10000 + 331)
+    if not (marker.is_file() and marker.read_text() == base_marker):
+        _shutil.rmtree(path, ignore_errors=True)
+        _shutil.copytree(base, path)
+        (_Path(path) / "_fixture.json").unlink()
+        month = TXL.read_table(spark, path, where={"o_datekey": zone})
+        mx = month.sparkSession.read.parquet(
+            f"{sf_dir}/orders.parquet"
+        ).agg(F.max("o_orderkey")).collect()[0][0]
+        upd = month.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+        _, stats = TXL.merge_into_table(
+            spark,
+            path,
+            upd.unionByName(ins),
+            ["o_orderkey"],
+            prune={"o_datekey": zone},
+            stats_cols=["o_datekey"],
+        )
+        (_Path(path) / "_merge_stats.json").write_text(_json.dumps(stats))
+        marker.write_text(base_marker)
+    stats = _json.loads((_Path(path) / "_merge_stats.json").read_text())
+    return (
+        TXL.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(stats["files_rewritten"]).cast("bigint")
+        )
+        .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
+    )

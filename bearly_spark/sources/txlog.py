@@ -602,6 +602,76 @@ def delete_where(
     }
 
 
+def merge_into_table(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    prune: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, dict]:
+    """UPSERT (Delta-style MERGE) as one copy-on-write commit: delta
+    rows replace same-key table rows and unmatched delta rows insert.
+    ``prune`` is the zone contract that keeps the rewrite Θ(affected
+    files): the same range-predicate dict the readers use, promising
+    every delta row lies inside it — VERIFIED against the delta (one
+    small aggregate; a delta row outside the zone, or NULL in a zone
+    column, raises rather than silently surviving the merge), then
+    used to stats-prune which table files can hold a match. Without
+    ``prune`` every file is rewritten (keys like order ids are usually
+    uncorrelated with file layout — the honest default). Delta must
+    carry the table schema and distinct keys (same contract as
+    ``maintenance.merge_into``). Conflicts with any interleaved
+    commit."""
+    root = _root(path)
+    current = max(_versions(root), default=0)
+    if not current:
+        raise ValueError(f"no table at {path}")
+    touched, total, commit = _plan(root, current, prune)
+    schema = StructType.fromJson(json.loads(commit["schema"]))
+    _check_schema(schema, delta.schema)
+    if prune:
+        checks = []
+        for col, (lo, hi) in prune.items():
+            bad = F.col(col).isNull()
+            if lo is not None:
+                bad = bad | (F.col(col) < F.lit(lo))
+            if hi is not None:
+                bad = bad | (F.col(col) > F.lit(hi))
+            checks.append(F.sum(bad.cast("long")).alias(col))
+        outside = delta.agg(*checks).collect()[0]
+        offenders = {c: int(outside[c]) for c in prune if outside[c]}
+        if offenders:
+            raise ValueError(
+                f"delta rows outside the prune zone (col -> count): "
+                f"{offenders} — a pruned merge would silently miss them"
+            )
+    if touched:
+        old = spark.read.schema(schema).parquet(
+            *[str(root / rel) for rel in touched]
+        )
+        kept = old.join(
+            F.broadcast(delta.select(*key_cols)), key_cols, "left_anti"
+        )
+        new_data = kept.unionByName(delta)
+    else:
+        new_data = delta
+    add = _write_data_files(new_data, root, list(stats_cols or []))
+    v = _commit(
+        root,
+        "merge",
+        commit["schema"],
+        add,
+        sorted(touched),
+        expected_version=current,
+    )
+    return v, {
+        "files_rewritten": len(touched),
+        "files_total": total,
+        "rows_written": sum(e["rows"] for e in add),
+    }
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -612,13 +682,13 @@ def read_changes(
     ``(from_version, to_version]`` — the incremental-consumer primitive
     (downstream jobs re-process Θ(delta), never Θ(table)). Per commit:
     ``create``/``append`` emit their added files' rows as ``insert``;
-    ``overwrite`` and ``delete`` emit their adds as ``insert`` AND the
-    files they removed as ``delete`` (bytes stay on disk until vacuum;
-    for a row-level delete the net effect — remove the old file rows,
-    re-insert the kept ones — is the standard file-granular CDF
-    approximation); ``compact`` emits NOTHING (it is physically large
-    but logically a no-op — exactly why consumers must read the LOG,
-    not the file listing). Output = table columns + ``_change_version`` (int) +
+    ``overwrite``, ``delete`` and ``merge`` emit their adds as
+    ``insert`` AND the files they removed as ``delete`` (bytes stay on
+    disk until vacuum; for row-level DML the net effect — remove the
+    old file rows, re-insert the surviving/updated ones — is the
+    standard file-granular CDF approximation); ``compact`` emits
+    NOTHING (it is physically large but logically a no-op — exactly
+    why consumers must read the LOG, not the file listing). Output = table columns + ``_change_version`` (int) +
     ``_change_type`` ('insert'|'delete'). A ``to_version`` past the
     log is clamped to the latest version. If the picked range spans a
     SCHEMA change (an overwrite with different columns), the feed
@@ -655,7 +725,7 @@ def read_changes(
             continue
         _guard_schema(c, v)
         sides = [("insert", [e["path"] for e in c.get("add", [])])]
-        if op in ("overwrite", "delete"):
+        if op in ("overwrite", "delete", "merge"):
             # the removed files were written under the PREVIOUS schema
             if prev_commit is None and v - 1 in vs:
                 _, prev_commit = _live_at(root, v - 1)

@@ -454,3 +454,63 @@ def test_delete_shows_in_change_feed(spark, table):
         (3, "delete"),
         (3, "insert"),
     ]
+
+
+def test_merge_upserts_with_pruned_rewrite(spark, table):
+    for lo in (0, 100, 200, 300):
+        TX.write_table(
+            _rows(spark, lo, lo + 50).coalesce(1), table, stats_cols=["k"]
+        )
+    files_before, _ = TX.plan_files(table)
+    # updates for k 110..119 (x100 values) + inserts k 1000..1004,
+    # all inside the promised zone [100, 1004]
+    delta = spark.range(110, 120).union(spark.range(1000, 1005)).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    v, stats = TX.merge_into_table(
+        spark, table, delta, ["k"], prune={"k": (100, 1004)}, stats_cols=["k"]
+    )
+    assert v == 5
+    # zone [100,1004] overlaps files [100,150) and [200,250) and [300,350)
+    assert stats["files_rewritten"] == 3 and stats["files_total"] == 4
+    files_after, _ = TX.plan_files(table)
+    assert len(set(files_before) & set(files_after)) == 1  # [0,50) untouched
+    got = {r["k"]: (r["v"], r["cat"]) for r in TX.read_table(spark, table).collect()}
+    assert len(got) == 205
+    assert got[110] == (11000, "m")  # updated
+    assert got[111] == (11100, "m")
+    assert got[109] == (1090, "a")  # untouched neighbor
+    assert got[1000] == (100000, "m")  # inserted
+    # pre-merge version intact
+    assert len(_collect(TX.read_table(spark, table, version=4))) == 200
+
+
+def test_merge_rejects_delta_outside_prune_zone(spark, table):
+    TX.write_table(_rows(spark, 0, 50).coalesce(1), table, stats_cols=["k"])
+    stray = spark.range(10, 12).union(spark.range(900, 901)).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    with pytest.raises(ValueError, match="outside the prune zone"):
+        TX.merge_into_table(spark, table, stray, ["k"], prune={"k": (0, 49)})
+    # NULL in a zone column is also an escape, not a silent keep
+    nullk = spark.range(1).select(
+        F.lit(None).cast("long").alias("k"),
+        F.col("id").alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    with pytest.raises(ValueError, match="outside the prune zone"):
+        TX.merge_into_table(spark, table, nullk, ["k"], prune={"k": (0, 49)})
+
+
+def test_merge_without_prune_rewrites_everything(spark, table):
+    for lo in (0, 100):
+        TX.write_table(_rows(spark, lo, lo + 5).coalesce(1), table)
+    delta = _rows(spark, 3, 4, cat="m")
+    v, stats = TX.merge_into_table(spark, table, delta, ["k"])
+    assert stats["files_rewritten"] == 2  # honest default: no zone, no pruning
+    got = {r["k"]: r["cat"] for r in TX.read_table(spark, table).collect()}
+    assert got[3] == "m" and got[4] == "a" and len(got) == 10
