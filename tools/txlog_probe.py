@@ -83,6 +83,18 @@ def main() -> None:
     t_unpruned = time.perf_counter() - t0
     assert pruned == unpruned == ROWS_PER_COMMIT
 
+    # (3) pruned row-level DELETE: one commit's key range out of
+    # N_COMMITS files must rewrite exactly one file
+    dlo, dhi = 77 * ROWS_PER_COMMIT, 77 * ROWS_PER_COMMIT + 99
+    t0 = time.perf_counter()
+    _, dstats = TX.delete_where(spark, table, {"k": (dlo, dhi)}, stats_cols=["k"])
+    t_delete = time.perf_counter() - t0
+    assert dstats["files_rewritten"] == 1
+    assert (
+        TX.read_table(spark, table).count()
+        == N_COMMITS * ROWS_PER_COMMIT - 100
+    )
+
     out = {
         "n_commits": N_COMMITS,
         "rows_per_commit": ROWS_PER_COMMIT,
@@ -93,6 +105,8 @@ def main() -> None:
         "files_total": total,
         "read_pruned_s": round(t_pruned, 3),
         "read_unpruned_s": round(t_unpruned, 3),
+        "delete_files_rewritten": dstats["files_rewritten"],
+        "delete_wall_s": round(t_delete, 3),
     }
     print(json.dumps(out))
     shutil.rmtree(ROOT, ignore_errors=True)
