@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 3 re-certifications of r01-only seats (their records predate
+    #  * 2 re-certifications of r01-only seats (their records predate
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -150,8 +150,9 @@ PREFIX_ORDER = [
     # commit-log table format (sources/txlog) — the object-store table
     # layer: versioned read, time travel, stats skipping, compaction,
     # change feed, row-level CoW delete, pruned-zone MERGE. These 7
-    # slots plus the 3 below (bpe_encode / ann_recall / pack_bpe) come
-    # from the 10 displaced r01-only re-certs listed at the end;
+    # slots plus the 4 below (bpe_encode / ann_recall / pack_bpe /
+    # embedding_ann_sq8) come from the 11 displaced r01-only re-certs
+    # listed at the end;
     # every displaced FAMILY keeps a greener r11 representative (set
     # ops via set_except, anti/semi joins via q16/q20's shapes, scalar
     # math via try_arithmetic, window navigation via order_streaks/
@@ -169,6 +170,7 @@ PREFIX_ORDER = [
     "bpe_encode_documents",
     "ann_recall_embeddings",
     "pack_bpe_documents",
+    "embedding_ann_sq8",
     # ---- re-certification: emission path changed this round ----
     "percentiles_lineitem",
     "nation_percentiles_lineitem",
@@ -177,6 +179,8 @@ PREFIX_ORDER = [
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "set_except_custkeys",
     "rollup_orders",
+    # (lang_id_distribution also waits for r13 — the text family holds
+    # seven greener r11/r12 seats; its slot went to embedding_ann_sq8.)
     # (cube_orders waits for r13 — rollup already re-certifies the
     # grouping-analytics family; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
@@ -186,7 +190,6 @@ PREFIX_ORDER = [
     # their slots went to the txlog family / bpe_encode / ann_recall /
     # pack_bpe seats (slot ledger in the txlog comment above; plain
     # equi-joins are additionally certified via q11/q12/q16/q20 green).
-    "lang_id_distribution",
 ]
 
 

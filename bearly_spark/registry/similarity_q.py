@@ -1069,3 +1069,52 @@ def q_ivf_index_query(spark, sf_dir):
     return ivf_index_query(
         spark, index_dir, emb.filter(F.col("vec_id") < 5), k=10, n_probe=16
     )
+
+
+@register(
+    "embedding_ann_sq8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+               FROM embeddings),
+    s AS (SELECT vec_id, ev,
+                 list_max(list_transform(ev, x -> abs(x))) AS sc
+          FROM v),
+    c AS (SELECT vec_id, ev, sc,
+                 list_transform(ev, x -> floor(x * 127.0 /
+                     (CASE WHEN sc = 0 THEN 1.0 ELSE sc END) + 0.5)) AS cd
+          FROM s),
+    q AS (SELECT * FROM c WHERE vec_id < 5),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 ROUND(list_dot_product(q.cd, c.cd)
+                       * q.sc * c.sc / 16129.0, 6) AS approx
+          FROM q, c WHERE q.vec_id <> c.vec_id),
+    pr AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY approx DESC, c_id) AS arn
+             FROM p) WHERE arn <= 100),
+    r AS (SELECT pr.q_id AS query_id, pr.c_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(qv.ev, nv.ev), 6) AS cosine_sim
+          FROM pr JOIN v qv ON qv.vec_id = pr.q_id
+                  JOIN v nv ON nv.vec_id = pr.c_id),
+    t AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rn
+          FROM r)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM t WHERE rn <= 10
+    """,
+)
+def q_embedding_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (``similarity.sq8_ann_topk``): vectors
+    compress to int8-range codes + one per-vector scale (4× bytes vs
+    float32, per-dimension fidelity PQ gives up), candidates rank by
+    the decompressed integer dot product, the top 100 rerank with
+    exact cosine. Completes the compression ladder: SQ8 (4×) / PQ
+    (16×) / IVF-PQ (pruned 16×); like LSH and unlike IVF/PQ it needs
+    NO fit — codes depend only on the vector itself, so the twin is
+    fully static SQL (integer dots are exact in both engines; the
+    scalar multiplies follow one pinned IEEE operation order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq8_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=100
+    )

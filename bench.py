@@ -232,6 +232,10 @@ HEADLINE = [
     # log replay or footer pruning stopped being metadata-only.
     "txlog_read_orders",
     "txlog_skipping_orders",
+    # round 12 (late): the 4x compression tier of the ANN ladder —
+    # fit-free SQ8 codes scan + exact top-100 rerank (contrast with
+    # embedding_ann_pq's fitted 16x ADC path)
+    "embedding_ann_sq8",
     # round 12 (late): tokenizer application (per-doc token rows under
     # the cached merge table — tokenize + 2 broadcast joins + a
     # per-doc cumulative window) and the ANN quality eval (IVF vs

@@ -1615,3 +1615,42 @@ def test_gram_matrix_exact_and_symmetric(spark):
         for j in range(3):
             assert G[i][j] == sum(r[i] * r[j] for r in xq)
             assert G[i][j] == G[j][i]
+
+
+def test_sq8_codes_planted(spark):
+    """code_i = floor(v_i * 127 / max|v| + 0.5): [1.0, -0.5, 0.0] has
+    scale 1.0 -> codes [127, -63, 0] (floor(-63.0) after the +0.5 pull);
+    the all-zero vector keeps scale 0 and all-zero codes."""
+    from bearly_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["sq_scale"], r["sq_codes"])
+        for r in S.sq8_code_table(df).collect()
+    }
+    assert got[1] == (1.0, [127, -63, 0])
+    assert got[2] == (0.0, [0, 0, 0])
+
+
+def test_sq8_ann_matches_brute_force_at_full_rerank(spark, sf_dir):
+    """With rerank >= corpus size the SQ8 path must return exactly the
+    brute-force top-k (the approximation only selects CANDIDATES; the
+    final ranking is the same exact rounded cosine)."""
+    from bearly_spark.operators import similarity as S
+    from bearly_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in S.sq8_ann_topk(emb, q, k=5, rerank=10_000).collect()
+    }
+    assert sq8 == exact
