@@ -832,3 +832,131 @@ def vacuum(
                 p.unlink()
                 deleted.append(rel)
     return deleted
+
+
+# -------------------------------------------------------------------
+# Spark 4 Python Data Source integration: spark.read.format("txlog")
+# and spark.readStream.format("txlog")
+# -------------------------------------------------------------------
+
+
+def _make_datasource_class():
+    """Build the DataSource class lazily (the datasource module needs a
+    Spark 4 runtime; importing it at module import would couple every
+    txlog user to it)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, fpath: str):
+            self.fpath = fpath
+
+    class TxLogReader(DataSourceReader):
+        """Batch scan: one input partition per LIVE file at the
+        requested version — the source parallelizes like a parquet
+        scan, and the file list comes from the LOG (never a directory
+        listing), so snapshot isolation holds through concurrent
+        commits."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            v = options.get("version")
+            self.version = int(v) if v is not None else None
+
+        def partitions(self):
+            files, _, _ = _plan(_root(self.path), self.version, None)
+            root = _root(self.path)
+            return [_FilePartition(str(root / rel)) for rel in files] or [
+                _FilePartition("")
+            ]
+
+        def read(self, partition):
+            if not partition.fpath:
+                return iter(())
+            import pyarrow.parquet as pq
+
+            return iter(pq.read_table(partition.fpath).to_batches())
+
+    class TxLogStreamReader(SimpleDataSourceStreamReader):
+        """Streaming source over the commit log: the offset IS the
+        version number, so exactly-once replay is free (commits are
+        immutable; readBetweenOffsets re-reads the same adds).
+        Append-only by default — a DML commit (overwrite/delete/merge)
+        in the offset range raises unless ``ignoreChanges=true``
+        (Delta's streaming-source contract), because its add-files
+        re-emit rows that were not inserts."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.start = int(options.get("startingVersion", 0))
+            self.ignore_changes = (
+                str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+
+        def initialOffset(self):
+            return {"version": self.start}
+
+        def _rows_between(self, lo: int, hi: int):
+            import pyarrow.parquet as pq
+
+            root = _root(self.path)
+            out = []
+            for v in _versions(root):
+                if not (lo < v <= hi):
+                    continue
+                c = _read_json(_commit_file(root, v))
+                op = c["operation"]
+                if op == "compact":
+                    continue
+                if op not in ("create", "append"):
+                    if not self.ignore_changes:
+                        raise ValueError(
+                            f"v{v} is a {op!r} commit; the txlog stream is "
+                            "append-only (set ignoreChanges=true to emit "
+                            "its added files anyway)"
+                        )
+                    continue
+                for entry in c.get("add", []):
+                    tab = pq.read_table(str(root / entry["path"]))
+                    out.extend(tuple(r.values()) for r in tab.to_pylist())
+            return out
+
+        def read(self, start):
+            root = _root(self.path)
+            latest = max(_versions(root), default=self.start)
+            lo = start["version"]
+            return iter(self._rows_between(lo, latest)), {"version": latest}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows_between(start["version"], end["version"]))
+
+    class TxLogDataSource(DataSource):
+        """``spark.read.format("txlog").option("path", p)`` /
+        ``spark.readStream.format("txlog")...`` — the commit-log table
+        exposed through Spark's public data source API, schema served
+        from the log."""
+
+        @classmethod
+        def name(cls):
+            return "txlog"
+
+        def schema(self):
+            root = _root(self.options["path"])
+            return _schema_at(root, max(_versions(root), default=0))
+
+        def reader(self, schema):
+            return TxLogReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return TxLogStreamReader(self.options)
+
+    return TxLogDataSource
+
+
+def register_source(spark: SparkSession) -> None:
+    """Idempotently register the ``txlog`` data source on a session."""
+    spark.dataSource.register(_make_datasource_class())

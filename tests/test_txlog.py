@@ -514,3 +514,70 @@ def test_merge_without_prune_rewrites_everything(spark, table):
     assert stats["files_rewritten"] == 2  # honest default: no zone, no pruning
     got = {r["k"]: r["cat"] for r in TX.read_table(spark, table).collect()}
     assert got[3] == "m" and got[4] == "a" and len(got) == 10
+
+
+def test_datasource_batch_read(spark, table):
+    for lo in (0, 100):
+        TX.write_table(_rows(spark, lo, lo + 5).coalesce(1), table, stats_cols=["k"])
+    TX.register_source(spark)
+    df = spark.read.format("txlog").option("path", table).load()
+    assert df.columns == ["k", "v", "cat"]
+    assert _collect(df) == _collect(_rows(spark, 0, 5).union(_rows(spark, 100, 105)))
+    # time travel through the public option surface
+    v1 = spark.read.format("txlog").option("path", table).option("version", 1).load()
+    assert _collect(v1) == _collect(_rows(spark, 0, 5))
+
+
+def test_datasource_stream_consumes_appends(spark, table, tmp_path):
+    TX.write_table(_rows(spark, 0, 3).coalesce(1), table)
+    TX.register_source(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert spark.read.parquet(out).count() == 3
+    # new commits arrive; a restart picks up exactly the delta
+    TX.write_table(_rows(spark, 3, 8).coalesce(1), table)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert sorted(r["k"] for r in got.collect()) == list(range(8))
+
+
+def test_datasource_stream_rejects_dml_unless_ignored(spark, table, tmp_path):
+    TX.write_table(_rows(spark, 0, 4).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where(spark, table, {"k": (1, 2)}, stats_cols=["k"])
+    TX.register_source(spark)
+
+    def drain(opts, ck):
+        reader = spark.readStream.format("txlog").option("path", table)
+        for k_, v_ in opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / ck / "out"))
+            .option("checkpointLocation", str(tmp_path / ck / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with pytest.raises(Exception, match="append-only"):
+        drain({}, "strict")
+    drain({"ignoreChanges": "true"}, "loose")
+    got = spark.read.parquet(str(tmp_path / "loose" / "out"))
+    assert got.count() == 4  # the create commit's rows; DML adds skipped
