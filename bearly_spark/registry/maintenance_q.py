@@ -668,6 +668,49 @@ def q_txlog_changes(spark, sf_dir):
     )
 
 
+def _txlog_derived_fixture(spark, sf_dir: str, name: str, apply_dml) -> dict:
+    """Copy the shared base table, apply ONE DML mutation via
+    ``apply_dml(path, years) -> stats``, and cache the result keyed on
+    the base fixture's marker (same staleness rule as the base: a new
+    orders.parquet mtime rebuilds everything). Returns the persisted
+    DML stats dict. The cache-keying protocol lives HERE once so the
+    delete and merge queries cannot silently diverge on it."""
+    import json as _json
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    base, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/{name}"
+    marker = _Path(path) / "_dml_done.json"
+    stats_file = _Path(path) / "_dml_stats.json"
+    base_marker = (_Path(base) / "_fixture.json").read_text()
+    if not (marker.is_file() and marker.read_text() == base_marker):
+        _shutil.rmtree(path, ignore_errors=True)
+        _shutil.copytree(base, path)
+        (_Path(path) / "_fixture.json").unlink()
+        stats = apply_dml(path, years)
+        stats_file.write_text(_json.dumps(stats))
+        marker.write_text(base_marker)
+    return {"path": path, **_json.loads(stats_file.read_text())}
+
+
+def _txlog_dml_result(spark, path: str, stats: dict):
+    """The shared compared surface of the DML queries: post-DML
+    aggregate by status plus the rewrite-pruning stats as literals."""
+    return (
+        TXL.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(stats["files_rewritten"]).cast("bigint")
+        )
+        .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
+    )
+
+
 @register(
     "txlog_delete_orders",
     oracle=f"""
@@ -696,40 +739,19 @@ def q_txlog_delete(spark, sf_dir):
     construction, exactly one year is touched). Pre-delete versions
     still time-travel; the change feed shows the file-granular
     delete+reinsert."""
-    import json as _json
-    import shutil as _shutil
-    from pathlib import Path as _Path
 
-    base, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
-    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_txlog_deleted"
-    marker = _Path(path) / "_delete_done.json"
-    base_marker = (_Path(base) / "_fixture.json").read_text()
-    y = years[1]
-    if not (marker.is_file() and marker.read_text() == base_marker):
-        _shutil.rmtree(path, ignore_errors=True)
-        _shutil.copytree(base, path)
-        (_Path(path) / "_fixture.json").unlink()
+    def dml(path, years):
+        y = years[1]
         _, stats = TXL.delete_where(
             spark,
             path,
             {"o_datekey": (y * 10000, y * 10000 + 630)},
             stats_cols=["o_datekey"],
         )
-        (_Path(path) / "_delete_stats.json").write_text(_json.dumps(stats))
-        marker.write_text(base_marker)
-    stats = _json.loads((_Path(path) / "_delete_stats.json").read_text())
-    return (
-        TXL.read_table(spark, path)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _tx_price_col().alias("total_price"),
-        )
-        .withColumn(
-            "files_rewritten", F.lit(stats["files_rewritten"]).cast("bigint")
-        )
-        .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
-    )
+        return stats
+
+    stats = _txlog_derived_fixture(spark, sf_dir, "orders_txlog_deleted", dml)
+    return _txlog_dml_result(spark, stats["path"], stats)
 
 
 @register(
@@ -768,25 +790,20 @@ def q_txlog_merge(spark, sf_dir):
     crawl-refresh primitive (revised documents replace, new documents
     insert, cost Θ(affected files)). The oracle states the post-merge
     state and the pruning in data terms (files == distinct years;
-    exactly one year is touched)."""
-    import json as _json
-    import shutil as _shutil
-    from pathlib import Path as _Path
+    exactly one year is touched). The merge keys (order keys) are
+    zone-stable here — a row's o_datekey never changes across the
+    fixture's revisions — which is the invariant the pruned form
+    requires (see ``merge_into_table``)."""
 
-    base, years = _txlog_orders_fixture(spark, sf_dir, "orders_txlog")
-    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/orders_txlog_merged"
-    marker = _Path(path) / "_merge_done.json"
-    base_marker = (_Path(base) / "_fixture.json").read_text()
-    y = years[0]
-    zone = (y * 10000 + 301, y * 10000 + 331)
-    if not (marker.is_file() and marker.read_text() == base_marker):
-        _shutil.rmtree(path, ignore_errors=True)
-        _shutil.copytree(base, path)
-        (_Path(path) / "_fixture.json").unlink()
+    def dml(path, years):
+        y = years[0]
+        zone = (y * 10000 + 301, y * 10000 + 331)
         month = TXL.read_table(spark, path, where={"o_datekey": zone})
-        mx = month.sparkSession.read.parquet(
-            f"{sf_dir}/orders.parquet"
-        ).agg(F.max("o_orderkey")).collect()[0][0]
+        mx = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(F.max("o_orderkey"))
+            .collect()[0][0]
+        )
         upd = month.withColumn(
             "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
         )
@@ -799,18 +816,7 @@ def q_txlog_merge(spark, sf_dir):
             prune={"o_datekey": zone},
             stats_cols=["o_datekey"],
         )
-        (_Path(path) / "_merge_stats.json").write_text(_json.dumps(stats))
-        marker.write_text(base_marker)
-    stats = _json.loads((_Path(path) / "_merge_stats.json").read_text())
-    return (
-        TXL.read_table(spark, path)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _tx_price_col().alias("total_price"),
-        )
-        .withColumn(
-            "files_rewritten", F.lit(stats["files_rewritten"]).cast("bigint")
-        )
-        .withColumn("files_total", F.lit(stats["files_total"]).cast("bigint"))
-    )
+        return stats
+
+    stats = _txlog_derived_fixture(spark, sf_dir, "orders_txlog_merged", dml)
+    return _txlog_dml_result(spark, stats["path"], stats)

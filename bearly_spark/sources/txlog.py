@@ -578,13 +578,17 @@ def delete_where(
         }
     schema = StructType.fromJson(json.loads(commit["schema"]))
     df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in touched])
+    # each column contributes at least IS NOT NULL, so an unbounded
+    # (None, None) range means "every non-null value" — a row with
+    # NULL in ANY predicate column never matches and is kept,
+    # consistent with how stats pruning treats all-null files
     cond = F.lit(True)
     for col, (lo, hi) in where.items():
+        cond = cond & F.col(col).isNotNull()
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
-    # NULL in a predicate column -> the row does not match -> keep it
     kept = df.filter(~F.coalesce(cond, F.lit(False)))
     add = _write_data_files(kept, root, list(stats_cols or []))
     v = _commit(
@@ -617,11 +621,21 @@ def merge_into_table(
     every delta row lies inside it — VERIFIED against the delta (one
     small aggregate; a delta row outside the zone, or NULL in a zone
     column, raises rather than silently surviving the merge), then
-    used to stats-prune which table files can hold a match. Without
-    ``prune`` every file is rewritten (keys like order ids are usually
-    uncorrelated with file layout — the honest default). Delta must
-    carry the table schema and distinct keys (same contract as
-    ``maintenance.merge_into``). Conflicts with any interleaved
+    used to stats-prune which table files can hold a match.
+
+    THE ZONE CONTRACT IS STRONGER THAN THE DELTA CHECK CAN VERIFY: it
+    also requires that no EXISTING row with a delta key lies outside
+    the zone (keys must be zone-stable — a key's zone-column value
+    never changes across revisions, e.g. an event's date or a
+    document's shard). If a key moved zones, the out-of-zone copy
+    survives the pruned rewrite and the table holds a duplicate key;
+    verifying that would require scanning every file, which is exactly
+    the cost pruning exists to avoid. When keys are not zone-stable,
+    pass ``prune=None`` — every file is rewritten (keys like order ids
+    are usually uncorrelated with file layout — the honest default).
+
+    Delta must carry the table schema and distinct keys (same contract
+    as ``maintenance.merge_into``). Conflicts with any interleaved
     commit."""
     root = _root(path)
     current = max(_versions(root), default=0)
@@ -840,6 +854,10 @@ def vacuum(
 # -------------------------------------------------------------------
 
 
+def _schema_fields(schema: StructType) -> list[tuple[str, object]]:
+    return [(f.name, f.dataType) for f in schema.fields]
+
+
 def _make_datasource_class():
     """Build the DataSource class lazily (the datasource module needs a
     Spark 4 runtime; importing it at module import would couple every
@@ -847,13 +865,20 @@ def _make_datasource_class():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
-        SimpleDataSourceStreamReader,
     )
 
     class _FilePartition(InputPartition):
         def __init__(self, fpath: str):
             self.fpath = fpath
+
+    def _read_file_partition(partition):
+        if not partition.fpath:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        return iter(pq.read_table(partition.fpath).to_batches())
 
     class TxLogReader(DataSourceReader):
         """Batch scan: one input partition per LIVE file at the
@@ -875,36 +900,41 @@ def _make_datasource_class():
             ]
 
         def read(self, partition):
-            if not partition.fpath:
-                return iter(())
-            import pyarrow.parquet as pq
+            return _read_file_partition(partition)
 
-            return iter(pq.read_table(partition.fpath).to_batches())
-
-    class TxLogStreamReader(SimpleDataSourceStreamReader):
+    class TxLogStreamReader(DataSourceStreamReader):
         """Streaming source over the commit log: the offset IS the
         version number, so exactly-once replay is free (commits are
-        immutable; readBetweenOffsets re-reads the same adds).
-        Append-only by default — a DML commit (overwrite/delete/merge)
-        in the offset range raises unless ``ignoreChanges=true``
-        (Delta's streaming-source contract), because its add-files
-        re-emit rows that were not inserts."""
+        immutable — the same offset range always plans the same files).
+        Each planned file is its own input partition read on the
+        EXECUTORS as arrow batches — no driver materialization.
+        Append-only by default: a DML commit (overwrite/delete/merge)
+        in the offset range raises unless ``ignoreChanges=true``, which
+        then EMITS the commit's added files (Delta's contract: possible
+        duplicates of rewritten rows, never dropped inserts). A commit
+        whose schema differs from the stream's declared schema raises —
+        restart the stream past the schema change. ``startingVersion``
+        is INCLUSIVE, like Delta's."""
 
-        def __init__(self, options):
+        def __init__(self, options, schema: StructType):
             self.path = options["path"]
-            self.start = int(options.get("startingVersion", 0))
+            self.start = int(options.get("startingVersion", 1))
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
+            self.declared = _schema_fields(schema)
 
         def initialOffset(self):
-            return {"version": self.start}
+            return {"version": self.start - 1}
 
-        def _rows_between(self, lo: int, hi: int):
-            import pyarrow.parquet as pq
-
+        def latestOffset(self):
             root = _root(self.path)
-            out = []
+            return {"version": max(_versions(root), default=self.start - 1)}
+
+        def partitions(self, start, end):
+            root = _root(self.path)
+            lo, hi = start["version"], end["version"]
+            parts = []
             for v in _versions(root):
                 if not (lo < v <= hi):
                     continue
@@ -912,33 +942,37 @@ def _make_datasource_class():
                 op = c["operation"]
                 if op == "compact":
                     continue
-                if op not in ("create", "append"):
-                    if not self.ignore_changes:
-                        raise ValueError(
-                            f"v{v} is a {op!r} commit; the txlog stream is "
-                            "append-only (set ignoreChanges=true to emit "
-                            "its added files anyway)"
-                        )
-                    continue
-                for entry in c.get("add", []):
-                    tab = pq.read_table(str(root / entry["path"]))
-                    out.extend(tuple(r.values()) for r in tab.to_pylist())
-            return out
+                if op not in ("create", "append") and not self.ignore_changes:
+                    raise ValueError(
+                        f"v{v} is a {op!r} commit; the txlog stream is "
+                        "append-only (set ignoreChanges=true to emit its "
+                        "added files — duplicates of rewritten rows "
+                        "included, per the versioned-source contract)"
+                    )
+                got = StructType.fromJson(json.loads(c["schema"]))
+                if _schema_fields(got) != self.declared:
+                    raise ValueError(
+                        f"v{v} changed the table schema "
+                        f"({got.simpleString()}); restart the stream with "
+                        f"startingVersion={v} to continue under it"
+                    )
+                parts.extend(
+                    _FilePartition(str(root / entry["path"]))
+                    for entry in c.get("add", [])
+                )
+            return parts or [_FilePartition("")]
 
-        def read(self, start):
-            root = _root(self.path)
-            latest = max(_versions(root), default=self.start)
-            lo = start["version"]
-            return iter(self._rows_between(lo, latest)), {"version": latest}
+        def read(self, partition):
+            return _read_file_partition(partition)
 
-        def readBetweenOffsets(self, start, end):
-            return iter(self._rows_between(start["version"], end["version"]))
+        def commit(self, end):
+            pass  # offsets are durable in the query checkpoint
 
     class TxLogDataSource(DataSource):
         """``spark.read.format("txlog").option("path", p)`` /
         ``spark.readStream.format("txlog")...`` — the commit-log table
         exposed through Spark's public data source API, schema served
-        from the log."""
+        from the log (at the ``version`` option when given)."""
 
         @classmethod
         def name(cls):
@@ -946,13 +980,15 @@ def _make_datasource_class():
 
         def schema(self):
             root = _root(self.options["path"])
-            return _schema_at(root, max(_versions(root), default=0))
+            v = self.options.get("version")
+            version = int(v) if v is not None else max(_versions(root), default=0)
+            return _schema_at(root, version)
 
         def reader(self, schema):
             return TxLogReader(self.options)
 
-        def simpleStreamReader(self, schema):
-            return TxLogStreamReader(self.options)
+        def streamReader(self, schema):
+            return TxLogStreamReader(self.options, schema)
 
     return TxLogDataSource
 

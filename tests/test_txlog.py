@@ -580,4 +580,43 @@ def test_datasource_stream_rejects_dml_unless_ignored(spark, table, tmp_path):
         drain({}, "strict")
     drain({"ignoreChanges": "true"}, "loose")
     got = spark.read.parquet(str(tmp_path / "loose" / "out"))
-    assert got.count() == 4  # the create commit's rows; DML adds skipped
+    # Delta's ignoreChanges contract: the DML commit's ADDED files are
+    # emitted (duplicates of rewritten rows, never dropped inserts) —
+    # create's 4 rows + the delete rewrite's 2 kept rows
+    assert got.count() == 6
+    assert sorted(r["k"] for r in got.collect()) == [0, 0, 1, 2, 3, 3]
+
+
+def test_datasource_stream_starting_version_is_inclusive(
+    spark, table, tmp_path
+):
+    TX.write_table(_rows(spark, 0, 3).coalesce(1), table)
+    TX.write_table(_rows(spark, 3, 5).coalesce(1), table)
+    TX.register_source(spark)
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", table)
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["k"] for r in got.collect()) == [3, 4]  # v2 included
+
+
+def test_delete_where_unbounded_range_keeps_nulls(spark, table):
+    nulls = spark.range(2).select(
+        F.lit(None).cast("long").alias("k"),
+        F.col("id").alias("v"),
+        F.lit("n").alias("cat"),
+    )
+    TX.write_table([_rows(spark, 0, 3).coalesce(1), nulls.coalesce(1)], table)
+    TX.delete_where(spark, table, {"k": (None, None)})
+    rows = TX.read_table(spark, table).collect()
+    # "every value of k" still means every NON-NULL value
+    assert len(rows) == 2 and all(r["k"] is None for r in rows)
