@@ -100,7 +100,7 @@ PREFIX_ORDER = [
     #    percentiles / nation_percentiles / rfm; the sum_dist overflow
     #    guard: semdedup_index_stats; drift_report's injected cuts
     #    rides with its first-ever seat above);
-    #  * 2 re-certifications of r01-only seats (their records predate
+    #  * 1 re-certification of an r01-only seat (its record predates
     #    the strict gate and the driver's current hasher).
     # The r11 single-type probes are RETIRED from the prefix (verdict
     # #2): the decision table is closed (DATE clean, DECIMAL(18,2)
@@ -149,10 +149,10 @@ PREFIX_ORDER = [
     "pca_project_embeddings",
     # commit-log table format (sources/txlog) — the object-store table
     # layer: versioned read, time travel, stats skipping, compaction,
-    # change feed, row-level CoW delete, pruned-zone MERGE. These 7
-    # slots plus the 4 below (bpe_encode / ann_recall / pack_bpe /
-    # embedding_ann_sq8) come from the 11 displaced r01-only re-certs
-    # listed at the end;
+    # change feed, row-level CoW delete, pruned-zone MERGE, deletion-
+    # vector delete. These 8 slots plus the 4 below (bpe_encode /
+    # ann_recall / pack_bpe / embedding_ann_sq8) come from the 12
+    # displaced r01-only re-certs listed at the end;
     # every displaced FAMILY keeps a greener r11 representative (set
     # ops via set_except, anti/semi joins via q16/q20's shapes, scalar
     # math via try_arithmetic, window navigation via order_streaks/
@@ -165,6 +165,7 @@ PREFIX_ORDER = [
     "txlog_changes_orders",
     "txlog_delete_orders",
     "txlog_merge_orders",
+    "txlog_dv_delete_orders",
     # tokenizer application + ANN quality eval + BPE packing capstone
     # (r12; slot accounting in the txlog comment above)
     "bpe_encode_documents",
@@ -178,11 +179,11 @@ PREFIX_ORDER = [
     "semdedup_index_stats_query",
     # ---- re-certification: r01-only records (pre-strict-gate) ----
     "set_except_custkeys",
-    "rollup_orders",
-    # (lang_id_distribution also waits for r13 — the text family holds
-    # seven greener r11/r12 seats; its slot went to embedding_ann_sq8.)
-    # (cube_orders waits for r13 — rollup already re-certifies the
-    # grouping-analytics family; its slot goes to bpe_vocabulary.
+    # (lang_id_distribution and rollup_orders also wait for r13 — the
+    # text family holds seven greener r11/r12 seats, and rollup held an
+    # r01 green on an unchanged code path; their slots went to
+    # embedding_ann_sq8 and txlog_dv_delete_orders.
+    # cube_orders waits for r13 likewise; its slot goes to bpe_vocabulary.
     # anti_join_no_pending / set_union_ids / math_funcs / window_order_
     # gaps / top_orders_by_price / distinct_agg_customer /
     # semi_join_big_spenders / broadcast_join_part_agg /

@@ -820,3 +820,56 @@ def q_txlog_merge(spark, sf_dir):
 
     stats = _txlog_derived_fixture(spark, sf_dir, "orders_txlog_merged", dml)
     return _txlog_dml_result(spark, stats["path"], stats)
+
+
+@register(
+    "txlog_dv_delete_orders",
+    oracle=f"""
+    WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+         tgt AS (SELECT y FROM yrs ORDER BY y LIMIT 1 OFFSET 1)
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs
+            WHERE y = (SELECT y FROM tgt)) AS files_masked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE year(o_orderdate) = (SELECT y FROM tgt)
+              AND month(o_orderdate) >= 7) AS rows_masked
+    FROM orders
+    WHERE NOT (year(o_orderdate) = (SELECT y FROM tgt)
+               AND month(o_orderdate) >= 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_dv_delete(spark, sf_dir):
+    """DELETION-VECTOR delete on the commit-log table
+    (``txlog.delete_where_dv``): the second half of the second order
+    year is removed WITHOUT rewriting any file — the matching rows'
+    (file, row-position) pairs land in one small DV file and readers
+    anti-join them via the parquet row index (merge-on-read; Delta's
+    DV mechanism). Θ(matched rows) written instead of Θ(file)
+    rewritten — the right trade for small frequent takedowns; compact
+    later materializes the masks. The oracle states the post-delete
+    state, the single masked file (== one year by construction) and
+    the masked-row count in closed form; read results are pinned
+    identical to the copy-on-write form by the operator tests."""
+
+    def dml(path, years):
+        y = years[1]
+        _, stats = TXL.delete_where_dv(
+            spark, path, {"o_datekey": (y * 10000 + 701, y * 10000 + 1231)}
+        )
+        return stats
+
+    stats = _txlog_derived_fixture(
+        spark, sf_dir, "orders_txlog_dv_deleted", dml
+    )
+    return (
+        TXL.read_table(spark, stats["path"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn("files_masked", F.lit(stats["files_masked"]).cast("bigint"))
+        .withColumn("rows_masked", F.lit(stats["rows_masked"]).cast("bigint"))
+    )

@@ -184,6 +184,37 @@ def _schema_at(root: Path, version: int) -> StructType:
     return StructType.fromJson(json.loads(commit["schema"]))
 
 
+def _dv_at(root: Path, version: int) -> list[str]:
+    """Active deletion-vector files at ``version``: ``dv_delete``
+    commits add them, ``compact`` drops them all (it materializes every
+    mask into the rewrite). Checkpoint-accelerated like the live set."""
+    vs = _versions(root)
+    log = _log_path(root)
+    chks = sorted(
+        int(p.stem.split("-")[1])
+        for p in log.iterdir()
+        if p.name.startswith("chk-") and p.suffix == ".json"
+    )
+    dvs: list[str] = []
+    replay_from = vs[0] if vs else 1
+    for c in (c for c in sorted(chks, reverse=True) if c <= version):
+        payload = _read_json(_checkpoint_file(root, c))
+        if "dv" in payload:
+            dvs = list(payload["dv"])
+            replay_from = c + 1
+            break
+    for v in vs:
+        if v > version:
+            break
+        if v < replay_from:
+            continue
+        c = _read_json(_commit_file(root, v))
+        if c.get("dv_remove_all"):
+            dvs = []
+        dvs.extend(c.get("dv_add", []))
+    return dvs
+
+
 def _tags_at(root: Path, version: int) -> dict[str, int]:
     """batch_tag -> version for every tagged commit <= ``version``,
     resolved like the live set: the newest checkpoint's accumulated tag
@@ -308,6 +339,7 @@ def _commit(
     retries: int = 20,
     batch_tag: str | None = None,
     check_append_schema: bool = False,
+    extra: dict | None = None,
 ) -> int:
     """Publish one commit. ``expected_version`` pins optimistic
     concurrency: None = append semantics (retry under the next free
@@ -337,6 +369,8 @@ def _commit(
         }
         if batch_tag is not None:
             payload["batch_tag"] = batch_tag
+        if extra:
+            payload.update(extra)
         if check_append_schema and current:
             _check_schema(
                 _schema_at(root, current),
@@ -347,7 +381,11 @@ def _commit(
                 live, _ = _live_at(root, v)
                 _atomic_create(
                     _checkpoint_file(root, v),
-                    {"live": live, "tags": _tags_at(root, v)},
+                    {
+                        "live": live,
+                        "tags": _tags_at(root, v),
+                        "dv": _dv_at(root, v),
+                    },
                 )
             return v
         if expected_version is not None:
@@ -440,7 +478,15 @@ def compact(
     )
     add = _write_data_files(df, root, list(stats_cols or []))
     return _commit(
-        root, "compact", df.schema.json(), add, sorted(live), expected_version=current
+        root,
+        "compact",
+        df.schema.json(),
+        add,
+        sorted(live),
+        expected_version=current,
+        # the rewrite read every mask through read_table, so compaction
+        # MATERIALIZES all deletion vectors and retires them
+        extra={"dv_remove_all": True},
     )
 
 
@@ -496,6 +542,46 @@ def plan_files(
     return files, total
 
 
+def _dv_frame(spark: SparkSession, root: Path, dv_rels: list[str]) -> DataFrame:
+    return spark.read.schema("fname string, pos long").parquet(
+        *[str(root / rel) for rel in dv_rels]
+    )
+
+
+def _read_masked(
+    spark: SparkSession,
+    root: Path,
+    rels: list[str],
+    schema: StructType,
+    dv_rels: list[str],
+    with_pos: bool = False,
+) -> DataFrame:
+    """Read data files with any active deletion vectors applied: rows
+    whose (file name, row position) appear in a DV file are anti-joined
+    away via the parquet ``_metadata.row_index`` column — merge-on-read.
+    File NAMES are the join key (every data file name embeds a fresh
+    uuid, so names never repeat across rewrites and a stale DV row is
+    inert). ``with_pos=True`` keeps the ``__fname``/``__pos`` columns
+    for callers that build new DVs."""
+    df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in rels])
+    if not dv_rels and not with_pos:
+        return df
+    cols = df.columns
+    df = df.select(
+        *cols,
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__fname"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if dv_rels:
+        dv = _dv_frame(spark, root, dv_rels).select(
+            F.col("fname").alias("__fname"), F.col("pos").alias("__pos")
+        )
+        df = df.join(dv, ["__fname", "__pos"], "left_anti")
+    return df if with_pos else df.drop("__fname", "__pos")
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -505,6 +591,7 @@ def read_table(
     """Snapshot read at ``version`` (default: latest). ``where`` range
     predicates prune files via the logged stats AND are re-applied
     row-level, so the result is exact regardless of stats quality.
+    Deletion vectors at the version are applied (merge-on-read).
     Raises if a referenced file was vacuumed away (loud, not silent)."""
     root = _root(path)
     files, _, commit = _plan(root, version, where)
@@ -518,7 +605,7 @@ def read_table(
     if not files:
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in files])
+        df = _read_masked(spark, root, files, schema, _dv_at(root, v))
     for col, (lo, hi) in (where or {}).items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -577,7 +664,7 @@ def delete_where(
             "rows_kept": 0,
         }
     schema = StructType.fromJson(json.loads(commit["schema"]))
-    df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in touched])
+    df = _read_masked(spark, root, touched, schema, _dv_at(root, current))
     # each column contributes at least IS NOT NULL, so an unbounded
     # (None, None) range means "every non-null value" — a row with
     # NULL in ANY predicate column never matches and is kept,
@@ -603,6 +690,92 @@ def delete_where(
         "files_rewritten": len(touched),
         "files_total": total,
         "rows_kept": sum(e["rows"] for e in add),
+    }
+
+
+def _write_dv_files(df: DataFrame, root: Path) -> tuple[list[str], int]:
+    """Persist a (fname, pos) frame as deletion-vector files under the
+    data dir; returns (relative paths, masked-row count from the
+    footers — no extra count job)."""
+    import pyarrow.parquet as pq
+
+    token = uuid.uuid4().hex[:12]
+    staging = root / f".staging-{token}"
+    df.write.mode("overwrite").parquet(str(staging))
+    parts = sorted(
+        p
+        for p in staging.iterdir()
+        if p.suffix == ".parquet" and p.name[0] not in "._"
+    )
+    data_dir = root / _DATA_DIR
+    data_dir.mkdir(parents=True, exist_ok=True)
+    rels, rows = [], 0
+    for i, p in enumerate(parts):
+        dst = data_dir / f"dv-{token}-{i:05d}.parquet"
+        os.replace(p, dst)
+        rows += pq.ParquetFile(dst).metadata.num_rows
+        rels.append(str(dst.relative_to(root)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return rels, rows
+
+
+def delete_where_dv(
+    spark: SparkSession, path: str, where: dict
+) -> tuple[int, dict]:
+    """Row-level DELETE as a DELETION VECTOR (merge-on-read, Delta's
+    DV mechanism): instead of rewriting the touched files, the matching
+    rows' (file, position) pairs are written as a small DV file and the
+    commit just references it — Θ(matched rows) written instead of
+    Θ(touched files) rewritten, the right trade when deletes are small
+    and frequent (takedown queues). Readers anti-join the masks via the
+    parquet row index; :func:`compact` later materializes and retires
+    every mask. Same predicate semantics as :func:`delete_where`
+    (conjunctive ranges, NULLs never match); stats pruning bounds which
+    files are even scanned for matches. Conflicts with any interleaved
+    commit."""
+    root = _root(path)
+    current = max(_versions(root), default=0)
+    if not current:
+        raise ValueError(f"no table at {path}")
+    touched, total, commit = _plan(root, current, where)
+    if not touched:
+        return current, {"files_masked": 0, "files_total": total, "rows_masked": 0}
+    schema = StructType.fromJson(json.loads(commit["schema"]))
+    df = _read_masked(
+        spark, root, touched, schema, _dv_at(root, current), with_pos=True
+    )
+    cond = F.lit(True)
+    for col, (lo, hi) in where.items():
+        cond = cond & F.col(col).isNotNull()
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    matches = df.filter(F.coalesce(cond, F.lit(False))).select(
+        F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+    )
+    rels, rows = _write_dv_files(matches, root)
+    if rows == 0:
+        for rel in rels:
+            (root / rel).unlink(missing_ok=True)
+        return current, {
+            "files_masked": 0,
+            "files_total": total,
+            "rows_masked": 0,
+        }
+    v = _commit(
+        root,
+        "dv_delete",
+        commit["schema"],
+        [],
+        [],
+        expected_version=current,
+        extra={"dv_add": rels},
+    )
+    return v, {
+        "files_masked": len(touched),
+        "files_total": total,
+        "rows_masked": rows,
     }
 
 
@@ -661,9 +834,7 @@ def merge_into_table(
                 f"{offenders} — a pruned merge would silently miss them"
             )
     if touched:
-        old = spark.read.schema(schema).parquet(
-            *[str(root / rel) for rel in touched]
-        )
+        old = _read_masked(spark, root, touched, schema, _dv_at(root, current))
         kept = old.join(
             F.broadcast(delta.select(*key_cols)), key_cols, "left_anti"
         )
@@ -735,6 +906,39 @@ def read_changes(
         c = _read_json(_commit_file(root, v))
         op = c["operation"]
         if op == "compact":
+            prev_commit = c
+            continue
+        if op == "dv_delete":
+            # the masked rows themselves ARE the delete feed: read the
+            # masked positions back out of the (still live) data files
+            _guard_schema(c, v)
+            dv_rels = c.get("dv_add", [])
+            if dv_rels:
+                dv = _dv_frame(spark, root, dv_rels)
+                fnames = sorted(
+                    r["fname"] for r in dv.select("fname").distinct().collect()
+                )
+                rels = [f"{_DATA_DIR}/{n}" for n in fnames]
+                missing = [rel for rel in rels if not (root / rel).is_file()]
+                if missing:
+                    raise ValueError(
+                        f"changes of v{v} reference vacuumed files: "
+                        f"{missing[:3]}"
+                    )
+                base = _read_masked(spark, root, rels, schema, [], with_pos=True)
+                rows = base.join(
+                    dv.select(
+                        F.col("fname").alias("__fname"),
+                        F.col("pos").alias("__pos"),
+                    ),
+                    ["__fname", "__pos"],
+                    "left_semi",
+                ).drop("__fname", "__pos")
+                chunks.append(
+                    rows.withColumn(
+                        "_change_version", F.lit(v).cast("int")
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
             prev_commit = c
             continue
         _guard_schema(c, v)
@@ -832,6 +1036,7 @@ def vacuum(
     for v in vs:
         live, _ = _live_at(root, v)
         referenced.update(live)
+        referenced.update(_dv_at(root, v))  # active deletion vectors
     data_dir = root / _DATA_DIR
     cutoff = time.time() - min_age_seconds
     deleted = []

@@ -620,3 +620,79 @@ def test_delete_where_unbounded_range_keeps_nulls(spark, table):
     rows = TX.read_table(spark, table).collect()
     # "every value of k" still means every NON-NULL value
     assert len(rows) == 2 and all(r["k"] is None for r in rows)
+
+
+def test_dv_delete_masks_without_rewrite(spark, table):
+    for lo in (0, 100, 200, 300):
+        TX.write_table(
+            _rows(spark, lo, lo + 50).coalesce(1), table, stats_cols=["k"]
+        )
+    files_before, _ = TX.plan_files(table)
+    v, stats = TX.delete_where_dv(spark, table, {"k": (120, 140)})
+    assert v == 5
+    assert stats == {"files_masked": 1, "files_total": 4, "rows_masked": 21}
+    files_after, _ = TX.plan_files(table)
+    assert files_after == files_before  # ZERO files rewritten
+    got = _collect(TX.read_table(spark, table))
+    want = _collect(
+        _rows(spark, 0, 50)
+        .union(_rows(spark, 100, 120))
+        .union(_rows(spark, 141, 150))
+        .union(_rows(spark, 200, 250))
+        .union(_rows(spark, 300, 350))
+    )
+    assert got == want
+    # pre-DV version still sees every row
+    assert len(_collect(TX.read_table(spark, table, version=4))) == 200
+
+
+def test_dv_noop_commits_nothing(spark, table):
+    TX.write_table(_rows(spark, 0, 5).coalesce(1), table, stats_cols=["k"])
+    v, stats = TX.delete_where_dv(spark, table, {"k": (1000, 2000)})
+    assert v == 1 and stats["rows_masked"] == 0
+    assert TX.latest_version(table) == 1
+
+
+def test_dv_masked_rows_stay_dead_through_cow(spark, table):
+    TX.write_table(_rows(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (2, 3)})
+    # a CoW delete touching the same file must NOT resurrect 2..3
+    TX.delete_where(spark, table, {"k": (7, 8)}, stats_cols=["k"])
+    got = sorted(r["k"] for r in TX.read_table(spark, table).collect())
+    assert got == [0, 1, 4, 5, 6, 9]
+    # merge must not resurrect them either
+    TX.merge_into_table(spark, table, _rows(spark, 5, 6, cat="m"), ["k"])
+    got = sorted(r["k"] for r in TX.read_table(spark, table).collect())
+    assert got == [0, 1, 4, 5, 6, 9]
+
+
+def test_compact_materializes_and_retires_dvs(spark, table):
+    TX.write_table(_rows(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (2, 4)})
+    root = TX._root(table)
+    assert TX._dv_at(root, TX.latest_version(table))
+    before = _collect(TX.read_table(spark, table))
+    TX.compact(spark, table, target_files=1, stats_cols=["k"])
+    assert TX._dv_at(root, TX.latest_version(table)) == []
+    assert _collect(TX.read_table(spark, table)) == before
+    # vacuum now reclaims the retired DV file along with the old data
+    deleted = TX.vacuum(table, keep_from_version=3, min_age_seconds=0)
+    assert any("dv-" in d for d in deleted)
+    assert _collect(TX.read_table(spark, table)) == before
+
+
+def test_dv_vacuum_protects_active_masks(spark, table):
+    TX.write_table(_rows(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (2, 4)})
+    deleted = TX.vacuum(table, keep_from_version=2, min_age_seconds=0)
+    assert not any("dv-" in d for d in deleted)
+    got = sorted(r["k"] for r in TX.read_table(spark, table).collect())
+    assert got == [0, 1, 5, 6, 7, 8, 9]
+
+
+def test_dv_delete_shows_in_change_feed(spark, table):
+    TX.write_table(_rows(spark, 0, 5).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (1, 2)})
+    ch = TX.read_changes(spark, table, 1)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, "delete"), (2, "delete")]  # exact rows, no reinserts
