@@ -95,6 +95,22 @@ def main() -> None:
         == N_COMMITS * ROWS_PER_COMMIT - 100
     )
 
+    # (4) the same-shaped delete as a DELETION VECTOR: zero rewrites,
+    # only the matched positions written
+    vlo, vhi = 33 * ROWS_PER_COMMIT, 33 * ROWS_PER_COMMIT + 99
+    t0 = time.perf_counter()
+    _, vstats = TX.delete_where_dv(spark, table, {"k": (vlo, vhi)})
+    t_dv = time.perf_counter() - t0
+    assert vstats == {
+        "files_masked": 1,
+        "files_total": 200,
+        "rows_masked": 100,
+    }
+    assert (
+        TX.read_table(spark, table).count()
+        == N_COMMITS * ROWS_PER_COMMIT - 200
+    )
+
     out = {
         "n_commits": N_COMMITS,
         "rows_per_commit": ROWS_PER_COMMIT,
@@ -107,6 +123,8 @@ def main() -> None:
         "read_unpruned_s": round(t_unpruned, 3),
         "delete_files_rewritten": dstats["files_rewritten"],
         "delete_wall_s": round(t_delete, 3),
+        "dv_delete_wall_s": round(t_dv, 3),
+        "dv_rows_masked": vstats["rows_masked"],
     }
     print(json.dumps(out))
     shutil.rmtree(ROOT, ignore_errors=True)
