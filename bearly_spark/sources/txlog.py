@@ -340,6 +340,7 @@ def _commit(
     batch_tag: str | None = None,
     check_append_schema: bool = False,
     extra: dict | None = None,
+    evolve_schema: StructType | None = None,
 ) -> int:
     """Publish one commit. ``expected_version`` pins optimistic
     concurrency: None = append semantics (retry under the next free
@@ -371,7 +372,13 @@ def _commit(
             payload["batch_tag"] = batch_tag
         if extra:
             payload.update(extra)
-        if check_append_schema and current:
+        if evolve_schema is not None and current:
+            # recomputed per retry: a concurrent evolve append may have
+            # added other columns; the committed schema is the union
+            payload["schema"] = _check_evolution(
+                _schema_at(root, current), evolve_schema
+            ).json()
+        elif check_append_schema and current:
             _check_schema(
                 _schema_at(root, current),
                 StructType.fromJson(json.loads(schema_json)),
@@ -403,12 +410,34 @@ def _check_schema(existing: StructType, incoming: StructType) -> None:
         )
 
 
+def _check_evolution(existing: StructType, incoming: StructType) -> StructType:
+    """Additive schema evolution: the incoming schema must carry every
+    existing column with an identical type and may ADD columns (old
+    files read back with NULLs there — parquet resolution is by name).
+    Returns the evolved schema: existing column order, new columns
+    appended. Drops and type changes raise."""
+    ex = {f.name: f.dataType for f in existing.fields}
+    inc = {f.name: f.dataType for f in incoming.fields}
+    missing = [n for n in ex if n not in inc]
+    changed = [n for n in ex if n in inc and inc[n] != ex[n]]
+    if missing or changed:
+        raise ValueError(
+            "schema evolution is additive-only: "
+            f"dropped={missing or '[]'} type-changed={changed or '[]'} "
+            f"(table {existing.simpleString()}, "
+            f"append {incoming.simpleString()})"
+        )
+    new = [f for f in incoming.fields if f.name not in ex]
+    return StructType(list(existing.fields) + new)
+
+
 def write_table(
     df: DataFrame | list[DataFrame],
     path: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
     batch_tag: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the table at ``path``. ``mode='append'`` adds
     files (never conflicts; retries under concurrent writers);
@@ -418,8 +447,11 @@ def write_table(
     as one atomic commit with each member writing its own file group —
     the many-tasks-one-transaction shape of real ingestion (and the
     way to pin file boundaries: Catalyst is free to collapse a single
-    unioned plan into fewer partitions than its branches). Returns the
-    committed version."""
+    unioned plan into fewer partitions than its branches).
+    ``merge_schema=True`` allows ADDITIVE schema evolution on append:
+    new columns join the table schema and older files read back with
+    NULLs there (parquet name-based resolution); drops and type
+    changes still raise. Returns the committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parts = list(df) if isinstance(df, (list, tuple)) else [df]
@@ -430,9 +462,14 @@ def write_table(
     root = _root(path)
     root.mkdir(parents=True, exist_ok=True)
     stats_cols = list(stats_cols or [])
+    evolving = merge_schema and mode == "append"
     current = max(_versions(root), default=0)
     if current and mode == "append":
-        _check_schema(_schema_at(root, current), parts[0].schema)
+        existing = _schema_at(root, current)
+        if evolving:
+            _check_evolution(existing, parts[0].schema)  # pre-write check
+        else:
+            _check_schema(existing, parts[0].schema)
     add = [e for p in parts for e in _write_data_files(p, root, stats_cols)]
     df = parts[0]
     remove: list[str] = []
@@ -450,7 +487,8 @@ def write_table(
         remove,
         expected,
         batch_tag=batch_tag,
-        check_append_schema=(mode == "append"),
+        check_append_schema=(mode == "append" and not evolving),
+        evolve_schema=df.schema if evolving else None,
     )
 
 

@@ -696,3 +696,41 @@ def test_dv_delete_shows_in_change_feed(spark, table):
     ch = TX.read_changes(spark, table, 1)
     got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
     assert got == [(1, "delete"), (2, "delete")]  # exact rows, no reinserts
+
+
+def test_schema_evolution_additive_append(spark, table):
+    TX.write_table(_rows(spark, 0, 3).coalesce(1), table, stats_cols=["k"])
+    wider = spark.range(3, 6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("b").alias("cat"),
+        (F.col("id") + 100).alias("score"),
+    )
+    TX.write_table(wider.coalesce(1), table, merge_schema=True, stats_cols=["score"])
+    df = TX.read_table(spark, table)
+    assert df.columns == ["k", "v", "cat", "score"]
+    got = {r["k"]: r["score"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 103, 4: 104, 5: 105}
+    # time travel keeps the ORIGINAL schema at v1
+    v1 = TX.read_table(spark, table, version=1)
+    assert v1.columns == ["k", "v", "cat"]
+    # stats on the new column prune old (column-less) files? No:
+    # files without the column have no stats and must be kept
+    files, total = TX.plan_files(table, where={"score": (104, 200)})
+    assert total == 2 and len(files) == 2  # old file kept (no stats)
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(spark, table):
+    TX.write_table(_rows(spark, 0, 3), table)
+    dropped = spark.range(1).select(
+        F.col("id").alias("k"), F.lit("x").alias("cat")
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        TX.write_table(dropped, table, merge_schema=True)
+    retyped = spark.range(1).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("cat"),
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        TX.write_table(retyped, table, merge_schema=True)
