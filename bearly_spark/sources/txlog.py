@@ -143,11 +143,15 @@ def _read_json(p: Path) -> dict:
         return json.load(f)
 
 
-def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict]:
-    """Replay the log up to ``version``: returns (live files keyed by
-    relative path, the commit dict at ``version``). Starts from the
+def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict, list[str]]:
+    """ONE replay of the log up to ``version`` serving the whole read
+    path: returns (live files keyed by relative path, the commit dict
+    at ``version``, the active deletion-vector files). Starts from the
     newest checkpoint <= version, so replay work is bounded by
-    ``_CHECKPOINT_EVERY`` commits regardless of table age."""
+    ``_CHECKPOINT_EVERY`` commits regardless of table age. A pre-DV
+    checkpoint (no ``dv`` key) forces the dv replay back to the log
+    head — correct, and only possible for checkpoints written before
+    the feature existed."""
     vs = _versions(root)
     if version not in vs:
         raise ValueError(f"no version {version} in {root} (have {vs or 'none'})")
@@ -159,9 +163,15 @@ def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict]:
     )
     start_chk = max((c for c in chks if c <= version), default=None)
     live: dict[str, dict] = {}
+    dvs: list[str] = []
+    dv_replay_from = vs[0] if vs else 1
     if start_chk is not None:
-        live = dict(_read_json(_checkpoint_file(root, start_chk))["live"])
+        payload = _read_json(_checkpoint_file(root, start_chk))
+        live = dict(payload["live"])
         replay_from = start_chk + 1
+        if "dv" in payload:
+            dvs = list(payload["dv"])
+            dv_replay_from = replay_from
     else:
         replay_from = vs[0]
     last = None
@@ -169,50 +179,31 @@ def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict]:
         if v > version:
             break
         last = v
-        if v < replay_from:
+        if v < min(replay_from, dv_replay_from):
             continue
         c = _read_json(_commit_file(root, v))
-        for rel in c.get("remove", []):
-            live.pop(rel, None)
-        for entry in c.get("add", []):
-            live[entry["path"]] = entry
-    return live, _read_json(_commit_file(root, last))
+        if v >= replay_from:
+            for rel in c.get("remove", []):
+                live.pop(rel, None)
+            for entry in c.get("add", []):
+                live[entry["path"]] = entry
+        if v >= dv_replay_from:
+            if c.get("dv_remove_all"):
+                dvs = []
+            dvs.extend(c.get("dv_add", []))
+    return live, _read_json(_commit_file(root, last)), dvs
 
 
 def _schema_at(root: Path, version: int) -> StructType:
-    _, commit = _live_at(root, version)
+    _, commit, _ = _live_at(root, version)
     return StructType.fromJson(json.loads(commit["schema"]))
 
 
 def _dv_at(root: Path, version: int) -> list[str]:
-    """Active deletion-vector files at ``version``: ``dv_delete``
-    commits add them, ``compact`` drops them all (it materializes every
-    mask into the rewrite). Checkpoint-accelerated like the live set."""
-    vs = _versions(root)
-    log = _log_path(root)
-    chks = sorted(
-        int(p.stem.split("-")[1])
-        for p in log.iterdir()
-        if p.name.startswith("chk-") and p.suffix == ".json"
-    )
-    dvs: list[str] = []
-    replay_from = vs[0] if vs else 1
-    for c in (c for c in sorted(chks, reverse=True) if c <= version):
-        payload = _read_json(_checkpoint_file(root, c))
-        if "dv" in payload:
-            dvs = list(payload["dv"])
-            replay_from = c + 1
-            break
-    for v in vs:
-        if v > version:
-            break
-        if v < replay_from:
-            continue
-        c = _read_json(_commit_file(root, v))
-        if c.get("dv_remove_all"):
-            dvs = []
-        dvs.extend(c.get("dv_add", []))
-    return dvs
+    """Active deletion-vector files at ``version`` (thin view over the
+    single :func:`_live_at` replay — kept for callers that only need
+    the dv list)."""
+    return _live_at(root, version)[2]
 
 
 def _tags_at(root: Path, version: int) -> dict[str, int]:
@@ -302,11 +293,15 @@ def _file_entry(root: Path, fp: Path, stats_cols: list[str]) -> dict:
     }
 
 
-def _write_data_files(df: DataFrame, root: Path, stats_cols: list[str]) -> list[dict]:
+def _write_data_files(
+    df: DataFrame, root: Path, stats_cols: list[str], prefix: str = "c"
+) -> list[dict]:
     """Write ``df`` into the data dir under a fresh commit token and
     return the add-entries. Files are invisible to readers until a
     commit references them, so a crash here leaks only unreferenced
-    bytes (vacuum reclaims them)."""
+    bytes (vacuum reclaims them). ``prefix`` distinguishes file roles
+    (data vs deletion vector) for human readers; the log, not the
+    name, is what gives a file meaning."""
     token = uuid.uuid4().hex[:12]
     staging = root / f".staging-{token}"
     df.write.mode("overwrite").parquet(str(staging))
@@ -317,7 +312,7 @@ def _write_data_files(df: DataFrame, root: Path, stats_cols: list[str]) -> list[
     data_dir.mkdir(parents=True, exist_ok=True)
     entries = []
     for i, p in enumerate(parts):
-        dst = data_dir / f"c{token}-{i:05d}.parquet"
+        dst = data_dir / f"{prefix}{token}-{i:05d}.parquet"
         os.replace(p, dst)
         entries.append(_file_entry(root, dst, stats_cols))
     shutil.rmtree(staging, ignore_errors=True)
@@ -385,14 +380,10 @@ def _commit(
             )
         if _atomic_create(_commit_file(root, v), payload):
             if v % _CHECKPOINT_EVERY == 0:
-                live, _ = _live_at(root, v)
+                live, _, dvs = _live_at(root, v)
                 _atomic_create(
                     _checkpoint_file(root, v),
-                    {
-                        "live": live,
-                        "tags": _tags_at(root, v),
-                        "dv": _dv_at(root, v),
-                    },
+                    {"live": live, "tags": _tags_at(root, v), "dv": dvs},
                 )
             return v
         if expected_version is not None:
@@ -427,7 +418,15 @@ def _check_evolution(existing: StructType, incoming: StructType) -> StructType:
             f"(table {existing.simpleString()}, "
             f"append {incoming.simpleString()})"
         )
-    new = [f for f in incoming.fields if f.name not in ex]
+    from pyspark.sql.types import StructField
+
+    # new columns are nullable BY CONSTRUCTION: every pre-evolution
+    # file holds NULLs there
+    new = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in incoming.fields
+        if f.name not in ex
+    ]
     return StructType(list(existing.fields) + new)
 
 
@@ -476,7 +475,7 @@ def write_table(
     expected = None
     if mode == "overwrite":
         if current:
-            live, _ = _live_at(root, current)
+            live, _, _ = _live_at(root, current)
             remove = sorted(live)
         expected = current
     return _commit(
@@ -489,6 +488,10 @@ def write_table(
         batch_tag=batch_tag,
         check_append_schema=(mode == "append" and not evolving),
         evolve_schema=df.schema if evolving else None,
+        # an overwrite de-references every masked file, so its commit
+        # also retires all deletion vectors (like compact) — otherwise
+        # stale DVs would burden every later read and never vacuum
+        extra={"dv_remove_all": True} if mode == "overwrite" else None,
     )
 
 
@@ -507,7 +510,7 @@ def compact(
     current = max(_versions(root), default=0)
     if not current:
         raise ValueError(f"no table at {path}")
-    live, _ = _live_at(root, current)
+    live, _, _ = _live_at(root, current)
     df = read_table(spark, path, version=current)
     df = (
         df.repartitionByRange(target_files, *order_by)
@@ -556,18 +559,19 @@ def _overlaps(entry: dict, col: str, lo, hi) -> bool:
 
 def _plan(
     root: Path, version: int | None, where: dict | None
-) -> tuple[list[str], int, dict]:
+) -> tuple[list[str], int, dict, list[str]]:
     """One log replay serving the whole read path: (surviving relative
     paths, total live file count, the commit dict at the version —
-    which carries the schema, so readers don't replay twice)."""
+    which carries the schema — and the active deletion-vector files,
+    so readers never replay twice)."""
     v = version if version is not None else max(_versions(root), default=0)
-    live, commit = _live_at(root, v)
+    live, commit, dvs = _live_at(root, v)
     survivors = sorted(
         rel
         for rel, entry in live.items()
         if all(_overlaps(entry, c, lo, hi) for c, (lo, hi) in (where or {}).items())
     )
-    return survivors, len(live), commit
+    return survivors, len(live), commit, dvs
 
 
 def plan_files(
@@ -576,8 +580,25 @@ def plan_files(
     """The scan plan: (relative paths that survive stats pruning, total
     live file count). ``where`` maps column -> (lo, hi) inclusive
     bounds (either side None = unbounded)."""
-    files, total, _ = _plan(_root(path), version, where)
+    files, total, _, _ = _plan(_root(path), version, where)
     return files, total
+
+
+def _range_cond(where: dict):
+    """The shared NULL-safe conjunctive range predicate of the DML
+    paths: each column contributes at least IS NOT NULL, so an
+    unbounded (None, None) range means "every non-null value" and a
+    row with NULL in ANY predicate column never matches — consistent
+    with how stats pruning treats all-null files. Wrap in
+    ``F.coalesce(cond, F.lit(False))`` before filtering."""
+    cond = F.lit(True)
+    for col, (lo, hi) in where.items():
+        cond = cond & F.col(col).isNotNull()
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return cond
 
 
 def _dv_frame(spark: SparkSession, root: Path, dv_rels: list[str]) -> DataFrame:
@@ -632,7 +653,7 @@ def read_table(
     Deletion vectors at the version are applied (merge-on-read).
     Raises if a referenced file was vacuumed away (loud, not silent)."""
     root = _root(path)
-    files, _, commit = _plan(root, version, where)
+    files, _, commit, dvs = _plan(root, version, where)
     v = commit["version"]
     missing = [rel for rel in files if not (root / rel).is_file()]
     if missing:
@@ -643,7 +664,7 @@ def read_table(
     if not files:
         df = spark.createDataFrame([], schema)
     else:
-        df = _read_masked(spark, root, files, schema, _dv_at(root, v))
+        df = _read_masked(spark, root, files, schema, dvs)
     for col, (lo, hi) in (where or {}).items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -694,7 +715,7 @@ def delete_where(
     current = max(_versions(root), default=0)
     if not current:
         raise ValueError(f"no table at {path}")
-    touched, total, commit = _plan(root, current, where)
+    touched, total, commit, dvs = _plan(root, current, where)
     if not touched:
         return current, {
             "files_rewritten": 0,
@@ -702,19 +723,8 @@ def delete_where(
             "rows_kept": 0,
         }
     schema = StructType.fromJson(json.loads(commit["schema"]))
-    df = _read_masked(spark, root, touched, schema, _dv_at(root, current))
-    # each column contributes at least IS NOT NULL, so an unbounded
-    # (None, None) range means "every non-null value" — a row with
-    # NULL in ANY predicate column never matches and is kept,
-    # consistent with how stats pruning treats all-null files
-    cond = F.lit(True)
-    for col, (lo, hi) in where.items():
-        cond = cond & F.col(col).isNotNull()
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
-    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+    df = _read_masked(spark, root, touched, schema, dvs)
+    kept = df.filter(~F.coalesce(_range_cond(where), F.lit(False)))
     add = _write_data_files(kept, root, list(stats_cols or []))
     v = _commit(
         root,
@@ -733,28 +743,10 @@ def delete_where(
 
 def _write_dv_files(df: DataFrame, root: Path) -> tuple[list[str], int]:
     """Persist a (fname, pos) frame as deletion-vector files under the
-    data dir; returns (relative paths, masked-row count from the
-    footers — no extra count job)."""
-    import pyarrow.parquet as pq
-
-    token = uuid.uuid4().hex[:12]
-    staging = root / f".staging-{token}"
-    df.write.mode("overwrite").parquet(str(staging))
-    parts = sorted(
-        p
-        for p in staging.iterdir()
-        if p.suffix == ".parquet" and p.name[0] not in "._"
-    )
-    data_dir = root / _DATA_DIR
-    data_dir.mkdir(parents=True, exist_ok=True)
-    rels, rows = [], 0
-    for i, p in enumerate(parts):
-        dst = data_dir / f"dv-{token}-{i:05d}.parquet"
-        os.replace(p, dst)
-        rows += pq.ParquetFile(dst).metadata.num_rows
-        rels.append(str(dst.relative_to(root)))
-    shutil.rmtree(staging, ignore_errors=True)
-    return rels, rows
+    data dir via the shared staging protocol; returns (relative paths,
+    masked-row count from the footers — no extra count job)."""
+    entries = _write_data_files(df, root, [], prefix="dv-")
+    return [e["path"] for e in entries], sum(e["rows"] for e in entries)
 
 
 def delete_where_dv(
@@ -775,21 +767,12 @@ def delete_where_dv(
     current = max(_versions(root), default=0)
     if not current:
         raise ValueError(f"no table at {path}")
-    touched, total, commit = _plan(root, current, where)
+    touched, total, commit, dvs = _plan(root, current, where)
     if not touched:
         return current, {"files_masked": 0, "files_total": total, "rows_masked": 0}
     schema = StructType.fromJson(json.loads(commit["schema"]))
-    df = _read_masked(
-        spark, root, touched, schema, _dv_at(root, current), with_pos=True
-    )
-    cond = F.lit(True)
-    for col, (lo, hi) in where.items():
-        cond = cond & F.col(col).isNotNull()
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
-    matches = df.filter(F.coalesce(cond, F.lit(False))).select(
+    df = _read_masked(spark, root, touched, schema, dvs, with_pos=True)
+    matches = df.filter(F.coalesce(_range_cond(where), F.lit(False))).select(
         F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
     )
     rels, rows = _write_dv_files(matches, root)
@@ -810,8 +793,19 @@ def delete_where_dv(
         expected_version=current,
         extra={"dv_add": rels},
     )
+    # count the files that actually contributed masks (stats pruning
+    # may touch files whose range overlaps but holds no matching row)
+    import pyarrow.parquet as pq
+
+    masked_files: set[str] = set()
+    for rel in rels:
+        masked_files.update(
+            pq.read_table(str(root / rel), columns=["fname"])
+            .column("fname")
+            .to_pylist()
+        )
     return v, {
-        "files_masked": len(touched),
+        "files_masked": len(masked_files),
         "files_total": total,
         "rows_masked": rows,
     }
@@ -852,7 +846,7 @@ def merge_into_table(
     current = max(_versions(root), default=0)
     if not current:
         raise ValueError(f"no table at {path}")
-    touched, total, commit = _plan(root, current, prune)
+    touched, total, commit, dvs = _plan(root, current, prune)
     schema = StructType.fromJson(json.loads(commit["schema"]))
     _check_schema(schema, delta.schema)
     if prune:
@@ -872,7 +866,7 @@ def merge_into_table(
                 f"{offenders} — a pruned merge would silently miss them"
             )
     if touched:
-        old = _read_masked(spark, root, touched, schema, _dv_at(root, current))
+        old = _read_masked(spark, root, touched, schema, dvs)
         kept = old.join(
             F.broadcast(delta.select(*key_cols)), key_cols, "left_anti"
         )
@@ -984,7 +978,7 @@ def read_changes(
         if op in ("overwrite", "delete", "merge"):
             # the removed files were written under the PREVIOUS schema
             if prev_commit is None and v - 1 in vs:
-                _, prev_commit = _live_at(root, v - 1)
+                _, prev_commit, _ = _live_at(root, v - 1)
             if prev_commit is not None:
                 old = StructType.fromJson(json.loads(prev_commit["schema"]))
                 if [(f.name, f.dataType) for f in old.fields] != schema_fields:
@@ -1004,9 +998,16 @@ def read_changes(
                 raise ValueError(
                     f"changes of v{v} reference vacuumed files: {missing[:3]}"
                 )
+            # removed files read through the DVs active just BEFORE the
+            # commit: a row already masked by a dv_delete was emitted as
+            # a delete back then and must not be emitted a second time
+            dv_prev = (
+                _live_at(root, v - 1)[2]
+                if change_type == "delete" and v - 1 in vs
+                else []
+            )
             chunks.append(
-                spark.read.schema(schema)
-                .parquet(*[str(root / rel) for rel in rels])
+                _read_masked(spark, root, rels, schema, dv_prev)
                 .withColumn("_change_version", F.lit(v).cast("int"))
                 .withColumn("_change_type", F.lit(change_type))
             )
@@ -1072,9 +1073,9 @@ def vacuum(
         raise ValueError(f"keep_from_version={keep_from_version} retains no versions")
     referenced: set[str] = set()
     for v in vs:
-        live, _ = _live_at(root, v)
+        live, _, dvs = _live_at(root, v)
         referenced.update(live)
-        referenced.update(_dv_at(root, v))  # active deletion vectors
+        referenced.update(dvs)  # active deletion vectors
     data_dir = root / _DATA_DIR
     cutoff = time.time() - min_age_seconds
     deleted = []
@@ -1113,34 +1114,84 @@ def _make_datasource_class():
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, fpath: str):
+        def __init__(self, fpath: str, masked=None, schema_json: str | None = None):
             self.fpath = fpath
+            self.masked = masked or []  # masked row positions in THIS file
+            self.schema_json = schema_json
 
     def _read_file_partition(partition):
         if not partition.fpath:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        return iter(pq.read_table(partition.fpath).to_batches())
+        tab = pq.read_table(partition.fpath)
+        if partition.masked:
+            keep = [True] * tab.num_rows
+            for pos in partition.masked:
+                if 0 <= pos < tab.num_rows:
+                    keep[pos] = False
+            tab = tab.filter(pa.array(keep))
+        if partition.schema_json is not None:
+            # align to the DECLARED schema: evolved tables have old
+            # files missing new columns — fill them with NULLs, by
+            # name, in declared order (what read_table's name-based
+            # resolution does on the DataFrame path)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            declared = to_arrow_schema(
+                StructType.fromJson(json.loads(partition.schema_json))
+            )
+            if tab.schema.names != declared.names:
+                arrays = []
+                for field in declared:
+                    if field.name in tab.schema.names:
+                        arrays.append(
+                            tab.column(field.name).cast(field.type)
+                        )
+                    else:
+                        arrays.append(pa.nulls(tab.num_rows, field.type))
+                tab = pa.Table.from_arrays(arrays, schema=declared)
+        return iter(tab.to_batches())
 
     class TxLogReader(DataSourceReader):
         """Batch scan: one input partition per LIVE file at the
         requested version — the source parallelizes like a parquet
         scan, and the file list comes from the LOG (never a directory
         listing), so snapshot isolation holds through concurrent
-        commits."""
+        commits. Deletion vectors are resolved on the DRIVER at
+        planning time (Θ(masked rows) — DVs are small by design and
+        compact retires them) and each partition ships only its own
+        file's masked positions; old files of an evolved schema are
+        NULL-filled by name at read."""
 
-        def __init__(self, options):
+        def __init__(self, options, schema: StructType):
             self.path = options["path"]
             v = options.get("version")
             self.version = int(v) if v is not None else None
+            self.schema_json = json.dumps(schema.jsonValue())
 
         def partitions(self):
-            files, _, _ = _plan(_root(self.path), self.version, None)
+            import pyarrow.parquet as pq
+
             root = _root(self.path)
-            return [_FilePartition(str(root / rel)) for rel in files] or [
-                _FilePartition("")
-            ]
+            files, _, _, dvs = _plan(root, self.version, None)
+            masked: dict[str, list[int]] = {}
+            for rel in dvs:
+                tab = pq.read_table(str(root / rel))
+                for fname, pos in zip(
+                    tab.column("fname").to_pylist(),
+                    tab.column("pos").to_pylist(),
+                ):
+                    masked.setdefault(fname, []).append(pos)
+            return [
+                _FilePartition(
+                    str(root / rel),
+                    masked.get(rel.rsplit("/", 1)[-1]),
+                    self.schema_json,
+                )
+                for rel in files
+            ] or [_FilePartition("")]
 
         def read(self, partition):
             return _read_file_partition(partition)
@@ -1228,7 +1279,7 @@ def _make_datasource_class():
             return _schema_at(root, version)
 
         def reader(self, schema):
-            return TxLogReader(self.options)
+            return TxLogReader(self.options, schema)
 
         def streamReader(self, schema):
             return TxLogStreamReader(self.options, schema)

@@ -178,12 +178,12 @@ def test_checkpoint_replay_matches_full_replay(spark, table):
         TX.write_table(_rows(spark, lo * 5, lo * 5 + 5).coalesce(1), table)
     root = TX._root(table)
     assert TX._checkpoint_file(root, 10).is_file()
-    live_fast, _ = TX._live_at(root, 12)
+    live_fast, _, _ = TX._live_at(root, 12)
     # force a full replay by reading with no checkpoint available
     chk = TX._checkpoint_file(root, 10)
     payload = json.loads(chk.read_text())
     chk.unlink()
-    live_full, _ = TX._live_at(root, 12)
+    live_full, _, _ = TX._live_at(root, 12)
     assert live_fast == live_full
     assert set(payload["live"]) <= set(live_full)
     assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 60))
@@ -734,3 +734,79 @@ def test_schema_evolution_rejects_drops_and_type_changes(spark, table):
     )
     with pytest.raises(ValueError, match="additive-only"):
         TX.write_table(retyped, table, merge_schema=True)
+
+
+def test_datasource_batch_read_applies_deletion_vectors(spark, table):
+    TX.write_table(_rows(spark, 0, 6).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (1, 2)})
+    TX.register_source(spark)
+    df = spark.read.format("txlog").option("path", table).load()
+    assert sorted(r["k"] for r in df.collect()) == [0, 3, 4, 5]
+
+
+def test_datasource_batch_read_fills_evolved_columns(spark, table):
+    TX.write_table(_rows(spark, 0, 2).coalesce(1), table)
+    wider = spark.range(2, 4).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("b").alias("cat"),
+        (F.col("id") + 100).alias("score"),
+    )
+    TX.write_table(wider.coalesce(1), table, merge_schema=True)
+    TX.register_source(spark)
+    df = spark.read.format("txlog").option("path", table).load()
+    assert df.columns == ["k", "v", "cat", "score"]
+    got = {r["k"]: r["score"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: 102, 3: 103}
+    # and time travel serves v1 under ITS schema
+    v1 = spark.read.format("txlog").option("path", table).option("version", 1).load()
+    assert v1.columns == ["k", "v", "cat"]
+    assert v1.count() == 2
+
+
+def test_overwrite_retires_deletion_vectors(spark, table):
+    TX.write_table(_rows(spark, 0, 6).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (1, 2)})
+    TX.write_table(_rows(spark, 100, 102, cat="b"), table, mode="overwrite")
+    root = TX._root(table)
+    assert TX._dv_at(root, TX.latest_version(table)) == []
+    # the retired DV file is reclaimable once only post-overwrite
+    # versions are retained
+    deleted = TX.vacuum(table, keep_from_version=3, min_age_seconds=0)
+    assert any("dv-" in d for d in deleted)
+
+
+def test_cdf_does_not_double_emit_dv_masked_rows(spark, table):
+    TX.write_table(_rows(spark, 0, 4).coalesce(1), table, stats_cols=["k"])
+    TX.delete_where_dv(spark, table, {"k": (1, 2)})  # v2: deletes 1,2
+    TX.delete_where(spark, table, {"k": (3, 3)}, stats_cols=["k"])  # v3 CoW
+    ch = TX.read_changes(spark, table, 1)
+    got = sorted(
+        (r["_change_version"], r["k"], r["_change_type"]) for r in ch.collect()
+    )
+    # v2 deletes 1,2 once; v3's file-granular feed deletes ONLY the
+    # still-live rows (0,3) and reinserts the kept 0 — 1,2 never repeat
+    assert got == [
+        (2, 1, "delete"),
+        (2, 2, "delete"),
+        (3, 0, "delete"),
+        (3, 0, "insert"),
+        (3, 3, "delete"),
+    ]
+
+
+def test_dv_files_masked_counts_only_contributing_files(spark, table):
+    # file A holds 10..20, file B holds only {50, 90}: a (15, 60)
+    # delete touches both by stats but masks rows only in A and B's 50
+    a = _rows(spark, 10, 21).coalesce(1)
+    b = spark.createDataFrame(
+        [(50, 500, "a"), (90, 900, "a")], "k long, v long, cat string"
+    ).coalesce(1)
+    TX.write_table([a, b], table, stats_cols=["k"])
+    _, stats = TX.delete_where_dv(spark, table, {"k": (22, 45)})
+    # stats ranges overlap nothing with rows: A max 20 < 22, B min 50 > 45
+    assert stats == {"files_masked": 0, "files_total": 2, "rows_masked": 0}
+    _, stats = TX.delete_where_dv(spark, table, {"k": (15, 60)})
+    assert stats["files_masked"] == 2 and stats["rows_masked"] == 7
+    _, stats = TX.delete_where_dv(spark, table, {"k": (85, 95)})
+    assert stats["files_masked"] == 1 and stats["rows_masked"] == 1
