@@ -810,3 +810,18 @@ def test_dv_files_masked_counts_only_contributing_files(spark, table):
     assert stats["files_masked"] == 2 and stats["rows_masked"] == 7
     _, stats = TX.delete_where_dv(spark, table, {"k": (85, 95)})
     assert stats["files_masked"] == 1 and stats["rows_masked"] == 1
+
+
+def test_datasource_sql_surface(spark, table):
+    """The registered source is addressable from plain SQL — the
+    public face a catalog-driven user actually touches."""
+    TX.write_table(_rows(spark, 0, 5).coalesce(1), table)
+    TX.register_source(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW tx_sql_view "
+        f"USING txlog OPTIONS (path '{table}')"
+    )
+    row = spark.sql(
+        "SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM tx_sql_view"
+    ).collect()[0]
+    assert (row["n"], row["sv"]) == (5, 100)
