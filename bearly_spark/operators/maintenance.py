@@ -74,6 +74,7 @@ def merge_into(
     keys: list[str],
     when_matched: str = "update",
     partition_cols: list[str] | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> dict:
     """MERGE ``source`` into the parquet table at ``path`` by ``keys``.
 
@@ -92,7 +93,11 @@ def merge_into(
 
     Scale shape: the delta's distinct keys broadcast into one semi-join
     over the target scan (reading only key + ``_metadata.file_path`` —
-    column-pruned), producing the TOUCHED file list; only those files'
+    column-pruned), producing the TOUCHED file list — GUARDED: a delta
+    with more than ``broadcast_max_rows`` distinct keys (a bulk
+    crawl-refresh, not a takedown list) takes a shuffle join instead of
+    an oversized driver broadcast (same guard as
+    ``streaming/dedup_index.near_dups_against_index``); only those files'
     rows are re-read and rewritten. Untouched files are hard-linked
     into a staging snapshot (same filesystem ⇒ O(1) per file, no data
     copy), the merged rows are written beside them, and the staging dir
@@ -110,7 +115,15 @@ def merge_into(
         raise ValueError(f"source has multiple rows for one {keys} key")
     src_keys = source.select(*keys).dropDuplicates()
     new_rows = None if when_matched == "delete" else source
-    return _cow_rewrite(spark, path, keys, src_keys, new_rows, partition_cols)
+    return _cow_rewrite(
+        spark,
+        path,
+        keys,
+        src_keys,
+        new_rows,
+        partition_cols,
+        broadcast_max_rows=broadcast_max_rows,
+    )
 
 
 def _cow_rewrite(
@@ -120,6 +133,7 @@ def _cow_rewrite(
     src_keys: DataFrame,
     new_rows: DataFrame | None,
     partition_cols: list[str] | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> dict:
     """Copy-on-write core shared by :func:`merge_into` and the CDC batch
     apply (``streaming.cdc``): drop every target row whose key is in
@@ -137,10 +151,18 @@ def _cow_rewrite(
     target = spark.read.parquet(str(root))
     cols = target.columns
 
+    # broadcast guard: a takedown list broadcasts; a crawl-refresh
+    # delta past the threshold would OOM the driver — count once
+    # (Θ(delta) scan, localCheckpoint pins it against recomputation in
+    # the two joins below) and fall back to a shuffle join
+    src_keys = src_keys.localCheckpoint(eager=False)
+    if src_keys.count() <= broadcast_max_rows:
+        src_keys = F.broadcast(src_keys)
+
     files_total = _data_files(root)
     touched_rows = (
         target.withColumn("_file", F.col("_metadata.file_path"))
-        .join(F.broadcast(src_keys), keys, "left_semi")
+        .join(src_keys, keys, "left_semi")
         .select("_file")
         .distinct()
         .collect()
@@ -152,7 +174,7 @@ def _cow_rewrite(
     kept = (
         target.withColumn("_file", F.col("_metadata.file_path"))
         .filter(F.col("_file").isin(touched_uris) if touched_uris else F.lit(False))
-        .join(F.broadcast(src_keys), keys, "left_anti")
+        .join(src_keys, keys, "left_anti")
         .select(*cols)
     )
     merged = kept if new_rows is None else kept.unionByName(new_rows.select(*cols))

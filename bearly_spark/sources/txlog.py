@@ -818,6 +818,7 @@ def merge_into_table(
     key_cols: list[str],
     prune: dict | None = None,
     stats_cols: list[str] | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> tuple[int, dict]:
     """UPSERT (Delta-style MERGE) as one copy-on-write commit: delta
     rows replace same-key table rows and unmatched delta rows insert.
@@ -840,7 +841,10 @@ def merge_into_table(
     are usually uncorrelated with file layout — the honest default).
 
     Delta must carry the table schema and distinct keys (same contract
-    as ``maintenance.merge_into``). Conflicts with any interleaved
+    as ``maintenance.merge_into``). The delta-key side of the anti-join
+    broadcasts only while it holds at most ``broadcast_max_rows`` rows
+    (counted once); a bulk delta falls back to a shuffle join instead
+    of an oversized driver broadcast. Conflicts with any interleaved
     commit."""
     root = _root(path)
     current = max(_versions(root), default=0)
@@ -867,9 +871,10 @@ def merge_into_table(
             )
     if touched:
         old = _read_masked(spark, root, touched, schema, dvs)
-        kept = old.join(
-            F.broadcast(delta.select(*key_cols)), key_cols, "left_anti"
-        )
+        keys = delta.select(*key_cols).localCheckpoint(eager=False)
+        if keys.count() <= broadcast_max_rows:
+            keys = F.broadcast(keys)
+        kept = old.join(keys, key_cols, "left_anti")
         new_data = kept.unionByName(delta)
     else:
         new_data = delta
@@ -907,10 +912,15 @@ def read_changes(
     NOTHING (it is physically large but logically a no-op — exactly
     why consumers must read the LOG, not the file listing). Output = table columns + ``_change_version`` (int) +
     ``_change_type`` ('insert'|'delete'). A ``to_version`` past the
-    log is clamped to the latest version. If the picked range spans a
-    SCHEMA change (an overwrite with different columns), the feed
-    raises instead of silently reading old files under the new schema
-    — split the range at the overwrite to consume it."""
+    log is clamped to the latest version. The whole feed is emitted
+    under the schema at ``to_version``: a range spanning ADDITIVE
+    evolution (``merge_schema`` appends) stays readable — older
+    commits' rows come back with NULLs in the later columns, exactly
+    as :func:`read_table` resolves them. Only a genuinely
+    incompatible schema change in the range (an overwrite that
+    dropped or retyped columns) raises, instead of silently reading
+    old files under the new schema — split the range at that commit
+    to consume it."""
     root = _root(path)
     vs = _versions(root)
     hi = to_version if to_version is not None else (vs[-1] if vs else 0)
@@ -920,14 +930,18 @@ def read_changes(
         raise ValueError(f"no version {from_version} in {root}")
     schema = _schema_at(root, hi) if vs else None
     schema_fields = (
-        [(f.name, f.dataType) for f in schema.fields] if schema else None
+        {(f.name, f.dataType) for f in schema.fields} if schema else None
     )
 
     def _guard_schema(commit: dict, v: int) -> None:
+        # additive-subset check: every column the commit wrote must
+        # exist in the feed schema with an identical type (NULL-fill
+        # of later columns is then sound); anything else is a real
+        # schema change the feed cannot represent
         got = StructType.fromJson(json.loads(commit["schema"]))
-        if [(f.name, f.dataType) for f in got.fields] != schema_fields:
+        if not {(f.name, f.dataType) for f in got.fields} <= schema_fields:
             raise ValueError(
-                f"change feed spans a schema change at v{v} "
+                f"change feed spans an incompatible schema change at v{v} "
                 f"({got.simpleString()} vs {schema.simpleString()}); "
                 "split the range there"
             )
@@ -981,11 +995,14 @@ def read_changes(
                 _, prev_commit, _ = _live_at(root, v - 1)
             if prev_commit is not None:
                 old = StructType.fromJson(json.loads(prev_commit["schema"]))
-                if [(f.name, f.dataType) for f in old.fields] != schema_fields:
+                if not {
+                    (f.name, f.dataType) for f in old.fields
+                } <= schema_fields:
                     raise ValueError(
-                        f"v{v} overwrote the table with a different schema; "
-                        f"its delete feed ({old.simpleString()}) cannot be "
-                        f"represented under {schema.simpleString()} — use "
+                        f"v{v} overwrote the table with an incompatible "
+                        f"schema; its delete feed ({old.simpleString()}) "
+                        f"cannot be represented under "
+                        f"{schema.simpleString()} — use "
                         f"read_table(version={v - 1}) for the removed rows"
                     )
             sides.append(("delete", list(c.get("remove", []))))
@@ -1065,8 +1082,12 @@ def vacuum(
     unreferenced — an in-flight writer moves its files into ``data/``
     BEFORE publishing the commit that references them, and reaping
     that window would corrupt the commit it is about to make (the
-    same retention guard Delta's VACUUM applies). Returns the deleted
-    relative paths."""
+    same retention guard Delta's VACUUM applies). A crashed writer's
+    ``.staging-<token>/`` directory (files written but never moved
+    into ``data/``) is reclaimed under the same age guard — staging
+    trees are invisible to readers by construction, so only the age
+    check protects an in-flight write. Returns the deleted relative
+    paths."""
     root = _root(path)
     vs = [v for v in _versions(root) if v >= keep_from_version]
     if not vs:
@@ -1089,6 +1110,10 @@ def vacuum(
             ):
                 p.unlink()
                 deleted.append(rel)
+    for p in sorted(root.glob(".staging-*")):
+        if p.is_dir() and p.stat().st_mtime <= cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(str(p.relative_to(root)))
     return deleted
 
 

@@ -520,6 +520,29 @@ def test_merge_into_delete_and_insert_only(spark, sf_dir, tmp_path_factory):
     assert spark.read.parquet(str(root)).count() == n - ndel + 7
 
 
+def test_merge_into_over_broadcast_threshold_takes_shuffle_path(
+    spark, tmp_path_factory
+):
+    """Same guard on the snapshot-tree MERGE: a delta past
+    ``broadcast_max_rows`` drops the broadcast hint and still produces
+    the identical merged table."""
+    from bearly_spark.operators.maintenance import merge_into
+
+    root = tmp_path_factory.mktemp("merge_guard") / "t"
+    spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).coalesce(2).write.parquet(str(root))
+    src = spark.range(10, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    stats = merge_into(spark, str(root), src, ["k"], broadcast_max_rows=5)
+    assert stats["files_rewritten"] >= 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(root)).collect()}
+    assert len(got) == 40
+    assert got[10] == 1000 and got[29] == 2900
+    assert got[9] == 90 and got[30] == 300
+
+
 def test_merge_into_edge_semantics(spark, sf_dir, tmp_path_factory):
     """Duplicate SOURCE keys raise; duplicate TARGET rows for a matched
     key all collapse to the one source row (upsert-by-key); a

@@ -162,6 +162,30 @@ def test_vacuum_reclaims_only_unreferenced(spark, table):
         TX.read_table(spark, table, version=1)
 
 
+def test_vacuum_reclaims_aged_staging_dirs(spark, table):
+    """A crashed writer's .staging-<token>/ tree (written, never moved
+    into data/) is invisible to readers and reclaimed by vacuum under
+    the same age guard as unreferenced data files; a YOUNG staging dir
+    (possibly an in-flight writer) is never touched."""
+    import os
+    from pathlib import Path
+
+    TX.write_table(_rows(spark, 0, 3), table)
+    root = Path(table)
+    crashed = root / ".staging-deadbeef0000"
+    crashed.mkdir()
+    (crashed / "part-00000.parquet").write_bytes(b"orphan")
+    old = 1e9
+    os.utime(crashed, (old, old))
+    inflight = root / ".staging-cafecafe0000"
+    inflight.mkdir()
+    deleted = TX.vacuum(table, keep_from_version=1, min_age_seconds=3600)
+    assert ".staging-deadbeef0000" in deleted
+    assert not crashed.exists()
+    assert inflight.exists()
+    assert _collect(TX.read_table(spark, table)) == _collect(_rows(spark, 0, 3))
+
+
 def test_history_audit_trail(spark, table):
     TX.write_table(_rows(spark, 0, 5), table)
     TX.write_table(_rows(spark, 5, 8), table)
@@ -307,6 +331,40 @@ def test_read_changes_raises_across_schema_change(spark, table):
         TX.read_changes(spark, table, 1)
     # a range strictly before the change reads fine under its schema
     assert TX.read_changes(spark, table, 0, 1).count() == 3
+
+
+def test_read_changes_spans_additive_evolution(spark, table):
+    """A feed range spanning a merge_schema append stays readable: the
+    whole feed comes back under the evolved schema, pre-evolution rows
+    NULL-filled in the new column — the same name-based resolution
+    read_table applies. Only drops/retypes split the feed."""
+    TX.write_table(_rows(spark, 0, 3).coalesce(1), table, stats_cols=["k"])
+    wider = spark.range(3, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("b").alias("cat"),
+        (F.col("id") + 100).alias("score"),
+    )
+    TX.write_table(
+        wider.coalesce(1), table, merge_schema=True, stats_cols=["k"]
+    )
+    feed = TX.read_changes(spark, table, 0)
+    assert feed.columns == ["k", "v", "cat", "score", "_change_version", "_change_type"]
+    got = {r["k"]: (r["score"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        0: (None, "insert"),
+        1: (None, "insert"),
+        2: (None, "insert"),
+        3: (103, "insert"),
+        4: (104, "insert"),
+    }
+    # a post-evolution DELETE's feed also spans: its removed file was
+    # written pre-evolution and NULL-fills the same way
+    TX.delete_where(spark, table, {"k": (0, 0)})
+    deletes = TX.read_changes(spark, table, 2).filter(
+        F.col("_change_type") == "delete"
+    )
+    assert [r["k"] for r in deletes.collect()] == [0, 1, 2]
 
 
 def test_read_changes_clamps_past_latest(spark, table):
@@ -485,6 +543,26 @@ def test_merge_upserts_with_pruned_rewrite(spark, table):
     assert got[1000] == (100000, "m")  # inserted
     # pre-merge version intact
     assert len(_collect(TX.read_table(spark, table, version=4))) == 200
+
+
+def test_merge_over_broadcast_threshold_takes_shuffle_path(spark, table):
+    """A delta past ``broadcast_max_rows`` must not be force-broadcast:
+    the guard drops the hint (shuffle/AQE path) and the merged table is
+    identical to the broadcast path's result."""
+    TX.write_table(_rows(spark, 0, 40).coalesce(1), table, stats_cols=["k"])
+    delta = spark.range(10, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    v, stats = TX.merge_into_table(
+        spark, table, delta, ["k"], broadcast_max_rows=5
+    )
+    assert v == 2 and stats["files_rewritten"] == 1
+    got = {r["k"]: (r["v"], r["cat"]) for r in TX.read_table(spark, table).collect()}
+    assert len(got) == 40
+    assert got[10] == (1000, "m") and got[29] == (2900, "m")
+    assert got[9] == (90, "a") and got[30] == (300, "a")
 
 
 def test_merge_rejects_delta_outside_prune_zone(spark, table):

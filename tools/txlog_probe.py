@@ -53,7 +53,7 @@ def main() -> None:
 
     # (1) replay cost: checkpointed vs full
     t0 = time.perf_counter()
-    live_fast, _ = TX._live_at(root, N_COMMITS)
+    live_fast, _, _ = TX._live_at(root, N_COMMITS)
     t_fast = time.perf_counter() - t0
 
     chks = sorted((TX._log_path(root)).glob("chk-*.json"))
@@ -62,7 +62,7 @@ def main() -> None:
     for c in chks:
         shutil.move(str(c), stash / c.name)
     t0 = time.perf_counter()
-    live_full, _ = TX._live_at(root, N_COMMITS)
+    live_full, _, _ = TX._live_at(root, N_COMMITS)
     t_full = time.perf_counter() - t0
     for c in stash.iterdir():
         shutil.move(str(c), TX._log_path(root) / c.name)
