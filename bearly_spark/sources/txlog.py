@@ -27,6 +27,14 @@ on plain parquet, Spark-first:
   also writes a checkpoint (the materialized live-file set), so replay
   reads at most one checkpoint + ``_CHECKPOINT_EVERY`` commits, not the
   whole history (Delta's ``_last_checkpoint`` pattern).
+- **Partition columns** — ``write_table(..., partition_by=[...])``
+  lands files under hive-style value directories, records each file's
+  typed partition values in its log add-entry, and planning prunes on
+  them BEFORE footer stats — the first-order file filter Delta/Iceberg
+  lead with (stats skipping only bites when writes are clustered).
+  Readers resolve the partition columns from the directory layout
+  (``basePath``); the Python DataSource serves them straight from the
+  log entry. Compaction and row-level DML keep the layout.
 - **Data skipping** — per-file min/max/null-count stats are harvested
   from the parquet FOOTERS at commit time (pyarrow metadata reads: zero
   data bytes, O(files) driver-side metadata ops — the same cost class
@@ -194,6 +202,46 @@ def _live_at(root: Path, version: int) -> tuple[dict[str, dict], dict, list[str]
     return live, _read_json(_commit_file(root, last)), dvs
 
 
+def _version_at_ts(root: Path, as_of_ts) -> int:
+    """Newest version whose commit timestamp is <= ``as_of_ts`` — the
+    "table as of yesterday" resolution (Delta's ``timestampAsOf``).
+    ``as_of_ts`` is epoch seconds (int/float), a ``datetime``, or an
+    ISO-8601 string (naive strings are LOCAL time, like a datetime
+    without tzinfo). Commit timestamps are assigned under the
+    monotonically-increasing version sequence, so a binary search over
+    the version list reads O(log n) commit files, never the whole log.
+    Raises if the table did not exist yet at that time."""
+    if isinstance(as_of_ts, str):
+        try:
+            as_of_ts = float(as_of_ts)  # numeric string (epoch seconds)
+        except ValueError:
+            from datetime import datetime
+
+            as_of_ts = datetime.fromisoformat(as_of_ts)
+    if hasattr(as_of_ts, "timestamp"):
+        as_of_ts = as_of_ts.timestamp()
+    as_of_ts = float(as_of_ts)
+    vs = _versions(root)
+    if not vs:
+        raise ValueError(f"no table at {root}")
+    lo, hi = 0, len(vs) - 1
+    ans = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _read_json(_commit_file(root, vs[mid]))["ts"] <= as_of_ts:
+            ans = vs[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if ans is None:
+        first = _read_json(_commit_file(root, vs[0]))["ts"]
+        raise ValueError(
+            f"no commit at or before ts={as_of_ts} in {root} "
+            f"(first commit ts={first})"
+        )
+    return ans
+
+
 def _schema_at(root: Path, version: int) -> StructType:
     _, commit, _ = _live_at(root, version)
     return StructType.fromJson(json.loads(commit["schema"]))
@@ -246,7 +294,45 @@ def _json_stat(v):
     return v if isinstance(v, _STATS_SAFE) else None
 
 
-def _file_entry(root: Path, fp: Path, stats_cols: list[str]) -> dict:
+#: Spark/Hive's directory name for a NULL partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _typed_partition_value(raw: str, dtype) -> object:
+    """Decode one hive-style directory value (``col=<raw>``) into the
+    JSON-typed value the log stores: ints/floats/bools parse to their
+    type so range pruning compares numerically; everything else stays
+    the (unescaped) string — ISO dates compare correctly as strings,
+    and a non-comparable value just never prunes (TypeError guard)."""
+    if raw == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    t = dtype.simpleString()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _parse_partition_dir(rel_dir: Path, schema: StructType) -> dict:
+    """``a=1/b=x`` relative directory -> {"a": 1, "b": "x"}, typed per
+    the table schema."""
+    types = {f.name: f.dataType for f in schema.fields}
+    values: dict[str, object] = {}
+    for seg in rel_dir.parts:
+        name, _, raw = seg.partition("=")
+        values[name] = _typed_partition_value(raw, types[name])
+    return values
+
+
+def _file_entry(
+    root: Path, fp: Path, stats_cols: list[str], partition: dict | None = None
+) -> dict:
     """One log entry for a data file: rows + per-column min/max/nulls
     aggregated over the file's row-group footer statistics. Footer
     reads touch zero data pages; at cluster scale this loop would ride
@@ -286,36 +372,59 @@ def _file_entry(root: Path, fp: Path, stats_cols: list[str]) -> dict:
         if usable and lo is not None:
             entry["min"], entry["max"] = lo, hi
         stats[col] = entry
-    return {
+    out = {
         "path": str(fp.relative_to(root)),
         "rows": md.num_rows,
         "stats": stats,
     }
+    if partition:
+        out["partition"] = partition
+    return out
 
 
 def _write_data_files(
-    df: DataFrame, root: Path, stats_cols: list[str], prefix: str = "c"
+    df: DataFrame,
+    root: Path,
+    stats_cols: list[str],
+    prefix: str = "c",
+    partition_by: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` into the data dir under a fresh commit token and
     return the add-entries. Files are invisible to readers until a
     commit references them, so a crash here leaks only unreferenced
-    bytes (vacuum reclaims them). ``prefix`` distinguishes file roles
-    (data vs deletion vector) for human readers; the log, not the
-    name, is what gives a file meaning."""
+    bytes (vacuum reclaims them, staging trees included). ``prefix``
+    distinguishes file roles (data vs deletion vector) for human
+    readers; the log, not the name, is what gives a file meaning.
+    With ``partition_by``, files land under hive-style value
+    directories (``data/col=value/...``) and each entry records its
+    typed partition values — the log-served partition pruning input."""
     token = uuid.uuid4().hex[:12]
     staging = root / f".staging-{token}"
-    df.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staging))
     parts = sorted(
-        p for p in staging.iterdir() if p.suffix == ".parquet" and p.name[0] not in "._"
+        p
+        for p in staging.rglob("*.parquet")
+        if p.name[0] not in "._"
+        and not any(seg.startswith((".", "_")) for seg in p.relative_to(staging).parts[:-1])
     )
     data_dir = root / _DATA_DIR
-    data_dir.mkdir(parents=True, exist_ok=True)
     entries = []
     for i, p in enumerate(parts):
-        dst = data_dir / f"{prefix}{token}-{i:05d}.parquet"
+        rel_dir = p.parent.relative_to(staging)
+        dst_dir = data_dir / rel_dir
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        dst = dst_dir / f"{prefix}{token}-{i:05d}.parquet"
         os.replace(p, dst)
-        entries.append(_file_entry(root, dst, stats_cols))
+        partition = (
+            _parse_partition_dir(rel_dir, df.schema) if rel_dir.parts else None
+        )
+        entries.append(_file_entry(root, dst, stats_cols, partition))
     shutil.rmtree(staging, ignore_errors=True)
+    if not entries:
+        data_dir.mkdir(parents=True, exist_ok=True)
     return entries
 
 
@@ -430,6 +539,10 @@ def _check_evolution(existing: StructType, incoming: StructType) -> StructType:
     return StructType(list(existing.fields) + new)
 
 
+def _table_partition_cols(commit: dict) -> list[str]:
+    return list(commit.get("partition_cols", []))
+
+
 def write_table(
     df: DataFrame | list[DataFrame],
     path: str,
@@ -437,6 +550,7 @@ def write_table(
     stats_cols: list[str] | None = None,
     batch_tag: str | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the table at ``path``. ``mode='append'`` adds
     files (never conflicts; retries under concurrent writers);
@@ -450,7 +564,14 @@ def write_table(
     ``merge_schema=True`` allows ADDITIVE schema evolution on append:
     new columns join the table schema and older files read back with
     NULLs there (parquet name-based resolution); drops and type
-    changes still raise. Returns the committed version."""
+    changes still raise. ``partition_by`` (create/overwrite only)
+    makes the table HIVE-PARTITIONED on those columns: files land
+    under value directories, every add-entry records its partition
+    values, and readers prune on them BEFORE footer stats — the
+    first-order file filter at 100 TB. Partitioning is a table-level
+    property: appends inherit it (passing a different ``partition_by``
+    raises; passing the same or None is fine) and an overwrite may
+    redefine it. Returns the committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parts = list(df) if isinstance(df, (list, tuple)) else [df]
@@ -464,12 +585,28 @@ def write_table(
     evolving = merge_schema and mode == "append"
     current = max(_versions(root), default=0)
     if current and mode == "append":
-        existing = _schema_at(root, current)
+        _, existing_commit, _ = _live_at(root, current)
+        existing = StructType.fromJson(json.loads(existing_commit["schema"]))
         if evolving:
             _check_evolution(existing, parts[0].schema)  # pre-write check
         else:
             _check_schema(existing, parts[0].schema)
-    add = [e for p in parts for e in _write_data_files(p, root, stats_cols)]
+        pcols = _table_partition_cols(existing_commit)
+        if partition_by is not None and list(partition_by) != pcols:
+            raise ValueError(
+                f"table is partitioned by {pcols}; an append cannot "
+                f"repartition to {list(partition_by)} (overwrite can)"
+            )
+    else:
+        pcols = list(partition_by or [])
+    missing_pcols = [c for c in pcols if c not in parts[0].columns]
+    if missing_pcols:
+        raise ValueError(f"partition columns missing from data: {missing_pcols}")
+    add = [
+        e
+        for p in parts
+        for e in _write_data_files(p, root, stats_cols, partition_by=pcols)
+    ]
     df = parts[0]
     remove: list[str] = []
     expected = None
@@ -478,6 +615,12 @@ def write_table(
             live, _, _ = _live_at(root, current)
             remove = sorted(live)
         expected = current
+    extra: dict = {"partition_cols": pcols}
+    if mode == "overwrite":
+        # an overwrite de-references every masked file, so its commit
+        # also retires all deletion vectors (like compact) — otherwise
+        # stale DVs would burden every later read and never vacuum
+        extra["dv_remove_all"] = True
     return _commit(
         root,
         "create" if current == 0 else mode,
@@ -488,10 +631,7 @@ def write_table(
         batch_tag=batch_tag,
         check_append_schema=(mode == "append" and not evolving),
         evolve_schema=df.schema if evolving else None,
-        # an overwrite de-references every masked file, so its commit
-        # also retires all deletion vectors (like compact) — otherwise
-        # stale DVs would burden every later read and never vacuum
-        extra={"dv_remove_all": True} if mode == "overwrite" else None,
+        extra=extra,
     )
 
 
@@ -502,22 +642,30 @@ def compact(
     stats_cols: list[str] | None = None,
     order_by: list[str] | None = None,
 ) -> int:
-    """Rewrite the live set into ``target_files`` files (optionally
-    range-clustered on ``order_by`` so stats-skipping bites harder
-    post-compaction) as ONE commit. Data is bit-identical; every
-    pre-compaction version still time-travels until vacuumed."""
+    """Rewrite the live set into ``target_files`` write tasks
+    (optionally range-clustered on ``order_by`` so stats-skipping
+    bites harder post-compaction) as ONE commit. Data is
+    bit-identical; every pre-compaction version still time-travels
+    until vacuumed. A partitioned table keeps its layout: rows
+    range-cluster on (partition cols, order_by) so each task holds
+    contiguous partition values, and the rewrite lands back under the
+    value directories — compaction never un-partitions a table."""
     root = _root(path)
     current = max(_versions(root), default=0)
     if not current:
         raise ValueError(f"no table at {path}")
-    live, _, _ = _live_at(root, current)
+    live, commit, _ = _live_at(root, current)
+    pcols = _table_partition_cols(commit)
     df = read_table(spark, path, version=current)
+    cluster = [*pcols, *(order_by or [])]
     df = (
-        df.repartitionByRange(target_files, *order_by)
-        if order_by
+        df.repartitionByRange(target_files, *cluster)
+        if cluster
         else df.repartition(target_files)
     )
-    add = _write_data_files(df, root, list(stats_cols or []))
+    add = _write_data_files(
+        df, root, list(stats_cols or []), partition_by=pcols
+    )
     return _commit(
         root,
         "compact",
@@ -527,7 +675,7 @@ def compact(
         expected_version=current,
         # the rewrite read every mask through read_table, so compaction
         # MATERIALIZES all deletion vectors and retires them
-        extra={"dv_remove_all": True},
+        extra={"dv_remove_all": True, "partition_cols": pcols},
     )
 
 
@@ -538,7 +686,24 @@ def compact(
 
 def _overlaps(entry: dict, col: str, lo, hi) -> bool:
     """Can any row of this file satisfy lo <= col <= hi? Missing or
-    non-comparable stats keep the file (pruning must be sound)."""
+    non-comparable stats keep the file (pruning must be sound). A
+    PARTITION column is an exact single-value stat served from the log
+    entry — the first-order file filter: equality/range on it prunes
+    without any footer stats, and a NULL partition value never matches
+    a range predicate."""
+    part = entry.get("partition") or {}
+    if col in part:
+        v = part[col]
+        if v is None:
+            return False
+        try:
+            if lo is not None and v < lo:
+                return False
+            if hi is not None and v > hi:
+                return False
+        except TypeError:
+            return True
+        return True
     st = entry.get("stats", {}).get(col)
     if st is None:
         return True
@@ -621,8 +786,20 @@ def _read_masked(
     File NAMES are the join key (every data file name embeds a fresh
     uuid, so names never repeat across rewrites and a stale DV row is
     inert). ``with_pos=True`` keeps the ``__fname``/``__pos`` columns
-    for callers that build new DVs."""
-    df = spark.read.schema(schema).parquet(*[str(root / rel) for rel in rels])
+    for callers that build new DVs. ``basePath`` is pinned to the data
+    dir so a partitioned table's hive-style value directories resolve
+    back into the declared partition columns (typed by the schema);
+    for a flat table it is inert."""
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", str(root / _DATA_DIR))
+        .parquet(*[str(root / rel) for rel in rels])
+    )
+    declared = [f.name for f in schema.fields]
+    if df.columns != declared:
+        # Spark appends directory-resolved partition columns last;
+        # the table contract is the DECLARED column order
+        df = df.select(*declared)
     if not dv_rels and not with_pos:
         return df
     cols = df.columns
@@ -646,13 +823,22 @@ def read_table(
     path: str,
     version: int | None = None,
     where: dict | None = None,
+    as_of_ts=None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). ``where`` range
     predicates prune files via the logged stats AND are re-applied
     row-level, so the result is exact regardless of stats quality.
     Deletion vectors at the version are applied (merge-on-read).
+    ``as_of_ts`` (epoch seconds / datetime / ISO string, mutually
+    exclusive with ``version``) resolves to the newest commit at or
+    before that time — timestamp time travel, the form operators
+    actually ask ("the table as of yesterday").
     Raises if a referenced file was vacuumed away (loud, not silent)."""
     root = _root(path)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = _version_at_ts(root, as_of_ts)
     files, _, commit, dvs = _plan(root, version, where)
     v = commit["version"]
     missing = [rel for rel in files if not (root / rel).is_file()]
@@ -674,9 +860,10 @@ def read_table(
 
 
 def history(path: str) -> list[dict]:
-    """Commit audit trail: version, operation, files/rows added,
-    files removed — the metadata view a 100 TB operator actually
-    watches (is compaction keeping up with ingest?)."""
+    """Commit audit trail: version, commit timestamp, operation,
+    files/rows added, files removed — the metadata view a 100 TB
+    operator actually watches (is compaction keeping up with ingest?),
+    and the surface that makes ``as_of_ts`` time travel pickable."""
     root = _root(path)
     out = []
     for v in _versions(root):
@@ -684,6 +871,7 @@ def history(path: str) -> list[dict]:
         out.append(
             {
                 "version": v,
+                "ts": c["ts"],
                 "operation": c["operation"],
                 "n_added": len(c.get("add", [])),
                 "n_removed": len(c.get("remove", [])),
@@ -723,9 +911,12 @@ def delete_where(
             "rows_kept": 0,
         }
     schema = StructType.fromJson(json.loads(commit["schema"]))
+    pcols = _table_partition_cols(commit)
     df = _read_masked(spark, root, touched, schema, dvs)
     kept = df.filter(~F.coalesce(_range_cond(where), F.lit(False)))
-    add = _write_data_files(kept, root, list(stats_cols or []))
+    add = _write_data_files(
+        kept, root, list(stats_cols or []), partition_by=pcols
+    )
     v = _commit(
         root,
         "delete",
@@ -733,6 +924,7 @@ def delete_where(
         add,
         sorted(touched),
         expected_version=current,
+        extra={"partition_cols": pcols},
     )
     return v, {
         "files_rewritten": len(touched),
@@ -791,7 +983,7 @@ def delete_where_dv(
         [],
         [],
         expected_version=current,
-        extra={"dv_add": rels},
+        extra={"dv_add": rels, "partition_cols": _table_partition_cols(commit)},
     )
     # count the files that actually contributed masks (stats pruning
     # may touch files whose range overlaps but holds no matching row)
@@ -878,7 +1070,10 @@ def merge_into_table(
         new_data = kept.unionByName(delta)
     else:
         new_data = delta
-    add = _write_data_files(new_data, root, list(stats_cols or []))
+    pcols = _table_partition_cols(commit)
+    add = _write_data_files(
+        new_data, root, list(stats_cols or []), partition_by=pcols
+    )
     v = _commit(
         root,
         "merge",
@@ -886,6 +1081,7 @@ def merge_into_table(
         add,
         sorted(touched),
         expected_version=current,
+        extra={"partition_cols": pcols},
     )
     return v, {
         "files_rewritten": len(touched),
@@ -1101,15 +1297,18 @@ def vacuum(
     cutoff = time.time() - min_age_seconds
     deleted = []
     if data_dir.is_dir():
-        for p in sorted(data_dir.iterdir()):
+        for p in sorted(data_dir.rglob("*.parquet")):
             rel = str(p.relative_to(root))
-            if (
-                p.suffix == ".parquet"
-                and rel not in referenced
-                and p.stat().st_mtime <= cutoff
-            ):
+            if rel not in referenced and p.stat().st_mtime <= cutoff:
                 p.unlink()
                 deleted.append(rel)
+        # drop value directories a partitioned table no longer uses
+        # (deepest-first so nested empties cascade)
+        for d in sorted(
+            (d for d in data_dir.rglob("*") if d.is_dir()), reverse=True
+        ):
+            if not any(d.iterdir()):
+                d.rmdir()
     for p in sorted(root.glob(".staging-*")):
         if p.is_dir() and p.stat().st_mtime <= cutoff:
             shutil.rmtree(p, ignore_errors=True)
@@ -1127,6 +1326,19 @@ def _schema_fields(schema: StructType) -> list[tuple[str, object]]:
     return [(f.name, f.dataType) for f in schema.fields]
 
 
+def _resolve_version_option(path: str, options) -> int | None:
+    """The batch DataSource's snapshot pin: ``version`` (int) or
+    ``asOfTimestamp`` (epoch seconds / ISO string) — mutually
+    exclusive, None when neither is set (latest)."""
+    v = options.get("version")
+    ts = options.get("asOfTimestamp")
+    if v is not None and ts is not None:
+        raise ValueError("pass version OR asOfTimestamp, not both")
+    if ts is not None:
+        return _version_at_ts(_root(path), ts)
+    return int(v) if v is not None else None
+
+
 def _make_datasource_class():
     """Build the DataSource class lazily (the datasource module needs a
     Spark 4 runtime; importing it at module import would couple every
@@ -1139,10 +1351,17 @@ def _make_datasource_class():
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, fpath: str, masked=None, schema_json: str | None = None):
+        def __init__(
+            self,
+            fpath: str,
+            masked=None,
+            schema_json: str | None = None,
+            partition: dict | None = None,
+        ):
             self.fpath = fpath
             self.masked = masked or []  # masked row positions in THIS file
             self.schema_json = schema_json
+            self.partition = partition or {}  # log-served partition values
 
     def _read_file_partition(partition):
         if not partition.fpath:
@@ -1158,8 +1377,10 @@ def _make_datasource_class():
                     keep[pos] = False
             tab = tab.filter(pa.array(keep))
         if partition.schema_json is not None:
-            # align to the DECLARED schema: evolved tables have old
-            # files missing new columns — fill them with NULLs, by
+            # align to the DECLARED schema: a partitioned table's files
+            # don't carry the partition columns (the LOG entry serves
+            # their per-file constant values), and evolved tables have
+            # old files missing new columns — filled with NULLs, by
             # name, in declared order (what read_table's name-based
             # resolution does on the DataFrame path)
             from pyspark.sql.pandas.types import to_arrow_schema
@@ -1173,6 +1394,11 @@ def _make_datasource_class():
                     if field.name in tab.schema.names:
                         arrays.append(
                             tab.column(field.name).cast(field.type)
+                        )
+                    elif field.name in partition.partition:
+                        value = partition.partition[field.name]
+                        arrays.append(
+                            pa.array([value] * tab.num_rows).cast(field.type)
                         )
                     else:
                         arrays.append(pa.nulls(tab.num_rows, field.type))
@@ -1192,15 +1418,19 @@ def _make_datasource_class():
 
         def __init__(self, options, schema: StructType):
             self.path = options["path"]
-            v = options.get("version")
-            self.version = int(v) if v is not None else None
+            self.version = _resolve_version_option(self.path, options)
             self.schema_json = json.dumps(schema.jsonValue())
 
         def partitions(self):
             import pyarrow.parquet as pq
 
             root = _root(self.path)
-            files, _, _, dvs = _plan(root, self.version, None)
+            v = (
+                self.version
+                if self.version is not None
+                else max(_versions(root), default=0)
+            )
+            live, _, dvs = _live_at(root, v)
             masked: dict[str, list[int]] = {}
             for rel in dvs:
                 tab = pq.read_table(str(root / rel))
@@ -1214,8 +1444,9 @@ def _make_datasource_class():
                     str(root / rel),
                     masked.get(rel.rsplit("/", 1)[-1]),
                     self.schema_json,
+                    entry.get("partition"),
                 )
-                for rel in files
+                for rel, entry in sorted(live.items())
             ] or [_FilePartition("")]
 
         def read(self, partition):
@@ -1242,6 +1473,7 @@ def _make_datasource_class():
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
             self.declared = _schema_fields(schema)
+            self.schema_json = json.dumps(schema.jsonValue())
 
         def initialOffset(self):
             return {"version": self.start - 1}
@@ -1276,7 +1508,12 @@ def _make_datasource_class():
                         f"startingVersion={v} to continue under it"
                     )
                 parts.extend(
-                    _FilePartition(str(root / entry["path"]))
+                    _FilePartition(
+                        str(root / entry["path"]),
+                        None,
+                        self.schema_json,
+                        entry.get("partition"),
+                    )
                     for entry in c.get("add", [])
                 )
             return parts or [_FilePartition("")]
@@ -1299,8 +1536,9 @@ def _make_datasource_class():
 
         def schema(self):
             root = _root(self.options["path"])
-            v = self.options.get("version")
-            version = int(v) if v is not None else max(_versions(root), default=0)
+            version = _resolve_version_option(self.options["path"], self.options)
+            if version is None:
+                version = max(_versions(root), default=0)
             return _schema_at(root, version)
 
         def reader(self, schema):

@@ -52,6 +52,51 @@ def test_time_travel_every_version(spark, table):
         )
 
 
+def test_timestamp_time_travel(spark, table):
+    """as_of_ts resolves to the newest commit at or before that time
+    (Delta's timestampAsOf): between-commit timestamps pick the earlier
+    version, a pre-table timestamp raises, datetime/ISO/epoch forms all
+    resolve, and history() surfaces the commit ts that makes the form
+    pickable."""
+    from datetime import datetime
+
+    TX.write_table(_rows(spark, 0, 3), table)
+    TX.write_table(_rows(spark, 3, 6), table)
+    TX.write_table(_rows(spark, 6, 9), table)
+    hist = TX.history(table)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    ts = {h["version"]: h["ts"] for h in hist}
+    assert ts[1] <= ts[2] <= ts[3]
+    # exactly at v2's commit time -> v2; just before v3 -> still v2
+    for probe in (ts[2], (ts[2] + ts[3]) / 2):
+        assert _collect(
+            TX.read_table(spark, table, as_of_ts=probe)
+        ) == _collect(_rows(spark, 0, 6))
+    # far future -> latest; datetime and ISO forms resolve identically
+    assert _collect(
+        TX.read_table(spark, table, as_of_ts=ts[3] + 3600)
+    ) == _collect(_rows(spark, 0, 9))
+    # +1ms: fromtimestamp truncates to microseconds, which could
+    # otherwise land an epsilon BEFORE the first commit and raise
+    dt = datetime.fromtimestamp(ts[1] + 0.001)
+    assert _collect(TX.read_table(spark, table, as_of_ts=dt)) == _collect(
+        TX.read_table(spark, table, as_of_ts=dt.isoformat())
+    )
+    with pytest.raises(ValueError, match="no commit at or before"):
+        TX.read_table(spark, table, as_of_ts=ts[1] - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        TX.read_table(spark, table, version=1, as_of_ts=ts[1])
+    # the DataSource face takes the same pin as an option
+    TX.register_source(spark)
+    got = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("asOfTimestamp", str(ts[2]))
+        .load()
+    )
+    assert _collect(got) == _collect(_rows(spark, 0, 6))
+
+
 def test_overwrite_replaces_live_set(spark, table):
     TX.write_table(_rows(spark, 0, 5), table)
     TX.write_table(_rows(spark, 100, 103, cat="b"), table, mode="overwrite")
@@ -903,3 +948,171 @@ def test_datasource_sql_surface(spark, table):
         "SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM tx_sql_view"
     ).collect()[0]
     assert (row["n"], row["sv"]) == (5, 100)
+
+
+# ---------------------------------------------------------------- partitions
+
+
+def _prows(spark, lo, hi):
+    """(k, cat, v) rows where cat cycles a/b — the partition column."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def _pcollect(df):
+    return sorted((r["k"], r["cat"], r["v"]) for r in df.collect())
+
+
+def test_partitioned_write_layout_and_read(spark, table):
+    """partition_by lands files under hive value dirs, log entries
+    record typed partition values, and the read resolves the partition
+    column back — declared order and types intact."""
+    TX.write_table(
+        _prows(spark, 0, 10), table, partition_by=["cat"], stats_cols=["k"]
+    )
+    root = TX._root(table)
+    files = sorted(p.relative_to(root) for p in root.glob("data/*/*.parquet"))
+    assert files and all(p.parts[1] in ("cat=a", "cat=b") for p in files)
+    live, commit, _ = TX._live_at(root, 1)
+    assert TX._table_partition_cols(commit) == ["cat"]
+    assert {e["partition"]["cat"] for e in live.values()} == {"a", "b"}
+    df = TX.read_table(spark, table)
+    assert df.columns == ["k", "cat", "v"]  # declared order kept
+    assert dict(df.dtypes)["cat"] == "string"
+    assert _pcollect(df) == _pcollect(_prows(spark, 0, 10))
+
+
+def test_partition_pruning_before_stats(spark, table):
+    """A predicate on the partition column prunes at the FILE level
+    from the log entries alone — no footer stats needed — and composes
+    with stats pruning on a data column."""
+    TX.write_table(
+        _prows(spark, 0, 100).repartition(4, "k"),
+        table,
+        partition_by=["cat"],
+        stats_cols=["k"],
+    )
+    planned, total = TX.plan_files(table, where={"cat": ("a", "a")})
+    assert 0 < len(planned) < total
+    assert all("cat=a/" in rel for rel in planned)
+    got = TX.read_table(spark, table, where={"cat": ("a", "a")})
+    assert got.count() == 50
+    # composed: partition value AND k-range must both survive
+    both, _ = TX.plan_files(table, where={"cat": ("b", "b"), "k": (0, 10)})
+    assert all("cat=b/" in rel for rel in both)
+    assert len(both) <= len(planned)
+    rows = TX.read_table(
+        spark, table, where={"cat": ("b", "b"), "k": (0, 10)}
+    ).count()
+    assert rows == 5  # odd ids 1..9
+
+
+def test_partitioned_append_inherits_and_rejects_repartition(spark, table):
+    TX.write_table(_prows(spark, 0, 4), table, partition_by=["cat"])
+    TX.write_table(_prows(spark, 4, 8), table)  # inherits cat-partitioning
+    root = TX._root(table)
+    _, commit, _ = TX._live_at(root, 2)
+    assert TX._table_partition_cols(commit) == ["cat"]
+    assert _pcollect(TX.read_table(spark, table)) == _pcollect(
+        _prows(spark, 0, 8)
+    )
+    with pytest.raises(ValueError, match="cannot[\\s\\S]*repartition"):
+        TX.write_table(_prows(spark, 8, 9), table, partition_by=["k"])
+    with pytest.raises(ValueError, match="missing from data"):
+        TX.write_table(
+            spark.range(1).select(F.col("id").alias("x")),
+            str(root) + "_2",
+            partition_by=["nope"],
+        )
+
+
+def test_partitioned_compact_keeps_layout_and_data(spark, table):
+    for lo in (0, 10, 20):
+        TX.write_table(
+            _prows(spark, lo, lo + 10), table, partition_by=["cat"],
+            stats_cols=["k"],
+        )
+    before = _pcollect(TX.read_table(spark, table))
+    v = TX.compact(spark, table, target_files=2, stats_cols=["k"], order_by=["k"])
+    root = TX._root(table)
+    live, commit, _ = TX._live_at(root, v)
+    assert TX._table_partition_cols(commit) == ["cat"]
+    assert all(e["partition"]["cat"] in ("a", "b") for e in live.values())
+    assert _pcollect(TX.read_table(spark, table)) == before
+    # partition pruning still bites post-compaction
+    planned, total = TX.plan_files(table, where={"cat": ("a", "a")})
+    assert 0 < len(planned) < total
+
+
+def test_partitioned_delete_and_merge_keep_layout(spark, table):
+    TX.write_table(
+        _prows(spark, 0, 20).repartition(2, "k"),
+        table,
+        partition_by=["cat"],
+        stats_cols=["k"],
+    )
+    # delete inside one partition value: only cat=b files touched
+    _, stats = TX.delete_where(
+        spark, table, {"cat": ("b", "b"), "k": (0, 9)}, stats_cols=["k"]
+    )
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    root = TX._root(table)
+    live, commit, _ = TX._live_at(root, TX.latest_version(table))
+    assert all("cat=" in rel for rel in live)  # rewrite stayed partitioned
+    expect = [
+        (k, "a" if k % 2 == 0 else "b", k * 10)
+        for k in range(20)
+        if not (k % 2 == 1 and k <= 9)
+    ]
+    assert _pcollect(TX.read_table(spark, table)) == sorted(expect)
+    # merge keeps the layout too
+    delta = spark.createDataFrame([(2, "a", 999)], "k long, cat string, v long")
+    TX.merge_into_table(
+        spark, table, delta, ["k"], prune={"cat": ("a", "a")},
+        stats_cols=["k"],
+    )
+    live, commit, _ = TX._live_at(root, TX.latest_version(table))
+    assert TX._table_partition_cols(commit) == ["cat"]
+    assert all("cat=" in rel for rel in live)
+    got = {r["k"]: r["v"] for r in TX.read_table(spark, table).collect()}
+    assert got[2] == 999 and got[4] == 40
+
+
+def test_partitioned_datasource_serves_partition_column(spark, table):
+    """The Python DataSource fills the partition column from the LOG
+    entry (files don't carry it), typed per the declared schema."""
+    TX.write_table(_prows(spark, 0, 10), table, partition_by=["cat"])
+    TX.register_source(spark)
+    got = spark.read.format("txlog").option("path", table).load()
+    assert got.columns == ["k", "cat", "v"]
+    assert _pcollect(got) == _pcollect(_prows(spark, 0, 10))
+
+
+def test_partitioned_null_value_round_trip(spark, table):
+    """NULL partition values land in the hive default dir, read back
+    as NULL, and are pruned by any range predicate on the column."""
+    rows = spark.createDataFrame(
+        [(0, None, 0), (1, "a", 10)], "k long, cat string, v long"
+    )
+    TX.write_table(rows, table, partition_by=["cat"], stats_cols=["k"])
+    got = sorted((r["k"], r["cat"]) for r in TX.read_table(spark, table).collect())
+    assert got == [(0, None), (1, "a")]
+    planned, total = TX.plan_files(table, where={"cat": ("a", "z")})
+    assert len(planned) < total  # the NULL file pruned
+    assert TX.read_table(spark, table, where={"cat": ("a", "z")}).count() == 1
+
+
+def test_partitioned_overwrite_may_repartition(spark, table):
+    TX.write_table(_prows(spark, 0, 4), table, partition_by=["cat"])
+    TX.write_table(
+        _prows(spark, 0, 6), table, mode="overwrite", partition_by=[]
+    )
+    root = TX._root(table)
+    _, commit, _ = TX._live_at(root, 2)
+    assert TX._table_partition_cols(commit) == []
+    assert _pcollect(TX.read_table(spark, table)) == _pcollect(
+        _prows(spark, 0, 6)
+    )
