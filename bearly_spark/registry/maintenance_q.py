@@ -873,3 +873,170 @@ def q_txlog_dv_delete(spark, sf_dir):
         .withColumn("files_masked", F.lit(stats["files_masked"]).cast("bigint"))
         .withColumn("rows_masked", F.lit(stats["rows_masked"]).cast("bigint"))
     )
+
+
+# ===================================================================
+# Round 13: partition columns + DV-backed (merge-on-read) MERGE
+# ===================================================================
+
+
+def _txlog_partitioned_fixture(spark, sf_dir: str, name: str) -> tuple[str, list[int]]:
+    """Build (once per orders.parquet mtime) a commit-log table
+    HIVE-PARTITIONED on the derived ``o_year`` column
+    (``txlog.write_table(partition_by=["o_year"])``): a single
+    coalesce(1) commit writes exactly one file per year value under
+    ``data/o_year=<y>/``, so partition pruning decisions are
+    deterministic at every SF (files == distinct order years).
+    Returns (path, years)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    path = f"{_SCRATCH}/{_sf_tag(sf_dir)}/{name}"
+    marker = _Path(path) / "_fixture.json"
+    want = {"mtime": _os.path.getmtime(f"{sf_dir}/orders.parquet")}
+    if marker.is_file():
+        got = _json.loads(marker.read_text())
+        if {k: got.get(k) for k in want} == want:
+            return path, got["years"]
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        )
+        .cast("int")
+        .alias("o_datekey"),
+    )
+    years = [
+        r["o_year"]
+        for r in orders.select("o_year").distinct().orderBy("o_year").collect()
+    ]
+    TXL.write_table(
+        orders.coalesce(1),
+        path,
+        partition_by=["o_year"],
+        stats_cols=["o_datekey"],
+    )
+    marker.write_text(_json.dumps({**want, "years": years}))
+    return path, years
+
+
+@register(
+    "txlog_partitioned_scan_orders",
+    oracle=f"""
+    WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+         tgt AS (SELECT y FROM yrs ORDER BY y LIMIT 1 OFFSET 2)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {_TX_PRICE_SQL} AS total_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs
+            WHERE y = (SELECT y FROM tgt)) AS n_files_planned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs) AS n_files_total
+    FROM orders
+    WHERE year(o_orderdate) = (SELECT y FROM tgt)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_txlog_partitioned_scan(spark, sf_dir):
+    """Partition pruning on the commit-log table
+    (``txlog.write_table(partition_by=...)`` + ``plan_files``): the
+    table is hive-partitioned on the derived order year — files live
+    under ``data/o_year=<y>/`` and every log add-entry records its
+    typed partition value — so a one-year equality predicate prunes to
+    exactly ONE of the live files from the LOG alone, before footer
+    stats are even consulted. This is the first-order file filter at
+    100 TB (Delta/Iceberg's leading feature): stats skipping needs
+    clustered writes to bite, partition pruning needs only the layout.
+    The planned/total file counts ride beside the aggregate; the twin
+    states them in data terms (files == distinct years by
+    construction). The predicate is re-applied row-level, so pruning
+    stays a pure I/O optimization."""
+    path, years = _txlog_partitioned_fixture(
+        spark, sf_dir, "orders_txlog_part"
+    )
+    y = years[2]
+    where = {"o_year": (y, y)}
+    planned, total = TXL.plan_files(path, where=where)
+    return (
+        TXL.read_table(spark, path, where=where)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn("n_files_planned", F.lit(len(planned)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(total).cast("bigint"))
+    )
+
+
+@register(
+    "txlog_dv_merge_orders",
+    oracle=f"""
+    WITH m AS (SELECT * FROM orders WHERE o_orderkey % 100 = 0),
+    aug AS (
+      SELECT o_orderstatus,
+             o_totalprice
+             + CASE WHEN o_orderkey % 100 = 0 THEN 100.0 ELSE 0.0 END AS p
+      FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice + 100.0 FROM m
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS total_price,
+           (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM m)
+               AS files_masked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS rows_masked
+    FROM aug GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_dv_merge(spark, sf_dir):
+    """MERGE-ON-READ upsert on the commit-log table
+    (``txlog.merge_into_table_dv``): every 100th order key — keys
+    SCATTERED across all year files, the regime where the CoW merge
+    honestly rewrites the whole table — gets a +100 price revision
+    (update arm) plus a re-keyed copy (insert arm) in ONE commit that
+    writes Θ(matched) deletion-vector rows and Θ(delta) appended rows,
+    rewriting ZERO files. The masks apply at read (anti-join on the
+    parquet row index) until compaction materializes them; the twin
+    states the post-merge table, the masked-file count (== distinct
+    years holding a matched key) and the masked-row count in closed
+    form. CoW-equivalence, layout preservation and the change-feed
+    emission are pinned by tests/test_txlog.py."""
+
+    def dml(path, years):
+        tab = TXL.read_table(spark, path)
+        upd = tab.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        mx = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(F.max("o_orderkey"))
+            .collect()[0][0]
+        )
+        ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+        _, stats = TXL.merge_into_table_dv(
+            spark, path, upd.unionByName(ins), ["o_orderkey"]
+        )
+        return stats
+
+    stats = _txlog_derived_fixture(
+        spark, sf_dir, "orders_txlog_dv_merged", dml
+    )
+    return (
+        TXL.read_table(spark, stats["path"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _tx_price_col().alias("total_price"),
+        )
+        .withColumn("files_masked", F.lit(stats["files_masked"]).cast("bigint"))
+        .withColumn("rows_masked", F.lit(stats["rows_masked"]).cast("bigint"))
+    )

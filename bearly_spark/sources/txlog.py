@@ -1003,6 +1003,29 @@ def delete_where_dv(
     }
 
 
+def _check_zone(delta: DataFrame, prune: dict | None) -> None:
+    """Verify every delta row lies inside the promised prune zone (one
+    small aggregate); NULL in a zone column or an out-of-zone value
+    raises rather than silently surviving a pruned merge."""
+    if not prune:
+        return
+    checks = []
+    for col, (lo, hi) in prune.items():
+        bad = F.col(col).isNull()
+        if lo is not None:
+            bad = bad | (F.col(col) < F.lit(lo))
+        if hi is not None:
+            bad = bad | (F.col(col) > F.lit(hi))
+        checks.append(F.sum(bad.cast("long")).alias(col))
+    outside = delta.agg(*checks).collect()[0]
+    offenders = {c: int(outside[c]) for c in prune if outside[c]}
+    if offenders:
+        raise ValueError(
+            f"delta rows outside the prune zone (col -> count): "
+            f"{offenders} — a pruned merge would silently miss them"
+        )
+
+
 def merge_into_table(
     spark: SparkSession,
     path: str,
@@ -1045,22 +1068,7 @@ def merge_into_table(
     touched, total, commit, dvs = _plan(root, current, prune)
     schema = StructType.fromJson(json.loads(commit["schema"]))
     _check_schema(schema, delta.schema)
-    if prune:
-        checks = []
-        for col, (lo, hi) in prune.items():
-            bad = F.col(col).isNull()
-            if lo is not None:
-                bad = bad | (F.col(col) < F.lit(lo))
-            if hi is not None:
-                bad = bad | (F.col(col) > F.lit(hi))
-            checks.append(F.sum(bad.cast("long")).alias(col))
-        outside = delta.agg(*checks).collect()[0]
-        offenders = {c: int(outside[c]) for c in prune if outside[c]}
-        if offenders:
-            raise ValueError(
-                f"delta rows outside the prune zone (col -> count): "
-                f"{offenders} — a pruned merge would silently miss them"
-            )
+    _check_zone(delta, prune)
     if touched:
         old = _read_masked(spark, root, touched, schema, dvs)
         keys = delta.select(*key_cols).localCheckpoint(eager=False)
@@ -1087,6 +1095,90 @@ def merge_into_table(
         "files_rewritten": len(touched),
         "files_total": total,
         "rows_written": sum(e["rows"] for e in add),
+    }
+
+
+def merge_into_table_dv(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    prune: dict | None = None,
+    stats_cols: list[str] | None = None,
+    broadcast_max_rows: int = 4_000_000,
+) -> tuple[int, dict]:
+    """UPSERT as MERGE-ON-READ (deletion-vector backed): the matched
+    table rows' (file, position) pairs land in a small DV file, the
+    delta appends as new files, and ONE commit publishes both — cost
+    Θ(matched + delta) WRITTEN, never Θ(touched files) rewritten. This
+    is the scattered-key regime ``merge_into_table`` is honest about
+    degrading on (keys uncorrelated with file layout ⇒ full rewrite):
+    a crawl refresh whose keys hit every file masks a handful of rows
+    per file instead of rewriting the table. The read side pays the
+    standard merge-on-read anti-join until :func:`compact`
+    materializes and retires the masks.
+
+    Same contracts as :func:`merge_into_table`: delta carries the
+    table schema and distinct keys; ``prune`` is the verified zone
+    bounding which files are even SCANNED for matches (including the
+    zone-stability caveat documented there); the delta-key broadcast
+    is guarded at ``broadcast_max_rows``. Conflicts with any
+    interleaved commit. Returns ``(version, stats)`` with
+    files_masked/files_total/rows_masked/rows_inserted."""
+    root = _root(path)
+    current = max(_versions(root), default=0)
+    if not current:
+        raise ValueError(f"no table at {path}")
+    touched, total, commit, dvs = _plan(root, current, prune)
+    schema = StructType.fromJson(json.loads(commit["schema"]))
+    _check_schema(schema, delta.schema)
+    _check_zone(delta, prune)
+    pcols = _table_partition_cols(commit)
+    dv_rels: list[str] = []
+    rows_masked = 0
+    if touched:
+        old = _read_masked(spark, root, touched, schema, dvs, with_pos=True)
+        keys = delta.select(*key_cols).localCheckpoint(eager=False)
+        if keys.count() <= broadcast_max_rows:
+            keys = F.broadcast(keys)
+        matches = old.join(keys, key_cols, "left_semi").select(
+            F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+        )
+        dv_rels, rows_masked = _write_dv_files(matches, root)
+        if rows_masked == 0:
+            for rel in dv_rels:
+                (root / rel).unlink(missing_ok=True)
+            dv_rels = []
+    add = _write_data_files(
+        delta, root, list(stats_cols or []), partition_by=pcols
+    )
+    extra: dict = {"partition_cols": pcols}
+    if dv_rels:
+        extra["dv_add"] = dv_rels
+    v = _commit(
+        root,
+        "merge_dv",
+        commit["schema"],
+        add,
+        [],
+        expected_version=current,
+        extra=extra,
+    )
+    masked_files: set[str] = set()
+    if dv_rels:
+        import pyarrow.parquet as pq
+
+        for rel in dv_rels:
+            masked_files.update(
+                pq.read_table(str(root / rel), columns=["fname"])
+                .column("fname")
+                .to_pylist()
+            )
+    return v, {
+        "files_masked": len(masked_files),
+        "files_total": total,
+        "rows_masked": rows_masked,
+        "rows_inserted": sum(e["rows"] for e in add),
     }
 
 
@@ -1142,6 +1234,38 @@ def read_changes(
                 "split the range there"
             )
 
+    def _dv_mask_chunk(c: dict, v: int, live_at_v: dict):
+        # the masked rows themselves ARE a delete feed: read the
+        # masked positions back out of the (still live) data files
+        dv_rels = c.get("dv_add", [])
+        if not dv_rels:
+            return None
+        dv = _dv_frame(spark, root, dv_rels)
+        fnames = sorted(
+            r["fname"] for r in dv.select("fname").distinct().collect()
+        )
+        # resolve masked file names to their full relative paths via
+        # the live set (a partitioned file lives under value dirs)
+        by_name = {rel.rsplit("/", 1)[-1]: rel for rel in live_at_v}
+        rels = [by_name.get(n, f"{_DATA_DIR}/{n}") for n in fnames]
+        missing = [rel for rel in rels if not (root / rel).is_file()]
+        if missing:
+            raise ValueError(
+                f"changes of v{v} reference vacuumed files: {missing[:3]}"
+            )
+        base = _read_masked(spark, root, rels, schema, [], with_pos=True)
+        rows = base.join(
+            dv.select(
+                F.col("fname").alias("__fname"),
+                F.col("pos").alias("__pos"),
+            ),
+            ["__fname", "__pos"],
+            "left_semi",
+        ).drop("__fname", "__pos")
+        return rows.withColumn(
+            "_change_version", F.lit(v).cast("int")
+        ).withColumn("_change_type", F.lit("delete"))
+
     chunks = []
     prev_commit = None
     for v in picked:
@@ -1150,39 +1274,18 @@ def read_changes(
         if op == "compact":
             prev_commit = c
             continue
-        if op == "dv_delete":
-            # the masked rows themselves ARE the delete feed: read the
-            # masked positions back out of the (still live) data files
+        if op in ("dv_delete", "merge_dv"):
+            # merge-on-read DML: the commit's deletion vector is the
+            # delete side; a merge_dv's added files fall through to
+            # the insert side below
             _guard_schema(c, v)
-            dv_rels = c.get("dv_add", [])
-            if dv_rels:
-                dv = _dv_frame(spark, root, dv_rels)
-                fnames = sorted(
-                    r["fname"] for r in dv.select("fname").distinct().collect()
-                )
-                rels = [f"{_DATA_DIR}/{n}" for n in fnames]
-                missing = [rel for rel in rels if not (root / rel).is_file()]
-                if missing:
-                    raise ValueError(
-                        f"changes of v{v} reference vacuumed files: "
-                        f"{missing[:3]}"
-                    )
-                base = _read_masked(spark, root, rels, schema, [], with_pos=True)
-                rows = base.join(
-                    dv.select(
-                        F.col("fname").alias("__fname"),
-                        F.col("pos").alias("__pos"),
-                    ),
-                    ["__fname", "__pos"],
-                    "left_semi",
-                ).drop("__fname", "__pos")
-                chunks.append(
-                    rows.withColumn(
-                        "_change_version", F.lit(v).cast("int")
-                    ).withColumn("_change_type", F.lit("delete"))
-                )
-            prev_commit = c
-            continue
+            live_at_v, _, _ = _live_at(root, v)
+            mask_chunk = _dv_mask_chunk(c, v, live_at_v)
+            if mask_chunk is not None:
+                chunks.append(mask_chunk)
+            if op == "dv_delete":
+                prev_commit = c
+                continue
         _guard_schema(c, v)
         sides = [("insert", [e["path"] for e in c.get("add", [])])]
         if op in ("overwrite", "delete", "merge"):

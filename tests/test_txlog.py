@@ -1116,3 +1116,111 @@ def test_partitioned_overwrite_may_repartition(spark, table):
     assert _pcollect(TX.read_table(spark, table)) == _pcollect(
         _prows(spark, 0, 6)
     )
+
+
+# ------------------------------------------------------------- DV-backed MERGE
+
+
+def test_merge_dv_equals_cow_merge_and_survives_compact(spark, table):
+    """CoW-equivalence: merge_into_table_dv produces the same table as
+    merge_into_table (update + insert arms), and compaction — which
+    materializes and retires the masks — preserves the result."""
+    table_cow = table + "_cow"
+    for t in (table, table_cow):
+        for lo in (0, 50):
+            TX.write_table(
+                _rows(spark, lo, lo + 50).coalesce(1), t, stats_cols=["k"]
+            )
+    delta = spark.range(0, 120, 7).select(  # scattered keys across both files
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    v_dv, stats_dv = TX.merge_into_table_dv(spark, table, delta, ["k"])
+    v_cow, stats_cow = TX.merge_into_table(spark, table_cow, delta, ["k"])
+    assert _collect(TX.read_table(spark, table)) == _collect(
+        TX.read_table(spark, table_cow)
+    )
+    # DV path: zero rewrites — both original files stay live, masks +
+    # delta are the only new bytes
+    assert stats_dv["files_masked"] == 2  # keys 0,7,...,98 hit both files
+    assert stats_dv["rows_masked"] == 15  # multiples of 7 in [0,100)
+    assert stats_dv["rows_inserted"] == delta.count()
+    assert stats_cow["files_rewritten"] == 2  # the honest CoW contrast
+    live, _, dvs = TX._live_at(TX._root(table), v_dv)
+    assert len(dvs) >= 1
+    # compact materializes the masks and retires them; data unchanged
+    before = _collect(TX.read_table(spark, table))
+    TX.compact(spark, table, target_files=1, stats_cols=["k"])
+    _, _, dvs_after = TX._live_at(TX._root(table), TX.latest_version(table))
+    assert dvs_after == []
+    assert _collect(TX.read_table(spark, table)) == before
+
+
+def test_merge_dv_insert_only_and_zone_contract(spark, table):
+    TX.write_table(_rows(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    # insert-only delta: no matches -> no DV file at all
+    ins = _rows(spark, 100, 103, cat="i")
+    v, stats = TX.merge_into_table_dv(
+        spark, table, ins, ["k"], prune={"k": (100, 103)}
+    )
+    assert stats == {
+        "files_masked": 0,
+        "files_total": 1,
+        "rows_masked": 0,
+        "rows_inserted": 3,
+    }
+    _, _, dvs = TX._live_at(TX._root(table), v)
+    assert dvs == []
+    assert len(_collect(TX.read_table(spark, table))) == 13
+    # zone violations raise exactly like the CoW form
+    with pytest.raises(ValueError, match="outside the prune zone"):
+        TX.merge_into_table_dv(
+            spark, table, _rows(spark, 500, 501), ["k"], prune={"k": (0, 10)}
+        )
+
+
+def test_merge_dv_change_feed_emits_masks_and_inserts(spark, table):
+    TX.write_table(_rows(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    delta = _rows(spark, 5, 12, cat="m")
+    TX.merge_into_table_dv(spark, table, delta, ["k"])
+    feed = TX.read_changes(spark, table, 1)
+    got = sorted(
+        (r["k"], r["cat"], r["_change_type"]) for r in feed.collect()
+    )
+    expect = sorted(
+        [(k, "a", "delete") for k in range(5, 10)]
+        + [(k, "m", "insert") for k in range(5, 12)]
+    )
+    assert got == expect
+
+
+def test_merge_dv_on_partitioned_table_keeps_layout(spark, table):
+    TX.write_table(
+        _prows(spark, 0, 20), table, partition_by=["cat"], stats_cols=["k"]
+    )
+    delta = spark.createDataFrame(
+        [(2, "a", 999), (21, "b", 210)], "k long, cat string, v long"
+    )
+    v, stats = TX.merge_into_table_dv(spark, table, delta, ["k"])
+    assert stats["rows_masked"] == 1 and stats["rows_inserted"] == 2
+    live, commit, _ = TX._live_at(TX._root(table), v)
+    assert TX._table_partition_cols(commit) == ["cat"]
+    assert all("cat=" in rel for rel in live)  # delta landed partitioned
+    got = {r["k"]: (r["cat"], r["v"]) for r in TX.read_table(spark, table).collect()}
+    assert got[2] == ("a", 999) and got[21] == ("b", 210) and len(got) == 21
+
+
+def test_merge_dv_over_broadcast_threshold_same_result(spark, table):
+    TX.write_table(_rows(spark, 0, 40).coalesce(1), table, stats_cols=["k"])
+    delta = spark.range(10, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("m").alias("cat"),
+    )
+    v, stats = TX.merge_into_table_dv(
+        spark, table, delta, ["k"], broadcast_max_rows=5
+    )
+    assert stats["rows_masked"] == 20
+    got = {r["k"]: r["v"] for r in TX.read_table(spark, table).collect()}
+    assert len(got) == 40 and got[10] == 1000 and got[9] == 90
