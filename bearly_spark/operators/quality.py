@@ -450,20 +450,26 @@ def winsorize(
     missing, not extreme).
 
     The cutpoints come from the twin-proven exact-percentile path
-    (distributed selection since r9, 4dp) and attach as a 1-row
-    broadcast — the data side
-    is then map-only: LEAST/GREATEST on doubles, no second shuffle.
-    At 100 TB swap the exact cutpoints for ``approx_percentile`` if the
-    global sort dominates; the clip stage is unchanged."""
+    (distributed selection since r9, 4dp) and enter the clip
+    expressions as LITERALS (round 13: the 1-row cut frame is already
+    driver-resolved by the selection path; the old
+    ``crossJoin(broadcast(cuts))`` planned a BroadcastNestedLoopJoin
+    that broke WholeStageCodegen over the whole map stage) — the data
+    side is then map-only: LEAST/GREATEST on doubles, no second
+    shuffle, no join. At 100 TB swap the exact cutpoints for
+    ``approx_percentile`` if the global sort dominates; the clip stage
+    is unchanged."""
     from bearly_spark.operators.aggregate import exact_percentiles
 
     nn = df.filter(F.col(value_col).isNotNull())
     cuts = exact_percentiles(
         nn, [], value_col, [lo_q, hi_q], names=["_lo", "_hi"], scale=scale
-    )
+    ).first()
+    lo = F.lit(cuts["_lo"] if cuts else None).cast("double")
+    hi = F.lit(cuts["_hi"] if cuts else None).cast("double")
     v = F.col(value_col).cast("double")
-    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
-    return df.crossJoin(F.broadcast(cuts)).select(
+    clipped = F.least(F.greatest(v, lo), hi)
+    return df.select(
         *df.columns,
         F.when(v.isNotNull(), clipped).alias(f"{value_col}_winsorized"),
         F.when(v.isNotNull(), clipped != v).alias("was_clipped"),
@@ -825,9 +831,21 @@ def standardize(
     square as exact DECIMAL — order-independent, so any partitioning/
     engine produces identical sums — then mean and sample variance are
     ONE fixed IEEE tree over those exact scalars: ``m = s/n``,
-    ``var = (ss − n·m·m)/(n−1)``. The 1-row stats frame attaches as a
-    broadcast; the z itself is map-only. Constant columns (var ≤ 0)
-    yield NULL z (no scale, no verdict)."""
+    ``var = (ss − n·m·m)/(n−1)``. The z itself is map-only.
+    Constant columns (var ≤ 0) yield NULL z (no scale, no verdict).
+
+    Plan shape (round 13): the 1-row stats frame is collected (an
+    axis-sized ``first()``, the percentile-machinery pattern) and the
+    per-column ``(m, 1/std)`` enter the z expressions as LITERALS —
+    the old ``crossJoin(broadcast(stats))`` planned a
+    BroadcastNestedLoopJoin that knocked the whole map stage out of
+    WholeStageCodegen AND re-evaluated the mean/variance/sqrt tree per
+    ROW (measured 1.9s -> 1.05s on the sf0.1 bench before the
+    layout fix; the arithmetic is the identical IEEE tree, just
+    evaluated once on the driver — Python doubles ARE IEEE doubles and
+    ``float(Decimal)`` is the same correctly-rounded conversion as the
+    JVM's decimal->double cast). Degenerate inputs (n < 2, where the
+    JVM's x/0.0 semantics would need replaying) keep the join form."""
     dec = f"decimal(18,{int(input_scale)})"
     aggs = []
     for c in cols:
@@ -838,8 +856,24 @@ def standardize(
             F.sum(v * v).alias(f"_ss_{c}"),
         ]
     stats = df.agg(*aggs)
-    out = df.crossJoin(F.broadcast(stats))
     keep = list(df.columns)
+    row = stats.first()
+    if row is not None and all(row[f"_n_{c}"] >= 2 for c in cols):
+        zcols = []
+        for c in cols:
+            n = float(row[f"_n_{c}"])
+            m = float(row[f"_s_{c}"]) / n
+            var = (float(row[f"_ss_{c}"]) - n * m * m) / (n - 1.0)
+            if var > 0:
+                z = F.round(
+                    (F.col(c).cast("double") - F.lit(m)) / F.lit(var**0.5),
+                    decimals,
+                )
+            else:
+                z = F.lit(None).cast("double")
+            zcols.append(z.alias(f"{c}_z"))
+        return df.select(*keep, *zcols)
+    out = df.crossJoin(F.broadcast(stats))
     zcols = []
     for c in cols:
         n = F.col(f"_n_{c}").cast("double")
@@ -939,35 +973,39 @@ def mad_outliers(
 
     Two exact-percentile cutpoint passes (distributed selection since
     r9 — the twin-proven quantile_cont values, no single-task sorts,
-    4dp) + a map-only score with both 1-row scalars
-    broadcast — the same shape as ``winsorize``, one extra pass for the
-    deviation median."""
+    4dp) + a map-only score — the same shape as ``winsorize``, one
+    extra pass for the deviation median. Round 13: both 1-row scalars
+    enter the deviation and score expressions as LITERALS (they are
+    already driver-resolved by the selection path; the old chained
+    ``crossJoin(broadcast(...))`` pair planned two
+    BroadcastNestedLoopJoins that broke WholeStageCodegen over the
+    whole scoring stage)."""
     from bearly_spark.operators.aggregate import exact_percentiles
 
     nn = df.filter(F.col(value_col).isNotNull())
-    med = exact_percentiles(nn, [], value_col, [0.5], names=["_med"], scale=scale)
+    med_row = exact_percentiles(
+        nn, [], value_col, [0.5], names=["_med"], scale=scale
+    ).first()
+    med = F.lit(med_row["_med"] if med_row else None).cast("double")
     v = F.col(value_col).cast("double")
-    dev = nn.crossJoin(F.broadcast(med)).select(
-        (F.abs(v - F.col("_med"))).alias("_dev")
-    )
+    dev = nn.select((F.abs(v - med)).alias("_dev"))
     # deviations are 4dp-grained (2dp values minus a 4dp median) — snap
     # at scale 4, not the float default of 2 (twin uses the same scale)
-    mad = exact_percentiles(dev, [], "_dev", [0.5], names=["_mad"], scale=4)
+    mad_row = exact_percentiles(
+        dev, [], "_dev", [0.5], names=["_mad"], scale=4
+    ).first()
+    mad = F.lit(mad_row["_mad"] if mad_row else None).cast("double")
     # raw IEEE quotient (the weighted_sample p_keep rule): products and
     # quotients of decimal-derived doubles land on decimal rounding
     # midpoints, where the engines' ROUND implementations diverge
-    rz = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
-    rz_ok = F.when(v.isNotNull() & (F.col("_mad") > 0), rz)
-    return (
-        df.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(mad))
-        .select(
-            *df.columns,
-            rz_ok.alias("robust_z"),
-            F.when(rz_ok.isNotNull(), F.abs(rz_ok) > F.lit(z_thresh)).alias(
-                "is_outlier"
-            ),
-        )
+    rz = F.lit(0.6745) * (v - med) / mad
+    rz_ok = F.when(v.isNotNull() & (mad > 0), rz)
+    return df.select(
+        *df.columns,
+        rz_ok.alias("robust_z"),
+        F.when(rz_ok.isNotNull(), F.abs(rz_ok) > F.lit(z_thresh)).alias(
+            "is_outlier"
+        ),
     )
 
 

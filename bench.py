@@ -255,14 +255,25 @@ def _materialize(df) -> None:
 _PREP_TABLES = {"lineitem", "orders"}
 
 
-#: A monolithic split below this is cheaper to scan as-is than to
-#: rewrite: measured at sf0.1 (60 MB lineitem, one row group), the
-#: single-task scan beats the 32-file rewrite on every scan-heavy
-#: headline query (sum_lineitem 0.24s vs 0.33s — task-setup overhead
-#: dominates tiny scans). Above ~256 MB the single split is a genuine
-#: parallelism cliff and the rewrite wins. Measurements in PLANS.md
-#: (round-4 bench-prep section).
-_PREP_MIN_BYTES = 256 * 1024 * 1024
+#: A monolithic single-row-group fact below this many ROWS is cheaper
+#: to scan as-is than to rewrite. Round 13 re-measured the round-4
+#: size gate (which kept the sf0.1 fixture raw): with ~75k-row files
+#: instead of round 4's 37.5k-row files, the rewrite wins on EVERY
+#: headline query at sf0.1, including the pure scans the old gate was
+#: protecting (sum_lineitem 0.23s raw / 0.16s 8-file; standardize
+#: 2.33s -> 0.69s, mad_outliers 2.94s -> 1.40s — a 1-row-group 600k-row
+#: lineitem runs every aggregate single-task, starving 31 of 32 cores).
+#: The 37.5k-row split was the real regression source: 16 files of the
+#: sf0.1 lineitem measured 2-3x SLOWER than 8 on scan-heavy queries
+#: (sum 0.48s), so the old sum_lineitem 0.24s-vs-0.33s measurement was
+#: an artifact of file sizing, not of multi-file layouts. Measurements
+#: in OPTIMIZATION_r13.md.
+_PREP_MIN_ROWS = 300_000
+
+#: Target rows per rewritten file (see gate note above: 37.5k-row files
+#: pay more per-task setup than their parallelism buys; 75k wins at
+#: both 8 and 32 cores).
+_PREP_ROWS_PER_FILE = 75_000
 
 
 def _prepare_layout(sf_dir: str) -> str:
@@ -277,11 +288,10 @@ def _prepare_layout(sf_dir: str) -> str:
     into a multi-file layout (content-identical, order-preserving
     pyarrow slice) under .scratch/ and bench against that.
 
-    The rewrite only triggers when the monolithic split is actually big
-    enough to be the bottleneck (``_PREP_MIN_BYTES``): at sf0.1 the
-    whole table is ~60 MB and the single-task scan is CHEAPER than 32
-    scheduled tasks (measured both ways, PLANS.md), so the default
-    bench times the raw fixture there. Disable entirely with
+    The rewrite only triggers when the monolithic split actually
+    starves the session (``_PREP_MIN_ROWS``): tiny facts (orders at
+    sf0.1 and below, everything at sf0.01) stay raw — their scans are
+    sub-100ms and per-file setup would dominate. Disable entirely with
     SPARK_GRAFT_BENCH_PREP=0.
     """
     if os.environ.get("SPARK_GRAFT_BENCH_PREP", "1") != "1":
@@ -295,9 +305,9 @@ def _prepare_layout(sf_dir: str) -> str:
         if not t.is_file() or t.stem not in _PREP_TABLES:
             continue
         md = pq.ParquetFile(t).metadata
-        # fewer than 4 splittable units AND big enough that one task
+        # fewer than 4 splittable units AND enough rows that one task
         # per unit starves the session: single-task-scan cliff
-        if md.num_row_groups < 4 and t.stat().st_size >= _PREP_MIN_BYTES:
+        if md.num_row_groups < 4 and md.num_rows >= _PREP_MIN_ROWS:
             plan.append(t.name)
     if not plan:
         return sf_dir
@@ -314,7 +324,7 @@ def _prepare_layout(sf_dir: str) -> str:
             tab = pq.read_table(t)
             out = prep / t.name
             out.mkdir()
-            n = min(32, max(4, math.ceil(tab.num_rows / 37_500)))
+            n = min(32, max(4, math.ceil(tab.num_rows / _PREP_ROWS_PER_FILE)))
             step = math.ceil(tab.num_rows / n)
             for i in range(n):
                 chunk = tab.slice(i * step, step)
