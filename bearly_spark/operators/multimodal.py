@@ -459,8 +459,14 @@ def binary_near_dup_pairs(
     # no in-band sentinel value can ever collide with actual content
     # (review catch, round 6: md5(coalesce(p, b'\\x00null')) merged NULL
     # payloads with a real b'\\x00null' payload into one "exact" group)
+    from bearly_spark.operators.text import ensure_parallelism
+
     ckey = F.md5(F.col(payload_col))
-    fpk = df.select(F.col(id_col), F.col(payload_col)).withColumn("_ckey", ckey)
+    fpk = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(payload_col))
+        .withColumn("_ckey", ckey)
+    )
     groups = (
         fpk.groupBy("_ckey")
         .agg(

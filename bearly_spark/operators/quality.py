@@ -32,6 +32,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from bearly_spark.operators.text import ensure_parallelism
 from bearly_spark.operators.rounding import (
     floor_round,
     rational_micro,
@@ -628,6 +629,7 @@ def gopher_rules(
     HOFs (line arrays are tiny). The rule set is English-centric by
     construction (the published filter); non-English corpora should
     gate on their own stop lists."""
+    df = ensure_parallelism(df)
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
     # EXPLICIT whitespace class shared with the oracle twin: Java's \s
@@ -774,6 +776,7 @@ def c4_rules(
     cross-engine divergence class this codebase eliminates).
     Embarrassingly parallel; the cost is the honest price of a
     full-corpus cleaning pass."""
+    df = ensure_parallelism(df)
     ws = r"[ \t\n\x0b\f\r]"
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(txt, r"\n")
