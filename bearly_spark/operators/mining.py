@@ -23,6 +23,37 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _distinct_basket_items(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """The shared (basket, item) presence frame: null items dropped,
+    presence-deduplicated, hash-partitioned on ``basket`` BEFORE the
+    dedup so the aggregate's one exchange is keyed the way every
+    consumer needs it (round 13, guide §2.4): HashPartitioning(basket)
+    satisfies the (basket, item) dedup's clustering requirement AND the
+    basket self-join's, so the pair join adds no further exchange."""
+    return (
+        df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+        .where(F.col("item").isNotNull())
+        .repartition("basket")
+        .dropDuplicates(["basket", "item"])
+    )
+
+
+def _pairs_from_distinct(b: DataFrame, min_count: int) -> DataFrame:
+    """Pair counts over an already-distinct (basket, item) frame."""
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, F.col("l.basket") == F.col("r.basket"))
+        .where(F.col("l.item") < F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
@@ -34,18 +65,8 @@ def cooccurrence_pairs(
     containing both. Presence-based (an item twice in one basket counts
     once — the association-rules contract). Output
     (item_a, item_b, pair_count) with item_a < item_b."""
-    b = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).where(F.col(item_col).isNotNull()).distinct()
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(r, F.col("l.basket") == F.col("r.basket"))
-        .where(F.col("l.item") < F.col("r.item"))
-        .groupBy(
-            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
-        )
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .where(F.col("pair_count") >= min_count)
+    return _pairs_from_distinct(
+        _distinct_basket_items(df, basket_col, item_col), min_count
     )
 
 
@@ -68,11 +89,20 @@ def association_rules(
     confidence ÷ consequent-support, two divisions — never the
     overflow-prone pairs×n product), so every engine computes the same
     doubles. Item counts and the 1-row basket total are broadcast;
-    nothing but the basket self-join shuffles."""
-    b = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).where(F.col(item_col).isNotNull()).distinct()
-    pairs = cooccurrence_pairs(df, basket_col, item_col, min_pair_count)
+    nothing but the basket self-join shuffles.
+
+    The distinct (basket, item) frame is pinned once
+    (``localCheckpoint(eager=False)``) and feeds all four consumers —
+    the pair self-join's two sides, the item counts and the basket
+    total — instead of re-deriving the input scan + dedup per branch
+    (round 13: the sf0.1 query re-ran the lineitem⋈part dedup subtree
+    4x). The pin is Θ(distinct basket-item) — never larger than the
+    input, usually far smaller — and keyed by basket so the self-join
+    needs no exchange at any scale."""
+    b = _distinct_basket_items(df, basket_col, item_col).localCheckpoint(
+        eager=False
+    )
+    pairs = _pairs_from_distinct(b, min_pair_count)
     rules = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
