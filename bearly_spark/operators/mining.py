@@ -98,7 +98,16 @@ def association_rules(
     (round 13: the sf0.1 query re-ran the lineitem⋈part dedup subtree
     4x). The pin is Θ(distinct basket-item) — never larger than the
     input, usually far smaller — and keyed by basket so the self-join
-    needs no exchange at any scale."""
+    needs no exchange at any scale.
+
+    localCheckpoint trade-off (round 14, ADVICE): the pinned blocks
+    live on EXECUTOR-LOCAL storage, not reliable storage — on a real
+    cluster losing an executor mid-query fails the job (no lineage to
+    recompute) instead of recovering; re-run the query on failure. The
+    pin also lives until the RDD is GC'd driver-side (per-call, not
+    per-session, cleanup via ContextCleaner). Both are the standard
+    ``localCheckpoint`` contract (guide §5); the bounded Θ(distinct
+    basket-item) size keeps the exposure small."""
     b = _distinct_basket_items(df, basket_col, item_col).localCheckpoint(
         eager=False
     )

@@ -847,8 +847,18 @@ def standardize(
     layout fix; the arithmetic is the identical IEEE tree, just
     evaluated once on the driver — Python doubles ARE IEEE doubles and
     ``float(Decimal)`` is the same correctly-rounded conversion as the
-    JVM's decimal->double cast). Degenerate inputs (n < 2, where the
-    JVM's x/0.0 semantics would need replaying) keep the join form."""
+    JVM's decimal->double cast). Degenerate inputs (n < 2, or sums
+    nulled by a decimal(18,scale) overflow, where the JVM's x/0.0 /
+    NULL-propagation semantics would need replaying) keep the join
+    form.
+
+    EAGER-EVALUATION contract (round 14, ADVICE): the literal path runs
+    the stats aggregate at DataFrame-CONSTRUCTION time (``.first()``),
+    like :func:`winsorize` and :func:`mad_outliers` — the frozen
+    literals reflect the input as of the call, so mutating the
+    underlying source between construction and action re-derives
+    nothing (the same freshness contract as any collected statistic;
+    re-call the function for fresh stats)."""
     dec = f"decimal(18,{int(input_scale)})"
     aggs = []
     for c in cols:
@@ -861,7 +871,17 @@ def standardize(
     stats = df.agg(*aggs)
     keep = list(df.columns)
     row = stats.first()
-    if row is not None and all(row[f"_n_{c}"] >= 2 for c in cols):
+    # literal fast path guard (r14, ADVICE): beside n >= 2, every sum
+    # must be non-NULL — a value overflowing the decimal(18,scale) cast
+    # nulls _s/_ss while _n still counts the raw column, and
+    # float(None) would raise where the join form emits NULL z. The
+    # join fallback replays the old NULL-propagating semantics exactly.
+    if row is not None and all(
+        row[f"_n_{c}"] >= 2
+        and row[f"_s_{c}"] is not None
+        and row[f"_ss_{c}"] is not None
+        for c in cols
+    ):
         zcols = []
         for c in cols:
             n = float(row[f"_n_{c}"])

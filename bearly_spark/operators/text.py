@@ -746,9 +746,15 @@ def collocations(
     # bigram and unigram streams both read the same shuffle output
     # (ReusedExchange), so the regex tokenization runs one time and in
     # parallel even off a single-split file; totals are aggregates of
-    # the (vocabulary-sized) count frames, not extra corpus scans
+    # the (vocabulary-sized) count frames, not extra corpus scans.
+    # Round 14: the floor goes BELOW the tokenize — the r13 layout put
+    # the Θ(tokens) regex pass under the exchange, so a single-split
+    # corpus still tokenized on one core and only the explode/groupBys
+    # ran wide; spreading the RAW rows first (a no-op at scale, like
+    # the eleven sibling passes) parallelizes the tokenize itself while
+    # the tokens exchange keeps the one-tokenize sharing.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.transform(word_tokens(F.col(text_col)), F.lower).alias("ts")
     ).repartition(n_parts)
     t = F.col("ts")
