@@ -12,9 +12,16 @@ Scale design (same contract as the components loop):
   vector (shuffles on node id only — the edge list's payload never
   moves), one partial-aggregated groupBy on the destination, and a
   constant-folded damping expression;
-- ``localCheckpoint`` per iteration truncates lineage, so the plan for
-  iteration k is flat instead of doubling (the round-4 components
-  lesson, applied from the start here);
+- lineage in the rank loops grows LINEARLY (the rank vector feeds the
+  next round exactly once), so per-round checkpointing is pure
+  overhead at the default 3-4 iterations: ``_pin_round`` truncates
+  lineage only every ``_PIN_INTERVAL`` rounds, bounding plan depth for
+  long runs while the whole default loop compiles to ONE job (round-14
+  measurement: per-round ``localCheckpoint(eager=True)`` cost ~0.2s of
+  job launch + Θ(nodes) local write+read per round on the bench graph;
+  BFS keeps its per-round pins — its visited/frontier frames feed the
+  next round TWICE, so un-pinned lineage doubles, the round-4
+  components lesson);
 - iteration count is FIXED (power iteration converges geometrically;
   curation uses a handful of iterations), so wall-clock is
   iterations × one-shuffle, independent of graph diameter.
@@ -37,6 +44,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pyspark.sql import DataFrame
+
+#: Rounds between lineage pins in the linear-lineage loops (pagerank,
+#: personalized_pagerank, label_propagation). Defaults (3-4 rounds)
+#: never pin; a 100-round run stays ≤ _PIN_INTERVAL rounds deep.
+_PIN_INTERVAL = 8
+
+
+def _pin_round(df: DataFrame, round_idx: int) -> DataFrame:
+    """Truncate lineage every ``_PIN_INTERVAL`` rounds (round_idx is
+    0-based). Linear-lineage loops only — frames their round references
+    twice (BFS visited/frontier) must pin every round or recompute
+    exponentially."""
+    if (round_idx + 1) % _PIN_INTERVAL == 0:
+        return df.localCheckpoint(eager=True)
+    return df
 
 
 def pagerank(
@@ -104,18 +126,31 @@ def pagerank(
     dn, dd = dfr.numerator, dfr.denominator
     dec = "decimal(38,0)"
 
+    # r0 is a projection of the PERSISTED degree frame — no pin needed
+    # (recompute is a cache read; the old eager checkpoint was one
+    # extra job + Θ(nodes) local write for nothing)
     ranks = deg.select(
         F.col("src").alias("node"),
         rational_micro(F.lit(1), F.lit(n), 12).alias("_pico"),
-    ).localCheckpoint(eager=True)
+    )
     nodes = deg.select(F.col("src").alias("node"))
     if bcast:
         nodes = nodes.repartition(n_parts, "node").persist()
         nodes.count()
-    pinned = [e, deg] + ([nodes] if bcast else [])
+    # degree-ANNOTATED edge list (round 14): join deg onto the edges
+    # once, outside the loop, so each iteration is ONE rank join over
+    # the edges instead of two (rank + degree) — one Θ(edges)
+    # broadcast/co-partitioned join per iteration removed at any scale.
+    # The annotated copy replaces the raw one in the cache (e is
+    # unpersisted below), so peak pinned edge storage stays one copy
+    # plus the long degree column.
+    ed = e.join(F.broadcast(deg) if bcast else deg, "src").persist()
+    ed.count()
+    e.unpersist()
+    pinned = [ed, deg] + ([nodes] if bcast else [])
     try:
         ranks = _pagerank_iterate(
-            ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec
+            ranks, nodes, ed, iterations, bcast, n, dn, dd, dec
         )
     finally:
         # release the pinned edge/degree/node frames even when an
@@ -128,12 +163,14 @@ def pagerank(
     )
 
 
-def _pagerank_iterate(ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec):
+def _pagerank_iterate(ranks, nodes, ed, iterations, bcast, n, dn, dd, dec):
     """The pagerank power-iteration loop, factored out so the caller can
-    wrap it in try/finally around the pinned frames."""
+    wrap it in try/finally around the pinned frames. ``ed`` is the
+    degree-annotated edge list (src, dst, deg) — annotating once
+    outside the loop removed the per-iteration degree join (round 14)."""
     from bearly_spark.operators.rounding import rational_micro
 
-    for _ in range(iterations):
+    for it in range(iterations):
         # per-EDGE halfup contribution in plain LONG arithmetic (the
         # hot path — Θ(edges)/round): picoranks sum to ~10¹², so
         # 2·R + deg ≤ ~2·10¹² at ANY corpus scale — no DECIMAL needed
@@ -141,12 +178,10 @@ def _pagerank_iterate(ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec):
         # bench graph trio); the Θ(nodes) damped update below keeps
         # DECIMAL for the dn·S·n blow-up.
         rv = ranks.withColumnRenamed("node", "src")
-        dv = deg
         if bcast:
-            rv, dv = F.broadcast(rv), F.broadcast(dv)
+            rv = F.broadcast(rv)
         contrib = (
-            e.join(rv, "src")
-            .join(dv, "src")
+            ed.join(rv, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.call_function(
@@ -168,13 +203,12 @@ def _pagerank_iterate(ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec):
             + F.lit(dn).cast(dec) * s38 * F.lit(n).cast(dec)
         )
         den = F.lit(100 * dd).cast(dec) * F.lit(n).cast(dec)
-        ranks = (
-            nodes.join(agg, "node", "left")
-            .select(
+        ranks = _pin_round(
+            nodes.join(agg, "node", "left").select(
                 "node",
                 (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            it,
         )
     return ranks
 
@@ -368,9 +402,11 @@ def label_propagation(
     (billions of nodes) the edge list pins on the neighbor key ``v``
     instead and each round pays the one inherent Θ(edges) node-keyed
     shuffle between the join and the count — LPA's information flow
-    (neighbor labels regroup by node) made explicit. Labels
-    localCheckpoint each round (same lineage discipline as
-    ``connected_components``)."""
+    (neighbor labels regroup by node) made explicit. Labels feed the
+    next round exactly once, so lineage grows linearly and the whole
+    default loop runs as ONE job; ``_pin_round`` truncates every
+    ``_PIN_INTERVAL`` rounds for long runs (round 14 — the per-round
+    eager checkpoint was ~0.2s/round of job+materialization overhead)."""
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
@@ -412,7 +448,7 @@ def label_propagation(
         sym.unpersist()
         sym = sym_v
     try:
-        for _ in range(rounds):
+        for it in range(rounds):
             joined = sym.join(
                 F.broadcast(labels) if bcast else labels,
                 sym["v"] == labels["node"],
@@ -431,15 +467,14 @@ def label_propagation(
             # ties — (c, -label) is unique per node (labels are distinct
             # after the groupBy), so the result is fully deterministic
             # and the per-round partition sort disappears from the plan
-            labels = (
-                nb.groupBy("node")
-                .agg(
+            labels = _pin_round(
+                nb.groupBy("node").agg(
                     F.max_by(
                         "label",
                         F.struct(F.col("c"), (-F.col("label")).alias("nl")),
                     ).alias("label")
-                )
-                .localCheckpoint(eager=True)
+                ),
+                it,
             )
         return labels.select("node", F.col("label").alias("community"))
     finally:
@@ -566,8 +601,8 @@ def personalized_pagerank(
     contributions with p = uniform over seeds, r0 = p.
 
     Same execution shape as :func:`pagerank`: edges pinned partitioned
-    on src (only the Θ(nodes) rank vector moves per iteration),
-    localCheckpoint per round — and the same round-8 exact-integer
+    on src (only the Θ(nodes) rank vector moves per iteration), lineage
+    pinned every ``_PIN_INTERVAL`` rounds — and the same round-8 exact-integer
     picorank recurrence (PPR's restart arithmetic lands EXACTLY on
     10dp decimal boundaries — observed at sf0.01 with plain ROUND:
     0.0011315211 vs 0.001131521 — and the round-7 audit showed even
@@ -601,13 +636,25 @@ def personalized_pagerank(
         e_src.count()
         e.unpersist()
         e = e_src
+    ed = nodes = None
     try:
+        # degree-annotated edge list — same round-14 move as pagerank:
+        # one deg join outside the loop replaces one per iteration; the
+        # annotated copy supersedes the raw one in the cache
+        ed = e.join(F.broadcast(deg) if bcast else deg, "src").persist()
+        ed.count()
+        e.unpersist()
         sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+        # ONE materialization of the node/seed frame (round 14): the old
+        # eager localCheckpoint followed by a bcast-regime
+        # repartition+persist wrote Θ(nodes) twice back to back; persist
+        # directly in the update-join layout and let s_count pin it
         nodes = (
             deg.select(F.col("src").alias("node"))
             .join(sd.withColumn("_s", F.lit(1)), "node", "left")
             .select("node", F.col("_s").isNotNull().alias("is_seed"))
-            .localCheckpoint(eager=True)
+            .repartition(n_parts, "node")
+            .persist()
         )
         s_count = nodes.filter("is_seed").count()
         if s_count == 0:
@@ -615,6 +662,8 @@ def personalized_pagerank(
         dfr = Fraction(damping).limit_denominator(1000)
         dn, dd = dfr.numerator, dfr.denominator
         dec = "decimal(38,0)"
+        # r0 is a projection of the pinned node frame — no pin needed
+        # (same reasoning as pagerank's r0)
         ranks = nodes.select(
             "node",
             F.when(
@@ -622,20 +671,15 @@ def personalized_pagerank(
             )
             .otherwise(F.lit(0))
             .alias("_pico"),
-        ).localCheckpoint(eager=True)
-        if bcast:
-            nodes = nodes.repartition(n_parts, "node").persist()
-            nodes.count()
-        for _ in range(iterations):
+        )
+        for it in range(iterations):
             # LONG fast path for the Θ(edges) contribution — see
             # pagerank's in-loop note (picoranks bound 2·R+deg ≤ 2·10¹²)
             rv = ranks.withColumnRenamed("node", "src")
-            dv = deg
             if bcast:
-                rv, dv = F.broadcast(rv), F.broadcast(dv)
+                rv = F.broadcast(rv)
             contrib = (
-                e.join(rv, "src")
-                .join(dv, "src")
+                ed.join(rv, "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.call_function(
@@ -654,13 +698,12 @@ def personalized_pagerank(
                 + F.lit(dn).cast(dec) * s38 * F.lit(s_count).cast(dec)
             )
             den = F.lit(100 * dd).cast(dec) * F.lit(s_count).cast(dec)
-            ranks = (
-                nodes.join(agg, "node", "left")
-                .select(
+            ranks = _pin_round(
+                nodes.join(agg, "node", "left").select(
                     "node",
                     (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                it,
             )
         return ranks.select(
             "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
@@ -668,7 +711,7 @@ def personalized_pagerank(
     finally:
         e.unpersist()
         deg.unpersist()
-        try:
-            nodes.unpersist()  # no-op unless the bcast regime persisted it
-        except NameError:  # failed before nodes existed
-            pass
+        if ed is not None:
+            ed.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
