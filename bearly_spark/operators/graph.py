@@ -12,16 +12,18 @@ Scale design (same contract as the components loop):
   vector (shuffles on node id only — the edge list's payload never
   moves), one partial-aggregated groupBy on the destination, and a
   constant-folded damping expression;
-- lineage in the rank loops grows LINEARLY (the rank vector feeds the
-  next round exactly once), so per-round checkpointing is pure
-  overhead at the default 3-4 iterations: ``_pin_round`` truncates
-  lineage only every ``_PIN_INTERVAL`` rounds, bounding plan depth for
-  long runs while the whole default loop compiles to ONE job (round-14
-  measurement: per-round ``localCheckpoint(eager=True)`` cost ~0.2s of
-  job launch + Θ(nodes) local write+read per round on the bench graph;
-  BFS keeps its per-round pins — its visited/frontier frames feed the
-  next round TWICE, so un-pinned lineage doubles, the round-4
-  components lesson);
+- the per-round rank/label vector is pinned with a LAZY
+  ``localCheckpoint`` (round 14): lineage must truncate every round —
+  an un-pinned round-i broadcast subtree re-executes rounds 0..i-1
+  (Θ(rounds²) recompute: measured +25-120% on a 10x-scale graph even
+  though it looked FASTER on the overhead-bound sf0.1 bench) — but the
+  materialization can ride inside the NEXT round's broadcast build
+  instead of paying a separate eager job + Θ(nodes) write per round
+  (10x-scale best-of-3: LPA eager 8.88s / fused-no-pin 9.33s / lazy
+  7.23s; PPR 3.36 / 3.18 / 2.58). BFS keeps its EAGER per-round pins —
+  its visited/frontier frames feed the next round twice and its
+  left_anti join consumes the frontier before any broadcast would
+  materialize it;
 - iteration count is FIXED (power iteration converges geometrically;
   curation uses a handful of iterations), so wall-clock is
   iterations × one-shuffle, independent of graph diameter.
@@ -45,20 +47,16 @@ import pyspark.sql.functions as F
 
 from pyspark.sql import DataFrame
 
-#: Rounds between lineage pins in the linear-lineage loops (pagerank,
-#: personalized_pagerank, label_propagation). Defaults (3-4 rounds)
-#: never pin; a 100-round run stays ≤ _PIN_INTERVAL rounds deep.
-_PIN_INTERVAL = 8
-
-
-def _pin_round(df: DataFrame, round_idx: int) -> DataFrame:
-    """Truncate lineage every ``_PIN_INTERVAL`` rounds (round_idx is
-    0-based). Linear-lineage loops only — frames their round references
-    twice (BFS visited/frontier) must pin every round or recompute
-    exponentially."""
-    if (round_idx + 1) % _PIN_INTERVAL == 0:
-        return df.localCheckpoint(eager=True)
-    return df
+def _pin_round(df: DataFrame) -> DataFrame:
+    """Per-round lineage pin for the rank/label loops: a LAZY local
+    checkpoint. Truncation is mandatory (an un-pinned round-i broadcast
+    subtree re-executes every earlier round — Θ(rounds²)); laziness
+    folds the materialization into the next round's broadcast build, so
+    no per-round driver job is launched (module docstring has the
+    measured three-way comparison). The pinned blocks live on
+    executor-local storage — the standard localCheckpoint contract:
+    executor loss mid-query fails the job instead of recomputing."""
+    return df.localCheckpoint(eager=False)
 
 
 def pagerank(
@@ -137,20 +135,17 @@ def pagerank(
     if bcast:
         nodes = nodes.repartition(n_parts, "node").persist()
         nodes.count()
-    # degree-ANNOTATED edge list (round 14): join deg onto the edges
-    # once, outside the loop, so each iteration is ONE rank join over
-    # the edges instead of two (rank + degree) — one Θ(edges)
-    # broadcast/co-partitioned join per iteration removed at any scale.
-    # The annotated copy replaces the raw one in the cache (e is
-    # unpersisted below), so peak pinned edge storage stays one copy
-    # plus the long degree column.
-    ed = e.join(F.broadcast(deg) if bcast else deg, "src").persist()
-    ed.count()
-    e.unpersist()
-    pinned = [ed, deg] + ([nodes] if bcast else [])
+    # NOT degree-annotated (round 14, measured): joining deg onto the
+    # edge list once outside the loop looked like a saved per-iteration
+    # join, but in the broadcast regime the deg join is a cheap
+    # Θ(nodes)-broadcast probe while the annotation costs an extra
+    # Θ(edges) materialization plus a wider cached edge row read every
+    # iteration — 10x-scale best-of-3 measured the annotated form
+    # SLOWER (pagerank 2.61s plain vs 3.94s annotated, both lazy-pinned)
+    pinned = [e, deg] + ([nodes] if bcast else [])
     try:
         ranks = _pagerank_iterate(
-            ranks, nodes, ed, iterations, bcast, n, dn, dd, dec
+            ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec
         )
     finally:
         # release the pinned edge/degree/node frames even when an
@@ -163,11 +158,9 @@ def pagerank(
     )
 
 
-def _pagerank_iterate(ranks, nodes, ed, iterations, bcast, n, dn, dd, dec):
+def _pagerank_iterate(ranks, nodes, e, deg, iterations, bcast, n, dn, dd, dec):
     """The pagerank power-iteration loop, factored out so the caller can
-    wrap it in try/finally around the pinned frames. ``ed`` is the
-    degree-annotated edge list (src, dst, deg) — annotating once
-    outside the loop removed the per-iteration degree join (round 14)."""
+    wrap it in try/finally around the pinned frames."""
     from bearly_spark.operators.rounding import rational_micro
 
     for it in range(iterations):
@@ -178,10 +171,12 @@ def _pagerank_iterate(ranks, nodes, ed, iterations, bcast, n, dn, dd, dec):
         # bench graph trio); the Θ(nodes) damped update below keeps
         # DECIMAL for the dn·S·n blow-up.
         rv = ranks.withColumnRenamed("node", "src")
+        dv = deg
         if bcast:
-            rv = F.broadcast(rv)
+            rv, dv = F.broadcast(rv), F.broadcast(dv)
         contrib = (
-            ed.join(rv, "src")
+            e.join(rv, "src")
+            .join(dv, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.call_function(
@@ -207,8 +202,7 @@ def _pagerank_iterate(ranks, nodes, ed, iterations, bcast, n, dn, dd, dec):
             nodes.join(agg, "node", "left").select(
                 "node",
                 (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
-            ),
-            it,
+            )
         )
     return ranks
 
@@ -402,11 +396,13 @@ def label_propagation(
     (billions of nodes) the edge list pins on the neighbor key ``v``
     instead and each round pays the one inherent Θ(edges) node-keyed
     shuffle between the join and the count — LPA's information flow
-    (neighbor labels regroup by node) made explicit. Labels feed the
-    next round exactly once, so lineage grows linearly and the whole
-    default loop runs as ONE job; ``_pin_round`` truncates every
-    ``_PIN_INTERVAL`` rounds for long runs (round 14 — the per-round
-    eager checkpoint was ~0.2s/round of job+materialization overhead)."""
+    (neighbor labels regroup by node) made explicit. Labels pin with a
+    LAZY per-round checkpoint (``_pin_round``, round 14): truncation is
+    mandatory — an un-pinned round re-executes all earlier rounds
+    through its broadcast subtree — but the materialization rides
+    inside the next round's broadcast build instead of a separate
+    eager job per round (10x-scale: eager 8.88s / no-pin 9.33s /
+    lazy 7.23s)."""
     e = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
@@ -473,8 +469,7 @@ def label_propagation(
                         "label",
                         F.struct(F.col("c"), (-F.col("label")).alias("nl")),
                     ).alias("label")
-                ),
-                it,
+                )
             )
         return labels.select("node", F.col("label").alias("community"))
     finally:
@@ -602,7 +597,7 @@ def personalized_pagerank(
 
     Same execution shape as :func:`pagerank`: edges pinned partitioned
     on src (only the Θ(nodes) rank vector moves per iteration), lineage
-    pinned every ``_PIN_INTERVAL`` rounds — and the same round-8 exact-integer
+    lazily pinned per round (``_pin_round``) — and the same round-8 exact-integer
     picorank recurrence (PPR's restart arithmetic lands EXACTLY on
     10dp decimal boundaries — observed at sf0.01 with plain ROUND:
     0.0011315211 vs 0.001131521 — and the round-7 audit showed even
@@ -636,14 +631,8 @@ def personalized_pagerank(
         e_src.count()
         e.unpersist()
         e = e_src
-    ed = nodes = None
+    nodes = None
     try:
-        # degree-annotated edge list — same round-14 move as pagerank:
-        # one deg join outside the loop replaces one per iteration; the
-        # annotated copy supersedes the raw one in the cache
-        ed = e.join(F.broadcast(deg) if bcast else deg, "src").persist()
-        ed.count()
-        e.unpersist()
         sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
         # ONE materialization of the node/seed frame (round 14): the old
         # eager localCheckpoint followed by a bcast-regime
@@ -676,10 +665,12 @@ def personalized_pagerank(
             # LONG fast path for the Θ(edges) contribution — see
             # pagerank's in-loop note (picoranks bound 2·R+deg ≤ 2·10¹²)
             rv = ranks.withColumnRenamed("node", "src")
+            dv = deg
             if bcast:
-                rv = F.broadcast(rv)
+                rv, dv = F.broadcast(rv), F.broadcast(dv)
             contrib = (
-                ed.join(rv, "src")
+                e.join(rv, "src")
+                .join(dv, "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.call_function(
@@ -702,8 +693,7 @@ def personalized_pagerank(
                 nodes.join(agg, "node", "left").select(
                     "node",
                     (rational_micro(num, den, 0) * F.lit(100)).alias("_pico"),
-                ),
-                it,
+                )
             )
         return ranks.select(
             "node", (F.col("_pico").cast("double") / F.lit(1e12)).alias("rank")
@@ -711,7 +701,5 @@ def personalized_pagerank(
     finally:
         e.unpersist()
         deg.unpersist()
-        if ed is not None:
-            ed.unpersist()
         if nodes is not None:
             nodes.unpersist()

@@ -242,6 +242,11 @@ HEADLINE = [
     # exact brute force; the exact arm dominates the time)
     "bpe_encode_documents",
     "ann_recall_embeddings",
+    # round 14 (VERDICT r13 #8, additions-only): the deletion-vector
+    # MERGE path next to the copy-on-write one (merge_upsert_orders),
+    # so the Θ(matched+delta) claim carries a measured,
+    # regression-guarded number
+    "txlog_dv_merge_orders",
 ]
 
 
