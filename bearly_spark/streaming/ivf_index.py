@@ -710,7 +710,10 @@ def ivfpq_index_query(
         scored.withColumn("_rn", F.row_number().over(w_adc))
         .filter(F.col("_rn") <= rerank)
         .select("q_id", "id")
-        .localCheckpoint(eager=True)  # consumed by the id collect AND the rerank
+        # consumed by the id collect AND the rerank; LAZY pin (r14) —
+        # the cand_ids collect right below materializes it, so the old
+        # eager form paid one extra driver job for nothing
+        .localCheckpoint(eager=False)
     )
 
     vecs = spark.read.parquet(f"{index_dir}/vecs").select("id", "vec")
