@@ -107,16 +107,18 @@ def q_q3(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp_ntz")
     )
-    joined = li.join(
-        R.join_broadcast(o, c, F.col("o_custkey") == F.col("c_custkey")),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
     # decimal(18,6) per row before SUM (the q7 pattern): a double SUM is
     # summation-order-dependent and lands near 2dp midpoints on real
     # fixtures (round-7 midpoint audit); the decimal aggregate is exact
     # and order-independent, and ROUND over DECIMAL is exact half-up in
     # both engines.
-    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+    # Round 14 (guide §2, the q18/q10 move): aggregate BELOW the join —
+    # the per-orderkey decimal sum is exact (order-free regrouping) and
+    # o_orderdate is functionally dependent on the unique o_orderkey,
+    # so the join probes Θ(distinct orders) aggregate rows instead of
+    # every lineitem row, and the orderkey shuffle carries (key,
+    # decimal) partials instead of (key, date, decimal) fact rows.
+    per_order = li.groupBy("l_orderkey").agg(
         F.round(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -127,6 +129,10 @@ def q_q3(spark, sf_dir):
         )
         .cast("double")
         .alias("revenue")
+    )
+    agg = per_order.join(
+        R.join_broadcast(o, c, F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return R.sort_limit(
         agg.select("l_orderkey", "revenue", "o_orderdate"),
@@ -235,29 +241,37 @@ def q_q7(spark, sf_dir):
 )
 def q_q10(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue ranking — filter pushed to
-    the lineitem scan, broadcast nation, deterministic top-20."""
+    the lineitem scan, broadcast nation, deterministic top-20.
+
+    Round 14 (guide §2, the q18 move): revenue pre-aggregates per
+    ``l_orderkey`` — map-side partials + one NARROW (orderkey, decimal)
+    shuffle — then per ``o_custkey`` over the Θ(orders) partials, and
+    customer/nation join the Θ(customers) aggregate instead of riding
+    through a Θ(lineitem) join. Result-identical: the per-row
+    decimal(18,6) sums are EXACT (order-free regrouping — this rewrite
+    is only legal because of the q7/q3 decimal pattern; an IEEE-double
+    sum could not be regrouped), and the group keys are functionally
+    dependent on ``c_custkey`` through inner equi-joins on unique keys."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     na = load_table(spark, sf_dir, "nation")
-    return (
-        cu.join(od, od.o_custkey == cu.c_custkey)
-        .join(li, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(na), na.n_nationkey == cu.c_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        # decimal(18,6) per-row before SUM — the q7/q3 exactness pattern
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,6)"
-                    )
-                ),
-                2,
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
             )
-            .cast("double")
-            .alias("revenue")
-        )
+        ).alias("_rev")
+    )
+    per_cust = (
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(cu, cu.c_custkey == per_cust.o_custkey)
+        .join(F.broadcast(na), na.n_nationkey == cu.c_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -278,18 +292,31 @@ def q_q10(spark, sf_dir):
     """,
 )
 def q_q18(spark, sf_dir):
-    """TPC-H Q18 shape: GROUP BY ... HAVING over a 3-way join (HAVING =
-    post-aggregation filter; Catalyst evaluates it after the final
-    HashAggregate, so only group rows — not fact rows — are filtered)."""
+    """TPC-H Q18 shape: GROUP BY ... HAVING over a 3-way join.
+
+    Round 14 (guide §2, shuffle fewer bytes / aggregate before joining):
+    the quantity sum is pre-aggregated per ``l_orderkey`` — a map-side
+    partial + ONE narrow (orderkey, qty) shuffle — and the very
+    selective HAVING is applied BEFORE the joins, so only qualifying
+    orders (a handful per million) ever join orders/customer, instead
+    of dragging customer+orders payloads through a Θ(lineitem) join
+    into the final hash aggregate. Result-identical to the joined-first
+    form: ``o_orderkey`` is unique (TPC-H key), the other group keys
+    are functionally dependent on it through INNER equi-joins, and the
+    per-group sum is exactly the per-orderkey sum (10x-scale
+    interleaved best-of-4: 3.85 -> 1.77 s; oracle hash-exact at
+    sf0.001 and sf0.01)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "o_custkey", "o_orderkey", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_custkey",
